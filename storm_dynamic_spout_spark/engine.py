@@ -1,0 +1,188 @@
+"""Engine façade: SparkSession factory + string-keyed config with defaults.
+
+Mirrors the reference's configuration system (``SpoutConfig`` — a
+string-keyed map whose ``setDefaults`` fills in ~15 defaults,
+``config/SpoutConfig.java:444+``) and its container entry point
+(``DynamicSpout.java:58-575``: open/close + add/remove virtual spout).
+Here the container is a :class:`DynamicEngine` owning a SparkSession and
+a registry of routed streams/queries; the virtual-spout thread pool
+(``coordinator/SpoutCoordinator.java``) maps to Spark's
+StreamingQueryManager and scheduler pools.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+#: Defaults mirroring the reference's SpoutConfig.setDefaults
+#: (config/SpoutConfig.java:444-507) re-interpreted for Spark execution,
+#: plus engine-level Spark tuning defaults for the 100 TB design point.
+DEFAULTS: dict[str, Any] = {
+    # --- reference-derived control-plane defaults -------------------------
+    # retry policy (retry/ExponentialBackoffRetryManager.java:55-64,
+    # SpoutConfig.java:490-507)
+    "retry.limit": 25,
+    "retry.initial_delay_ms": 1000,
+    "retry.delay_multiplier": 2.0,
+    "retry.max_delay_ms": 15 * 60 * 1000,
+    # buffer/backpressure (buffer/RoundRobinBuffer.java:66) → rate limiting
+    "buffer.max_size_per_route": 2000,
+    # coordinator (SpoutCoordinator.java:564-566)
+    "coordinator.max_concurrent_routes": 10,
+    "coordinator.state_flush_interval_ms": 30_000,
+    "coordinator.monitor_interval_ms": 2_000,
+    # sideline (sideline/config/SidelineConfig.java:74)
+    "sideline.refresh_interval_seconds": 600,
+    # output schema declaration (SpoutConfig.java:70 spout.output_fields)
+    "output.fields": None,  # None → schema inferred from source/parse
+    "output.stream_id": "default",  # DynamicSpout.java:552-563
+    "output.failed_stream_id": "failed",  # DLQ stream (DynamicSpout.java:292)
+    # --- Spark execution defaults ----------------------------------------
+    "spark.master": os.environ.get(
+        "SPARK_GRAFT_MASTER",
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+    ),
+    "spark.app_name": "storm_dynamic_spout_spark",
+    "spark.shuffle_partitions": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    "spark.session_timezone": "UTC",
+    "spark.driver_memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+}
+
+
+@dataclass
+class EngineConfig:
+    """String-keyed config with defaults (SpoutConfig analogue)."""
+
+    values: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        merged = dict(DEFAULTS)
+        merged.update(self.values)
+        self.values = merged
+
+    def __getitem__(self, key: str) -> Any:
+        return self.values[key]
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return self.values.get(key, default)
+
+    def with_overrides(self, **kv: Any) -> "EngineConfig":
+        out = dict(self.values)
+        out.update(kv)
+        return EngineConfig(out)
+
+
+def build_session(config: EngineConfig | None = None, **spark_confs: str) -> SparkSession:
+    """Create (or fetch) the engine's SparkSession.
+
+    Scale-relevant defaults:
+    - AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+    - shuffle partitions sized to cores locally; on a real cluster this is
+      overridden (AQE coalesces down from a high initial count)
+    - Arrow enabled for the Pandas-UDF slow path
+    - UTC session timezone so results hash-match the DuckDB oracle
+    """
+    cfg = config or EngineConfig()
+    builder = (
+        SparkSession.builder.master(cfg["spark.master"])
+        .appName(cfg["spark.app_name"])
+        .config("spark.sql.shuffle.partitions", str(cfg["spark.shuffle_partitions"]))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", cfg["spark.session_timezone"])
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", cfg["spark.driver_memory"])
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # streaming state at scale: RocksDB provider (SURVEY §7 hard part 6)
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    for k, v in spark_confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# ---------------------------------------------------------------------------
+# Table loading
+# ---------------------------------------------------------------------------
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one fixture table (columnar, pushdown-capable)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views so SQL + DataFrame share plans."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# DynamicEngine façade (DynamicSpout analogue, O1 in SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+
+class DynamicEngine:
+    """Container owning the SparkSession + a registry of named routes.
+
+    Reference parity: ``DynamicSpout`` (DynamicSpout.java:58-575) exposes
+    open/close/addVirtualSpout/removeVirtualSpout/hasVirtualSpout; here a
+    "route" is a named streaming query (or bounded batch job) built from a
+    source DataFrame + predicate set, and the coordinator is Spark's
+    StreamingQueryManager.
+    """
+
+    def __init__(self, config: EngineConfig | None = None) -> None:
+        self.config = config or EngineConfig()
+        self.spark = build_session(self.config)
+        self._routes: dict[str, Any] = {}
+
+    # -- lifecycle (DynamicSpout.open/close) --
+    def close(self) -> None:
+        for name in list(self._routes):
+            self.remove_route(name)
+
+    # -- route registry (addVirtualSpout/removeVirtualSpout/hasVirtualSpout) --
+    def add_route(self, name: str, query: Any) -> None:
+        if name in self._routes:
+            raise ValueError(f"route already exists: {name}")
+        self._routes[name] = query
+
+    def has_route(self, name: str) -> bool:
+        return name in self._routes
+
+    def get_route(self, name: str) -> Any:
+        return self._routes[name]
+
+    def remove_route(self, name: str) -> None:
+        q = self._routes.pop(name, None)
+        if q is not None and hasattr(q, "stop"):
+            q.stop()
