@@ -36,15 +36,19 @@ def main() -> None:
     spark = build_session(cfg)
 
     names = [n for n in HEADLINE if n in QUERIES]
-    # warmup: JVM/codegen/IO caches on the smallest table
-    QUERIES[names[0]](spark, sf_dir).count()
+    # warmup: classload/codegen the same sink + plan shape so one-time JVM
+    # costs aren't billed to the first timed query
+    QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damp noisy-neighbor variance
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
