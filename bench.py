@@ -20,7 +20,16 @@ from storm_dynamic_spout_spark.queries import QUERIES  # noqa: E402
 # Headline set: one representative per operator family; kept small enough
 # to run per-round but covering scan/filter/agg/join/window/sort/dedup.
 HEADLINE = [
-    "q1_pricing_summary",
+    "q1_pricing_summary",  # scan+filter+agg+sort
+    "join_star",  # 5-way star join
+    "join_asof",  # union+window as-of
+    "window_ranking",  # window functions
+    "topk_per_group",  # window group limit
+    "scalar_math",  # codegen expression throughput
+    "scalar_json",  # JSON path extraction
+    "filter_key",  # routing predicate
+    "setop_union_all",  # stream merge shape
+    "agg_count_distinct",  # distinct aggregation
 ]
 
 

@@ -1,0 +1,228 @@
+"""Aggregation operators (SURVEY §2.4 — absent in reference, declared).
+
+The reference has only metric counters/gauges (metrics/MetricsRecorder.java:36-150);
+the engine declares the full Spark aggregate surface. All plans are
+partial→final HashAggregate (map-side combine) — at 100 TB the only knob
+that matters is the shuffle on the grouping key, which AQE coalesces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.catalog.registry import query, t
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                       AS sum_qty,
+           sum(l_extendedprice)                                  AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity)                                       AS avg_qty,
+           avg(l_extendedprice)                                  AS avg_price,
+           avg(l_discount)                                       AS avg_disc,
+           count(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style hash aggregate (SURVEY §7 minimum slice).
+
+    Filter + 7-column projection push to the parquet scan; one shuffle on
+    the 2-col grouping key; partial aggregation map-side.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)                 AS n_customers,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           avg(c_acctbal)                           AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count + count-distinct (expand-based distinct agg, SURVEY §2.4)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.avg("c_acctbal").alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = groupBy-all-cols hash aggregate."""
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o_totalprice)        AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (Expand node feeding one hash agg)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_price"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)          AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over 2 dims = 4 grouping sets."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, sum(o_totalprice) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst Expand plan)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, sum(o_totalprice) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           min(l_extendedprice)    AS min_price,
+           max(l_extendedprice)    AS max_price,
+           avg(l_extendedprice)    AS avg_price,
+           stddev(l_extendedprice) AS std_price,
+           var_samp(l_extendedprice) AS var_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (single-pass moment computation)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.stddev("l_extendedprice").alias("std_price"),
+            F.var_samp("l_extendedprice").alias("var_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END) AS big_total,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           max(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS max_urgent_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE inside agg — codegen'd, no shuffle extra)."""
+    o = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(0.0)
+            ).alias("big_total"),
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("n_urgent"),
+            F.max(F.when(urgent, F.col("o_totalprice"))).alias("max_urgent_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT l_partkey, sum(l_quantity) AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_quantity) > 150
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )

@@ -1,0 +1,329 @@
+"""Join operators (SURVEY §2.3 — absent in reference, declared).
+
+The reference unions parallel streams but never joins
+(SURVEY §2.7/M1-M5); the engine declares the full join surface. Scale
+notes per query: genuinely-small dims (region: 5 rows, nation: 25) get an
+explicit broadcast hint; everything else is left to Catalyst/AQE, which
+auto-broadcasts under `spark.sql.autoBroadcastJoinThreshold` and picks
+sort-merge with skew-splitting otherwise — hard-coding broadcast for
+tables that grow with SF would be wrong at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from storm_dynamic_spout_spark.catalog.registry import query, t
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o.o_totalprice)      AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer; Catalyst picks broadcast vs
+    sort-merge by stats (customer scales with SF → no manual hint)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           coalesce(sum(o.o_totalprice), 0)    AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count=0 rows)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving supplier-less nations."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ), supp AS (
+      SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cust.nationkey, supp.nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated frames on nationkey."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    joined = cust.join(supp, "nationkey", "outer")
+    return joined.select(
+        F.col("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with a >100k order."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no urgent order
+    (unqualified "no orders at all" is vacuous on the fixtures — every
+    customer has orders — so the predicate keeps the result non-empty)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two tiny dims (5×25)."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    n = t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: unordered pairs of nations within a region
+    (equi part shuffles, `<` evaluated as join residual)."""
+    n = t(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_name").alias("name_a"), F.col("b.n_name").alias("name_b"))
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT p.p_size AS bucket_size,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM part p JOIN (SELECT DISTINCT p_size FROM part) b ON p.p_size >= b.p_size
+    GROUP BY p.p_size
+    ORDER BY p.p_size
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (non-equi) join against a small broadcast side —
+    BroadcastNestedLoop is fine because the build side is tiny and
+    stays tiny at scale (distinct sizes ≤ 50)."""
+    p = t(spark, sf_dir, "part")
+    buckets = p.select("p_size").distinct().withColumnRenamed("p_size", "b_size")
+    return (
+        p.join(F.broadcast(buckets), p.p_size >= buckets.b_size)
+        .groupBy(F.col("p_size").alias("bucket_size"))
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("bucket_size")
+    )
+
+
+@query(
+    "join_star",
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: fact (lineitem) through orders→customer
+    →nation→region. region/nation are broadcast (constant-size dims);
+    the fact-side joins are left to Catalyst — at 100 TB they become
+    sort-merge on the shuffled keys with AQE skew handling."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           max(o.o_orderdate) AS last_order_date
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (events × orders by nearest earlier order date).
+
+    Spark has no native ASOF; the scalable pattern is union-the-sides +
+    running max over a single per-key time-ordered window — ONE shuffle
+    on user_id, no row-explosion (the naive range join is O(events ×
+    orders-per-user)). Matches SURVEY §2.3's "as-of / interval join" row.
+    """
+    e = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit(None).cast("timestamp").alias("od"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("o_orderdate").alias("od"),
+    )
+    # orders sort before events at equal t (is_event asc) → bound inclusive
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        e.unionByName(o)
+        .withColumn("last_order_date", F.max("od").over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", "ts", "last_order_date")
+    )
+
+
+@query(
+    "join_stream_static",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(e.value)             AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static dimension-enrichment join, batch-expressed (the
+    streaming variant joins the same plan against readStream; SURVEY
+    §2.3 last row). Dim side broadcast-eligible via AQE."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    return (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .orderBy("c_mktsegment")
+    )

@@ -1,91 +1,8 @@
-"""Query catalog: every declared operator from SURVEY.md §2, as a named
-(spark_fn, oracle_sql) pair.
+"""Query catalog façade — see storm_dynamic_spout_spark.catalog.
 
-Each entry is one operator family from the survey's inventory. The Spark
-side is declarative DataFrame/SQL (Catalyst plans it); the oracle side is
-ANSI-ish SQL DuckDB runs on the same parquet tables. Column names are
-aliased identically on both sides (driver hash-compares after sorting
-columns by name).
-
-Reference-parity notes are in each docstring as file:line citations into
-/root/reference (what the operator corresponds to there, or "absent in
-reference — declared by SURVEY §2.x" for the analytics surface).
+Kept as the stable import point for __spark_entry__, bench.py and tests.
 """
 
-from __future__ import annotations
+from storm_dynamic_spout_spark.catalog import ORACLES, QUERIES
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
-
-from storm_dynamic_spout_spark.engine import load_table
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    """Register a (spark_fn, oracle_sql) pair under ``name``."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
-
-# ===========================================================================
-# §2.4 Aggregations
-# ===========================================================================
-
-
-@query(
-    "q1_pricing_summary",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                                       AS sum_qty,
-           sum(l_extendedprice)                                  AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity)                                       AS avg_qty,
-           avg(l_extendedprice)                                  AS avg_price,
-           avg(l_discount)                                       AS avg_disc,
-           count(*)                                              AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
-    """,
-)
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: TPC-H Q1-style hash aggregate (SURVEY §7 minimum slice).
-
-    Scan→filter→project→partial/final HashAggregate→sort; the filter and
-    the 7-column projection push down to the parquet scan (aggregations
-    absent in reference — declared by SURVEY §2.4).
-    """
-    li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+__all__ = ["QUERIES", "ORACLES"]
