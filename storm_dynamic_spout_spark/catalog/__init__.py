@@ -4,6 +4,7 @@ from storm_dynamic_spout_spark.catalog import (  # noqa: F401
     aggregates,
     filters,
     joins,
+    llm,
     scalars,
     setops,
     windows,

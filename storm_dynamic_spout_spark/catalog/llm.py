@@ -1,0 +1,432 @@
+"""LLM-training-data pipeline operators as oracle-checked queries
+(north-star extension — BASELINE.json: dedup, similarity search, text
+analysis; SURVEY §2.11 engine mapping).
+
+Oracle SQL strings are *generated* from the same constants
+(seeds/stopwords/bands/bits) the Spark operators use, so both engines
+compute the same deterministic md5-derived hashes and the value-hash
+comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.catalog.registry import query, t
+from storm_dynamic_spout_spark.operators import dedup as D
+from storm_dynamic_spout_spark.operators import similarity as S
+from storm_dynamic_spout_spark.operators import text as X
+
+# ---------------------------------------------------------------------------
+# SQL fragments mirroring operators/text.py + dedup.py (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(text, '\\s+')"
+_DTOKS = f"list_distinct({_TOKS})"
+
+
+def _sql_minhash(seed: int) -> str:
+    return f"list_min(list_transform({_DTOKS}, x -> md5('{seed}:' || x)))"
+
+
+def _sql_band(rows: tuple[int, ...]) -> str:
+    concat = " || ".join(f"mh{r}" for r in rows)
+    return f"md5({concat})"
+
+
+def _sql_simhash(hashes_expr: str, n_expr: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        ones = f"len(list_filter({hashes_expr}, h -> ((h >> {i}) & 1) = 1))"
+        terms.append(f"(CASE WHEN {ones} * 2 > {n_expr} THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_SQL_TOKEN_HASHES = (
+    f"list_transform({_DTOKS}, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))"
+)
+
+_SQL_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_SQL_COS = (
+    "list_inner_product(q, v) / (sqrt(list_inner_product(q, q)) * sqrt(list_inner_product(v, v)))"
+)
+
+#: Thresholds (shared Spark/oracle)
+NEAR_DUP_JACCARD = 0.9
+NGRAM_JACCARD = 0.8
+EMBED_COS_THRESHOLD = 0.25
+ANN_K = 5
+ANN_QUERY_MAX_ID = 8  # query set: vec_id < 8
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{X.TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokenizers + length
+    stats — the cheap volumetrics every corpus pipeline computes first."""
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        X.token_count(text).alias("n_tokens"),
+        F.size(X.bpe_ish_tokens(text)).cast("long").alias("n_bpe_tokens"),
+        F.length(text).cast("long").alias("n_chars_actual"),
+        X.avg_token_len(text).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {X.sql_stopword_ratio('text', X.QUALITY_STOPWORDS)} AS stopword_ratio,
+           {X.sql_punct_ratio('text')} AS punct_ratio,
+           (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+            + (1.0 - least({X.sql_punct_ratio('text')} * 5, 1.0))
+            + (1.0 - abs({X.sql_stopword_ratio('text', X.QUALITY_STOPWORDS)} - 0.4))
+           ) / 3.0 AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword/punctuation/length heuristics composed
+    into a [0,1] score — the pre-training quality filter."""
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        X.stopword_ratio(text).alias("stopword_ratio"),
+        X.punct_ratio(text).alias("punct_ratio"),
+        X.quality_score(text).alias("quality"),
+    )
+
+
+def _sql_lang_scores() -> dict[str, str]:
+    return {
+        lang: X.sql_stopword_ratio("text", words) for lang, words in X.STOPWORDS.items()
+    }
+
+
+def _sql_lang_case() -> str:
+    s = _sql_lang_scores()
+    langs = sorted(X.STOPWORDS)  # de, en, es, fr
+    all_scores = ", ".join(s[lg] for lg in langs)
+    branches = []
+    for i, lg in enumerate(langs[:-1]):
+        rest = ", ".join(s[o] for o in langs[i + 1 :])
+        greatest = f"greatest({rest})" if "," in rest else rest
+        branches.append(f"WHEN {s[lg]} >= {greatest} THEN '{lg}'")
+    return (
+        f"CASE WHEN greatest({all_scores}) = 0 THEN 'und' "
+        + " ".join(branches)
+        + f" ELSE '{langs[-1]}' END"
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_sql_lang_case()} AS predicted_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit-rate, argmax with
+    alphabetical tie-break ('und' when nothing matches)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_SQL_NORM_TEXT}) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of case/whitespace-normalized text
+    (reference parity: Tools.makeMd5Hash, dynamic/Tools.java:139)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.content_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_SQL_NORM_TEXT.replace('text', 'd.text')}) AS fingerprint,
+           CAST(min(d.doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT)      AS n_copies
+    FROM documents d
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint, keep min id."""
+    return D.exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_by_key",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT event_id, user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first-per-key dedup (the streaming dropDuplicates shape,
+    SURVEY §2.9 T13, batch-expressed)."""
+    return D.dedup_by_key(
+        t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value"),
+        ["user_id", "event_type"],
+        "event_id",
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mh_cols = ",\n           ".join(
+        f"{_sql_minhash(s)} AS mh{s}" for s in D.MINHASH_SEEDS
+    )
+    band_cols = ", ".join(
+        f"{_sql_band(rows)} AS band_{b}" for b, rows in enumerate(D.MINHASH_BANDS)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+           {mh_cols}
+      FROM documents
+    )
+    SELECT doc_id, {band_cols} FROM sig
+    """
+
+
+@query("dedup_minhash_signature", oracle=_minhash_sig_sql())
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → LSH band keys per document (the shuffle keys
+    of the near-dup join; 32-byte keys, not full texts)."""
+    sig = D.minhash_signature(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return sig.select(
+        "doc_id", *[F.col(f"band_{b}") for b in range(len(D.MINHASH_BANDS))]
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    mh_cols = ", ".join(f"{_sql_minhash(s)} AS mh{s}" for s in D.MINHASH_SEEDS)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {_sql_band(rows)} AS bk FROM sig"
+        for rows in D.MINHASH_BANDS
+    )
+    return f"""
+    WITH sig AS (SELECT doc_id, {mh_cols} FROM documents),
+    buckets AS ({band_selects}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    toks AS (SELECT doc_id, {_DTOKS} AS tk FROM documents)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(x.tk, y.tk))) AS DOUBLE) AS jaccard
+    FROM cands JOIN toks x ON x.doc_id = id_a JOIN toks y ON y.doc_id = id_b
+    WHERE CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(x.tk, y.tk))) AS DOUBLE) >= {NEAR_DUP_JACCARD}
+    """
+
+
+@query("dedup_minhash_pairs", oracle=_minhash_pairs_sql())
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection end-to-end: band buckets →
+    candidate pairs (equi-join, never all-pairs) → exact token-set
+    Jaccard verification ≥ threshold."""
+    return D.minhash_near_dups(
+        t(spark, sf_dir, "documents"), "doc_id", "text", NEAR_DUP_JACCARD
+    )
+
+
+def _simhash_sql() -> str:
+    sim = _sql_simhash("hs", "n", D.SIMHASH_BITS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKEN_HASHES} AS hs, len({_DTOKS}) AS n FROM documents
+    )
+    SELECT CAST({sim} AS BIGINT) AS simhash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM tok
+    GROUP BY 1
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup: identical-fingerprint buckets (hamming-0 clusters);
+    permuted near-dups collide because the token *set* drives the bits."""
+    return D.simhash_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _ngram_pairs_sql() -> str:
+    mh_cols = ", ".join(f"{_sql_minhash(s)} AS mh{s}" for s in D.MINHASH_SEEDS)
+    full_sig = _sql_band(D.MINHASH_SEEDS)
+    norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    grams = (
+        f"list_distinct(list_transform(range(1, greatest(length({norm}) - 2, 1) + 1), "
+        f"i -> substr({norm}, CAST(i AS INTEGER), 3)))"
+    )
+    jac = (
+        "CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(x.g, y.g))) AS DOUBLE)"
+    )
+    return f"""
+    WITH sig AS (SELECT doc_id, {mh_cols} FROM documents),
+    keyed AS (SELECT doc_id, {full_sig} AS sg FROM sig),
+    cands AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b ON a.sg = b.sg AND a.doc_id < b.doc_id
+    ),
+    gr AS (SELECT doc_id, {grams} AS g FROM documents)
+    SELECT id_a, id_b, {jac} AS ngram_jaccard
+    FROM cands JOIN gr x ON x.doc_id = id_a JOIN gr y ON y.doc_id = id_b
+    WHERE {jac} >= {NGRAM_JACCARD}
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_ngram_pairs_sql())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup over LSH-candidate pairs."""
+    return D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", 3, NGRAM_JACCARD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_VQ = f"""
+    v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS q FROM v
+          WHERE vec_id < {ANN_QUERY_MAX_ID})
+"""
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH {_VQ},
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             round({_SQL_COS} * 1000000) / 1000000 AS cos
+      FROM q CROSS JOIN v WHERE vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (correctness baseline for ANN): broadcast
+    query set × corpus scan, per-query heap via row_number. Cosine is
+    rounded to 1e-6 in-query so rank ties and hash compares are stable
+    across engines."""
+    df = S.cosine_topk(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        F.col("vec_id") < ANN_QUERY_MAX_ID,
+        ANN_K,
+    )
+    return df.select(
+        "query_id", "neighbor_id", (F.round(F.col("cos") * 1000000) / 1000000).alias("cos"), "rank"
+    )
+
+
+@query(
+    "ann_topk_ivf",
+    oracle=f"""
+    WITH {_VQ},
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             round({_SQL_COS} * 1000000) / 1000000 AS cos
+      FROM q JOIN v ON v.label = q.qlabel AND v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketed top-k: candidates limited to the query's coarse
+    bucket (label = coarse centroid id) — the 100 TB path where scoring
+    |bucket| ≪ |corpus| candidates per query."""
+    df = S.cosine_topk_ivf(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        F.col("vec_id") < ANN_QUERY_MAX_ID,
+        ANN_K,
+    )
+    return df.select(
+        "query_id", "neighbor_id", (F.round(F.col("cos") * 1000000) / 1000000).alias("cos"), "rank"
+    )
+
+
+@query(
+    "embedding_near_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.ve, b.ve)
+             / (sqrt(list_inner_product(a.ve, a.ve)) * sqrt(list_inner_product(b.ve, b.ve)))
+             * 1000000) / 1000000 AS cos
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_inner_product(a.ve, b.ve)
+             / (sqrt(list_inner_product(a.ve, a.ve)) * sqrt(list_inner_product(b.ve, b.ve)))
+          >= {EMBED_COS_THRESHOLD}
+    """,
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (IVF blocking) —
+    the semantic-dedup operator."""
+    df = S.cosine_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", EMBED_COS_THRESHOLD
+    )
+    return df.select(
+        "id_a", "id_b", (F.round(F.col("cos") * 1000000) / 1000000).alias("cos")
+    )

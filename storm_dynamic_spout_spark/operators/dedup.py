@@ -1,0 +1,277 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+(north-star extension; SURVEY §2.11 engine mapping).
+
+Scale design: every family avoids the O(n²) all-pairs comparison —
+candidates come from hash-bucket equi-joins (LSH bands / identical
+simhash / shared fingerprint), so the shuffle is on bucket keys and the
+pair-verification join only touches same-bucket rows. At 100 TB the
+bucket join is a plain shuffled equi-join Catalyst handles; skewed
+buckets (a viral duplicate cluster) are split by AQE skew-join.
+
+All hashes are md5-derived and engine-portable (identical values in
+Spark and DuckDB), so every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.operators.text import (
+    content_fingerprint,
+    distinct_tokens,
+    token_hash,
+)
+
+#: MinHash parameters: 8 hash functions → 2 bands × 4 rows.
+MINHASH_SEEDS = tuple(range(8))
+MINHASH_BANDS = ((0, 1, 2, 3), (4, 5, 6, 7))
+
+#: SimHash width (bits). 16 keeps the per-bit expression set small while
+#: still separating non-near-dup docs; widen via SIMHASH_BITS at scale.
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup on normalized content: one representative
+    (min id) per distinct content fingerprint + duplicate count.
+
+    One shuffle on the md5 fingerprint (not the full text — 32-byte keys
+    keep the exchange small at 100 TB)."""
+    return (
+        df.select(
+            F.col(id_col), content_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def dedup_by_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the first row (min order_col) per key — the row_number()==1
+    pattern; Spark plans WindowGroupLimit so non-winners never
+    materialize past the sort."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*keys).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_col(text_col: Column, seed: int) -> Column:
+    """One MinHash value: lexicographic min of seeded md5 over the
+    distinct token set. String-min is order-isomorphic to integer-min of
+    the hash, and identical across engines."""
+    toks = distinct_tokens(text_col)
+    return F.array_min(
+        F.transform(toks, lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x).cast("binary")))
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """id + minhash_0..7 + band keys (md5 of concatenated band rows).
+
+    The distinct-token array is materialized ONCE as a column before the
+    8 minhash lambdas reference it — an expression nested inside a
+    higher-order lambda is re-evaluated per array element, which turns
+    split+distinct into O(tokens²) work per row."""
+    def seeded_md5(seed: int):
+        # closure factory (default-arg lambdas read as the 2-arg form)
+        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x).cast("binary"))
+
+    out = df.select(
+        F.col(id_col), distinct_tokens(F.col(text_col)).alias("__toks")
+    )
+    for s in MINHASH_SEEDS:
+        out = out.withColumn(
+            f"minhash_{s}", F.array_min(F.transform(F.col("__toks"), seeded_md5(s)))
+        )
+    for b, rows in enumerate(MINHASH_BANDS):
+        out = out.withColumn(
+            f"band_{b}",
+            F.md5(F.concat(*[F.col(f"minhash_{r}") for r in rows]).cast("binary")),
+        )
+    return out.drop("__toks")
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket.
+
+    Equi-join per band on the 32-byte band key, unioned, deduped —
+    never an all-pairs product."""
+    pairs = None
+    for b in range(len(MINHASH_BANDS)):
+        a = sig.select(F.col(id_col).alias("id_a"), F.col(f"band_{b}").alias("__bk"))
+        c = sig.select(F.col(id_col).alias("id_b"), F.col(f"band_{b}").alias("__bk"))
+        p = a.join(c, "__bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs; keep ≥ threshold."""
+    toks = docs.select(
+        F.col(id_col), distinct_tokens(F.col(text_col)).alias("__toks")
+    )
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
+    union = F.size(F.array_union("__ta", "__tb")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Full pipeline: signature → LSH buckets → candidate pairs →
+    exact-Jaccard verification."""
+    sig = minhash_signature(df, id_col, text_col)
+    cands = lsh_candidate_pairs(sig, id_col)
+    return jaccard_verify(cands, df, id_col, text_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_from_hashes(hashes: Column, n: Column, bits: int) -> Column:
+    """SimHash bits from a *materialized* token-hash array column. The
+    hash array must be an attribute, not a nested expression — an
+    expression inside a higher-order lambda is re-evaluated per array
+    element (see minhash_signature)."""
+
+    def bit_set(i: int):
+        # closure factory (a default-arg lambda reads as the 2-arg form)
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        ones = F.size(F.filter(hashes, bit_set(i)))
+        bit = F.when(ones * 2 > n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sim = sim + (bit * F.lit(1 << i))
+    return sim
+
+
+def with_simhash(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """id + simhash: bit i set iff the count of token-hashes with bit i
+    set exceeds half the distinct-token count."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(distinct_tokens(F.col(text_col)), token_hash).alias("__hs"),
+    ).withColumn("__n", F.size("__hs"))
+    return hashed.select(
+        F.col(id_col),
+        _simhash_from_hashes(F.col("__hs"), F.col("__n"), SIMHASH_BITS).alias(out_col),
+    )
+
+
+def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group docs by identical simhash (hamming-0 buckets): candidate
+    near-dup clusters at zero join cost beyond one shuffle."""
+    return (
+        with_simhash(df, id_col, text_col)
+        .groupBy("simhash")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Pairs within hamming distance ≤ max_hamming, candidate-limited to
+    LSH band buckets (reusing the minhash bands) so the comparison never
+    goes all-pairs."""
+    sig = minhash_signature(df, id_col, text_col)
+    sims = with_simhash(df, id_col, text_col, "__sh")
+    cands = lsh_candidate_pairs(sig, id_col)
+    a = sims.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sims.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def with_char_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "__g"
+) -> DataFrame:
+    """id + distinct character n-grams of the normalized text. The
+    normalized string is materialized as a column FIRST so the per-gram
+    substr lambda references an attribute — nesting the regexp_replace
+    inside the lambda re-runs it once per character of every document."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    normed = df.select(F.col(id_col), norm.alias("__norm"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - (n - 1), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.col("__norm").substr(i, F.lit(n)))
+    )
+    return normed.select(F.col(id_col), grams.alias(out_col))
+
+
+def full_signature_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Strict blocking: pairs whose ENTIRE 8-hash signature matches
+    (vs per-band buckets). On low-entropy corpora the per-band buckets
+    go quadratic; the full signature only collides for (near-)identical
+    token sets, keeping the verify join linear in true-dup clusters."""
+    key = F.md5(F.concat(*[F.col(f"minhash_{s}") for s in MINHASH_SEEDS]).cast("binary"))
+    keyed = sig.withColumn("__sig", key)
+    a = keyed.select(F.col(id_col).alias("id_a"), "__sig")
+    b = keyed.select(F.col(id_col).alias("id_b"), "__sig")
+    return a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Character-n-gram Jaccard over strictly-blocked candidate pairs
+    (full-signature match: the n-gram verify is ~10× costlier per pair
+    than token Jaccard, so it gets the tighter candidate set)."""
+    sig = minhash_signature(df, id_col, text_col)
+    cands = full_signature_pairs(sig, id_col)
+    grams = with_char_ngrams(df, id_col, text_col, n)
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = F.size(F.array_union("__ga", "__gb")).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("ngram_jaccard", inter / union)
+        .filter(F.col("ngram_jaccard") >= threshold)
+        .select("id_a", "id_b", "ngram_jaccard")
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+bucketed search (IVF-style coarse quantization — here the fixture's
+`label` plays the coarse-centroid id) so the candidate set per query is
+|bucket| instead of |corpus|. All arithmetic is built-in higher-order
+array functions in double precision — JVM-side, portable to the DuckDB
+oracle bit-for-bit (same left-to-right accumulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (matches DuckDB list_inner_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _with_vec(df: DataFrame, id_col: str, vec_col: str, label_col: str | None = None):
+    cols = [F.col(id_col), as_double(F.col(vec_col)).alias("__v")]
+    if label_col:
+        cols.append(F.col(label_col))
+    return df.select(*cols)
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k: rows matching ``query_pred`` are the query set
+    (broadcast — it is small by construction); every corpus row is scored
+    once; per-query top-k via row_number ≤ k (WindowGroupLimit).
+
+    At 100 TB this is one broadcast + one scan + a shuffle on query_id of
+    only the scored pairs — no corpus self-join."""
+    corpus = _with_vec(df, id_col, vec_col)
+    queries = corpus.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__q")
+    )
+    scored = corpus.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), id_col)
+    return (
+        scored.withColumn("cos", dot(F.col("__q"), F.col("__v")) / (norm(F.col("__q")) * norm(F.col("__v"))))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    query_pred: Column,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style top-k: candidates restricted to the query's coarse
+    bucket (here the fixture's `label`; in production, argmin-centroid
+    assignment). Join is bucket-equi + broadcast queries → candidate set
+    per query is |bucket|, not |corpus|."""
+    corpus = _with_vec(df, id_col, vec_col, bucket_col)
+    queries = corpus.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__q"),
+        F.col(bucket_col).alias("__qb"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col(bucket_col) == F.col("__qb")) & (F.col(id_col) != F.col("query_id")),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), id_col)
+    return (
+        scored.withColumn("cos", dot(F.col("__q"), F.col("__v")) / (norm(F.col("__q")) * norm(F.col("__v"))))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, bucket_col: str, threshold: float
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, bucket-blocked
+    (same coarse bucket) so the pair join is equi on the bucket key —
+    the LSH/IVF blocking pattern, never a full cross join."""
+    v = _with_vec(df, id_col, vec_col, bucket_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col(bucket_col).alias("__b")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col(bucket_col).alias("__b")
+    )
+    return (
+        a.join(b, "__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            dot(F.col("__va"), F.col("__vb")) / (norm(F.col("__va")) * norm(F.col("__vb"))),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,153 @@
+"""Text-analysis operators: tokenization, quality scoring, language ID,
+fingerprinting (north-star extension; SURVEY §2.11 engine mapping).
+
+Everything is built-in `pyspark.sql.functions` — no Python UDFs — so the
+expressions stay inside whole-stage codegen and scale linearly with the
+scan. Each operator has a deterministic SQL-portable definition so the
+DuckDB oracle can replicate it exactly (constants shared from here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: word pieces or single non-space symbols.
+TOKEN_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+#: Stopword lists for the language-ID heuristic (tiny, deterministic).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "est"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ein", "ist"),
+}
+
+#: Stopwords used for the quality score (English core).
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (the corpus fixture is space-separated)."""
+    return F.split(col, r"\s+")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Regex token split approximating a BPE pre-tokenizer (group 0 =
+    whole match; pyspark defaults to group 1)."""
+    return F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), F.lit(0))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def distinct_tokens(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def stopword_ratio(col: Column, words: tuple[str, ...] = QUALITY_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (0 when empty)."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda x: x.isin(*words)))
+    return (hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double"))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are neither alphanumeric nor space."""
+    stripped = F.regexp_replace(col, r"[a-zA-Z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.greatest(F.length(col), F.lit(1)).cast(
+        "double"
+    )
+
+
+def avg_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    return F.length(F.regexp_replace(col, r"\s+", "")).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation,
+    some (but not all) stopwords — the standard cheap pre-filter in
+    training-data pipelines."""
+    len_score = F.least(F.length(col).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.4))
+    return (len_score + punct_pen + sw_score) / F.lit(3.0)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword hit-rate."""
+    toks = tokens(col)
+    denom = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    def hit(words: tuple[str, ...]):
+        # closure factory: a (x, w=words) default-arg lambda would be
+        # mis-detected as pyspark's 2-arg (element, index) lambda form
+        return lambda x: x.isin(*words)
+
+    return {
+        lang: F.size(F.filter(toks, hit(words))).cast("double") / denom
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by stopword hit-rate, alphabetical tie-break,
+    'und' (undetermined) when no list scores > 0."""
+    scores = lang_scores(col)
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(STOPWORDS, reverse=True):
+        s = scores[lang]
+        # >= so the alphabetically-earliest language wins ties
+        best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(s, best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact-dup hashing: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def content_fingerprint(col: Column) -> Column:
+    """MD5 of normalized text — parity with the reference's use of MD5
+    identity hashing (dynamic/Tools.java:139 makeMd5Hash)."""
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def token_hash(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a token, identical in Spark
+    and DuckDB: first 15 hex chars of md5 → bigint."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+# --- SQL (DuckDB) mirrors of the above, for oracle construction --------
+
+
+def sql_tokens(expr: str) -> str:
+    return f"regexp_split_to_array({expr}, '\\s+')"
+
+
+def sql_stopword_ratio(expr: str, words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    toks = sql_tokens(expr)
+    return (
+        f"(CAST(len(list_filter({toks}, x -> x IN ({in_list}))) AS DOUBLE)"
+        f" / CAST(greatest(len({toks}), 1) AS DOUBLE))"
+    )
+
+
+def sql_punct_ratio(expr: str) -> str:
+    return (
+        f"(CAST(length(regexp_replace({expr}, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+        f" / CAST(greatest(length({expr}), 1) AS DOUBLE))"
+    )
+
+
+def sql_token_hash(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
