@@ -7,6 +7,71 @@ control tables, and runtime mutation happens at micro-batch boundaries
 inside foreachBatch (SURVEY §7 hard parts 1-5).
 """
 
+from storm_dynamic_spout_spark.streaming.coordinator import (
+    Coordinator,
+    FifoBufferPolicy,
+    RatioBufferPolicy,
+    RoundRobinBufferPolicy,
+    ThrottledBufferPolicy,
+    calculate_partition_assignment,
+    merge_routes,
+)
+from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA, FileTopic
 from storm_dynamic_spout_spark.streaming.filter_chain import FilterChain
+from storm_dynamic_spout_spark.streaming.firehose import Firehose
+from storm_dynamic_spout_spark.streaming.metrics import (
+    MetricsRecorder,
+    PartitionProgress,
+    attach_query_listener,
+    route_progress,
+)
+from storm_dynamic_spout_spark.streaming.retry import (
+    ExponentialBackoffRetryPolicy,
+    FailedTuplesFirstRetryPolicy,
+    NeverRetryPolicy,
+    RetryPolicy,
+    schedule_failures,
+    split_due,
+    split_exhausted,
+)
+from storm_dynamic_spout_spark.streaming.sideline import (
+    FileWatchTrigger,
+    SidelineController,
+    SidelinePayload,
+    SidelinePersistence,
+    SidelineRequest,
+    SidelineType,
+    TriggerEvent,
+)
 
-__all__ = ["FilterChain"]
+__all__ = [
+    "TOPIC_SCHEMA",
+    "Coordinator",
+    "ExponentialBackoffRetryPolicy",
+    "FailedTuplesFirstRetryPolicy",
+    "FifoBufferPolicy",
+    "FileTopic",
+    "FileWatchTrigger",
+    "FilterChain",
+    "Firehose",
+    "MetricsRecorder",
+    "NeverRetryPolicy",
+    "PartitionProgress",
+    "RatioBufferPolicy",
+    "RetryPolicy",
+    "RoundRobinBufferPolicy",
+    "SidelineController",
+    "SidelinePayload",
+    "SidelinePersistence",
+    "SidelineRequest",
+    "SidelineType",
+    "ThrottledBufferPolicy",
+    "TriggerEvent",
+    "attach_query_listener",
+    "calculate_partition_assignment",
+    "merge_routes",
+    "route_progress",
+    "schedule_failures",
+    "split_due",
+    "split_exhausted",
+]

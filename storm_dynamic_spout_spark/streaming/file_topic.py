@@ -1,0 +1,188 @@
+"""FileTopic: a partitioned, offset-addressed append log on disk.
+
+The Kafka-topic stand-in for tests and local development: same logical
+model as the reference's consumer view of a topic — records keyed by
+``(partition, offset)`` with per-partition monotonically increasing
+offsets (``consumer/ConsumerPartition.java:33-96``,
+``consumer/ConsumerState.java:39-48``) — but backed by parquet files so
+both batch reads (bounded sideline replays, ``kafka/Consumer.java``
+``startingOffsets``/``endingOffsets`` analogue) and Structured Streaming
+reads (the live firehose) work against the same data with no broker.
+
+Scale note: the storage layout is one parquet file per append batch
+under ``<root>/data/``; Spark's file streaming source lists and
+micro-batches those files exactly the way the Kafka source batches
+offset ranges. At cluster scale the same engine code runs against
+``format("kafka")`` — the only difference is the source options, which
+``sources.registry`` owns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from typing import Any, Iterable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Engine-default source schema (SURVEY §1.3): exactly Spark's Kafka
+#: source shape minus the broker-only columns.
+TOPIC_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+    ]
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("partition", pa.int32()),
+        ("offset", pa.int64()),
+        ("key", pa.string()),
+        ("value", pa.string()),
+        ("timestamp", pa.timestamp("us")),
+    ]
+)
+
+
+def _hash_partition(key: str | None, num_partitions: int) -> int:
+    """Deterministic key→partition assignment (crc32, like Kafka's
+    default murmur2-mod partitioner in spirit; null key → partition 0)."""
+    if key is None:
+        return 0
+    return zlib.crc32(key.encode("utf-8")) % num_partitions
+
+
+class FileTopic:
+    """A partitioned append log: ``append`` on the producer side,
+    ``read``/``read_stream``/``read_range`` on the consumer side,
+    ``latest_offsets`` as the ConsumerState snapshot
+    (``ConsumerState.java:161-199`` builder analogue).
+    """
+
+    def __init__(self, root: str, num_partitions: int = 4) -> None:
+        self.root = root
+        self.num_partitions = num_partitions
+        self.data_dir = os.path.join(root, "data")
+        self._meta_path = os.path.join(root, "_topic.json")
+        os.makedirs(self.data_dir, exist_ok=True)
+        if os.path.exists(self._meta_path):
+            meta = json.loads(open(self._meta_path).read())
+            self.num_partitions = meta["num_partitions"]
+            self._next_offsets = {int(k): v for k, v in meta["next_offsets"].items()}
+            self._batch_seq = meta["batch_seq"]
+            self._clock_us = meta["clock_us"]
+        else:
+            self._next_offsets = {p: 0 for p in range(num_partitions)}
+            self._batch_seq = 0
+            self._clock_us = 1_700_000_000_000_000  # deterministic logical clock
+            self._save_meta()
+
+    # -- producer side ------------------------------------------------------
+
+    def _save_meta(self) -> None:
+        with open(self._meta_path, "w") as f:
+            json.dump(
+                {
+                    "num_partitions": self.num_partitions,
+                    "next_offsets": self._next_offsets,
+                    "batch_seq": self._batch_seq,
+                    "clock_us": self._clock_us,
+                },
+                f,
+            )
+
+    def append(self, records: Iterable[tuple[str | None, str]]) -> int:
+        """Append ``(key, value)`` records; returns the count written.
+
+        Offsets are assigned per partition monotonically; the logical
+        clock advances 1ms per record so event-time ordering matches
+        offset ordering (deterministic, test-friendly).
+        """
+        cols: dict[str, list[Any]] = {k: [] for k in ("partition", "offset", "key", "value", "timestamp")}
+        n = 0
+        for key, value in records:
+            p = _hash_partition(key, self.num_partitions)
+            off = self._next_offsets[p]
+            self._next_offsets[p] = off + 1
+            self._clock_us += 1000
+            cols["partition"].append(p)
+            cols["offset"].append(off)
+            cols["key"].append(key)
+            cols["value"].append(value)
+            cols["timestamp"].append(self._clock_us)
+            n += 1
+        if n == 0:
+            return 0
+        table = pa.Table.from_pydict(
+            {
+                "partition": pa.array(cols["partition"], pa.int32()),
+                "offset": pa.array(cols["offset"], pa.int64()),
+                "key": pa.array(cols["key"], pa.string()),
+                "value": pa.array(cols["value"], pa.string()),
+                "timestamp": pa.array(cols["timestamp"], pa.timestamp("us")),
+            },
+            schema=_ARROW_SCHEMA,
+        )
+        fname = os.path.join(self.data_dir, f"batch-{self._batch_seq:08d}.parquet")
+        self._batch_seq += 1
+        pq.write_table(table, fname)
+        self._save_meta()
+        return n
+
+    # -- consumer side ------------------------------------------------------
+
+    def latest_offsets(self) -> dict[int, int]:
+        """ConsumerState snapshot: last *written* offset per partition
+        (−1 when empty). The sideline START/RESOLVE snapshots read this
+        (``SidelineSpoutHandler.java:544-576``)."""
+        return {p: off - 1 for p, off in self._next_offsets.items()}
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Full batch scan (schema-pinned; no inference job)."""
+        return spark.read.schema(TOPIC_SCHEMA).parquet(self.data_dir)
+
+    def read_stream(self, spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
+        """The live firehose: Structured Streaming file source.
+        ``max_files_per_trigger`` is the backpressure knob — the
+        ``maxOffsetsPerTrigger`` analogue (SURVEY §2.7 M1)."""
+        reader = spark.readStream.schema(TOPIC_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.parquet(self.data_dir)
+
+    def read_range(
+        self,
+        spark: SparkSession,
+        start_offsets: dict[int, int] | None = None,
+        end_offsets: dict[int, int] | None = None,
+    ) -> DataFrame:
+        """Bounded replay: rows with ``start < offset <= end`` per
+        partition — the Kafka batch source ``startingOffsets``/
+        ``endingOffsets`` analogue (``kafka/Consumer.java:261-310`` seek
+        + ``VirtualSpout.java:293-303`` ending bound). Both bounds are
+        "last finished offset" snapshots: start exclusive, end inclusive.
+
+        The per-partition bounds compile to one disjunctive predicate that
+        is pushed to the parquet scan (min/max row-group pruning)."""
+        df = self.read(spark)
+        conds = []
+        for p in range(self.num_partitions):
+            c = F.col("partition") == p
+            if start_offsets is not None:
+                c = c & (F.col("offset") > int(start_offsets.get(p, -1)))
+            if end_offsets is not None:
+                c = c & (F.col("offset") <= int(end_offsets.get(p, -1)))
+            conds.append(c)
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        return df.filter(cond)

@@ -1,0 +1,135 @@
+"""Metrics + progress monitoring (SURVEY §2.10 O9/O10).
+
+The reference records counters/gauges/timers through a MetricsRecorder
+SPI (``metrics/MetricsRecorder.java:36-150``) with a fixed catalog
+(``metrics/SpoutMetrics.java``: buffer size, running/errored/completed
+spouts, per-vspout ack/emit/fail/filtered, per-partition offsets and
+percentComplete) and derives completion from starting/current/ending
+state (``coordinator/SpoutPartitionProgressMonitor.java:40-209``).
+
+Engine mapping: StreamingQueryProgress already carries numInputRows /
+inputRowsPerSecond / per-source offsets; a StreamingQueryListener feeds
+them into the same recorder API, and the progress arithmetic below is
+the reference's percentComplete formula over control-table offsets.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from dataclasses import dataclass
+from threading import Lock
+from typing import Any
+
+
+class MetricsRecorder:
+    """count/countBy/assign_value/timer surface
+    (``metrics/MetricsRecorder.java:36-150``). Thread-safe in-memory
+    recorder; subclass to ship elsewhere (LogRecorder analogue etc.)."""
+
+    def __init__(self) -> None:
+        self._lock = Lock()
+        self.counters: dict[str, int] = defaultdict(int)
+        self.gauges: dict[str, Any] = {}
+        self.timers: dict[str, list[float]] = defaultdict(list)
+
+    def count(self, key: str, amount: int = 1) -> None:
+        with self._lock:
+            self.counters[key] += amount
+
+    def assign_value(self, key: str, value: Any) -> None:
+        with self._lock:
+            self.gauges[key] = value
+
+    def start_timer(self) -> float:
+        return time.perf_counter()
+
+    def stop_timer(self, key: str, started: float) -> float:
+        elapsed = time.perf_counter() - started
+        with self._lock:
+            self.timers[key].append(elapsed)
+        return elapsed
+
+
+@dataclass(frozen=True)
+class PartitionProgress:
+    """Per-partition completion arithmetic
+    (``SpoutPartitionProgressMonitor.java:100-123``)."""
+
+    starting_offset: int
+    current_offset: int
+    ending_offset: int | None = None
+
+    @property
+    def total_processed(self) -> int:
+        return max(self.current_offset - self.starting_offset, 0)
+
+    @property
+    def total_unprocessed(self) -> int | None:
+        if self.ending_offset is None:
+            return None
+        return max(self.ending_offset - self.current_offset, 0)
+
+    @property
+    def total_messages(self) -> int | None:
+        if self.ending_offset is None:
+            return None
+        return self.ending_offset - self.starting_offset
+
+    @property
+    def percent_complete(self) -> float | None:
+        total = self.total_messages
+        if total is None:
+            return None
+        if total <= 0:
+            return 100.0
+        return 100.0 * self.total_processed / total
+
+
+def route_progress(
+    starting: dict[int, int],
+    current: dict[int, int],
+    ending: dict[int, int] | None = None,
+) -> dict[int, PartitionProgress]:
+    """Progress per partition for one route (sideline replay progress =
+    this over the control table's start/end snapshots + the replay's
+    current offsets)."""
+    out = {}
+    for p, start in starting.items():
+        out[p] = PartitionProgress(
+            starting_offset=start,
+            current_offset=current.get(p, start),
+            ending_offset=None if ending is None else ending.get(p),
+        )
+    return out
+
+
+def attach_query_listener(spark, recorder: MetricsRecorder):
+    """Wire a StreamingQueryListener → MetricsRecorder (O8/O9 mapping:
+    onQueryStarted/Progress/Terminated ≈ the SpoutHandler lifecycle +
+    per-vspout counters). Returns the listener for later removal."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Recorder(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            recorder.count("queries.started")
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            recorder.count(f"query.{p.name or p.id}.batches")
+            recorder.count(f"query.{p.name or p.id}.input_rows", p.numInputRows)
+            recorder.assign_value(
+                f"query.{p.name or p.id}.input_rows_per_second", p.inputRowsPerSecond
+            )
+
+        def onQueryTerminated(self, event) -> None:
+            # error-report sink (S8): surfaced like reportError
+            if event.exception is not None:
+                recorder.count("queries.errored")
+                recorder.assign_value(f"query.{event.id}.exception", event.exception)
+            else:
+                recorder.count("queries.completed")
+
+    listener = _Recorder()
+    spark.streams.addListener(listener)
+    return listener

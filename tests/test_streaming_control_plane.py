@@ -1,0 +1,134 @@
+"""Unit tests for the streaming control plane building blocks
+(retry policies, partition distribution, buffers, progress, trigger
+events) — the reference's unit-test layer (SURVEY §5.1) re-expressed."""
+
+from __future__ import annotations
+
+import pytest
+
+from storm_dynamic_spout_spark.streaming import (
+    ExponentialBackoffRetryPolicy,
+    FailedTuplesFirstRetryPolicy,
+    FifoBufferPolicy,
+    FilterChain,
+    NeverRetryPolicy,
+    PartitionProgress,
+    RatioBufferPolicy,
+    RoundRobinBufferPolicy,
+    ThrottledBufferPolicy,
+    calculate_partition_assignment,
+    route_progress,
+)
+
+
+# -- retry policies (ExponentialBackoffRetryManagerTest parity cases) -------
+
+
+def test_exponential_backoff_schedule():
+    p = ExponentialBackoffRetryPolicy(
+        retry_limit=3, initial_delay_ms=1000, delay_multiplier=2.0, max_delay_ms=10_000
+    )
+    # delay = initial * multiplier^(failCount-1)
+    assert p.delay_ms(1) == 1000
+    assert p.delay_ms(2) == 2000
+    assert p.delay_ms(3) == 4000
+    assert p.delay_ms(10) == 10_000  # capped at max
+    assert p.next_attempt_ts_ms(2, now_ms=50_000) == 52_000
+
+
+def test_retry_limit_semantics():
+    # >0 → cap; 0 → never; <0 → forever (ExponentialBackoffRetryManager.java:212-232)
+    capped = ExponentialBackoffRetryPolicy(retry_limit=2)
+    assert capped.retry_further(0) and capped.retry_further(1)
+    assert not capped.retry_further(2)
+    assert not NeverRetryPolicy().retry_further(0)
+    forever = ExponentialBackoffRetryPolicy(retry_limit=-1)
+    assert forever.retry_further(10_000)
+
+
+def test_failed_tuples_first_policy():
+    p = FailedTuplesFirstRetryPolicy()
+    assert p.retry_further(10_000)  # forever
+    assert p.delay_ms(5) == 0  # immediately
+    assert p.next_attempt_ts_ms(5, now_ms=123) == 123
+
+
+# -- partition distributor (PartitionDistributorTest parity) ----------------
+
+
+@pytest.mark.parametrize(
+    "total,index,ids,expected",
+    [
+        (2, 0, [0, 1, 2, 3], [0, 1]),
+        (2, 1, [0, 1, 2, 3], [2, 3]),
+        (3, 0, [0, 1, 2, 3, 4], [0, 1]),  # remainder to earlier consumers
+        (3, 1, [0, 1, 2, 3, 4], [2, 3]),
+        (3, 2, [0, 1, 2, 3, 4], [4]),
+        (1, 0, [5, 3, 1], [1, 3, 5]),  # sorted
+        (4, 3, [0, 1], []),  # more consumers than partitions
+    ],
+)
+def test_partition_assignment(total, index, ids, expected):
+    assert calculate_partition_assignment(total, index, ids) == expected
+
+
+def test_partition_assignment_covers_all_exactly_once():
+    ids = list(range(17))
+    seen = []
+    for i in range(5):
+        seen += calculate_partition_assignment(5, i, ids)
+    assert sorted(seen) == ids
+
+
+# -- buffer policies --------------------------------------------------------
+
+
+def test_buffer_policies():
+    assert FifoBufferPolicy().plan("a").max_files_per_trigger is None
+    assert RoundRobinBufferPolicy(max_per_trigger=7).plan("a").max_files_per_trigger == 7
+    th = ThrottledBufferPolicy(
+        throttle_regex="^sideline.*", normal_max_per_trigger=100, throttled_max_per_trigger=5
+    )
+    assert th.plan("firehose").max_files_per_trigger == 100
+    assert th.plan("sideline-x").max_files_per_trigger == 5
+    ra = RatioBufferPolicy(ratio=5, base_trigger_interval_ms=1000)
+    assert ra.plan("firehose").trigger_interval_ms == 1000
+    assert ra.plan("sideline-x").trigger_interval_ms == 5000  # 5:1 cadence
+
+
+# -- progress arithmetic (SpoutPartitionProgressMonitor parity) -------------
+
+
+def test_partition_progress():
+    pp = PartitionProgress(starting_offset=100, current_offset=150, ending_offset=200)
+    assert pp.total_processed == 50
+    assert pp.total_unprocessed == 50
+    assert pp.total_messages == 100
+    assert pp.percent_complete == 50.0
+    unbounded = PartitionProgress(100, 150)  # live stream: no ending state
+    assert unbounded.percent_complete is None
+    done = PartitionProgress(100, 200, 200)
+    assert done.percent_complete == 100.0
+
+
+def test_route_progress():
+    prog = route_progress(
+        starting={0: -1, 1: 9}, current={0: 4, 1: 9}, ending={0: 9, 1: 19}
+    )
+    assert prog[0].percent_complete == 50.0
+    assert prog[1].total_processed == 0
+
+
+# -- filter chain -----------------------------------------------------------
+
+
+def test_filter_chain_mutation_and_json_roundtrip():
+    chain = FilterChain()
+    chain.add_step("a", "user_id = 1")
+    chain.add_step("b", "value < 0")
+    with pytest.raises(ValueError):
+        chain.add_step("a", "dup")
+    restored = FilterChain.from_json(chain.to_json())
+    assert restored.steps == {"a": "user_id = 1", "b": "value < 0"}
+    assert restored.remove_step("a") == "user_id = 1"
+    assert not restored.has_step("a")
