@@ -1,0 +1,131 @@
+"""Source registry, deserializers (P1), and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.operators import multimodal as M
+from storm_dynamic_spout_spark.sources import (
+    SinkRegistry,
+    SourceRegistry,
+    csv_deserializer,
+    drop_undeserializable,
+    json_deserializer,
+    utf8_deserializer,
+)
+
+
+@pytest.fixture(scope="module")
+def sources():
+    return SourceRegistry()
+
+
+def test_registry_formats(sources):
+    fmts = sources.formats()
+    for f in ("parquet", "json", "csv", "orc", "kafka", "file_topic"):
+        assert f in fmts
+    assert fmts["parquet"] == {"batch": True, "stream": True}
+    assert fmts["rate"]["stream"] and not fmts["rate"]["batch"]
+    with pytest.raises(KeyError):
+        sources.read(None, "unknown_format")
+
+
+def test_parquet_source_schema_pinned(spark, sources, sf_dir):
+    df = sources.read(
+        spark,
+        "parquet",
+        path=f"{sf_dir}/nation.parquet",
+        schema="n_nationkey BIGINT, n_name STRING",
+    )
+    assert df.columns == ["n_nationkey", "n_name"]
+    assert df.count() == 25
+
+
+def test_sink_roundtrip(spark, sources, tmp_path):
+    sinks = SinkRegistry()
+    df = spark.range(10).withColumn("k", F.col("id") % 2)
+    sinks.write(df, "parquet", path=str(tmp_path / "out"), mode="overwrite", partition_by=["k"])
+    back = sources.read(spark, "parquet", path=str(tmp_path / "out"))
+    assert back.count() == 10
+    # partitionBy produced the layout a 100 TB table needs for pruning
+    assert (tmp_path / "out" / "k=0").exists()
+
+
+def test_utf8_deserializer(spark):
+    df = spark.createDataFrame(
+        [(bytearray(b"k1"), bytearray(b"v1")), (None, bytearray(b"v2"))],
+        "key BINARY, value BINARY",
+    )
+    out = utf8_deserializer(df)
+    rows = {r["value"]: r["key"] for r in out.collect()}
+    assert rows == {"v1": "k1", "v2": None}  # null key allowed
+
+
+def test_json_deserializer_and_null_drop(spark):
+    df = spark.createDataFrame(
+        [("a", '{"k": 1, "s": "x"}'), ("b", "not-json")], "key STRING, value STRING"
+    )
+    out = json_deserializer(df, "k BIGINT, s STRING")
+    assert {r["k"] for r in out.collect()} == {1, None}
+    kept = drop_undeserializable(out, F.col("k"))
+    assert [r["key"] for r in kept.collect()] == ["a"]  # null parse ⇒ drop
+
+
+def test_csv_deserializer(spark):
+    df = spark.createDataFrame([("r1", "7,foo")], "key STRING, value STRING")
+    row = csv_deserializer(df, "a INT, b STRING").collect()[0]
+    assert (row["a"], row["b"]) == (7, "foo")
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_multimodal_payload_schema(spark):
+    docs = spark.range(6).withColumnRenamed("id", "doc_id")
+    with_img = M.attach_image_payload(docs, "doc_id", width=4, height=4)
+    assert dict(with_img.dtypes)["content"] == "binary"
+    assert dict(with_img.dtypes)["meta"].startswith("struct<width:int")
+    payload = with_img.filter("doc_id = 3").collect()[0]["content"]
+    assert len(payload) == 16 + 4 * 4 * 3  # header + pixels
+    # deterministic across runs
+    again = M.attach_image_payload(docs, "doc_id", 4, 4).filter("doc_id = 3").collect()[0]
+    assert bytes(payload) == bytes(again["content"])
+
+
+def test_decode_image_stub_gate(spark):
+    docs = M.attach_image_payload(spark.range(2).withColumnRenamed("id", "doc_id"), "doc_id")
+    with pytest.raises(NotImplementedError):
+        M.decode_image(docs)  # real codecs absent → explicit stub
+
+
+def test_decode_image_fake_features(spark):
+    docs = M.attach_image_payload(
+        spark.range(10).withColumnRenamed("id", "doc_id"), "doc_id", width=4, height=2
+    )
+    feats = M.decode_image(docs, fake=True)
+    assert feats.schema == M.DECODED_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 10
+    assert all(r["width"] == 4 and r["height"] == 2 and r["n_channels"] == 3 for r in rows)
+    assert all(0.0 <= r["mean_intensity"] <= 255.0 for r in rows)
+    # mapInPandas is a narrow transformation: partition count preserved
+    assert feats.rdd.getNumPartitions() == docs.rdd.getNumPartitions()
+
+
+def test_frame_sample_explodes_rows(spark):
+    docs = M.attach_image_payload(spark.range(5).withColumnRenamed("id", "doc_id"), "doc_id")
+    frames = M.frame_sample(docs, n_frames=3)
+    assert frames.count() == 15
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in per_doc)
+    assert frames.select("frame_sha").distinct().count() == 15
+
+
+def test_resize_meta_is_pure_column_op(spark):
+    docs = M.attach_image_payload(spark.range(3).withColumnRenamed("id", "doc_id"), "doc_id")
+    resized = M.resize_meta(docs, 32, 16)
+    row = resized.collect()[0]
+    assert (row["meta"]["width"], row["meta"]["height"]) == (32, 16)
+    assert row["meta"]["format"] == "sdss-raw"
