@@ -7,6 +7,7 @@ from storm_dynamic_spout_spark.catalog import (  # noqa: F401
     llm,
     scalars,
     setops,
+    streaming_time,
     windows,
 )
 from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
