@@ -1,0 +1,169 @@
+"""Structured Streaming *execution* tests: the T13 event-time operators
+and stream merges running as real streaming queries (not just their
+batch-expressed oracle forms) over file-backed streams.
+
+Covers: watermarked tumbling-window aggregation (append mode),
+stream-static dimension join, stream-stream join with watermarks
+(SURVEY §2.3), merge of two routed streams into one sink (M1), and
+at-least-once restart from checkpoint (T1/T2).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.streaming import FileTopic, merge_routes
+
+
+def _wait(query):
+    query.processAllAvailable()
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=2)
+    # events across two distinct hours (logical clock starts at a fixed
+    # epoch; 1ms per record ⇒ same hour unless we append a lot — so fake
+    # hours via the value and use the timestamp column directly)
+    topic.append([("a", "1"), ("b", "2"), ("a", "3")])
+    stream = topic.read_stream(spark)
+    agg = (
+        stream.withWatermark("timestamp", "1 hour")
+        .groupBy(F.window("timestamp", "1 hour").alias("w"), "key")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "key", "n")
+    )
+    out = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _wait(out)
+        rows = {(r["key"]): r["n"] for r in spark.table("win_agg").collect()}
+        assert rows == {"a": 2, "b": 1}
+    finally:
+        out.stop()
+
+
+def test_stream_static_dimension_join(spark, sf_dir, tmp_path):
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=2)
+    topic.append([("1", "x"), ("2", "y"), ("99", "z")])  # 99: no dim match
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("string").alias("key"), "n_name"
+    )
+    stream = topic.read_stream(spark)
+    joined = stream.join(F.broadcast(nation), "key", "inner")
+    out = (
+        joined.writeStream.format("memory")
+        .queryName("dim_join")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _wait(out)
+        got = {r["key"]: r["n_name"] for r in spark.table("dim_join").collect()}
+        assert set(got) == {"1", "2"}  # unmatched key dropped by inner join
+    finally:
+        out.stop()
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Two streams joined on key with watermarks both sides — the
+    stateful stream-stream equi-join of SURVEY §2.3."""
+    left = FileTopic(str(tmp_path / "l"), num_partitions=2)
+    right = FileTopic(str(tmp_path / "r"), num_partitions=2)
+    left.append([("k1", "l1"), ("k2", "l2")])
+    right.append([("k1", "r1"), ("k3", "r3")])
+    ls = (
+        left.read_stream(spark)
+        .withWatermark("timestamp", "1 hour")
+        .select(F.col("key"), F.col("value").alias("lv"), F.col("timestamp").alias("lts"))
+    )
+    rs = (
+        right.read_stream(spark)
+        .withWatermark("timestamp", "1 hour")
+        .select(F.col("key"), F.col("value").alias("rv"), F.col("timestamp").alias("rts"))
+    )
+    joined = ls.join(
+        rs,
+        (ls.key == rs.key)
+        & (rs.rts >= ls.lts - F.expr("INTERVAL 1 HOUR"))
+        & (rs.rts <= ls.lts + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(ls.key, "lv", "rv")
+    out = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _wait(out)
+        rows = [(r["key"], r["lv"], r["rv"]) for r in spark.table("ss_join").collect()]
+        assert rows == [("k1", "l1", "r1")]
+    finally:
+        out.stop()
+
+
+def test_union_merge_of_routed_streams(spark, tmp_path):
+    """M1: two routes union into one sink with provenance tags — the
+    MessageBuffer merge as a streaming plan."""
+    live = FileTopic(str(tmp_path / "live"), num_partitions=2)
+    replay = FileTopic(str(tmp_path / "replay"), num_partitions=2)
+    live.append([("a", "live1"), ("b", "live2")])
+    replay.append([("a", "old1")])
+    merged = merge_routes(
+        {
+            "firehose": live.read_stream(spark),
+            "sideline-s1": replay.read_stream(spark),
+        }
+    )
+    out = (
+        merged.writeStream.format("memory")
+        .queryName("merged")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _wait(out)
+        rows = spark.table("merged").groupBy("route_id").count().collect()
+        got = {r["route_id"]: r["count"] for r in rows}
+        assert got == {"firehose": 2, "sideline-s1": 1}
+    finally:
+        out.stop()
+
+
+def test_checkpoint_restart_at_least_once(spark, tmp_path):
+    """T1/T2: restart the same query from its checkpoint — already-
+    committed batches are not re-emitted, new appends are."""
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=2)
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    topic.append([("a", "v1"), ("b", "v2")])
+
+    def start():
+        return (
+            topic.read_stream(spark)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    _wait(q)
+    q.stop()
+    topic.append([("c", "v3")])
+    q = start()
+    _wait(q)
+    q.stop()
+    from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA
+
+    vals = sorted(
+        r["value"] for r in spark.read.schema(TOPIC_SCHEMA).parquet(out_dir).collect()
+    )
+    assert vals == ["v1", "v2", "v3"]  # no duplicates, no loss
