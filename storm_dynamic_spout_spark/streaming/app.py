@@ -1,0 +1,150 @@
+"""DynamicStreamApp: the assembled engine (SURVEY §3 entry points).
+
+This is the ``DynamicSpout.open()`` analogue (``DynamicSpout.java:
+150-218``) as one composable object: a topic source, the live firehose
+with runtime-mutable filters, the sideline controller + trigger
+watcher, replay execution, and the merged, provenance-tagged output
+stream. A user of the reference maps their deployment onto this class:
+
+    app = DynamicStreamApp(spark, topic_path, workdir)
+    app.open()                       # reconciliation + firehose start
+    app.sideline_start("s1", "key = 'tenant-x'")
+    ...
+    app.sideline_resume("s1")
+    app.run_replay("s1")             # parallel bounded/unbounded replay
+    app.sideline_resolve("s1")
+    app.run_replay("s1")            # drains exactly the skipped window
+    app.close()
+
+Output contract: every emitted row lands in ``<workdir>/out`` tagged
+with ``route_id`` (``firehose`` or ``sideline-<id>``) — the
+``srcVirtualSpoutId`` provenance of ``MessageId.java:33-61``. The
+"failed" DLQ stream (S7) is ``<workdir>/dlq`` via the retry table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA, FileTopic
+from storm_dynamic_spout_spark.streaming.filter_chain import FilterChain
+from storm_dynamic_spout_spark.streaming.firehose import Firehose
+from storm_dynamic_spout_spark.streaming.metrics import MetricsRecorder
+from storm_dynamic_spout_spark.streaming.sideline import (
+    FileWatchTrigger,
+    SidelineController,
+    SidelineRequest,
+    SidelineType,
+)
+
+_OUT_SCHEMA = TOPIC_SCHEMA.add("route_id", "string")
+
+
+class DynamicStreamApp:
+    """The engine container: one live route + N sideline replays over a
+    partitioned topic, with persistent control state under ``workdir``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        topic_path: str,
+        workdir: str,
+        num_partitions: int = 4,
+        recorder: MetricsRecorder | None = None,
+    ) -> None:
+        self.spark = spark
+        self.workdir = workdir
+        self.topic = FileTopic(topic_path, num_partitions)
+        self.recorder = recorder or MetricsRecorder()
+        self.controller = SidelineController(
+            self.topic, FilterChain(), os.path.join(workdir, "state")
+        )
+        self.trigger = FileWatchTrigger(os.path.join(workdir, "commands"), self.controller)
+        self.out_dir = os.path.join(workdir, "out")
+        self.dlq_dir = os.path.join(workdir, "dlq")
+        self._firehose: Firehose | None = None
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    # -- lifecycle (DynamicSpout.open/close; SpoutHandler.onSpoutOpen) ------
+
+    def open(self, max_files_per_trigger: int | None = None) -> None:
+        """Reconcile persisted sidelines FIRST (re-apply filters,
+        ``loadSidelines`` — SidelineSpoutHandler.java:227-322), then
+        start the firehose last (race avoidance, same ordering as the
+        reference)."""
+        self.controller.load_sidelines()
+
+        class _TaggedFirehose(Firehose):
+            # kept rows are tagged with the route id on the way out
+            def _process_batch(inner, batch_df: DataFrame, batch_id: int) -> None:
+                chain = inner._refresh_chain()
+                kept = chain.keep(batch_df).withColumn("route_id", F.lit("firehose"))
+                kept.write.mode("append").parquet(inner.output_dir)
+                inner.recorder.count("firehose.batches")
+
+        self._firehose = _TaggedFirehose(
+            self.spark,
+            self.topic,
+            self.controller,
+            output_dir=self.out_dir,
+            checkpoint_dir=os.path.join(self.workdir, "checkpoint"),
+            trigger=self.trigger,
+            recorder=self.recorder,
+        )
+        self._firehose.start(max_files_per_trigger=max_files_per_trigger)
+
+    def process_all_available(self) -> None:
+        assert self._firehose is not None, "call open() first"
+        self._firehose.process_all_available()
+
+    def close(self) -> None:
+        if self._firehose is not None:
+            self._firehose.stop()
+            self._firehose = None
+
+    # -- produce (test/dev convenience) -------------------------------------
+
+    def produce(self, records: list[tuple[str | None, str]]) -> int:
+        return self.topic.append(records)
+
+    # -- sideline API (SidelineController SPI passthrough) ------------------
+
+    def sideline_start(self, sideline_id: str, predicate_sql: str):
+        self.recorder.count("sideline.start")
+        return self.controller.start(SidelineRequest(sideline_id, predicate_sql))
+
+    def sideline_resume(self, sideline_id: str):
+        self.recorder.count("sideline.resume")
+        return self.controller.resume(sideline_id)
+
+    def sideline_resolve(self, sideline_id: str):
+        self.recorder.count("sideline.resolve")
+        return self.controller.resolve(sideline_id)
+
+    def run_replay(self, sideline_id: str) -> int:
+        """Execute the sideline replay as a bounded batch job (T3/T9):
+        read the recorded offset window with the negated filter, tag
+        provenance, append to the merged output. RESOLVE-state replays
+        additionally complete + clean up (T14). Returns rows replayed.
+
+        Idempotence note: like the reference, a replay that runs in both
+        RESUME and RESOLVE states would re-deliver (at-least-once); run
+        it once per state transition or only at RESOLVE."""
+        payload = self.controller.persistence.retrieve(sideline_id)
+        df = self.controller.replay_df(self.spark, sideline_id).withColumn(
+            "route_id", F.lit(f"sideline-{sideline_id}")
+        )
+        n = df.count()
+        df.write.mode("append").parquet(self.out_dir)
+        self.recorder.count(f"sideline.{sideline_id}.replayed", n)
+        if payload is not None and payload.type is SidelineType.RESOLVE:
+            self.controller.complete(sideline_id)
+        return n
+
+    # -- output -------------------------------------------------------------
+
+    def output(self) -> DataFrame:
+        return self.spark.read.schema(_OUT_SCHEMA).parquet(self.out_dir)
