@@ -8,6 +8,7 @@ from storm_dynamic_spout_spark.catalog import (  # noqa: F401
     scalars,
     setops,
     streaming_time,
+    udfs,
     windows,
 )
 from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES

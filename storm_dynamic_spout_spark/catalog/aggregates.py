@@ -226,3 +226,31 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25) * 1000000) / 1000000 AS p25,
+           round(quantile_cont(l_extendedprice, 0.50) * 1000000) / 1000000 AS p50,
+           round(quantile_cont(l_extendedprice, 0.75) * 1000000) / 1000000 AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (linear interpolation) — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``; rounded to 1e-6 in-query
+    on both sides so FP interpolation order can't flip the hash. (The
+    scale path is ``percentile_approx`` — t-digest sketch, one pass,
+    mergeable across partitions — not oracle-matchable by design.)"""
+    li = t(spark, sf_dir, "lineitem")
+
+    def p(q: float):
+        return (F.round(F.percentile("l_extendedprice", F.lit(q)) * 1_000_000) / 1_000_000)
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(p(0.25).alias("p25"), p(0.50).alias("p50"), p(0.75).alias("p75"))
+    )

@@ -259,3 +259,52 @@ def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode/UNNEST of an array column (UDTF-shaped generator op)."""
     e = t(spark, sf_dir, "embeddings")
     return e.select("vec_id", F.explode(F.slice("embedding", 1, 4)).alias("elem"))
+
+
+@query(
+    "scalar_map",
+    oracle="""
+    SELECT event_id,
+           ['et', 'uid'] AS map_keys_sorted,
+           CAST(2 AS BIGINT) AS map_size,
+           CAST(user_id AS VARCHAR) AS uid_val,
+           event_type AS et_val
+    FROM events
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (SURVEY §2.8): create_map, map_keys (sorted for
+    determinism), size, element_at lookup. The oracle states the
+    expected values directly — it checks the map ops round-trip, not
+    DuckDB's own MAP type."""
+    e = t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("et"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("map_keys_sorted"),
+        F.size(m).cast("long").alias("map_size"),
+        F.element_at(m, "uid").alias("uid_val"),
+        F.element_at(m, "et").alias("et_val"),
+    )
+
+
+@query(
+    "scalar_map_explode",
+    oracle="""
+    SELECT event_id, 'et' AS k, event_type AS v FROM events
+    UNION ALL
+    SELECT event_id, 'uid' AS k, CAST(user_id AS VARCHAR) AS v FROM events
+    """,
+)
+def scalar_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode of a map column → (key, value) rows (map-side UNNEST,
+    SURVEY §2.8 explode_outer family)."""
+    e = t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("et"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return e.select("event_id", F.explode(m).alias("k", "v"))
