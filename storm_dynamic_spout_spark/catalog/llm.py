@@ -253,13 +253,15 @@ def _minhash_pairs_sql() -> str:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM buckets a JOIN buckets b ON a.bk = b.bk AND a.doc_id < b.doc_id
     ),
-    toks AS (SELECT doc_id, {_DTOKS} AS tk FROM documents)
+    toks AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS tk FROM documents)
     SELECT id_a, id_b,
            CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(x.tk, y.tk))) AS DOUBLE) AS jaccard
+             / CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+             AS jaccard
     FROM cands JOIN toks x ON x.doc_id = id_a JOIN toks y ON y.doc_id = id_b
     WHERE CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(x.tk, y.tk))) AS DOUBLE) >= {NEAR_DUP_JACCARD}
+             / CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+          >= {NEAR_DUP_JACCARD}
     """
 
 

@@ -127,18 +127,40 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
 def jaccard_verify(
     pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, threshold: float
 ) -> DataFrame:
-    """Exact token-set Jaccard on candidate pairs; keep ≥ threshold."""
+    """Exact token-set Jaccard on candidate pairs; keep ≥ threshold.
+
+    Verify-stage economics dominate this operator (true near-dup pairs
+    can number ~1M per 5k docs on dense corpora), so three
+    semantics-preserving levers:
+
+    - tokens are 60-bit int hashes, not strings: fixed-width compares,
+      ~4× narrower shuffle/broadcast rows
+    - union via |A| + |B| − |A∩B|: one array op per pair, not two
+    - size-ratio prune BEFORE touching arrays: J ≥ t ⟹
+      min(|A|,|B|)/max(|A|,|B|) ≥ t, so mismatched-size pairs die on two
+      int comparisons
+    """
     toks = docs.select(
-        F.col(id_col), distinct_tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col),
+        F.transform(distinct_tokens(F.col(text_col)), token_hash).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    a = toks.select(
+        F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"), F.col("__n").alias("__na")
     )
-    a = toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"))
-    b = toks.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"))
+    b = toks.select(
+        F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"), F.col("__n").alias("__nb")
+    )
     inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
-    union = F.size(F.array_union("__ta", "__tb")).cast("double")
+    union = (F.col("__na") + F.col("__nb")).cast("double") - F.col("__inter")
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", inter / union)
+        .filter(
+            (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
+            & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
+        )
+        .withColumn("__inter", inter)
+        .withColumn("jaccard", F.col("__inter") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -264,14 +286,23 @@ def ngram_jaccard_pairs(
     sig = minhash_signature(df, id_col, text_col)
     cands = full_signature_pairs(sig, id_col)
     grams = with_char_ngrams(df, id_col, text_col, n)
-    a = grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
-    b = grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
+    a = grams.select(
+        F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"), F.size("__g").alias("__na")
+    )
+    b = grams.select(
+        F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"), F.size("__g").alias("__nb")
+    )
     inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
-    union = F.size(F.array_union("__ga", "__gb")).cast("double")
+    union = (F.col("__na") + F.col("__nb")).cast("double") - F.col("__inter")
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("ngram_jaccard", inter / union)
+        .filter(
+            (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
+            & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
+        )
+        .withColumn("__inter", inter)
+        .withColumn("ngram_jaccard", F.col("__inter") / union)
         .filter(F.col("ngram_jaccard") >= threshold)
         .select("id_a", "id_b", "ngram_jaccard")
     )
