@@ -30,6 +30,10 @@ HEADLINE = [
     "filter_key",  # routing predicate
     "setop_union_all",  # stream merge shape
     "agg_count_distinct",  # distinct aggregation
+    "dedup_exact",  # fingerprint hash-groupBy dedup
+    "ann_topk_ivf",  # bucketed similarity search
+    "text_stats",  # corpus volumetrics
+    "stream_session_window",  # event-time sessionization
 ]
 
 
