@@ -30,6 +30,8 @@ HEADLINE = [
     "filter_key",  # routing predicate
     "setop_union_all",  # stream merge shape
     "agg_count_distinct",  # distinct aggregation
+    "tpch_q5",  # 6-way join + same-nation constraint
+    "tpch_q6",  # pushdown scan-filter-agg
     "dedup_exact",  # fingerprint hash-groupBy dedup
     "ann_topk_ivf",  # bucketed similarity search
     "text_stats",  # corpus volumetrics

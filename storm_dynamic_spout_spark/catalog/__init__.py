@@ -8,6 +8,7 @@ from storm_dynamic_spout_spark.catalog import (  # noqa: F401
     scalars,
     setops,
     streaming_time,
+    tpch,
     udfs,
     windows,
 )
