@@ -1,0 +1,88 @@
+"""Plan guards: assertions on the PHYSICAL PLANS of representative
+queries, locking in the properties that matter at 100 TB — filters
+pushed to the parquet scan, small dims broadcast, candidate generation
+never cartesian, Python kept off the relational hot path. A regression
+that silently de-optimizes a plan fails here even though results stay
+correct."""
+
+from __future__ import annotations
+
+from storm_dynamic_spout_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6")
+    # all four predicates reach the reader as PushedFilters
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed down: {pushed}"
+
+
+def test_q6_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6")
+    # ReadSchema holds only the 4 needed columns — not the full table
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_star")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_pipeline_never_cartesian(spark, sf_dir):
+    for name in ("dedup_minhash_pairs", "dedup_ngram_jaccard", "embedding_near_pairs"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name} went all-pairs"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} went all-pairs"
+
+
+def test_ann_ivf_joins_on_bucket(spark, sf_dir):
+    # the IVF variant must be an equi-join (bucket key), not a cross join
+    plan = _plan(spark, sf_dir, "ann_topk_ivf")
+    assert "CartesianProduct" not in plan
+    # brute-force baseline IS allowed to broadcast-cross the tiny query set
+    brute = _plan(spark, sf_dir, "ann_topk_bruteforce")
+    assert "Join" in brute or "CartesianProduct" in brute or "BroadcastNestedLoopJoin" in brute
+
+
+def test_relational_queries_stay_jvm_side(spark, sf_dir):
+    """No Python evaluation nodes in the relational/TPC-H plans — the
+    hot path must be whole-stage-codegen'd built-ins."""
+    for name in ("q1_pricing_summary", "tpch_q3", "tpch_q5", "tpch_q10",
+                 "window_ranking", "agg_rollup", "scalar_json"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
+
+
+def test_udf_queries_use_arrow_not_row_python(spark, sf_dir):
+    """Where Python IS the point (§2.11), it must be the Arrow path."""
+    plan = _plan(spark, sf_dir, "udf_pandas_scalar")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    plan = _plan(spark, sf_dir, "udaf_apply_in_pandas")
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_partition_filter_on_offset_range(spark, tmp_path):
+    """read_range compiles per-partition offset bounds into one
+    predicate that reaches the parquet scan (row-group pruning)."""
+    from storm_dynamic_spout_spark.streaming import FileTopic
+
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=2)
+    topic.append([("a", "1"), ("b", "2"), ("c", "3")])
+    df = topic.read_range(spark, start_offsets={0: 0, 1: -1}, end_offsets={0: 5, 1: 5})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan
+    assert "offset" in plan.split("PushedFilters:")[1].split("]")[0]
