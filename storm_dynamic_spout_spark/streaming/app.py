@@ -144,6 +144,76 @@ class DynamicStreamApp:
             self.controller.complete(sideline_id)
         return n
 
+    def start_replay_stream(self, sideline_id: str, policy=None):
+        """The reference's actual RESUME execution shape (T9): the
+        replay runs as a PARALLEL, THROTTLED streaming query alongside
+        the firehose (``SidelineSpoutHandler.java:404-466``; throttled
+        via M4, ``ThrottledMessageBuffer``).
+
+        Per micro-batch the replay re-reads its control payload, so a
+        later RESOLVE bounds the running stream at the stamped ending
+        offsets without a restart (``VirtualSpout.java:293-303`` ending
+        check happens per record in the reference; here per batch).
+        Rows arrive tagged ``sideline-<id>`` in the same merged output.
+
+        Use :meth:`replay_stream_complete` + ``stop()`` +
+        :meth:`SidelineController.complete` to finish (T3/T14); or use
+        the batch :meth:`run_replay` for pure bounded drains."""
+        from storm_dynamic_spout_spark.streaming.coordinator import ThrottledBufferPolicy
+
+        self.controller._require(sideline_id, {SidelineType.RESUME, SidelineType.RESOLVE})
+        route_id = f"sideline-{sideline_id}"
+        plan = (policy or ThrottledBufferPolicy()).plan(route_id)
+        stream = self.topic.read_stream(self.spark, plan.max_files_per_trigger)
+
+        def _replay_batch(batch_df: DataFrame, batch_id: int) -> None:
+            payload = self.controller.persistence.retrieve(sideline_id)
+            if payload is None:
+                return
+            cond = self.topic.offset_range_condition(
+                payload.start_offsets, payload.end_offsets
+            )
+            out = (
+                batch_df.filter(cond)
+                .filter(F.expr(payload.predicate_sql))
+                .withColumn("route_id", F.lit(route_id))
+            )
+            out.write.mode("append").parquet(self.out_dir)
+            self.recorder.count(f"{route_id}.batches")
+
+        writer = (
+            stream.writeStream.queryName(route_id)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.workdir, f"checkpoint-{route_id}"),
+            )
+            .foreachBatch(_replay_batch)
+        )
+        if plan.trigger_interval_ms:
+            writer = writer.trigger(
+                processingTime=f"{plan.trigger_interval_ms} milliseconds"
+            )
+        return writer.start()
+
+    def replay_stream_complete(self, sideline_id: str) -> bool:
+        """Bounded-stream completion check (T3,
+        ``VirtualSpout.attemptToComplete`` ``VirtualSpout.java:554-614``):
+        true when the sideline is RESOLVE-bounded and every partition's
+        replayed high-water mark reached its ending offset (partitions
+        with nothing to replay count as done)."""
+        payload = self.controller.persistence.retrieve(sideline_id)
+        if payload is None:
+            return True  # already completed + cleaned up
+        if payload.type is not SidelineType.RESOLVE or payload.end_offsets is None:
+            return False
+        route_id = f"sideline-{sideline_id}"
+        expected = self.topic.read_range(
+            self.spark, payload.start_offsets, payload.end_offsets
+        ).filter(F.expr(payload.predicate_sql))
+        expected_n = expected.count()
+        replayed_n = self.output().filter(F.col("route_id") == route_id).count()
+        return replayed_n >= expected_n
+
     # -- output -------------------------------------------------------------
 
     def output(self) -> DataFrame:

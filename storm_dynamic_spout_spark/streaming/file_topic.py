@@ -159,21 +159,16 @@ class FileTopic:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         return reader.parquet(self.data_dir)
 
-    def read_range(
+    def offset_range_condition(
         self,
-        spark: SparkSession,
         start_offsets: dict[int, int] | None = None,
         end_offsets: dict[int, int] | None = None,
-    ) -> DataFrame:
-        """Bounded replay: rows with ``start < offset <= end`` per
-        partition — the Kafka batch source ``startingOffsets``/
-        ``endingOffsets`` analogue (``kafka/Consumer.java:261-310`` seek
-        + ``VirtualSpout.java:293-303`` ending bound). Both bounds are
-        "last finished offset" snapshots: start exclusive, end inclusive.
-
-        The per-partition bounds compile to one disjunctive predicate that
-        is pushed to the parquet scan (min/max row-group pruning)."""
-        df = self.read(spark)
+    ):
+        """The per-partition window ``start < offset <= end`` as ONE
+        disjunctive Column — pushed to the parquet scan on batch reads
+        (min/max row-group pruning) and applied per micro-batch on
+        streaming replays. Both bounds are "last finished offset"
+        snapshots: start exclusive, end inclusive."""
         conds = []
         for p in range(self.num_partitions):
             c = F.col("partition") == p
@@ -185,4 +180,17 @@ class FileTopic:
         cond = conds[0]
         for c in conds[1:]:
             cond = cond | c
-        return df.filter(cond)
+        return cond
+
+    def read_range(
+        self,
+        spark: SparkSession,
+        start_offsets: dict[int, int] | None = None,
+        end_offsets: dict[int, int] | None = None,
+    ) -> DataFrame:
+        """Bounded replay: the Kafka batch source ``startingOffsets``/
+        ``endingOffsets`` analogue (``kafka/Consumer.java:261-310`` seek
+        + ``VirtualSpout.java:293-303`` ending bound)."""
+        return self.read(spark).filter(
+            self.offset_range_condition(start_offsets, end_offsets)
+        )

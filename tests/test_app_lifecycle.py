@@ -72,3 +72,43 @@ def test_app_commands_via_trigger_files(spark, tmp_path):
     assert _vals(app.output(), "firehose") == ["o1"]
     assert app.controller.persistence.retrieve("s1").type is SidelineType.START
     app.close()
+
+
+def test_streaming_throttled_replay(spark, tmp_path):
+    """RESUME as a parallel throttled streaming query (T9/M4): the
+    replay stream delivers the skipped subset while the firehose keeps
+    flowing; RESOLVE bounds the running replay without a restart."""
+    from storm_dynamic_spout_spark.streaming.coordinator import ThrottledBufferPolicy
+    from storm_dynamic_spout_spark.streaming.sideline import SidelineType
+
+    app = DynamicStreamApp(spark, str(tmp_path / "t"), str(tmp_path / "w"))
+    app.produce([("x", "x1"), ("a", "a1")])
+    app.open()
+    app.process_all_available()
+    app.sideline_start("sx", "key = 'x'")
+    app.produce([("x", "x2"), ("x", "x3"), ("a", "a2")])
+    app.process_all_available()
+    assert _vals(app.output(), "firehose") == ["a1", "a2", "x1"]
+
+    # RESUME: replay runs as its own throttled streaming query
+    app.sideline_resume("sx")
+    replay_q = app.start_replay_stream(
+        "sx", ThrottledBufferPolicy(throttled_max_per_trigger=1)
+    )
+    replay_q.processAllAvailable()
+    assert _vals(app.output(), "sideline-sx") == ["x2", "x3"]
+    assert not app.replay_stream_complete("sx")  # unbounded until RESOLVE
+
+    # RESOLVE while the replay stream is RUNNING: bound applies next batch
+    app.sideline_resolve("sx")
+    app.produce([("x", "x4"), ("b", "b1")])  # past the ending bound
+    app.process_all_available()
+    replay_q.processAllAvailable()
+    # x4 went to the firehose (filter removed), NOT the replay
+    assert _vals(app.output(), "sideline-sx") == ["x2", "x3"]
+    assert _vals(app.output(), "firehose") == ["a1", "a2", "b1", "x1", "x4"]
+    assert app.replay_stream_complete("sx")
+    replay_q.stop()
+    app.controller.complete("sx")
+    assert app.controller.persistence.retrieve("sx") is None
+    app.close()
