@@ -254,3 +254,37 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(p(0.25).alias("p25"), p(0.50).alias("p50"), p(0.75).alias("p75"))
     )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+           true AS within_5pct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++ sketch — the 100 TB path for
+    distinct counts: one pass, fixed memory, mergeable across
+    partitions). Sketch estimates differ between engines by design, so
+    the oracle checks the exact count plus the sketch's documented
+    error bound: |approx − exact| / exact ≤ 5% (rsd default 0.05)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_nd"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_nd",
+            (
+                F.abs(F.col("__approx") - F.col("exact_nd"))
+                <= 0.05 * F.col("exact_nd")
+            ).alias("within_5pct"),
+        )
+    )
