@@ -54,6 +54,8 @@ class DynamicStreamApp:
         workdir: str,
         num_partitions: int = 4,
         recorder: MetricsRecorder | None = None,
+        failure_condition_sql: str | None = None,
+        retry_policy=None,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -67,6 +69,21 @@ class DynamicStreamApp:
         self.dlq_dir = os.path.join(workdir, "dlq")
         self._firehose: Firehose | None = None
         os.makedirs(self.out_dir, exist_ok=True)
+        # fail → retry-with-backoff → DLQ (T4-T7/S7): rows matching the
+        # failure condition are treated as processing failures
+        self.retry_runner = None
+        if failure_condition_sql is not None:
+            from storm_dynamic_spout_spark.streaming.retry import (
+                ExponentialBackoffRetryPolicy,
+                RetryTableRunner,
+            )
+
+            self.retry_runner = RetryTableRunner(
+                retries_dir=os.path.join(workdir, "retries"),
+                dlq_dir=self.dlq_dir,
+                policy=retry_policy or ExponentialBackoffRetryPolicy(),
+                failure_condition_sql=failure_condition_sql,
+            )
 
     # -- lifecycle (DynamicSpout.open/close; SpoutHandler.onSpoutOpen) ------
 
@@ -77,12 +94,28 @@ class DynamicStreamApp:
         reference)."""
         self.controller.load_sidelines()
 
+        retry_runner = self.retry_runner
+
         class _TaggedFirehose(Firehose):
-            # kept rows are tagged with the route id on the way out
+            # kept rows are tagged with the route id on the way out;
+            # with a retry runner, failures detour through the retry
+            # table (due retries re-enter ahead of new input) and
+            # exhausted rows land in the DLQ instead of the output
             def _process_batch(inner, batch_df: DataFrame, batch_id: int) -> None:
+                import time as _time
+
                 chain = inner._refresh_chain()
-                kept = chain.keep(batch_df).withColumn("route_id", F.lit("firehose"))
-                kept.write.mode("append").parquet(inner.output_dir)
+                kept = chain.keep(batch_df)
+
+                def _sink(ok: DataFrame) -> None:
+                    ok.withColumn("route_id", F.lit("firehose")).write.mode(
+                        "append"
+                    ).parquet(inner.output_dir)
+
+                if retry_runner is not None:
+                    retry_runner.process_batch(kept, int(_time.time() * 1000), _sink)
+                else:
+                    _sink(kept)
                 inner.recorder.count("firehose.batches")
 
         self._firehose = _TaggedFirehose(

@@ -138,3 +138,89 @@ def split_exhausted(retries: DataFrame, policy: RetryPolicy) -> tuple[DataFrame,
     permanently-failed stream (S7, ``Message.java:142-144`` flag)."""
     further = policy.retry_further_col(F.col(ATTEMPTS_COL))
     return retries.filter(further), retries.filter(~further)
+
+
+class RetryTableRunner:
+    """The per-micro-batch retry loop, wired (SURVEY §3.2 fail path):
+
+    each batch: due retries re-enter AHEAD of new input
+    (``VirtualSpout.java:259-281`` emits retries first) → rows failing
+    the processor split off → schedule with backoff → exhausted rows to
+    the DLQ → surviving retries persist for the next batch.
+
+    State lives in a parquet retry table under ``retries_dir``
+    (atomic swap per batch); the DLQ is parquet under ``dlq_dir`` with
+    the attempts count kept for observability."""
+
+    def __init__(
+        self,
+        retries_dir: str,
+        dlq_dir: str,
+        policy: RetryPolicy,
+        failure_condition_sql: str,
+    ) -> None:
+        import os
+
+        self.retries_dir = retries_dir
+        self.dlq_dir = dlq_dir
+        self.policy = policy
+        self.failure_condition_sql = failure_condition_sql
+        os.makedirs(dlq_dir, exist_ok=True)
+
+    def _load_retries(self, spark, like: DataFrame) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(self.retries_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(self.retries_dir)
+        ):
+            return None
+        schema = like.schema.add(ATTEMPTS_COL, "long").add(NEXT_TS_COL, "long")
+        return spark.read.schema(schema).parquet(self.retries_dir)
+
+    def process_batch(self, batch_df: DataFrame, now_ms: int, sink) -> None:
+        """Split the batch (+ due retries, ahead of new input) into
+        ok/failed, call ``sink(ok_df)``, persist retry/DLQ state.
+
+        ``sink`` runs BEFORE the retry-table swap: the ok rows' lineage
+        reads the pre-swap retry files, so they must materialize first
+        (the swap deletes what the lazy plan would re-read)."""
+        import os
+        import shutil
+        import uuid
+
+        spark = batch_df.sparkSession
+        fail = F.expr(self.failure_condition_sql)
+        retries = self._load_retries(spark, batch_df)
+        new = batch_df.withColumn(ATTEMPTS_COL, F.lit(None).cast("long")).withColumn(
+            NEXT_TS_COL, F.lit(None).cast("long")
+        )
+        if retries is not None:
+            due, pending = split_due(retries, now_ms)
+            candidates = due.unionByName(new)  # retries first
+        else:
+            pending = None
+            candidates = new
+
+        ok = candidates.filter(~fail).drop(ATTEMPTS_COL, NEXT_TS_COL)
+        sink(ok)
+        failed = candidates.filter(fail)
+        scheduled = schedule_failures(failed.drop(NEXT_TS_COL), self.policy, now_ms)
+        retryable, exhausted = split_exhausted(scheduled, self.policy)
+        exhausted.write.mode("append").parquet(self.dlq_dir)
+
+        keep = retryable if pending is None else pending.unionByName(retryable)
+        tmp = f"{self.retries_dir}-tmp-{uuid.uuid4().hex[:8]}"
+        keep.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.retries_dir):
+            shutil.rmtree(self.retries_dir)
+        os.rename(tmp, self.retries_dir)
+
+    def dlq(self, spark, like: DataFrame) -> DataFrame:
+        import os
+
+        schema = like.schema.add(ATTEMPTS_COL, "long").add(NEXT_TS_COL, "long")
+        if not os.path.isdir(self.dlq_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(self.dlq_dir)
+        ):
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(self.dlq_dir)

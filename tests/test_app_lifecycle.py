@@ -112,3 +112,40 @@ def test_streaming_throttled_replay(spark, tmp_path):
     app.controller.complete("sx")
     assert app.controller.persistence.retrieve("sx") is None
     app.close()
+
+
+def test_retry_to_dlq_in_live_loop(spark, tmp_path):
+    """T4-T7/S7 wired end-to-end: a permanently-failing row is retried
+    with backoff across micro-batches and lands in the DLQ after the
+    limit; healthy rows flow through untouched."""
+    from storm_dynamic_spout_spark.streaming.retry import (
+        ATTEMPTS_COL,
+        ExponentialBackoffRetryPolicy,
+    )
+
+    app = DynamicStreamApp(
+        spark,
+        str(tmp_path / "t"),
+        str(tmp_path / "w"),
+        failure_condition_sql="key = 'poison'",
+        retry_policy=ExponentialBackoffRetryPolicy(
+            retry_limit=2, initial_delay_ms=0, delay_multiplier=1.0, max_delay_ms=0
+        ),
+    )
+    app.produce([("poison", "p1"), ("ok", "o1")])
+    app.open()
+    app.process_all_available()
+    # batch 1: o1 emitted; p1 failed once (attempts=1, retryable, due now)
+    assert _vals(app.output(), "firehose") == ["o1"]
+    # batch 2 (new input triggers it): p1 retried, fails again → attempts=2
+    # → exceeds retry_limit=2 → DLQ
+    app.produce([("ok", "o2")])
+    app.process_all_available()
+    assert _vals(app.output(), "firehose") == ["o1", "o2"]
+    dlq = app.retry_runner.dlq(spark, app.topic.read(spark))
+    rows = [(r["value"], r[ATTEMPTS_COL]) for r in dlq.collect()]
+    assert rows == [("p1", 2)]
+    # retry table is drained
+    leftover = app.retry_runner._load_retries(spark, app.topic.read(spark))
+    assert leftover is None or leftover.count() == 0
+    app.close()
