@@ -432,3 +432,41 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "id_a", "id_b", (F.round(F.col("cos") * 1000000) / 1000000).alias("cos")
     )
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_pairs_sql() -> str:
+    mh_cols = ", ".join(f"{_sql_minhash(s)} AS mh{s}" for s in D.MINHASH_SEEDS)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {_sql_band(rows)} AS bk FROM sig" for rows in D.MINHASH_BANDS
+    )
+    sim = _sql_simhash("hs", "n", D.SIMHASH_BITS)
+    return f"""
+    WITH sig AS (SELECT doc_id, {mh_cols} FROM documents),
+    buckets AS ({band_selects}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+      SELECT doc_id, CAST({sim} AS BIGINT) AS s FROM (
+        SELECT doc_id, {_SQL_TOKEN_HASHES} AS hs, len({_DTOKS}) AS n FROM documents
+      )
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+    FROM cands JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+    WHERE bit_count(xor(x.s, y.s)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_sql())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ 3 over LSH-candidate
+    pairs (bit_count of XORed fingerprints — the constant-time pair
+    check that makes SimHash the cheapest near-dup verifier at scale)."""
+    return D.simhash_near_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", SIMHASH_MAX_HAMMING
+    )
