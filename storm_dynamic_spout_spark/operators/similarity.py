@@ -35,10 +35,14 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _with_vec(df: DataFrame, id_col: str, vec_col: str, label_col: str | None = None):
+    """Vector as double array + its norm precomputed ONCE per row —
+    pair-scoring then costs one dot product per pair instead of three
+    array traversals (norms recomputed per pair). Same arithmetic, same
+    values: the norm is the identical float either way."""
     cols = [F.col(id_col), as_double(F.col(vec_col)).alias("__v")]
     if label_col:
         cols.append(F.col(label_col))
-    return df.select(*cols)
+    return df.select(*cols).withColumn("__n", norm(F.col("__v")))
 
 
 def cosine_topk(
@@ -56,12 +60,14 @@ def cosine_topk(
     only the scored pairs — no corpus self-join."""
     corpus = _with_vec(df, id_col, vec_col)
     queries = corpus.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col("__v").alias("__q")
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__q"),
+        F.col("__n").alias("__qn"),
     )
     scored = corpus.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), id_col)
     return (
-        scored.withColumn("cos", dot(F.col("__q"), F.col("__v")) / (norm(F.col("__q")) * norm(F.col("__v"))))
+        scored.withColumn("cos", dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__n")))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
@@ -84,6 +90,7 @@ def cosine_topk_ivf(
     queries = corpus.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("__v").alias("__q"),
+        F.col("__n").alias("__qn"),
         F.col(bucket_col).alias("__qb"),
     )
     scored = corpus.join(
@@ -92,7 +99,7 @@ def cosine_topk_ivf(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), id_col)
     return (
-        scored.withColumn("cos", dot(F.col("__q"), F.col("__v")) / (norm(F.col("__q")) * norm(F.col("__v"))))
+        scored.withColumn("cos", dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__n")))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
@@ -107,17 +114,23 @@ def cosine_near_dup_pairs(
     the LSH/IVF blocking pattern, never a full cross join."""
     v = _with_vec(df, id_col, vec_col, bucket_col)
     a = v.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col(bucket_col).alias("__b")
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col(bucket_col).alias("__b"),
     )
     b = v.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col(bucket_col).alias("__b")
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.col(bucket_col).alias("__b"),
     )
     return (
         a.join(b, "__b")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
-            dot(F.col("__va"), F.col("__vb")) / (norm(F.col("__va")) * norm(F.col("__vb"))),
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
