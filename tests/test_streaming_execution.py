@@ -167,3 +167,34 @@ def test_checkpoint_restart_at_least_once(spark, tmp_path):
         r["value"] for r in spark.read.schema(TOPIC_SCHEMA).parquet(out_dir).collect()
     )
     assert vals == ["v1", "v2", "v3"]  # no duplicates, no loss
+
+
+def test_custom_stateful_operator_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key state survives micro-batch
+    boundaries — counts accumulate over two separate appends processed
+    as separate batches."""
+    from storm_dynamic_spout_spark.streaming import FileTopic
+    from storm_dynamic_spout_spark.streaming.stateful import running_stats_per_key
+
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=2)
+    topic.append([("a", "v1"), ("a", "v2"), ("b", "v3")])
+    stats = running_stats_per_key(topic.read_stream(spark, max_files_per_trigger=1))
+    out = (
+        stats.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        out.processAllAvailable()
+        topic.append([("a", "v4")])  # second batch for key 'a'
+        out.processAllAvailable()
+        rows = spark.table("running_stats").collect()
+        # memory sink in update mode appends each update; take the last per key
+        latest = {}
+        for r in rows:
+            latest[r["key"]] = max(latest.get(r["key"], 0), r["n_records"])
+        assert latest == {"a": 3, "b": 1}  # state carried across batches
+    finally:
+        out.stop()
