@@ -308,3 +308,23 @@ def scalar_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("uid"), F.col("user_id").cast("string"),
     )
     return e.select("event_id", F.explode(m).alias("k", "v"))
+
+
+@query(
+    "scalar_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist,
+           CAST(levenshtein(lower(p_name), lower(p_type)) AS BIGINT) AS name_type_dist
+    FROM part
+    """,
+)
+def scalar_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar (levenshtein) — the fuzzy-match primitive
+    for entity resolution; identical definition in Spark and DuckDB."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.levenshtein(F.lower("p_name"), F.lower("p_type")).cast("long").alias("name_type_dist"),
+    )

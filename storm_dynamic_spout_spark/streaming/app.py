@@ -247,6 +247,39 @@ class DynamicStreamApp:
         replayed_n = self.output().filter(F.col("route_id") == route_id).count()
         return replayed_n >= expected_n
 
+    # -- observability (O10, SpoutPartitionProgressMonitor arithmetic) ------
+
+    def progress(self, route_id: str = "firehose") -> dict[int, "object"]:
+        """Per-partition progress of one route: starting offset (−1 for
+        the firehose; the recorded start snapshot for sidelines),
+        current = the route's delivered high-water mark, ending = the
+        topic head (firehose) or the recorded end snapshot (resolved
+        sidelines). Returns {partition: PartitionProgress} — the same
+        processed/unprocessed/percentComplete arithmetic as
+        ``SpoutPartitionProgressMonitor.java:100-123``."""
+        from storm_dynamic_spout_spark.streaming.metrics import route_progress
+
+        starting = {p: -1 for p in range(self.topic.num_partitions)}
+        ending = self.topic.latest_offsets()
+        if route_id != "firehose":
+            sid = route_id.removeprefix("sideline-")
+            payload = self.controller.persistence.retrieve(sid)
+            if payload is not None:
+                starting = payload.start_offsets
+                if payload.end_offsets is not None:
+                    ending = payload.end_offsets
+        delivered = (
+            self.output()
+            .filter(F.col("route_id") == route_id)
+            .groupBy("partition")
+            .agg(F.max("offset").alias("cur"))
+            .collect()
+        )
+        current = {int(r["partition"]): int(r["cur"]) for r in delivered}
+        for p in starting:
+            current.setdefault(p, starting[p])
+        return route_progress(starting, current, ending)
+
     # -- output -------------------------------------------------------------
 
     def output(self) -> DataFrame:

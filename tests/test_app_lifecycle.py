@@ -149,3 +149,21 @@ def test_retry_to_dlq_in_live_loop(spark, tmp_path):
     leftover = app.retry_runner._load_retries(spark, app.topic.read(spark))
     assert leftover is None or leftover.count() == 0
     app.close()
+
+
+def test_progress_reporting(spark, tmp_path):
+    """O10: per-partition processed/percent-complete derived from the
+    control table + delivered output — the progress-monitor arithmetic
+    over real route state."""
+    app = DynamicStreamApp(spark, str(tmp_path / "t"), str(tmp_path / "w"))
+    app.produce([("a", "a1"), ("b", "b1"), ("c", "c1"), ("d", "d1")])
+    app.open()
+    app.process_all_available()
+    prog = app.progress("firehose")
+    # every partition fully delivered: percent_complete 100 where rows exist
+    assert all(
+        p.percent_complete == 100.0 for p in prog.values() if p.total_messages
+    )
+    total = sum(p.total_processed for p in prog.values())
+    assert total == 4
+    app.close()
