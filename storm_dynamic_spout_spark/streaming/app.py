@@ -56,9 +56,13 @@ class DynamicStreamApp:
         recorder: MetricsRecorder | None = None,
         failure_condition_sql: str | None = None,
         retry_policy=None,
+        config=None,
     ) -> None:
+        from storm_dynamic_spout_spark.engine import EngineConfig
+
         self.spark = spark
         self.workdir = workdir
+        self.config = config or EngineConfig()
         self.topic = FileTopic(topic_path, num_partitions)
         self.recorder = recorder or MetricsRecorder()
         self.controller = SidelineController(
@@ -68,9 +72,13 @@ class DynamicStreamApp:
         self.out_dir = os.path.join(workdir, "out")
         self.dlq_dir = os.path.join(workdir, "dlq")
         self._firehose: Firehose | None = None
+        self._replay_queries: dict[str, object] = {}
         os.makedirs(self.out_dir, exist_ok=True)
         # fail → retry-with-backoff → DLQ (T4-T7/S7): rows matching the
-        # failure condition are treated as processing failures
+        # failure condition are treated as processing failures. Policy
+        # defaults come from the config system (SpoutConfig.setDefaults
+        # parity — retry limit 25, initial 1000ms, config/SpoutConfig
+        # .java:490-507).
         self.retry_runner = None
         if failure_condition_sql is not None:
             from storm_dynamic_spout_spark.streaming.retry import (
@@ -78,10 +86,16 @@ class DynamicStreamApp:
                 RetryTableRunner,
             )
 
+            policy = retry_policy or ExponentialBackoffRetryPolicy(
+                retry_limit=int(self.config["retry.limit"]),
+                initial_delay_ms=int(self.config["retry.initial_delay_ms"]),
+                delay_multiplier=float(self.config["retry.delay_multiplier"]),
+                max_delay_ms=int(self.config["retry.max_delay_ms"]),
+            )
             self.retry_runner = RetryTableRunner(
                 retries_dir=os.path.join(workdir, "retries"),
                 dlq_dir=self.dlq_dir,
-                policy=retry_policy or ExponentialBackoffRetryPolicy(),
+                policy=policy,
                 failure_condition_sql=failure_condition_sql,
             )
 
@@ -134,6 +148,12 @@ class DynamicStreamApp:
         self._firehose.process_all_available()
 
     def close(self) -> None:
+        """Graceful shutdown: replays first, firehose last (reverse of
+        open order; SpoutCoordinator.close ``SpoutCoordinator.java:
+        476-515``)."""
+        for route_id, q in list(self._replay_queries.items()):
+            q.stop()
+            self._replay_queries.pop(route_id, None)
         if self._firehose is not None:
             self._firehose.stop()
             self._firehose = None
@@ -196,7 +216,19 @@ class DynamicStreamApp:
 
         self.controller._require(sideline_id, {SidelineType.RESUME, SidelineType.RESOLVE})
         route_id = f"sideline-{sideline_id}"
-        plan = (policy or ThrottledBufferPolicy()).plan(route_id)
+        max_routes = int(self.config["coordinator.max_concurrent_routes"])
+        if len(self._replay_queries) + 1 >= max_routes:  # +1: the firehose
+            raise RuntimeError(f"coordinator.max_concurrent_routes={max_routes} reached")
+        if policy is None:
+            # throttle derived from config: replays get 1/10 of the
+            # firehose's per-trigger budget (ThrottledMessageBuffer's
+            # protect-the-live-stream intent, buffer.max_size_per_route)
+            per_route = int(self.config["buffer.max_size_per_route"])
+            policy = ThrottledBufferPolicy(
+                normal_max_per_trigger=per_route,
+                throttled_max_per_trigger=max(per_route // 10, 1),
+            )
+        plan = policy.plan(route_id)
         stream = self.topic.read_stream(self.spark, plan.max_files_per_trigger)
 
         def _replay_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -226,7 +258,9 @@ class DynamicStreamApp:
             writer = writer.trigger(
                 processingTime=f"{plan.trigger_interval_ms} milliseconds"
             )
-        return writer.start()
+        q = writer.start()
+        self._replay_queries[route_id] = q
+        return q
 
     def replay_stream_complete(self, sideline_id: str) -> bool:
         """Bounded-stream completion check (T3,
