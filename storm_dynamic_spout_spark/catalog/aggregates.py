@@ -288,3 +288,32 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(count(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): event-type counts as columns per user. The
+    value list is EXPLICIT — at scale an unpinned pivot triggers a
+    distinct-values collect on the driver before planning; pinning it
+    keeps the plan static and the oracle enumerable."""
+    e = t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    for k in kinds:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0)).cast("long"))
+    return out
