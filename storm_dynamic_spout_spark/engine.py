@@ -103,6 +103,10 @@ def build_session(config: EngineConfig | None = None, **spark_confs: str) -> Spa
         .config("spark.driver.memory", cfg["spark.driver_memory"])
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # runtime bloom-filter pruning: selective join keys prune the
+        # probe-side scan at row-group granularity — a large win on
+        # 100 TB fact scans joined to filtered dims
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # streaming state at scale: RocksDB provider (SURVEY §7 hard part 6)
         .config(
             "spark.sql.streaming.stateStore.providerClass",

@@ -314,6 +314,17 @@ class DynamicStreamApp:
             current.setdefault(p, starting[p])
         return route_progress(starting, current, ending)
 
+    def lag(self, route_id: str = "firehose") -> dict[int, int]:
+        """The reference's own perf KPI: per-partition consumer lag =
+        head offset − delivered offset (``kafka/Consumer.java:373-426``,
+        reported as the Kafka lag metric). 0 when fully caught up."""
+        prog = self.progress(route_id)
+        out = {}
+        for p, pp in prog.items():
+            end = pp.ending_offset if pp.ending_offset is not None else pp.current_offset
+            out[p] = max(end - pp.current_offset, 0)
+        return out
+
     # -- output -------------------------------------------------------------
 
     def output(self) -> DataFrame:

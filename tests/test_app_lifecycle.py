@@ -167,3 +167,16 @@ def test_progress_reporting(spark, tmp_path):
     total = sum(p.total_processed for p in prog.values())
     assert total == 4
     app.close()
+
+
+def test_lag_metric(spark, tmp_path):
+    """O9 lag KPI: head offset minus delivered offset per partition —
+    zero when caught up, positive while records await processing."""
+    app = DynamicStreamApp(spark, str(tmp_path / "t"), str(tmp_path / "w"))
+    app.produce([("a", "a1"), ("b", "b1")])
+    app.open()
+    app.process_all_available()
+    assert all(v == 0 for v in app.lag().values())  # caught up
+    app.close()
+    app.produce([("a", "a2"), ("b", "b2")])  # engine down: lag builds
+    assert sum(app.lag().values()) == 2
