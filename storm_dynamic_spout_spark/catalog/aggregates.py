@@ -317,3 +317,32 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in kinds:
         out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0)).cast("long"))
     return out
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity)      * 1000000) / 1000000 AS price_qty_corr,
+           round(covar_pop(l_extendedprice, l_quantity) * 1000000) / 1000000 AS cov_pop,
+           round(covar_samp(l_extendedprice, l_quantity)* 1000000) / 1000000 AS cov_samp,
+           round(regr_slope(l_extendedprice, l_quantity)* 1000000) / 1000000 AS slope
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (corr / covar / regr_slope) —
+    single-pass moment computation, partial-merged across partitions;
+    rounded 1e-6 in-query so accumulation order can't flip the hash."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def r6(c):
+        return F.round(c * 1_000_000) / 1_000_000
+
+    return li.groupBy("l_returnflag").agg(
+        r6(F.corr("l_extendedprice", "l_quantity")).alias("price_qty_corr"),
+        r6(F.covar_pop("l_extendedprice", "l_quantity")).alias("cov_pop"),
+        r6(F.covar_samp("l_extendedprice", "l_quantity")).alias("cov_samp"),
+        r6(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+    )

@@ -207,3 +207,26 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
         .orderBy("l_returnflag", F.desc("l_quantity"), "l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+           round(cume_dist()   OVER w * 1000000) / 1000000 AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank + cume_dist per
+    status partition (rounded 1e-6 in-query — the rank fractions are
+    exact rationals but the division is float)."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        (F.round(F.percent_rank().over(w) * 1_000_000) / 1_000_000).alias("pct_rank"),
+        (F.round(F.cume_dist().over(w) * 1_000_000) / 1_000_000).alias("cume"),
+    )
