@@ -470,3 +470,74 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text", SIMHASH_MAX_HAMMING
     )
+
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (size-stride = overlap)
+SAMPLE_PCT = 10  # deterministic sample rate (percent)
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk, len({_TOKS}) AS n FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, tk, n,
+             CAST(unnest(range(0, CAST(ceil(greatest(n - {CHUNK_SIZE - CHUNK_STRIDE}, 1)
+                 / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT))) AS BIGINT) AS chunk_index
+      FROM toks
+    )
+    SELECT doc_id, chunk_index,
+           array_to_string(tk[chunk_index * {CHUNK_STRIDE} + 1 :
+                              chunk_index * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ') AS chunk_text,
+           CAST(least(n - chunk_index * {CHUNK_STRIDE}, {CHUNK_SIZE}) AS BIGINT) AS n_chunk_tokens
+    FROM idx
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: fixed-size token windows (64 tokens, stride
+    48 ⇒ 16-token overlap) — the context-window prep every training
+    pipeline runs. One row per (doc, chunk); the explode is the only
+    row-expansion, the token array is materialized once per doc."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size("__tk")
+    n_chunks = F.ceil(
+        F.greatest(n - (CHUNK_SIZE - CHUNK_STRIDE), F.lit(1)) / float(CHUNK_STRIDE)
+    ).cast("long")
+    out = (
+        d.select("doc_id", toks.alias("__tk"))
+        .withColumn("chunk_index", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    )
+    start = F.col("chunk_index") * CHUNK_STRIDE
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        F.array_join(
+            F.slice(F.col("__tk"), start + 1, F.lit(CHUNK_SIZE)), " "
+        ).alias("chunk_text"),
+        F.least(F.size("__tk") - start, F.lit(CHUNK_SIZE)).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 100 < {SAMPLE_PCT}
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: md5(doc_id) % 100 < rate — the
+    reproducible corpus-sampling op (no rand(): re-runs, engines, and
+    resumed jobs all pick the exact same rows; stable under
+    repartitioning, unlike df.sample at scale)."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long") % 100
+    return d.filter(bucket < SAMPLE_PCT).select("doc_id", "lang")
