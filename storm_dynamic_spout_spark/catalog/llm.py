@@ -541,3 +541,75 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
     ).cast("long") % 100
     return d.filter(bucket < SAMPLE_PCT).select("doc_id", "lang")
+
+
+MIX_RATES = {"en": 60, "de": 20, "es": 10, "fr": 10}  # percent per source
+TOP_TERMS = 50
+
+
+def _mix_rate_case() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{lg}' THEN {r}" for lg, r in sorted(MIX_RATES.items())
+    )
+    return f"CASE {branches} ELSE 0 END"
+
+
+@query(
+    "sample_mixture",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST({_mix_rate_case()} AS BIGINT) AS mix_pct
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+          < {_mix_rate_case()}
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: per-source sampling rates (60% en, 20% de, 10%
+    es/fr) applied with the deterministic hash — the corpus-weighting
+    step of every pre-training data recipe, reproducible across runs
+    and engines."""
+    d = t(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for lg, r in sorted(MIX_RATES.items()):
+        rate = F.when(F.col("lang") == lg, F.lit(r)).otherwise(rate)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long") % 100
+    return d.filter(bucket < rate).select(
+        "doc_id", "lang", rate.cast("long").alias("mix_pct")
+    )
+
+
+@query(
+    "text_term_freq",
+    oracle=f"""
+    SELECT term, n_occurrences, n_docs FROM (
+      SELECT u.x AS term,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             row_number() OVER (ORDER BY count(*) DESC, u.x) AS rn
+      FROM documents, UNNEST({_TOKS}) AS u(x)
+      GROUP BY u.x
+    ) WHERE rn <= {TOP_TERMS}
+    """,
+)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: explode tokens → count occurrences +
+    document frequency → top-50 (tie-break lexicographic). The
+    vocabulary-building scan; partial aggregation makes the shuffle
+    |vocab|-sized, not |tokens|-sized."""
+    from pyspark.sql.window import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+    counts = toks.groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    rn = F.row_number().over(W.orderBy(F.desc("n_occurrences"), "term"))
+    return (
+        counts.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= TOP_TERMS)
+        .select("term", "n_occurrences", "n_docs")
+    )
