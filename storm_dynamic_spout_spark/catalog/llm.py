@@ -613,3 +613,64 @@ def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= TOP_TERMS)
         .select("term", "n_occurrences", "n_docs")
     )
+
+
+@query(
+    "text_tfidf_top_term",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, u.x AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM documents, UNNEST({_TOKS}) AS u(x)
+      GROUP BY doc_id, u.x
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df, tf.term) AS rn
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term AS top_term, tf,
+           round(tf * ln(CAST(n.n_docs AS DOUBLE) / df) * 1000000) / 1000000 AS tfidf
+    FROM ranked, n WHERE rn = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: most characteristic term per document. Ranking uses the
+    pure-integer key (tf DESC, df ASC, term) rather than the float
+    score — libm ln() can differ by an ulp across engines, which would
+    flip near-ties; the reported score is rounded to 1e-6 so the value
+    hash is stable. Plan: explode → two |vocab|-keyed aggregates →
+    broadcast df join → per-doc window."""
+    from pyspark.sql.window import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("tf"), "df", "term")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            "tf",
+            (
+                F.round(
+                    F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")) * 1_000_000
+                ) / 1_000_000
+            ).alias("tfidf"),
+        )
+    )
