@@ -674,3 +674,108 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+def _sql_centroids() -> str:
+    return """
+    centroids AS (
+      SELECT label, pos, avg(e[pos]) AS c
+      FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+           UNNEST(range(1, len(e) + 1)) AS t(pos)
+      GROUP BY label, pos
+    )
+    """
+
+
+@query(
+    "embedding_centroids",
+    oracle=f"""
+    WITH {_sql_centroids()}
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS dim,
+           round(sum(c * c) * 1000000) / 1000000 AS sq_norm,
+           round(sum(c)     * 1000000) / 1000000 AS sum_components
+    FROM centroids
+    GROUP BY label
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket centroid (elementwise mean vector) — the k-means
+    update step / IVF codebook builder. posexplode → (label, pos)
+    aggregate keeps the shuffle |labels|×dim-sized regardless of corpus
+    size; reported as dim + norms so the hash is array-order-free."""
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(S.as_double(F.col("embedding"))).alias("pos", "val")
+    )
+    cent = comp.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    return cent.groupBy("label").agg(
+        F.count("*").cast("long").alias("dim"),
+        (F.round(F.sum(F.col("c") * F.col("c")) * 1_000_000) / 1_000_000).alias("sq_norm"),
+        (F.round(F.sum("c") * 1_000_000) / 1_000_000).alias("sum_components"),
+    )
+
+
+@query(
+    "ann_ivf_assign",
+    oracle=f"""
+    WITH {_sql_centroids()},
+    cvec AS (
+      SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM centroids GROUP BY label
+    ),
+    v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+    scored AS (
+      SELECT vec_id, label, c_label,
+             list_inner_product(ve, cv)
+               / (sqrt(list_inner_product(ve, ve)) * sqrt(list_inner_product(cv, cv))) AS cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY list_inner_product(ve, cv)
+               / (sqrt(list_inner_product(ve, ve)) * sqrt(list_inner_product(cv, cv))) DESC,
+                                c_label) AS rn
+      FROM v CROSS JOIN cvec
+    )
+    SELECT vec_id, label AS true_label, c_label AS assigned_label,
+           CAST(label = c_label AS BOOLEAN) AS correct
+    FROM scored WHERE rn = 1
+    """,
+)
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means assign step / real IVF
+    bucketing): every vector scored against the |labels| computed
+    centroids (broadcast — the codebook is tiny) and assigned argmax
+    cosine. This replaces the fixture's given labels with COMPUTED
+    coarse quantization — the building block the scale path needs."""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(S.as_double(F.col("embedding"))).alias("pos", "val")
+    )
+    cent = comp.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    cvec = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("__pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform(F.col("__pc"), lambda s: s.getField("c")).alias("cv"),
+        )
+    )
+    v = e.select("vec_id", "label", S.as_double(F.col("embedding")).alias("ve"))
+    cos = S.dot(F.col("ve"), F.col("cv")) / (
+        F.sqrt(S.dot(F.col("ve"), F.col("ve"))) * F.sqrt(S.dot(F.col("cv"), F.col("cv")))
+    )
+    rn = F.row_number().over(W.partitionBy("vec_id").orderBy(F.desc("cos"), "c_label"))
+    return (
+        v.crossJoin(F.broadcast(cvec))
+        .withColumn("cos", cos)
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("c_label").alias("assigned_label"),
+            (F.col("label") == F.col("c_label")).alias("correct"),
+        )
+    )
