@@ -1,0 +1,83 @@
+"""Skew mitigation: salted joins and salted aggregation (SURVEY §2.3
+"salting for skew"; the firehose's multi-tenant traffic is exactly the
+workload where one hot tenant key swamps a shuffle partition).
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+default in `engine.build_session`) handles sort-merge skew at runtime;
+explicit salting remains necessary when (a) the skewed side feeds a
+HASH aggregate, or (b) the join is with a small-but-not-broadcastable
+dimension where replication is cheaper than a skew split. Both helpers
+are deterministic — no rand(): the salt derives from a hash of stable
+columns, so retries and resumed jobs produce identical partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def with_salt(df: DataFrame, salt_from: list[str], n_salts: int = 8) -> DataFrame:
+    """Deterministic salt in [0, n_salts): hash of the given stable
+    columns (e.g. the record's unique id) — NOT rand(), so the salt
+    survives retries/recomputation unchanged."""
+    return df.withColumn(SALT_COL, F.pmod(F.hash(*salt_from), F.lit(n_salts)))
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_from: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed fact to a dimension on ``on``: the fact gets a
+    deterministic salt, the dimension is replicated n_salts× (explode
+    of a literal range), and the join key becomes (on, salt) — the hot
+    key's rows spread across n_salts shuffle partitions.
+
+    Correctness: every fact row still meets its dimension row exactly
+    once (the dimension copy with the matching salt)."""
+    salted_fact = with_salt(skewed, salt_from, n_salts)
+    replicated_dim = dim.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_fact.join(replicated_dim, [on, SALT_COL], how).drop(SALT_COL)
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    salt_from: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial aggregate on
+    (group, salt) — spreading the hot key — then final aggregate on the
+    group alone. Supported aggs: sum, count, min, max (the re-mergeable
+    ones; avg = sum/count composed by the caller)."""
+    partial_exprs = []
+    final_exprs = []
+    for col, fn in aggs.items():
+        p = f"__p_{fn}_{col}"
+        if fn == "count":
+            partial_exprs.append(F.count(col).alias(p))
+            final_exprs.append(F.sum(p).alias(f"{fn}_{col}"))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(p))
+            final_exprs.append(F.sum(p).alias(f"{fn}_{col}"))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(p))
+            final_exprs.append(F.min(p).alias(f"{fn}_{col}"))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(p))
+            final_exprs.append(F.max(p).alias(f"{fn}_{col}"))
+        else:
+            raise ValueError(f"unsupported re-mergeable agg: {fn}")
+    partial = with_salt(df, salt_from, n_salts).groupBy(*group_cols, SALT_COL).agg(
+        *partial_exprs
+    )
+    return partial.groupBy(*group_cols).agg(*final_exprs)
