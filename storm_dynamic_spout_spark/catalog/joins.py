@@ -359,3 +359,36 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         """
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM (SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+          FROM events WHERE event_id < 100) a
+    JOIN (SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+          FROM events WHERE event_id < 100) b
+      ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantic regular equi-joins silently drop.
+    Declared alongside the §2.3 join family."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            F.when(F.col("event_type") == "error", None)
+            .otherwise(F.col("event_type"))
+            .alias("k"),
+        )
+    )
+    a = e.select(F.col("event_id").alias("id_a"), F.col("k").alias("ka"))
+    b = e.select(F.col("event_id").alias("id_b"), F.col("k").alias("kb"))
+    return (
+        a.join(b, a.ka.eqNullSafe(b.kb) & (a.id_a < b.id_b))
+        .select("id_a", "id_b")
+    )

@@ -198,3 +198,29 @@ def test_custom_stateful_operator_across_batches(spark, tmp_path):
         assert latest == {"a": 3, "b": 1}  # state carried across batches
     finally:
         out.stop()
+
+
+def test_streaming_drop_duplicates_across_batches(spark, tmp_path):
+    """Stateful streaming dedup (T13): dropDuplicates on key holds its
+    seen-set across micro-batches — a re-sent key in a later batch is
+    suppressed."""
+    from storm_dynamic_spout_spark.streaming import FileTopic
+
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=2)
+    topic.append([("k1", "v1"), ("k2", "v2")])
+    deduped = topic.read_stream(spark, max_files_per_trigger=1).dropDuplicates(["key"])
+    out = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        out.processAllAvailable()
+        topic.append([("k1", "v1-dup"), ("k3", "v3")])  # k1 re-sent later
+        out.processAllAvailable()
+        rows = {r["key"]: r["value"] for r in spark.table("stream_dedup").collect()}
+        assert rows == {"k1": "v1", "k2": "v2", "k3": "v3"}  # dup suppressed
+    finally:
+        out.stop()
