@@ -39,6 +39,39 @@ HEADLINE = [
 ]
 
 
+def bench_firehose(spark, n_records: int = 100_000) -> float:
+    """Streaming control-plane throughput: seconds to drain n_records
+    through the full firehose loop (dynamic filter chain + sideline
+    control poll + parquet sink) in 4 micro-batches."""
+    import shutil
+    import tempfile
+    import time
+
+    from storm_dynamic_spout_spark.streaming import FileTopic, FilterChain, Firehose
+    from storm_dynamic_spout_spark.streaming.sideline import SidelineController
+
+    d = tempfile.mkdtemp(prefix="bench_firehose_")
+    try:
+        topic = FileTopic(os.path.join(d, "t"), num_partitions=32)
+        per_batch = n_records // 4
+        for _ in range(4):
+            topic.append(
+                (f"k{i % 997}", f"v{i}") for i in range(per_batch)
+            )
+        ctl = SidelineController(topic, FilterChain(), os.path.join(d, "s"))
+        fh = Firehose(
+            spark, topic, ctl, os.path.join(d, "out"), os.path.join(d, "ck")
+        )
+        t0 = time.perf_counter()
+        fh.start(max_files_per_trigger=1)  # one append per micro-batch
+        fh.process_all_available()
+        elapsed = time.perf_counter() - t0
+        fh.stop()
+        return elapsed
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -64,6 +97,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+
+    # streaming control-plane drain: 100k records / 4 micro-batches
+    timings["firehose_100k_stream"] = round(bench_firehose(spark), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
