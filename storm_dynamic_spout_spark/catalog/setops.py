@@ -84,3 +84,28 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct()
+
+
+@query(
+    "setop_union_evolved",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority, NULL AS o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def setop_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two relations with different column sets
+    merged by NAME with nulls for the missing side
+    (``unionByName(allowMissingColumns=True)``) — the shape of unioning
+    an old and a new table version mid-migration at scale."""
+    o = t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return old.unionByName(new, allowMissingColumns=True)

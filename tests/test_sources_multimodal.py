@@ -129,3 +129,20 @@ def test_resize_meta_is_pure_column_op(spark):
     row = resized.collect()[0]
     assert (row["meta"]["width"], row["meta"]["height"]) == (32, 16)
     assert row["meta"]["format"] == "sdss-raw"
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Reading an evolving parquet table: files written with the old and
+    new schema coexist in one dir; mergeSchema resolves the union with
+    nulls for missing columns — the 100 TB table-evolution contract."""
+    old = spark.range(3).withColumn("a", F.col("id") * 10)
+    new = spark.range(3, 6).withColumn("a", F.col("id") * 10).withColumn(
+        "b", F.lit("added")
+    )
+    old.write.mode("overwrite").parquet(str(tmp_path / "tbl"))
+    new.write.mode("append").parquet(str(tmp_path / "tbl"))
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "tbl"))
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in merged.collect()}
+    assert rows[0] == (0, None)  # old file: b null-filled
+    assert rows[5] == (50, "added")
