@@ -180,3 +180,32 @@ def test_lag_metric(spark, tmp_path):
     app.close()
     app.produce([("a", "a2"), ("b", "b2")])  # engine down: lag builds
     assert sum(app.lag().values()) == 2
+
+
+def test_retry_state_survives_restart(spark, tmp_path):
+    """The retry table is durable state: a pending retry scheduled
+    before a shutdown is retried (and exhausted to the DLQ) by the
+    restarted engine — no failure is lost across restarts."""
+    from storm_dynamic_spout_spark.streaming.retry import (
+        ATTEMPTS_COL,
+        ExponentialBackoffRetryPolicy,
+    )
+
+    policy = ExponentialBackoffRetryPolicy(
+        retry_limit=2, initial_delay_ms=0, delay_multiplier=1.0, max_delay_ms=0
+    )
+    kwargs = dict(failure_condition_sql="key = 'poison'", retry_policy=policy)
+    app = DynamicStreamApp(spark, str(tmp_path / "t"), str(tmp_path / "w"), **kwargs)
+    app.produce([("poison", "p1"), ("ok", "o1")])
+    app.open()
+    app.process_all_available()  # p1 failed once → retry table
+    app.close()
+
+    app2 = DynamicStreamApp(spark, str(tmp_path / "t"), str(tmp_path / "w"), **kwargs)
+    app2.open()
+    app2.produce([("ok", "o2")])  # triggers the next batch
+    app2.process_all_available()  # due retry re-fails → attempts=2 → DLQ
+    dlq = app2.retry_runner.dlq(spark, app2.topic.read(spark))
+    assert [(r["value"], r[ATTEMPTS_COL]) for r in dlq.collect()] == [("p1", 2)]
+    assert _vals(app2.output(), "firehose") == ["o1", "o2"]
+    app2.close()
