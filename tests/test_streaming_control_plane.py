@@ -132,3 +132,23 @@ def test_filter_chain_mutation_and_json_roundtrip():
     assert restored.steps == {"a": "user_id = 1", "b": "value < 0"}
     assert restored.remove_step("a") == "user_id = 1"
     assert not restored.has_step("a")
+
+
+# -- cluster sizing arithmetic ----------------------------------------------
+
+
+def test_derive_confs_scaling():
+    from storm_dynamic_spout_spark.tuning import ClusterSpec, derive_confs, partitions_for_table
+
+    small = derive_confs(ClusterSpec(executors=10, cores_per_executor=4, max_shuffled_tb=0.1))
+    big = derive_confs(ClusterSpec(executors=1000, cores_per_executor=4, max_shuffled_tb=10.0))
+    # shuffle partitions scale with data and never drop below 2 waves/core
+    assert int(small["spark.sql.shuffle.partitions"]) >= 10 * 4 * 2
+    assert int(big["spark.sql.shuffle.partitions"]) >= int(small["spark.sql.shuffle.partitions"])
+    # 10 TB shuffle at 128 MB target → ~80k initial partitions
+    assert int(big["spark.sql.shuffle.partitions"]) == 10 * 1024 * 1024 // 128
+    for confs in (small, big):
+        assert confs["spark.sql.adaptive.enabled"] == "true"
+        assert confs["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    # bucket count for a 1 TB table at 128 MB per bucket
+    assert partitions_for_table(1.0) == 8192
