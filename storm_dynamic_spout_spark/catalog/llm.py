@@ -300,13 +300,17 @@ def _ngram_pairs_sql() -> str:
     mh_cols = ", ".join(f"{_sql_minhash(s)} AS mh{s}" for s in D.MINHASH_SEEDS)
     full_sig = _sql_band(D.MINHASH_SEEDS)
     norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
-    grams = (
+    grams_str = (
         f"list_distinct(list_transform(range(1, greatest(length({norm}) - 2, 1) + 1), "
         f"i -> substr({norm}, CAST(i AS INTEGER), 3)))"
     )
+    grams = (
+        f"list_transform({grams_str}, "
+        "g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))"
+    )
     jac = (
         "CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)"
-        " / CAST(len(list_distinct(list_concat(x.g, y.g))) AS DOUBLE)"
+        " / CAST(len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)) AS DOUBLE)"
     )
     return f"""
     WITH sig AS (SELECT doc_id, {mh_cols} FROM documents),

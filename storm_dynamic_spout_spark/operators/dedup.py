@@ -252,17 +252,21 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
 def with_char_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "__g"
 ) -> DataFrame:
-    """id + distinct character n-grams of the normalized text. The
-    normalized string is materialized as a column FIRST so the per-gram
-    substr lambda references an attribute — nesting the regexp_replace
-    inside the lambda re-runs it once per character of every document."""
+    """id + distinct character n-grams of the normalized text, as
+    60-bit integer hashes (fixed-width compares in the verify join —
+    same engine-portable hash as tokens). The normalized string is
+    materialized as a column FIRST so the per-gram substr lambda
+    references an attribute — nesting the regexp_replace inside the
+    lambda re-runs it once per character of every document."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     normed = df.select(F.col(id_col), norm.alias("__norm"))
     idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - (n - 1), F.lit(1)))
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.col("__norm").substr(i, F.lit(n)))
     )
-    return normed.select(F.col(id_col), grams.alias(out_col))
+    return normed.select(
+        F.col(id_col), F.transform(grams, token_hash).alias(out_col)
+    )
 
 
 def full_signature_pairs(sig: DataFrame, id_col: str) -> DataFrame:
