@@ -89,7 +89,11 @@ class FileTopic:
     # -- producer side ------------------------------------------------------
 
     def _save_meta(self) -> None:
-        with open(self._meta_path, "w") as f:
+        # atomic write (tmp + rename): a crash mid-write must not corrupt
+        # the offset bookkeeping — same crash-safety bar as the
+        # reference's ZK state (persistence/ZookeeperPersistenceAdapter)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "num_partitions": self.num_partitions,
@@ -99,6 +103,7 @@ class FileTopic:
                 },
                 f,
             )
+        os.replace(tmp, self._meta_path)
 
     def append(self, records: Iterable[tuple[str | None, str]]) -> int:
         """Append ``(key, value)`` records; returns the count written.

@@ -146,3 +146,17 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     rows = {r["id"]: (r["a"], r["b"]) for r in merged.collect()}
     assert rows[0] == (0, None)  # old file: b null-filled
     assert rows[5] == (50, "added")
+
+
+def test_sink_roundtrip_all_formats(spark, sources, tmp_path):
+    """Every file sink format round-trips through its matching source."""
+    sinks = SinkRegistry()
+    df = spark.range(5).withColumn("s", F.concat(F.lit("v"), F.col("id")))
+    for fmt in ("json", "csv", "orc"):
+        path = str(tmp_path / fmt)
+        opts = {"header": "true"} if fmt == "csv" else {}
+        sinks.write(df, fmt, path=path, mode="overwrite", **opts)
+        back = sources.read(
+            spark, fmt, path=path, schema="id BIGINT, s STRING", **opts
+        )
+        assert sorted(r["s"] for r in back.collect()) == [f"v{i}" for i in range(5)]
