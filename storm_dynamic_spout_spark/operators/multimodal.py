@@ -177,3 +177,109 @@ def resize_meta(df: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.format").alias("format"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio (same seam pattern as images: real plumbing, stubbed codec)
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("format", T.StringType(), False),
+    ]
+)
+
+_AUDIO_MAGIC = b"SDSA"
+
+
+def make_synthetic_audio(seed: bytes, sample_rate: int = 16000, n_samples: int = 256) -> bytes:
+    """Deterministic fake audio payload: header + sha256-keystream PCM
+    bytes (1 channel, u8 samples). Stands in for real WAV/FLAC bytes."""
+    need = n_samples
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(seed + b"audio" + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    return _HEADER.pack(_AUDIO_MAGIC, sample_rate, n_samples, 1) + bytes(out[:need])
+
+
+def attach_audio_payload(
+    df: DataFrame, id_col: str, sample_rate: int = 16000, n_samples: int = 256
+) -> DataFrame:
+    """Add (content BINARY, meta STRUCT) audio columns derived from the id."""
+    seed = F.sha2(F.col(id_col).cast("string"), 256)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda s: make_synthetic_audio(str(s).encode(), sample_rate, n_samples)
+        )
+
+    return df.withColumn("content", _payload(seed)).withColumn(
+        "meta",
+        F.struct(
+            F.lit(sample_rate).alias("sample_rate"),
+            F.lit(n_samples).alias("n_samples"),
+            F.lit(1).alias("n_channels"),
+            F.lit("sdsa-pcm8").alias("format"),
+        ),
+    )
+
+
+def _decode_audio_payload(buf: bytes) -> tuple[int, int, float]:
+    """REAL-CODEC SEAM (audio): module-level so executors pickle it by
+    reference — a struct.Struct captured in a closure is not picklable."""
+    magic, rate, n, _c = _HEADER.unpack_from(buf, 0)
+    if magic != _AUDIO_MAGIC:
+        raise ValueError("not an SDSA synthetic payload")
+    pcm = buf[_HEADER.size :]
+    # u8 PCM centered at 128: rms of the deviation
+    rms = (sum((b - 128) ** 2 for b in pcm) / max(len(pcm), 1)) ** 0.5
+    return rate, n, rms
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("content_sha", T.StringType(), False),
+    ]
+)
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id", fake: bool = False) -> DataFrame:
+    """binary audio → per-clip features via Arrow-batched mapInPandas.
+    Same seam as :func:`decode_image`: ``fake=False`` raises (no codecs
+    in this container); ``fake=True`` decodes the synthetic format."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs are not installed in this environment; "
+            "pass fake=True for the deterministic synthetic decoder"
+        )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, durs, rmss, shas = [], [], [], []
+            for buf in pdf["content"]:
+                rate, n, rms = _decode_audio_payload(buf)
+                rates.append(rate)
+                durs.append(n / rate)
+                rmss.append(rms)
+                shas.append(hashlib.sha256(buf).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": rates,
+                    "duration_s": durs,
+                    "rms": rmss,
+                    "content_sha": shas,
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(_decode, AUDIO_FEATURES_SCHEMA)

@@ -160,3 +160,21 @@ def test_sink_roundtrip_all_formats(spark, sources, tmp_path):
             spark, fmt, path=path, schema="id BIGINT, s STRING", **opts
         )
         assert sorted(r["s"] for r in back.collect()) == [f"v{i}" for i in range(5)]
+
+
+def test_audio_payload_and_decode(spark):
+    docs = spark.range(8).withColumnRenamed("id", "doc_id")
+    clips = M.attach_audio_payload(docs, "doc_id", sample_rate=8000, n_samples=160)
+    assert dict(clips.dtypes)["content"] == "binary"
+    assert clips.collect()[0]["meta"]["format"] == "sdsa-pcm8"
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(clips)  # codec stub gate
+    feats = M.decode_audio(clips, fake=True)
+    assert feats.schema == M.AUDIO_FEATURES_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 8
+    assert all(r["sample_rate"] == 8000 and abs(r["duration_s"] - 0.02) < 1e-9 for r in rows)
+    assert all(r["rms"] > 0 for r in rows)
+    # deterministic payloads → deterministic hashes across runs
+    again = M.decode_audio(M.attach_audio_payload(docs, "doc_id", 8000, 160), fake=True)
+    assert {r["content_sha"] for r in rows} == {r["content_sha"] for r in again.collect()}
