@@ -91,7 +91,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):  # best-of-2: damp noisy-neighbor variance
+        for _ in range(3):  # best-of-3: damp noisy-neighbor variance
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
