@@ -120,6 +120,8 @@ def merge_routes(dfs: dict[str, DataFrame], route_col: str = "route_id") -> Data
     ``srcVirtualSpoutId`` of ``MessageId.java:33-61`` becomes a literal
     column so ack/fail routing survives the merge. ``unionByName`` keeps
     schema-by-name semantics across routes."""
+    if not dfs:
+        raise ValueError("merge_routes requires at least one route")
     tagged = [
         df.withColumn(route_col, F.lit(rid)) for rid, df in sorted(dfs.items())
     ]

@@ -152,3 +152,43 @@ def test_derive_confs_scaling():
         assert confs["spark.sql.adaptive.skewJoin.enabled"] == "true"
     # bucket count for a 1 TB table at 128 MB per bucket
     assert partitions_for_table(1.0) == 8192
+
+
+# -- scalar/column dual-implementation consistency ---------------------------
+
+
+def test_retry_scalar_and_column_forms_agree(spark):
+    """The policy arithmetic exists twice — pure-Python (unit-testable,
+    used by schedulers) and Column-form (the distributed retry table).
+    They must never drift: evaluate both over a grid of policies and
+    attempt counts and compare exactly."""
+    from pyspark.sql import functions as F
+
+    policies = [
+        ExponentialBackoffRetryPolicy(retry_limit=25, initial_delay_ms=1000,
+                                      delay_multiplier=2.0, max_delay_ms=900_000),
+        ExponentialBackoffRetryPolicy(retry_limit=-1, initial_delay_ms=7,
+                                      delay_multiplier=3.5, max_delay_ms=10_000),
+        ExponentialBackoffRetryPolicy(retry_limit=0, initial_delay_ms=500,
+                                      delay_multiplier=1.0, max_delay_ms=500),
+        FailedTuplesFirstRetryPolicy(),
+        NeverRetryPolicy(),
+    ]
+    attempts_df = spark.range(1, 41).withColumnRenamed("id", "attempts")
+    for p in policies:
+        rows = attempts_df.select(
+            "attempts",
+            p.delay_col(F.col("attempts")).alias("delay"),
+            p.retry_further_col(F.col("attempts")).alias("further"),
+        ).collect()
+        for r in rows:
+            a = r["attempts"]
+            assert r["delay"] == p.delay_ms(a), (p, a)
+            assert r["further"] == p.retry_further(a), (p, a)
+
+
+def test_merge_routes_empty_rejected(spark):
+    from storm_dynamic_spout_spark.streaming import merge_routes
+
+    with pytest.raises(ValueError):
+        merge_routes({})
