@@ -346,3 +346,27 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.covar_samp("l_extendedprice", "l_quantity")).alias("cov_samp"),
         r6(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
     )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG family): distinct values collected,
+    sorted, and joined — sorted-on-purpose so the result is
+    deterministic under any partitioning (unordered collect_list is a
+    correctness trap at scale)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.count("*").alias("n"),
+    )
