@@ -22,10 +22,24 @@ from threading import Lock
 from typing import Any
 
 
+def build_key(template: str, *parameters: Any) -> str:
+    """Metric key interpolation: each ``{}`` placeholder replaced in
+    order by the stringified parameter (``metrics/KeyBuilder`` —
+    per-vspout keys like ``vspout.{}.ack``). Extra placeholders remain
+    literal; extra parameters are ignored — same forgiving contract."""
+    out = template
+    for p in parameters:
+        if "{}" not in out:
+            break
+        out = out.replace("{}", str(p), 1)
+    return out
+
+
 class MetricsRecorder:
     """count/countBy/assign_value/timer surface
     (``metrics/MetricsRecorder.java:36-150``). Thread-safe in-memory
-    recorder; subclass to ship elsewhere (LogRecorder analogue etc.)."""
+    recorder; subclass to ship elsewhere (LogRecorder analogue etc.).
+    Keys may carry ``{}`` placeholders filled from ``*params``."""
 
     def __init__(self) -> None:
         self._lock = Lock()
@@ -33,13 +47,13 @@ class MetricsRecorder:
         self.gauges: dict[str, Any] = {}
         self.timers: dict[str, list[float]] = defaultdict(list)
 
-    def count(self, key: str, amount: int = 1) -> None:
+    def count(self, key: str, amount: int = 1, *params: Any) -> None:
         with self._lock:
-            self.counters[key] += amount
+            self.counters[build_key(key, *params)] += amount
 
-    def assign_value(self, key: str, value: Any) -> None:
+    def assign_value(self, key: str, value: Any, *params: Any) -> None:
         with self._lock:
-            self.gauges[key] = value
+            self.gauges[build_key(key, *params)] = value
 
     def start_timer(self) -> float:
         return time.perf_counter()

@@ -192,3 +192,21 @@ def test_merge_routes_empty_rejected(spark):
 
     with pytest.raises(ValueError):
         merge_routes({})
+
+
+# -- metric key interpolation (KeyBuilder parity) ---------------------------
+
+
+def test_metric_key_interpolation():
+    from storm_dynamic_spout_spark.streaming.metrics import MetricsRecorder, build_key
+
+    assert build_key("vspout.{}.ack", "fh") == "vspout.fh.ack"
+    assert build_key("a.{}.{}.c", 1, "b") == "a.1.b.c"
+    assert build_key("plain") == "plain"
+    assert build_key("x.{}", ) == "x.{}"  # missing param stays literal
+    assert build_key("x.{}", "a", "extra") == "x.a"  # extras ignored
+    rec = MetricsRecorder()
+    rec.count("vspout.{}.emit", 3, "r1")
+    rec.assign_value("vspout.{}.lag", 7, "r1")
+    assert rec.counters["vspout.r1.emit"] == 3
+    assert rec.gauges["vspout.r1.lag"] == 7
