@@ -1,0 +1,113 @@
+"""Scale-up smoke: run headline plans at 1x and 5x the sf0.1 data and
+report the runtime ratio.
+
+    python examples/scale_smoke.py
+
+The 5x tables are built in-process by unioning the sf0.1 parquet five
+times with shifted keys (no fixture writes) — so the same physical
+plans (broadcast dims, partial aggs, pushdown) execute against ~3M
+lineitem rows. A healthy plan scales ~linearly (ratio ≈ 5 or below once
+fixed overheads amortize); a quadratic operator or a plan that
+collapses to one partition shows up immediately as a blow-up ratio.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.engine import EngineConfig, build_session, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SCALE_COPIES", "5"))
+
+#: (query label, builder) — plan shapes worth scale-checking. Builders
+#: take a table-loader fn so the same code runs at 1x and Nx.
+def q1(t):
+    li = t("lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum(disc), F.count("*"))
+    )
+
+
+def star_join(t):
+    li, o, c = t("lineitem"), t("orders"), t("customer")
+    n, r = F.broadcast(t("nation")), F.broadcast(t("region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    )
+
+
+def window_topk(t):
+    from pyspark.sql.window import Window as W
+
+    o = t("orders")
+    rn = F.row_number().over(
+        W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+    return o.withColumn("rn", rn).filter(F.col("rn") <= 10)
+
+
+QUERIES = [("q1_agg", q1), ("star_join", star_join), ("window_topk", window_topk)]
+
+
+def main() -> None:
+    spark = build_session(EngineConfig({"spark.shuffle_partitions": 32}))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def loader_1x(name):
+        return load_table(spark, SF_DIR, name)
+
+    def loader_nx(name):
+        base = load_table(spark, SF_DIR, name)
+        if name in ("nation", "region"):
+            return base  # dims stay dim-sized
+        copies = []
+        for i in range(COPIES):
+            shifted = base
+            # shift every *key* column so copies don't collapse in joins
+            for col, dt in base.dtypes:
+                if col.endswith("key") and dt == "bigint":
+                    shifted = shifted.withColumn(
+                        col, F.col(col) + F.lit(i * 1_000_000_000)
+                    )
+            copies.append(shifted)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    print(f"scale smoke: {SF_DIR} at 1x vs {COPIES}x (keys shifted per copy)")
+    for label, build in QUERIES:
+        times = {}
+        for tag, loader in (("1x", loader_1x), (f"{COPIES}x", loader_nx)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build(loader).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[tag] = best
+        ratio = times[f"{COPIES}x"] / times["1x"]
+        verdict = "OK (≤ linear)" if ratio <= COPIES * 1.3 else "SUSPICIOUS (super-linear)"
+        print(
+            f"  {label:<12} 1x={times['1x']:.2f}s  {COPIES}x={times[f'{COPIES}x']:.2f}s  "
+            f"ratio={ratio:.1f}  {verdict}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
