@@ -370,3 +370,27 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priorities"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_arg_min_max",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderpriority, o_orderkey) AS last_priority,
+           arg_min(o_orderpriority, o_orderkey) AS first_priority,
+           max(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_arg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/max aggregates (max_by/min_by): the value column from the
+    row holding the extreme ordering key. Ordering key is the UNIQUE
+    o_orderkey — ties would make arg_max nondeterministic across
+    engines and partitionings."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -328,3 +328,61 @@ def scalar_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
         F.levenshtein(F.lower("p_name"), F.lower("p_type")).cast("long").alias("name_type_dist"),
     )
+
+
+@query(
+    "scalar_bitops",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id & 255 AS BIGINT)        AS low_byte,
+           CAST(event_id | 4096 AS BIGINT)       AS with_flag,
+           CAST(xor(event_id, 1365) AS BIGINT)   AS xored,
+           CAST(event_id << 3 AS BIGINT)         AS shifted_l,
+           CAST(event_id >> 2 AS BIGINT)         AS shifted_r,
+           CAST(bit_count(event_id) AS BIGINT)   AS popcount
+    FROM events
+    """,
+)
+def scalar_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount — exact integer ops
+    (the primitives behind simhash/bloom/partition math)."""
+    e = t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return e.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        eid.bitwiseXOR(F.lit(1365)).alias("xored"),
+        F.shiftleft(eid, 3).cast("long").alias("shifted_l"),
+        F.shiftright(eid, 2).cast("long").alias("shifted_r"),
+        F.bit_count(eid).cast("long").alias("popcount"),
+    )
+
+
+@query(
+    "scalar_trig",
+    oracle="""
+    SELECT event_id,
+           round(sin(radians(value))       * 1000000) / 1000000 AS sin_v,
+           round(cos(radians(value))       * 1000000) / 1000000 AS cos_v,
+           round(atan2(value, event_id + 1) * 1000000) / 1000000 AS angle,
+           round(degrees(atan(value))      * 1000000) / 1000000 AS deg_v
+    FROM events
+    """,
+)
+def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric family, rounded 1e-6 in-query (libm results can
+    differ in the last ulp across engines)."""
+    e = t(spark, sf_dir, "events")
+    v, eid = F.col("value"), F.col("event_id")
+
+    def r6(c):
+        return F.round(c * 1_000_000) / 1_000_000
+
+    return e.select(
+        "event_id",
+        r6(F.sin(F.radians(v))).alias("sin_v"),
+        r6(F.cos(F.radians(v))).alias("cos_v"),
+        r6(F.atan2(v, eid + 1)).alias("angle"),
+        r6(F.degrees(F.atan(v))).alias("deg_v"),
+    )
