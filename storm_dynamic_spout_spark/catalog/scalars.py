@@ -386,3 +386,30 @@ def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.atan2(v, eid + 1)).alias("angle"),
         r6(F.degrees(F.atan(v))).alias("deg_v"),
     )
+
+
+@query(
+    "scalar_null_handling",
+    oracle="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'unknown') AS et_or_unknown,
+           CAST(coalesce(CASE WHEN value >= 50 THEN value END, 0.0) AS DOUBLE) AS big_or_zero,
+           (CASE WHEN value >= 50 THEN value END) IS NULL AS was_null,
+           ifnull(CASE WHEN value >= 50 THEN value END, -1.0) AS big_or_neg1
+    FROM events
+    """,
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: nullif / coalesce / ifnull / IS NULL —
+    three-valued-logic plumbing every pipeline leans on."""
+    e = t(spark, sf_dir, "events")
+    big = F.when(F.col("value") >= 50, F.col("value"))
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("unknown")).alias(
+            "et_or_unknown"
+        ),
+        F.coalesce(big, F.lit(0.0)).alias("big_or_zero"),
+        big.isNull().alias("was_null"),
+        F.ifnull(big, F.lit(-1.0)).alias("big_or_neg1"),
+    )
