@@ -23,6 +23,19 @@ def _rev() -> F.Column:
     return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
 
 
+def _dsum(expr: F.Column) -> F.Column:
+    """Exact, order-independent sum of a per-row double expression.
+
+    Large-magnitude double sums (~1e9 over ~60k rows) accumulate enough
+    FP error that the driver's 6dp value hash can flip between Spark's
+    and DuckDB's summation orders. Per-row the expression is a single
+    IEEE754 product — identical in both engines — so we pin it to
+    DECIMAL(25,6) per row and sum decimals (exact, associative), then
+    return a double. DuckDB oracle mirrors: SUM(CAST(e AS DECIMAL(25,6))).
+    """
+    return F.sum(expr.cast("decimal(25,6)")).cast("double")
+
+
 @query(
     "tpch_q3",
     oracle="""
@@ -170,4 +183,166 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.round(F.sum(_rev()) * 1_000_000) / 1_000_000).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
+    )
+
+
+@query(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)       AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)  AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing-summary — the canonical scan-heavy partial-agg query.
+
+    Full 8-aggregate variant (the decimal trick in ``_dsum`` makes the
+    ~1e9-magnitude sums exactly reproducible across engines; averages
+    are one deterministic division on top). Single scan, map-side
+    partial aggregation into 6 groups — at 100 TB this is the shape
+    whose cost is pure scan bandwidth, so nothing here shuffles more
+    than 6 rows per partition.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    qty, price, disc, tax = (F.col(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(qty).alias("sum_qty"),
+            _dsum(price).alias("sum_base_price"),
+            _dsum(price * (1 - disc)).alias("sum_disc_price"),
+            _dsum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+            (_dsum(qty) / cnt).alias("avg_qty"),
+            (_dsum(price) / cnt).alias("avg_price"),
+            (_dsum(disc) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-modes shape, adapted: the fixture lineitem has no
+    l_shipmode/l_commitdate/l_receiptdate, so the conditional priority
+    count pivots on l_returnflag with the year predicate on l_shipdate.
+    Preserves the canonical shape: fact-fact join + CASE-WHEN
+    conditional aggregation (integer-exact, no FP concerns).
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                                 ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion-effect: one-month lineitem slice joined to part,
+    promo share of revenue. part is the broadcast side; the month
+    predicate reaches the scan. Decimal-pinned sums + one final double
+    division keep the ratio bit-identical across engines.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = F.broadcast(t(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * _dsum(promo) / _dsum(rev)).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume-customer: aggregate-then-semi-join shape. The
+    HAVING subquery reduces lineitem to a small key set first (threshold
+    250 adapted to the fixture's ~458 max order quantity), which Spark
+    plans as an aggregate feeding a join — at scale the key set is tiny
+    relative to the fact, so AQE converts it to a broadcast semi-join
+    instead of shuffling the full fact twice.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "__bigkey"), li.l_orderkey == F.col("__bigkey"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
     )
