@@ -23,6 +23,7 @@ from storm_dynamic_spout_spark.streaming.metrics import (
     MetricsRecorder,
     PartitionProgress,
     attach_query_listener,
+    record_route_lag,
     route_progress,
 )
 from storm_dynamic_spout_spark.streaming.retry import (

@@ -118,6 +118,61 @@ def route_progress(
     return out
 
 
+def _offset_total(raw: Any) -> int | None:
+    """Best-effort scalar from a source-offset JSON string: a bare int,
+    ``{"logOffset": n}`` (file sources), or a ``{topic: {partition:
+    offset}}`` map (Kafka-shaped — summed). None when unparseable, so
+    lag is simply not reported for exotic sources."""
+    if raw is None:
+        return None
+    import json
+
+    v = raw
+    if isinstance(raw, str):
+        if raw == "None":
+            return None
+        try:
+            v = json.loads(raw)
+        except (ValueError, TypeError):
+            # progress dicts sometimes carry Python-repr offsets
+            # ({'logOffset': 0}) rather than JSON
+            import ast
+
+            try:
+                v = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                return None
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, dict):
+        total = 0
+        for x in v.values():
+            sub = _offset_total(x)
+            if sub is None:
+                return None
+            total += sub
+        return total
+    return None
+
+
+def record_route_lag(
+    recorder: MetricsRecorder, route_id: str, lag_by_partition: dict[int, int]
+) -> int:
+    """Gauge a route's per-partition + total consumer lag (the
+    reference's per-partition Kafka-lag KPI). File sources don't report
+    ``latestOffset`` in StreamingQueryProgress, so for FileTopic routes
+    the caller feeds ``DynamicStreamApp.lag(route_id)`` here instead —
+    same key shape as the listener's source-lag gauges."""
+    total = 0
+    for part, lag in lag_by_partition.items():
+        recorder.assign_value("route.{}.partition.{}.lag", lag, route_id, part)
+        total += lag
+    recorder.assign_value("route.{}.lag.total", total, route_id)
+    return total
+
+
 def attach_query_listener(spark, recorder: MetricsRecorder):
     """Wire a StreamingQueryListener → MetricsRecorder (O8/O9 mapping:
     onQueryStarted/Progress/Terminated ≈ the SpoutHandler lifecycle +
@@ -130,11 +185,25 @@ def attach_query_listener(spark, recorder: MetricsRecorder):
 
         def onQueryProgress(self, event) -> None:
             p = event.progress
-            recorder.count(f"query.{p.name or p.id}.batches")
-            recorder.count(f"query.{p.name or p.id}.input_rows", p.numInputRows)
+            name = p.name or p.id
+            recorder.count(f"query.{name}.batches")
+            recorder.count(f"query.{name}.input_rows", p.numInputRows)
             recorder.assign_value(
-                f"query.{p.name or p.id}.input_rows_per_second", p.inputRowsPerSecond
+                f"query.{name}.input_rows_per_second", p.inputRowsPerSecond
             )
+            # per-source consumer lag (the reference's Kafka-lag KPI,
+            # SpoutPartitionProgressMonitor): latestOffset - endOffset
+            for i, s in enumerate(p.sources):
+                latest = _offset_total(getattr(s, "latestOffset", None))
+                end = _offset_total(getattr(s, "endOffset", None))
+                if latest is not None and end is not None:
+                    recorder.assign_value(
+                        f"query.{name}.source.{i}.lag", max(latest - end, 0)
+                    )
+            # batch-phase timings (addBatch/getBatch/triggerExecution…)
+            for phase, ms in (p.durationMs or {}).items():
+                recorder.assign_value(f"query.{name}.duration_ms.{phase}", ms)
+            recorder.assign_value(f"query.{name}.batch_id", p.batchId)
 
         def onQueryTerminated(self, event) -> None:
             # error-report sink (S8): surfaced like reportError

@@ -56,6 +56,9 @@ def test_query_listener_records_progress_and_errors(spark, tmp_path):
         assert recorder.counters["query.healthy_route.input_rows"] == 2
         assert recorder.counters["queries.errored"] >= 1
         assert any("exception" in k for k in recorder.gauges)
+        # batch-phase timings recorded from durationMs
+        assert any(k.startswith("query.healthy_route.duration_ms.") for k in recorder.gauges)
+        assert recorder.gauges.get("query.healthy_route.batch_id") is not None
     finally:
         spark.streams.removeListener(listener)
 
@@ -77,3 +80,55 @@ def test_dynamic_engine_route_registry():
         eng.add_route("r1", q)  # duplicate id rejected
     eng.close()
     assert q.stopped and not eng.has_route("r1")
+
+
+def test_offset_total_parsing():
+    from storm_dynamic_spout_spark.streaming.metrics import _offset_total
+
+    assert _offset_total('{"logOffset": 7}') == 7          # file source
+    assert _offset_total("42") == 42                        # bare int
+    assert _offset_total('{"t": {"0": 10, "1": 5}}') == 15  # kafka-shaped, summed
+    assert _offset_total(None) is None
+    assert _offset_total("not json") is None
+    assert _offset_total('{"a": "xyz"}') is None            # unparseable leaf
+
+
+def test_listener_source_lag_from_rate_source(spark, tmp_path):
+    """Sources that report latestOffset (rate here; Kafka in prod) get
+    per-source lag gauges straight from StreamingQueryProgress."""
+    import time as _time
+
+    from storm_dynamic_spout_spark.streaming import attach_query_listener
+
+    recorder = MetricsRecorder()
+    listener = attach_query_listener(spark, recorder)
+    try:
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "100")
+            .load()
+            .writeStream.format("noop")
+            .queryName("rate_route")
+            .option("checkpointLocation", str(tmp_path / "ck_rate"))
+            .start()
+        )
+        deadline = _time.time() + 30
+        key = "query.rate_route.source.0.lag"
+        while _time.time() < deadline and key not in recorder.gauges:
+            _time.sleep(0.2)
+        q.stop()
+        assert key in recorder.gauges
+        assert recorder.gauges[key] >= 0
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_record_route_lag_gauges():
+    from storm_dynamic_spout_spark.streaming.metrics import record_route_lag
+
+    recorder = MetricsRecorder()
+    total = record_route_lag(recorder, "firehose", {0: 3, 1: 0, 2: 5})
+    assert total == 8
+    assert recorder.gauges["route.firehose.partition.0.lag"] == 3
+    assert recorder.gauges["route.firehose.partition.2.lag"] == 5
+    assert recorder.gauges["route.firehose.lag.total"] == 8
