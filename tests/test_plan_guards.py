@@ -86,3 +86,46 @@ def test_partition_filter_on_offset_range(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters:" in plan
     assert "offset" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Runtime Bloom-filter join pruning — at 100 TB a selective dim
+    filter should semi-filter the fact scan BEFORE the shuffle, not
+    after. Catalyst injects bloom_filter_agg/might_contain when the
+    creation side is selective and the application side is a big scan;
+    thresholds here are lowered so local-mode data sizes qualify, the
+    same way production sets creationSideThreshold relative to executor
+    memory. Broadcast is disabled to force the shuffle-join path the
+    optimization exists for (a broadcast join already prunes)."""
+    from pyspark.sql import functions as F
+
+    from storm_dynamic_spout_spark.engine import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("q"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, f"no bloom filter injected:\n{plan[:2000]}"
+        # and it still computes the right thing
+        assert joined.collect()[0]["o_orderpriority"] == "1-URGENT"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
