@@ -80,29 +80,44 @@ class FileTopic:
             self._next_offsets = {int(k): v for k, v in meta["next_offsets"].items()}
             self._batch_seq = meta["batch_seq"]
             self._clock_us = meta["clock_us"]
+            self._earliest_offsets = {
+                int(k): v for k, v in meta.get("earliest_offsets", {}).items()
+            } or {p: 0 for p in range(self.num_partitions)}
+            # finish an interrupted compaction: the intent record names
+            # the files whose rows were already rewritten — deleting them
+            # is idempotent, so recovery just re-runs the delete phase
+            pending = meta.get("pending_compaction")
+            if pending:
+                for f in pending["drop_files"]:
+                    path = os.path.join(self.data_dir, f)
+                    if os.path.exists(path):
+                        os.remove(path)
+                self._save_meta()  # clears pending (not a field on self)
         else:
             self._next_offsets = {p: 0 for p in range(num_partitions)}
             self._batch_seq = 0
             self._clock_us = 1_700_000_000_000_000  # deterministic logical clock
+            self._earliest_offsets = {p: 0 for p in range(num_partitions)}
             self._save_meta()
 
     # -- producer side ------------------------------------------------------
 
-    def _save_meta(self) -> None:
+    def _save_meta(self, pending_compaction: dict | None = None) -> None:
         # atomic write (tmp + rename): a crash mid-write must not corrupt
         # the offset bookkeeping — same crash-safety bar as the
         # reference's ZK state (persistence/ZookeeperPersistenceAdapter)
+        meta = {
+            "num_partitions": self.num_partitions,
+            "next_offsets": self._next_offsets,
+            "batch_seq": self._batch_seq,
+            "clock_us": self._clock_us,
+            "earliest_offsets": self._earliest_offsets,
+        }
+        if pending_compaction is not None:
+            meta["pending_compaction"] = pending_compaction
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "num_partitions": self.num_partitions,
-                    "next_offsets": self._next_offsets,
-                    "batch_seq": self._batch_seq,
-                    "clock_us": self._clock_us,
-                },
-                f,
-            )
+            json.dump(meta, f)
         os.replace(tmp, self._meta_path)
 
     def append(self, records: Iterable[tuple[str | None, str]]) -> int:
@@ -144,6 +159,74 @@ class FileTopic:
         return n
 
     # -- consumer side ------------------------------------------------------
+
+    def earliest_offsets(self) -> dict[int, int]:
+        """First offset still present per partition — the Kafka
+        ``beginningOffsets`` analogue. Advances when :meth:`compact`
+        applies a retention floor; replays below it return no rows."""
+        return dict(self._earliest_offsets)
+
+    def compact(self, retain_offsets: dict[int, int] | None = None) -> dict[str, int]:
+        """Merge all sealed batch files into one compacted file, dropping
+        rows below the per-partition retention floor (first offset to
+        KEEP). The broker-side maintenance op the reference delegates to
+        Kafka log retention/cleanup (``kafka/Consumer.java`` trusts
+        ``beginningOffsets``); Delta-style OPTIMIZE for the file layout.
+
+        Crash-safe in two phases, mirroring a Delta commit: (1) write the
+        compacted file, then atomically persist an intent record naming
+        the superseded files; (2) delete them and clear the intent. A
+        crash between the phases is healed on the next open by re-running
+        the idempotent delete phase (see ``__init__``).
+
+        MUST run in a maintenance window with no live ``read_stream``
+        attached: Spark's file source tracks seen files by name, so the
+        rewritten file would re-deliver old rows into an in-flight
+        stream. Batch ``read``/``read_range`` callers are unaffected.
+
+        Returns ``{"files_before", "files_after", "rows_dropped"}``.
+        """
+        import pyarrow.compute as pc
+
+        floors = {p: self._earliest_offsets.get(p, 0) for p in range(self.num_partitions)}
+        if retain_offsets:
+            for p, off in retain_offsets.items():
+                floors[int(p)] = max(floors[int(p)], int(off))
+        files = sorted(f for f in os.listdir(self.data_dir) if f.endswith(".parquet"))
+        if not files:
+            self._earliest_offsets = floors
+            self._save_meta()
+            return {"files_before": 0, "files_after": 0, "rows_dropped": 0}
+        merged = pa.concat_tables(
+            pq.read_table(os.path.join(self.data_dir, f), schema=_ARROW_SCHEMA)
+            for f in files
+        )
+        floor_per_row = pc.take(
+            pa.array([floors[p] for p in range(self.num_partitions)], pa.int64()),
+            merged.column("partition"),
+        )
+        kept = merged.filter(pc.greater_equal(merged.column("offset"), floor_per_row))
+        files_after = 0
+        if kept.num_rows > 0:
+            # sort so parquet row-group min/max stats stay tight for the
+            # offset-range pushdown in read_range
+            kept = kept.sort_by([("partition", "ascending"), ("offset", "ascending")])
+            out = f"compacted-{self._batch_seq:08d}.parquet"
+            self._batch_seq += 1
+            pq.write_table(kept, os.path.join(self.data_dir, out))
+            files_after = 1
+        # phase 1: durable intent (the compacted file is already on disk)
+        self._earliest_offsets = floors
+        self._save_meta(pending_compaction={"drop_files": files})
+        # phase 2: idempotent delete, then clear the intent
+        for f in files:
+            os.remove(os.path.join(self.data_dir, f))
+        self._save_meta()
+        return {
+            "files_before": len(files),
+            "files_after": files_after,
+            "rows_dropped": merged.num_rows - kept.num_rows,
+        }
 
     def latest_offsets(self) -> dict[int, int]:
         """ConsumerState snapshot: last *written* offset per partition
