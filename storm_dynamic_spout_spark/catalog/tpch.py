@@ -346,3 +346,447 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking, adapted: the fixture has no
+    l_commitdate/l_receiptdate, so "late" is l_shipdate more than 60
+    days after o_orderdate. The correlated EXISTS becomes a left-semi
+    join with a non-equi conjunct — at scale the quarter filter prunes
+    orders first, so the semi-join probe side is small.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <= TIMESTAMP '1998-12-31'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume-shipping between two nations: the self-joined dim
+    (nation aliased twice, supplier side vs customer side) with the
+    symmetric pair predicate. Both nation copies broadcast; the
+    two-year shipdate band reaches the lineitem scan.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") <= "1998-12-31")
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nat.select(F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, s.s_nationkey == F.col("__sk"))
+        .join(n2, c.c_nationkey == F.col("__ck"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(_rev()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                         ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           AS mkt_share
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA'
+      AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: NATION_5's share of ECONOMY-part
+    revenue sold into AMERICA, per order year. The deepest standard
+    join tree (8 relations, nation twice); every dim broadcasts, the
+    two fact inputs are pre-filtered at their scans. Share is a single
+    double division of two exact decimal sums.
+    """
+    p = F.broadcast(t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY"))
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("__ck"), F.col("n_regionkey").alias("__crk")))
+    n2 = F.broadcast(nat.select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("__sname")))
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat5 = F.when(F.col("__sname") == "NATION_5", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, c.c_nationkey == F.col("__ck"))
+        .join(r, F.col("__crk") == r.r_regionkey)
+        .join(n2, s.s_nationkey == F.col("__sk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((_dsum(nat5) / _dsum(rev)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit, adapted: the fixture has no partsupp /
+    ps_supplycost, so profit is the discounted revenue of '%widget%'
+    parts by supplier nation and order year. Keeps the canonical
+    shape: LIKE-filtered part broadcast into the fact, two more joins,
+    two-level rollup grouping.
+    """
+    p = F.broadcast(t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")))
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum(_rev()).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution, adapted: the comment
+    anti-pattern filter becomes "not urgent". The canonical
+    double-aggregate: left join keeps order-less customers (count of
+    NULL keys = 0), then the histogram of counts. The second aggregate
+    is tiny (distinct counts), so only the first one shuffles.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS total
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total = (SELECT max(total) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: the view-plus-scalar-subquery shape. Revenue
+    per supplier over a quarter, then keep the max. The decimal sums
+    make the max-equality exact across engines (double sums would tie-
+    break on accumulation order). The single-row max broadcasts into a
+    cross-join filter — no second shuffle of the revenue relation.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-10-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")).alias("__total")
+    )
+    mx = rev.agg(F.max("__total").alias("__mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("__total") == F.col("__mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("__total").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(l_quantity AS DECIMAL(25,6))) AS qsum,
+               COUNT(*) AS qcnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq   ON pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size < 10
+      AND CAST(l_quantity AS DECIMAL(25,6)) * 5 * qcnt < qsum
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: the correlated scalar
+    subquery (per-part average quantity) decorrelated into an
+    aggregate-then-join. The threshold l_quantity < 0.2*avg(qty) is
+    algebraically rearranged to 5*cnt*qty < sum — all-decimal, so the
+    boundary comparison is exact in both engines (a double 0.2*avg
+    could flip rows on ulp noise). At scale the per-part aggregate is
+    far smaller than lineitem, so AQE broadcasts it back.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    pq = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("__qsum"),
+        F.count(F.lit(1)).alias("__qcnt"),
+    )
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity").cast("decimal(25,6)") * 5 * F.col("__qcnt") < F.col("__qsum"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted-revenue: disjunction of conjunctive predicates
+    spanning both join sides (no l_shipmode/p_container in the
+    fixture; brand×size×quantity keeps the shape). Catalyst pushes the
+    single-side residuals (brand/size to part, quantity bands to
+    lineitem as a range union) below the join and keeps the cross-side
+    disjunction as the join filter.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(t(spark, sf_dir, "part"))
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#24") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_dsum(_rev()).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers-who-kept-orders-waiting, adapted ("late" =
+    shipped >365 days after order date; no receipt/commit dates). The
+    EXISTS + correlated NOT EXISTS pair decorrelates into ONE per-order
+    aggregate: an order qualifies iff it has >1 distinct suppliers and
+    exactly 1 distinct *late* supplier — then every late row in a
+    qualifying order belongs to the lone late supplier. One scan of
+    the joined fact computes both distinct counts; no self-join of
+    lineitem three ways (the naive translation shuffles lineitem
+    thrice; this shuffles it once).
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "__late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    )
+    per_order = fact.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__ns"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__nls"),
+    )
+    qualifying = per_order.filter((F.col("__ns") > 1) & (F.col("__nls") == 1)).select("__ok")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        fact.filter(F.col("__late"))
+        .join(qualifying, F.col("l_orderkey") == F.col("__ok"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+    WITH avgbal AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS bsum, COUNT(*) AS bcnt
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+    FROM customer, avgbal
+    WHERE CAST(c_acctbal AS DECIMAL(25,6)) * bcnt > bsum
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global-sales-opportunity, adapted: every fixture customer
+    has orders, so the anti-join target is "no URGENT orders" (and
+    market segment replaces the phone country code). Shape preserved:
+    uncorrelated scalar subquery (avg positive balance — rearranged to
+    the exact decimal bal*cnt > sum, no double-avg boundary flips) +
+    NOT EXISTS anti-join + aggregate.
+    """
+    c = t(spark, sf_dir, "customer")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(25,6)")).alias("__bsum"),
+        F.count(F.lit(1)).alias("__bcnt"),
+    )
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast("decimal(25,6)") * F.col("__bcnt") > F.col("__bsum"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
