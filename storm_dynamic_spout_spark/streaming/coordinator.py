@@ -103,11 +103,14 @@ class RatioBufferPolicy(BufferPolicy):
     throttle_regex: str = "^sideline.*"
     ratio: int = 5
     base_trigger_interval_ms: int = 1000
+    #: optional per-trigger cap; with a cap set, trigger cadence alone
+    #: fixes the max throughput ratio (cap × triggers/sec per route)
+    max_per_trigger: int | None = None
 
     def plan(self, route_id: str) -> RoutePlan:
         if re.match(self.throttle_regex, route_id):
-            return RoutePlan(route_id, None, self.base_trigger_interval_ms * self.ratio)
-        return RoutePlan(route_id, None, self.base_trigger_interval_ms)
+            return RoutePlan(route_id, self.max_per_trigger, self.base_trigger_interval_ms * self.ratio)
+        return RoutePlan(route_id, self.max_per_trigger, self.base_trigger_interval_ms)
 
 
 # ---------------------------------------------------------------------------

@@ -210,3 +210,45 @@ def test_metric_key_interpolation():
     rec.assign_value("vspout.{}.lag", 7, "r1")
     assert rec.counters["vspout.r1.emit"] == 3
     assert rec.gauges["vspout.r1.lag"] == 7
+
+
+def test_ratio_buffer_throughput(spark, tmp_path):
+    """RatioMessageBuffer parity, measured not just planned: with a
+    1-file-per-trigger cap, the 4:1 trigger cadence bounds the
+    throttled route to ~1/4 of the live route's drain rate. Margin is
+    2x (not 4x) to tolerate host noise.
+    """
+    import time
+
+    from storm_dynamic_spout_spark.streaming import FileTopic
+
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=1)
+    for i in range(80):
+        topic.append([("k", str(i))])  # 80 single-record files
+
+    policy = RatioBufferPolicy(ratio=4, base_trigger_interval_ms=250, max_per_trigger=1)
+    plans = {rid: policy.plan(rid) for rid in ("live", "sideline-a")}
+    assert plans["live"].trigger_interval_ms == 250
+    assert plans["sideline-a"].trigger_interval_ms == 1000
+    assert all(p.max_files_per_trigger == 1 for p in plans.values())
+
+    queries = {}
+    try:
+        for rid, plan in plans.items():
+            df = topic.read_stream(spark, max_files_per_trigger=plan.max_files_per_trigger)
+            queries[rid] = (
+                df.writeStream.queryName(f"ratio_tp_{rid}".replace("-", "_"))
+                .format("memory")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ck_{rid}"))
+                .trigger(processingTime=f"{plan.trigger_interval_ms} milliseconds")
+                .start()
+            )
+        time.sleep(8)
+        counts = {rid: spark.table(f"ratio_tp_{rid}".replace("-", "_")).count() for rid in queries}
+    finally:
+        for q in queries.values():
+            q.stop()
+    assert counts["sideline-a"] >= 1, counts
+    assert counts["live"] < 80, f"live drained everything; cadence cap ineffective: {counts}"
+    assert counts["live"] >= 2 * counts["sideline-a"], counts
