@@ -129,3 +129,28 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q8_deep_join_tree_all_broadcast(spark, sf_dir):
+    # 8-relation join: every dim side must broadcast — a single
+    # SortMergeJoin here means a dim lost its broadcast hint and the
+    # fact would shuffle 7 ways at 100 TB
+    plan = _plan(spark, sf_dir, "tpch_q8")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 7
+
+
+def test_q17_decorrelated_subquery_no_cartesian(spark, sf_dir):
+    # the scalar-subquery rewrite must stay an equi-join on l_partkey
+    plan = _plan(spark, sf_dir, "tpch_q17")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_lineitem_single_wide_shuffle(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS decorrelation reads lineitem, never
+    # cartesian, and co-shuffles fact and per-order aggregate on the
+    # same key (SortMergeJoin allowed; nested-loop not)
+    plan = _plan(spark, sf_dir, "tpch_q21")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
