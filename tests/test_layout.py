@@ -1,0 +1,64 @@
+"""Write-side layout: hive partitioning + within-file clustering
+(operators/layout.py) — the properties that make 100 TB tables cheap
+to read back: directory pruning, bounded file counts, sorted row
+groups."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.engine import load_table
+from storm_dynamic_spout_spark.operators.layout import write_clustered
+
+
+def test_write_clustered_layout_and_pruning(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_clustered(
+        orders,
+        out,
+        partition_by=["o_orderstatus"],
+        cluster_by=["o_orderdate"],
+        target_files=2,
+    )
+
+    # hive-style directories, one per status value
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("o_orderstatus="))
+    assert dirs == ["o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"]
+
+    # bounded file count: repartition(2, status) means each directory is
+    # written by at most 2 tasks — no small-files explosion
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 2, (d, files)
+
+    # round-trip fidelity (partition column comes back from the path)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+
+    # a status filter is PARTITION pruning, not a data filter: it must
+    # appear in PartitionFilters in the scan, and prune to one dir
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "o_orderstatus" in pf, plan
+
+    # clustering: within every file the o_orderdate row-group stats are
+    # sorted ⇒ a date range touches a contiguous span of row groups
+    for d in dirs:
+        pdir = os.path.join(out, d)
+        for f in os.listdir(pdir):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(pdir, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_orderdate"]
+            mins = [md.row_group(rg).column(idx).statistics.min for rg in range(md.num_row_groups)]
+            assert mins == sorted(mins), (d, f, mins)
