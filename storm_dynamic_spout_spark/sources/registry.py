@@ -95,8 +95,17 @@ class SourceRegistry:
 
             return read
 
-        for fmt in ("parquet", "json", "csv", "orc"):
+        for fmt in ("parquet", "json", "csv", "orc", "text"):
             self.register(fmt, batch=_file_batch(fmt), stream=_file_stream(fmt))
+
+        def _binary_file(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
+            # multimodal ingest: each file becomes one row
+            # (path, modificationTime, length, content BINARY) — the raw
+            # payload column operators/multimodal.py decodes. Batch-only
+            # upstream in Spark; use pathGlobFilter to select extensions.
+            return spark.read.format("binaryFile").options(**opts).load(path)
+
+        self.register("binaryFile", batch=_binary_file)
 
         def _rate(spark: SparkSession, rows_per_second: int = 10, **opts: Any) -> DataFrame:
             return (

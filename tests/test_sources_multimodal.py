@@ -24,8 +24,9 @@ def sources():
 
 def test_registry_formats(sources):
     fmts = sources.formats()
-    for f in ("parquet", "json", "csv", "orc", "kafka", "file_topic"):
+    for f in ("parquet", "json", "csv", "orc", "text", "kafka", "file_topic"):
         assert f in fmts
+    assert fmts["binaryFile"]["batch"] and not fmts["binaryFile"]["stream"]
     assert fmts["parquet"] == {"batch": True, "stream": True}
     assert fmts["rate"]["stream"] and not fmts["rate"]["batch"]
     with pytest.raises(KeyError):
@@ -178,3 +179,25 @@ def test_audio_payload_and_decode(spark):
     # deterministic payloads → deterministic hashes across runs
     again = M.decode_audio(M.attach_audio_payload(docs, "doc_id", 8000, 160), fake=True)
     assert {r["content_sha"] for r in rows} == {r["content_sha"] for r in again.collect()}
+
+
+def test_binary_file_source_reads_payloads(spark, sources, tmp_path):
+    """binaryFile ingest: one row per file with the raw payload as a
+    BINARY column — the entry point for the multimodal decode
+    operators (image/audio payloads arrive exactly like this)."""
+    (tmp_path / "a.bin").write_bytes(b"\x89PNG fake")
+    (tmp_path / "b.bin").write_bytes(b"RIFF fake")
+    (tmp_path / "skip.txt").write_text("not selected")
+    df = sources.read(
+        spark, "binaryFile", path=str(tmp_path), pathGlobFilter="*.bin"
+    )
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert rows == {"a.bin": b"\x89PNG fake", "b.bin": b"RIFF fake"}
+
+
+def test_text_source_line_per_row(spark, sources, tmp_path):
+    f = tmp_path / "doc.txt"
+    f.write_text("alpha\nbeta\ngamma\n")
+    df = sources.read(spark, "text", path=str(f))
+    assert sorted(r["value"] for r in df.collect()) == ["alpha", "beta", "gamma"]
