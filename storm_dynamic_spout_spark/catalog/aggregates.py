@@ -157,8 +157,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(l_extendedprice)    AS min_price,
            max(l_extendedprice)    AS max_price,
            avg(l_extendedprice)    AS avg_price,
-           stddev(l_extendedprice) AS std_price,
-           var_samp(l_extendedprice) AS var_price
+           round(stddev(l_extendedprice), 2) AS std_price,
+           round(var_samp(l_extendedprice), 0) AS var_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -173,8 +173,12 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
             F.avg("l_extendedprice").alias("avg_price"),
-            F.stddev("l_extendedprice").alias("std_price"),
-            F.var_samp("l_extendedprice").alias("var_price"),
+            # Rounded in-query: raw stddev/var doubles differ between engines by
+            # accumulation-order ULPs at ~1e8 magnitude, which survives the
+            # driver's 6-dp rounding.  std ~1e4 -> 2dp is noise-proof; var ~1e8
+            # -> 0dp is noise-proof (ULP noise ~1e-3).
+            F.round(F.stddev("l_extendedprice"), 2).alias("std_price"),
+            F.round(F.var_samp("l_extendedprice"), 0).alias("var_price"),
         )
         .orderBy("l_returnflag")
     )

@@ -28,6 +28,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as _st
 
 from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA, FileTopic
 from storm_dynamic_spout_spark.streaming.filter_chain import FilterChain
@@ -40,7 +41,11 @@ from storm_dynamic_spout_spark.streaming.sideline import (
     SidelineType,
 )
 
-_OUT_SCHEMA = TOPIC_SCHEMA.add("route_id", "string")
+# StructType.add mutates in place — build a copy so the shared TOPIC_SCHEMA
+# used by FileTopic.read/read_stream and Firehose.output stays untouched.
+_OUT_SCHEMA = _st.StructType(
+    list(TOPIC_SCHEMA.fields) + [_st.StructField("route_id", _st.StringType())]
+)
 
 
 class DynamicStreamApp:

@@ -93,6 +93,23 @@ class FileTopic:
                     if os.path.exists(path):
                         os.remove(path)
                 self._save_meta()  # clears pending (not a field on self)
+            # finish an interrupted append: the intent record (persisted
+            # AFTER the hidden tmp file was fully written, with the offset
+            # advance) names the batch file to publish — renaming is
+            # idempotent, so recovery just re-runs the publish phase
+            pending_batch = meta.get("pending_batch")
+            if pending_batch:
+                tmp = os.path.join(self.data_dir, pending_batch["tmp"])
+                final = os.path.join(self.data_dir, pending_batch["final"])
+                if os.path.exists(tmp):
+                    os.replace(tmp, final)
+                self._save_meta()
+            # orphaned tmp files (crash BEFORE the intent was persisted):
+            # their offsets were never claimed, so they are dead data —
+            # drop them; readers never saw them (hidden "." prefix)
+            for f in os.listdir(self.data_dir):
+                if f.startswith(".tmp-batch-"):
+                    os.remove(os.path.join(self.data_dir, f))
         else:
             self._next_offsets = {p: 0 for p in range(num_partitions)}
             self._batch_seq = 0
@@ -102,7 +119,11 @@ class FileTopic:
 
     # -- producer side ------------------------------------------------------
 
-    def _save_meta(self, pending_compaction: dict | None = None) -> None:
+    def _save_meta(
+        self,
+        pending_compaction: dict | None = None,
+        pending_batch: dict | None = None,
+    ) -> None:
         # atomic write (tmp + rename): a crash mid-write must not corrupt
         # the offset bookkeeping — same crash-safety bar as the
         # reference's ZK state (persistence/ZookeeperPersistenceAdapter)
@@ -115,6 +136,8 @@ class FileTopic:
         }
         if pending_compaction is not None:
             meta["pending_compaction"] = pending_compaction
+        if pending_batch is not None:
+            meta["pending_batch"] = pending_batch
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -152,9 +175,25 @@ class FileTopic:
             },
             schema=_ARROW_SCHEMA,
         )
-        fname = os.path.join(self.data_dir, f"batch-{self._batch_seq:08d}.parquet")
+        # Crash-safe publish in three steps (duplicate-(partition,offset)
+        # rows are impossible, the invariant offset-window replays and
+        # sideline bounds depend on):
+        #   1. write the batch to a HIDDEN tmp file (readers + Spark's file
+        #      source ignore "."-prefixed names) — a crash here leaves an
+        #      orphan that __init__ sweeps, offsets unclaimed;
+        #   2. atomically persist the offset advance together with a
+        #      publish intent — once durable, the offsets are burned and
+        #      can never be reassigned;
+        #   3. rename tmp → final (atomic, idempotent — __init__ re-runs
+        #      it if we crash before clearing the intent).
+        final = f"batch-{self._batch_seq:08d}.parquet"
+        tmp = f".tmp-{final}"
         self._batch_seq += 1
-        pq.write_table(table, fname)
+        pq.write_table(table, os.path.join(self.data_dir, tmp))
+        self._save_meta(pending_batch={"tmp": tmp, "final": final})
+        os.replace(
+            os.path.join(self.data_dir, tmp), os.path.join(self.data_dir, final)
+        )
         self._save_meta()
         return n
 

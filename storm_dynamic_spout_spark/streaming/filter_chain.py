@@ -52,10 +52,18 @@ class FilterChain:
 
     # -- evaluation (FilterChain.filter: drop if ANY step true) --
     def drop_condition(self) -> Column:
-        """Column that is true when the row would be DROPPED."""
+        """Column that is true when the row would be DROPPED.
+
+        Each step is coalesced to false so SQL three-valued logic cannot
+        leak rows: the reference FilterChainStep returns a primitive
+        boolean (never null), so a predicate that evaluates to NULL here
+        (e.g. ``key = 'x'`` over a null key) must count as "not dropped".
+        This makes keep()/drop() an exact partition of every input row —
+        a row is delivered by exactly one of firehose or sideline replay.
+        """
         cond = F.lit(False)
         for sql in self._steps.values():
-            cond = cond | F.expr(sql)
+            cond = cond | F.coalesce(F.expr(sql), F.lit(False))
         return cond
 
     def keep(self, df: DataFrame) -> DataFrame:

@@ -35,6 +35,18 @@ ATTEMPTS_COL = "retry_attempts"
 NEXT_TS_COL = "retry_next_attempt_ts_ms"
 
 
+def _with_retry_cols(schema):
+    """Fresh StructType extending ``schema`` with the retry bookkeeping
+    columns. StructType.add mutates in place, so extending the caller's
+    (often shared/global) schema object directly would poison it."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return StructType(
+        list(schema.fields)
+        + [StructField(ATTEMPTS_COL, LongType()), StructField(NEXT_TS_COL, LongType())]
+    )
+
+
 @dataclass(frozen=True)
 class RetryPolicy:
     """Base policy: scheduling arithmetic shared by row-level (unit
@@ -174,8 +186,9 @@ class RetryTableRunner:
             f.endswith(".parquet") for f in os.listdir(self.retries_dir)
         ):
             return None
-        schema = like.schema.add(ATTEMPTS_COL, "long").add(NEXT_TS_COL, "long")
-        return spark.read.schema(schema).parquet(self.retries_dir)
+        return spark.read.schema(_with_retry_cols(like.schema)).parquet(
+            self.retries_dir
+        )
 
     def process_batch(self, batch_df: DataFrame, now_ms: int, sink) -> None:
         """Split the batch (+ due retries, ahead of new input) into
@@ -189,7 +202,11 @@ class RetryTableRunner:
         import uuid
 
         spark = batch_df.sparkSession
-        fail = F.expr(self.failure_condition_sql)
+        # Coalesce to false: a failure predicate evaluating to NULL (nullable
+        # key/value columns) must classify the row as ok, not let it vanish
+        # from BOTH filter(~fail) and filter(fail) under three-valued logic —
+        # every candidate row is sinked, retried, or DLQ'd (at-least-once).
+        fail = F.coalesce(F.expr(self.failure_condition_sql), F.lit(False))
         retries = self._load_retries(spark, batch_df)
         new = batch_df.withColumn(ATTEMPTS_COL, F.lit(None).cast("long")).withColumn(
             NEXT_TS_COL, F.lit(None).cast("long")
@@ -218,7 +235,7 @@ class RetryTableRunner:
     def dlq(self, spark, like: DataFrame) -> DataFrame:
         import os
 
-        schema = like.schema.add(ATTEMPTS_COL, "long").add(NEXT_TS_COL, "long")
+        schema = _with_retry_cols(like.schema)
         if not os.path.isdir(self.dlq_dir) or not any(
             f.endswith(".parquet") for f in os.listdir(self.dlq_dir)
         ):

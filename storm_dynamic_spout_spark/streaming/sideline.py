@@ -213,7 +213,11 @@ class SidelineController:
         df = self.topic.read_range(
             spark, start_offsets=payload.start_offsets, end_offsets=payload.end_offsets
         )
-        return df.filter(F.expr(payload.predicate_sql))
+        # coalesce to false, mirroring FilterChain.drop_condition: a row
+        # where the predicate is NULL was KEPT by the firehose (not
+        # dropped), so the replay must not deliver it a second time —
+        # keep/replay partition every row exactly once
+        return df.filter(F.coalesce(F.expr(payload.predicate_sql), F.lit(False)))
 
     # -- reconciliation -----------------------------------------------------
 
@@ -289,24 +293,40 @@ class FileWatchTrigger:
         return path
 
     def poll(self) -> int:
-        """Dispatch all unprocessed events in order; returns count."""
+        """Dispatch all unprocessed events in order; returns the count
+        dispatched successfully.
+
+        A bad event (unknown id, illegal state transition, malformed
+        JSON) must not kill the firehose query it polls under, and must
+        not crash-loop on restart: each dispatch is isolated, and a
+        failing event is marked ``processed`` with the error recorded
+        (``error`` field) so it is never re-dispatched — the operator
+        inspects and republishes a corrected command."""
         n = 0
         for fname in sorted(os.listdir(self.events_dir)):
             if not fname.endswith(".json"):
                 continue
             path = os.path.join(self.events_dir, fname)
-            d = json.load(open(path))
+            try:
+                d = json.load(open(path))
+            except (json.JSONDecodeError, OSError):
+                continue  # partially-written by the publisher; retry next poll
             if d.get("processed"):
                 continue
-            t = SidelineType(d["type"])
-            if t == SidelineType.START:
-                self.controller.start(SidelineRequest(d["id"], d["predicate_sql"]))
-            elif t == SidelineType.RESUME:
-                self.controller.resume(d["id"])
-            elif t == SidelineType.RESOLVE:
-                self.controller.resolve(d["id"])
+            try:
+                t = SidelineType(d["type"])
+                if t == SidelineType.START:
+                    self.controller.start(SidelineRequest(d["id"], d["predicate_sql"]))
+                elif t == SidelineType.RESUME:
+                    self.controller.resume(d["id"])
+                elif t == SidelineType.RESOLVE:
+                    self.controller.resolve(d["id"])
+                else:
+                    raise ValueError(f"undispatchable trigger type: {t.value}")
+                n += 1
+            except Exception as exc:  # noqa: BLE001 — quarantine, don't crash
+                d["error"] = f"{type(exc).__name__}: {exc}"
             d["processed"] = True
             with open(path, "w") as f:
                 json.dump(d, f)
-            n += 1
         return n
