@@ -790,3 +790,296 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the fixtures ship no partsupp.parquet, so q2/q11/q16/q20
+# generate it deterministically from part × supplier with the SAME integer
+# formula on both engines (COVERAGE.md "blocked on partsupp" workaround):
+#   ps_suppkey   = (p_partkey + i*(S div 4 + p_partkey div S)) mod S, i ∈ 0..3
+#                  (the TPC-H spec's supplier-spread shape, 0-based keys)
+#   ps_availqty  = (p_partkey*7 + ps_suppkey*11) mod 9999 + 1
+#   ps_supplycost = ((p_partkey*13 + ps_suppkey*17) mod 99901 + 100) / 100.0
+# All integer arithmetic (+ one shared double division), so Spark and DuckDB
+# produce bit-identical rows; DISTINCT collapses the rare small-S collisions
+# identically on both sides.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+    __ps_g AS (
+        SELECT p_partkey,
+               (p_partkey + i * (s_cnt // 4 + p_partkey // s_cnt)) % s_cnt AS ps_suppkey
+        FROM part
+        CROSS JOIN (SELECT UNNEST(range(0, 4)) AS i) AS __ii
+        CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier) AS __sc
+    ),
+    partsupp AS (
+        SELECT DISTINCT
+            p_partkey AS ps_partkey,
+            ps_suppkey,
+            (p_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+            CAST((p_partkey * 13 + ps_suppkey * 17) % 99901 + 100 AS DOUBLE) / 100.0
+                AS ps_supplycost
+    FROM __ps_g
+    )"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _PARTSUPP_CTE (same formula, same DISTINCT)."""
+    p = t(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = F.broadcast(
+        t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("__s_cnt"))
+    )
+    g = (
+        p.crossJoin(s_cnt)
+        .withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn(
+            "ps_suppkey",
+            (
+                F.col("p_partkey")
+                + F.col("__i")
+                * (F.expr("__s_cnt div 4") + F.expr("p_partkey div __s_cnt"))
+            )
+            % F.col("__s_cnt"),
+        )
+    )
+    return (
+        g.select(F.col("p_partkey").alias("ps_partkey"), "ps_suppkey")
+        .distinct()
+        .withColumn(
+            "ps_availqty",
+            (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11) % 9999 + 1,
+        )
+        .withColumn(
+            "ps_supplycost",
+            ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 17) % 99901 + 100).cast(
+                "double"
+            )
+            / 100.0,
+        )
+    )
+
+
+@query(
+    "tpch_q2",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    eu AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+    ),
+    minc AS (SELECT ps_partkey AS mk, min(ps_supplycost) AS min_cost
+             FROM eu GROUP BY ps_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+    FROM eu
+    JOIN part ON p_partkey = ps_partkey AND p_size <= 15 AND p_type = 'LARGE'
+    JOIN minc ON mk = ps_partkey AND ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier: correlated MIN subquery decorrelated
+    into aggregate-then-join (p_mfgr → p_brand; single-word p_type so
+    LIKE '%BRASS' → equality). The min-cost equality is exact: MIN
+    selects an existing double, no accumulation. Supplier/nation/region
+    broadcast; the per-part min aggregate is tiny and AQE broadcasts it
+    back into the probe — partsupp is the only shuffled relation.
+    Reference for shape: public TPC-H spec Q2."""
+    ps = _partsupp(spark, sf_dir)
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = t(spark, sf_dir, "supplier")
+    sn = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).join(
+            r, n.n_regionkey == r.r_regionkey
+        )
+    )
+    eu = ps.join(sn, ps.ps_suppkey == sn.s_suppkey)
+    minc = eu.groupBy(F.col("ps_partkey").alias("__mk")).agg(
+        F.min("ps_supplycost").alias("__min_cost")
+    )
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(
+            (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+        )
+    )
+    return (
+        eu.join(p, eu.ps_partkey == p.p_partkey)
+        .join(minc, (F.col("ps_partkey") == F.col("__mk")))
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    de AS (
+        SELECT ps_partkey,
+               CAST(round(ps_supplycost * 100) AS BIGINT) * ps_availqty AS val_cents
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+    ),
+    grouped AS (SELECT ps_partkey, sum(val_cents) AS part_cents FROM de GROUP BY ps_partkey)
+    SELECT ps_partkey, CAST(part_cents AS DOUBLE) / 100.0 AS total_value
+    FROM grouped
+    WHERE part_cents * 1000 > (SELECT sum(part_cents) FROM grouped)
+    ORDER BY total_value DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important-stock identification: per-part inventory value for
+    one nation's suppliers, kept where it exceeds 0.1% of the total
+    (fraction adapted to fixture scale). All value arithmetic is in
+    integer cents — supplycost is cents/100 by construction, so
+    round(cost*100) recovers the exact integer — making the HAVING
+    threshold comparison exact on both engines (sum*1000 > total).
+    The total is a one-row broadcast into the filter, not a re-shuffle.
+    Reference for shape: public TPC-H spec Q11."""
+    ps = _partsupp(spark, sf_dir)
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = t(spark, sf_dir, "supplier")
+    sn = F.broadcast(s.join(n, s.s_nationkey == n.n_nationkey))
+    de = ps.join(sn, ps.ps_suppkey == sn.s_suppkey).withColumn(
+        "__val_cents",
+        F.round(F.col("ps_supplycost") * 100).cast("long") * F.col("ps_availqty"),
+    )
+    grouped = de.groupBy("ps_partkey").agg(F.sum("__val_cents").alias("__part_cents"))
+    total = F.broadcast(grouped.agg(F.sum("__part_cents").alias("__total_cents")))
+    return (
+        grouped.crossJoin(total)
+        .filter(F.col("__part_cents") * 1000 > F.col("__total_cents"))
+        .select(
+            "ps_partkey",
+            (F.col("__part_cents").cast("double") / 100.0).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#21'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 14, 19, 23, 28, 33, 36)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier-count by part attributes: negated dim filters, a
+    NOT-IN supplier exclusion (the spec's complaints filter adapted to
+    s_acctbal < 0 — the fixtures carry no s_comment), then per-group
+    COUNT DISTINCT. The exclusion list is a broadcast anti-join (never
+    a shuffled NOT IN); part is the broadcast side of the fact join.
+    Reference for shape: public TPC-H spec Q16."""
+    ps = _partsupp(spark, sf_dir)
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#21")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 28, 33, 36)
+        )
+    )
+    bad = F.broadcast(
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("__bad_supp"))
+    )
+    return (
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(bad, ps.ps_suppkey == F.col("__bad_supp"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(25,6))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM red)
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM partsupp
+    JOIN shipped  ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN region   ON r_regionkey = n_regionkey AND r_name = 'ASIA'
+    WHERE ps_partkey IN (SELECT p_partkey FROM red)
+      AND ps_availqty * 2 > qty
+    ORDER BY s_name, s_suppkey
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential-part-promotion: suppliers in one region holding
+    excess stock (availqty > half the quantity they shipped in 1997)
+    of 'red%' parts (region instead of the spec's single nation — the
+    fixtures' lineitem assigns suppliers independently of partsupp, so
+    a 3-supplier nation has no aligned pairs). The spec's nested
+    IN-chain decorrelates to semi-joins + one (part,supp) aggregate;
+    the half-of-sum threshold is rearranged to 2*availqty > sum(qty)
+    so the comparison is bigint-vs-exact-decimal on both engines. The
+    red-part list and the region's suppliers broadcast; only lineitem
+    and partsupp shuffle. Reference for shape: public TPC-H spec Q20."""
+    ps = _partsupp(spark, sf_dir)
+    red = F.broadcast(
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(red, F.col("l_partkey") == red.p_partkey, "left_semi")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("__qty")
+    )
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = t(spark, sf_dir, "supplier")
+    sn = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).join(
+            r, n.n_regionkey == r.r_regionkey
+        )
+    )
+    return (
+        ps.join(red, ps.ps_partkey == red.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("__qty"))
+        .join(sn, F.col("ps_suppkey") == sn.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_name", "s_suppkey")
+    )
