@@ -103,6 +103,13 @@ def build_session(config: EngineConfig | None = None, **spark_confs: str) -> Spa
         .config("spark.driver.memory", cfg["spark.driver_memory"])
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # S4 offset-out-of-range recovery: a file listed by a plan (or a
+        # streaming checkpoint) may be deleted by retention/compaction
+        # before the task reads it — skip it and continue from what
+        # survives, the failOnDataLoss=false / earliest-reset analogue
+        # (kafka/Consumer.java:548-625 resets to earliest on
+        # OffsetOutOfRangeException instead of dying)
+        .config("spark.sql.files.ignoreMissingFiles", "true")
         # runtime bloom-filter pruning: selective join keys prune the
         # probe-side scan at row-group granularity — a large win on
         # 100 TB fact scans joined to filtered dims

@@ -224,3 +224,92 @@ def test_streaming_drop_duplicates_across_batches(spark, tmp_path):
         assert rows == {"k1": "v1", "k2": "v2", "k3": "v3"}  # dup suppressed
     finally:
         out.stop()
+
+
+# ---------------------------------------------------------------------------
+# S4: offset-out-of-range / data-loss recovery (the failOnDataLoss=false +
+# earliest-reset contract; kafka/Consumer.java:548-625 resets to the
+# earliest available offset instead of dying, and the reference's
+# DynamicSpoutTest exercises it via MockConsumer)
+# ---------------------------------------------------------------------------
+
+
+def _segment_files(topic):
+    import os
+
+    return sorted(
+        f for f in os.listdir(topic.data_dir) if f.endswith(".parquet")
+    )
+
+
+def test_data_loss_batch_read_resets_to_earliest(spark, tmp_path):
+    """A stored offset below the first surviving record: read_range must
+    deliver exactly the surviving window — earliest-reset — not fail."""
+    import os
+
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=2)
+    topic.append([("a", "v1"), ("b", "v2")])
+    topic.append([("a", "v3"), ("b", "v4")])
+    first = _segment_files(topic)[0]
+    os.remove(os.path.join(topic.data_dir, first))  # broker expired the segment
+
+    # consumer resumes from its stored offsets (below earliest now)
+    start = {p: -1 for p in range(topic.num_partitions)}
+    rows = topic.read_range(spark, start_offsets=start).collect()
+    assert sorted(r["value"] for r in rows) == ["v3", "v4"]
+
+
+def test_data_loss_under_live_stream_recovers_and_continues(spark, tmp_path):
+    """Delete a committed segment between restarts: the stream must come
+    back from its checkpoint, not re-fail on the missing file, and keep
+    delivering post-loss appends (at-least-once over surviving data)."""
+    import os
+
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=2)
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    topic.append([("a", "v1"), ("b", "v2")])
+
+    def start():
+        return (
+            topic.read_stream(spark)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    _wait(q)
+    q.stop()
+
+    # data loss while the consumer is down, then new data arrives
+    for f in _segment_files(topic):
+        os.remove(os.path.join(topic.data_dir, f))
+    topic.append([("c", "v5")])
+
+    q = start()
+    _wait(q)
+    q.stop()
+
+    from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA
+
+    vals = sorted(
+        r["value"] for r in spark.read.schema(TOPIC_SCHEMA).parquet(out_dir).collect()
+    )
+    # pre-loss rows were already committed downstream; post-loss appends
+    # flow; nothing re-emitted, nothing crashed
+    assert vals == ["v1", "v2", "v5"]
+
+
+def test_replay_below_retention_floor_resets_to_earliest(spark, tmp_path):
+    """Sideline replay whose recorded start is below the compaction
+    retention floor: delivered window starts at the floor (earliest),
+    mirroring MockConsumer's earliest-reset in DynamicSpoutTest."""
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=1)
+    topic.append([(None, f"v{i}") for i in range(6)])  # offsets 0..5, p0
+    topic.compact(retain_offsets={0: 3})  # floor: offsets < 3 are gone
+    assert topic.earliest_offsets() == {0: 3}
+
+    # consumer's stored window (start=-1 → from 0) predates the floor
+    rows = topic.read_range(spark, start_offsets={0: -1}).collect()
+    assert sorted(r["offset"] for r in rows) == [3, 4, 5]
