@@ -32,7 +32,7 @@ from pyspark.sql import types as _st
 
 from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA, FileTopic
 from storm_dynamic_spout_spark.streaming.filter_chain import FilterChain
-from storm_dynamic_spout_spark.streaming.firehose import Firehose
+from storm_dynamic_spout_spark.streaming.firehose import Firehose, write_sink_batch
 from storm_dynamic_spout_spark.streaming.metrics import MetricsRecorder
 from storm_dynamic_spout_spark.streaming.sideline import (
     FileWatchTrigger,
@@ -43,8 +43,14 @@ from storm_dynamic_spout_spark.streaming.sideline import (
 
 # StructType.add mutates in place — build a copy so the shared TOPIC_SCHEMA
 # used by FileTopic.read/read_stream and Firehose.output stays untouched.
+# route_id + event_date are the sink's hive-partition keys (see
+# firehose.write_sink_batch).
 _OUT_SCHEMA = _st.StructType(
-    list(TOPIC_SCHEMA.fields) + [_st.StructField("route_id", _st.StringType())]
+    list(TOPIC_SCHEMA.fields)
+    + [
+        _st.StructField("route_id", _st.StringType()),
+        _st.StructField("event_date", _st.DateType()),
+    ]
 )
 
 
@@ -102,6 +108,7 @@ class DynamicStreamApp:
                 dlq_dir=self.dlq_dir,
                 policy=policy,
                 failure_condition_sql=failure_condition_sql,
+                dlq_partition_by_date=True,
             )
 
     # -- lifecycle (DynamicSpout.open/close; SpoutHandler.onSpoutOpen) ------
@@ -127,9 +134,7 @@ class DynamicStreamApp:
                 kept = chain.keep(batch_df)
 
                 def _sink(ok: DataFrame) -> None:
-                    ok.withColumn("route_id", F.lit("firehose")).write.mode(
-                        "append"
-                    ).parquet(inner.output_dir)
+                    write_sink_batch(ok, inner.output_dir, route_id="firehose")
 
                 if retry_runner is not None:
                     retry_runner.process_batch(kept, int(_time.time() * 1000), _sink)
@@ -196,7 +201,7 @@ class DynamicStreamApp:
             "route_id", F.lit(f"sideline-{sideline_id}")
         )
         n = df.count()
-        df.write.mode("append").parquet(self.out_dir)
+        write_sink_batch(df, self.out_dir)
         self.recorder.count(f"sideline.{sideline_id}.replayed", n)
         if payload is not None and payload.type is SidelineType.RESOLVE:
             self.controller.complete(sideline_id)
@@ -245,10 +250,13 @@ class DynamicStreamApp:
             )
             out = (
                 batch_df.filter(cond)
-                .filter(F.expr(payload.predicate_sql))
+                # coalesce to false, like SidelineController.replay_df: a
+                # NULL-predicate row was kept by the firehose, the replay
+                # must not deliver it again
+                .filter(F.coalesce(F.expr(payload.predicate_sql), F.lit(False)))
                 .withColumn("route_id", F.lit(route_id))
             )
-            out.write.mode("append").parquet(self.out_dir)
+            write_sink_batch(out, self.out_dir)
             self.recorder.count(f"{route_id}.batches")
 
         writer = (
@@ -333,4 +341,8 @@ class DynamicStreamApp:
     # -- output -------------------------------------------------------------
 
     def output(self) -> DataFrame:
-        return self.spark.read.schema(_OUT_SCHEMA).parquet(self.out_dir)
+        return (
+            self.spark.read.schema(_OUT_SCHEMA)
+            .parquet(self.out_dir)
+            .drop("event_date")
+        )

@@ -22,10 +22,13 @@ Each micro-batch (the SpoutRunner loop analogue,
 from __future__ import annotations
 
 import os
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from storm_dynamic_spout_spark.operators.layout import write_clustered
 from storm_dynamic_spout_spark.streaming.file_topic import FileTopic
 from storm_dynamic_spout_spark.streaming.filter_chain import FilterChain
 from storm_dynamic_spout_spark.streaming.metrics import MetricsRecorder
@@ -34,6 +37,40 @@ from storm_dynamic_spout_spark.streaming.sideline import (
     SidelineType,
     FileWatchTrigger,
 )
+
+
+#: Concurrent streaming queries (firehose + N replays) append to the SAME
+#: output table; the Hadoop FileOutputCommitter stages every job under the
+#: one shared ``<path>/_temporary/0`` dir, so two overlapping commits
+#: corrupt each other (job B deletes the staging dir job A is reading).
+#: All writers live in one driver process, so a process-local lock
+#: serializes just the job-commit sections — the distributed task work of
+#: each batch is untouched.
+_SINK_WRITE_LOCK = threading.Lock()
+
+
+def write_sink_batch(df: DataFrame, path: str, route_id: str | None = None) -> None:
+    """The one sink-write path for firehose / replay / DLQ batches:
+    hive-partitioned by ``event_date`` (and ``route_id`` when routed)
+    with rows clustered by ``(partition, offset)`` inside each file.
+
+    At 100 TB the sink IS a table — per-batch unpartitioned appends
+    would leave millions of undifferentiated files whose every read
+    scans everything. Directory keys make date/route predicates prune
+    before any file opens; the offset clustering keeps row-group
+    min/max stats tight for offset-window reads (same property
+    :meth:`FileTopic.compact` maintains on the input side).
+    """
+    out = df.withColumn("event_date", F.to_date("timestamp"))
+    if route_id is not None and "route_id" not in out.columns:
+        out = out.withColumn("route_id", F.lit(route_id))
+    parts = (["route_id", "event_date"] if "route_id" in out.columns
+             else ["event_date"])
+    with _SINK_WRITE_LOCK:
+        write_clustered(
+            out, path, partition_by=parts, cluster_by=["partition", "offset"],
+            mode="append",
+        )
 
 
 class Firehose:
@@ -82,7 +119,7 @@ class Firehose:
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         chain = self._refresh_chain()
         kept = chain.keep(batch_df)
-        kept.write.mode("append").parquet(self.output_dir)
+        write_sink_batch(kept, self.output_dir)
         self.recorder.count("firehose.batches")
         if self.on_batch is not None:
             self.on_batch(batch_id)
@@ -112,6 +149,45 @@ class Firehose:
 
     # -- reading the output stream (test-side collector) --
     def output(self) -> DataFrame:
+        from pyspark.sql import types as T
+
         from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA
 
-        return self.spark.read.schema(TOPIC_SCHEMA).parquet(self.output_dir)
+        schema = T.StructType(
+            list(TOPIC_SCHEMA.fields) + [T.StructField("event_date", T.DateType())]
+        )
+        return (
+            self.spark.read.schema(schema)
+            .parquet(self.output_dir)
+            .drop("event_date")
+        )
+
+    def compact_output(self, target_files: int = 1) -> None:
+        """Maintenance-window compaction of the sink: merge the many
+        per-micro-batch files inside each ``event_date`` partition down
+        to ``target_files``, preserving the (partition, offset)
+        clustering — the output-side twin of :meth:`FileTopic.compact`.
+        MUST NOT run while the firehose query is live (the swap would
+        race the stream's appends); schedule it like any table OPTIMIZE.
+        """
+        import shutil
+        import uuid
+
+        from pyspark.sql import types as T
+
+        from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA
+
+        schema = T.StructType(
+            list(TOPIC_SCHEMA.fields) + [T.StructField("event_date", T.DateType())]
+        )
+        df = self.spark.read.schema(schema).parquet(self.output_dir)
+        tmp = f"{self.output_dir}-compact-{uuid.uuid4().hex[:8]}"
+        write_clustered(
+            df, tmp, partition_by=["event_date"],
+            cluster_by=["partition", "offset"], target_files=target_files,
+            mode="overwrite",
+        )
+        old = f"{self.output_dir}-old-{uuid.uuid4().hex[:8]}"
+        os.rename(self.output_dir, old)
+        os.rename(tmp, self.output_dir)
+        shutil.rmtree(old)

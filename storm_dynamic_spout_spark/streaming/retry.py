@@ -170,13 +170,20 @@ class RetryTableRunner:
         dlq_dir: str,
         policy: RetryPolicy,
         failure_condition_sql: str,
+        dlq_partition_by_date: bool = False,
     ) -> None:
+        """``dlq_partition_by_date=True`` (rows must carry a
+        ``timestamp`` column): DLQ lands hive-partitioned by
+        ``event_date`` via the clustered-layout writer, so the 100 TB
+        failure-triage query ("yesterday's dead letters") prunes
+        directories instead of scanning the sink's full history."""
         import os
 
         self.retries_dir = retries_dir
         self.dlq_dir = dlq_dir
         self.policy = policy
         self.failure_condition_sql = failure_condition_sql
+        self.dlq_partition_by_date = dlq_partition_by_date
         os.makedirs(dlq_dir, exist_ok=True)
 
     def _load_retries(self, spark, like: DataFrame) -> DataFrame | None:
@@ -223,7 +230,17 @@ class RetryTableRunner:
         failed = candidates.filter(fail)
         scheduled = schedule_failures(failed.drop(NEXT_TS_COL), self.policy, now_ms)
         retryable, exhausted = split_exhausted(scheduled, self.policy)
-        exhausted.write.mode("append").parquet(self.dlq_dir)
+        if self.dlq_partition_by_date:
+            from storm_dynamic_spout_spark.operators.layout import write_clustered
+
+            write_clustered(
+                exhausted.withColumn("event_date", F.to_date("timestamp")),
+                self.dlq_dir,
+                partition_by=["event_date"],
+                mode="append",
+            )
+        else:
+            exhausted.write.mode("append").parquet(self.dlq_dir)
 
         keep = retryable if pending is None else pending.unionByName(retryable)
         tmp = f"{self.retries_dir}-tmp-{uuid.uuid4().hex[:8]}"
@@ -236,8 +253,19 @@ class RetryTableRunner:
         import os
 
         schema = _with_retry_cols(like.schema)
-        if not os.path.isdir(self.dlq_dir) or not any(
-            f.endswith(".parquet") for f in os.listdir(self.dlq_dir)
-        ):
+        if self.dlq_partition_by_date:
+            from pyspark.sql.types import DateType, StructField, StructType
+
+            read_schema = StructType(
+                list(schema.fields) + [StructField("event_date", DateType())]
+            )
+        else:
+            read_schema = schema
+        empty = not os.path.isdir(self.dlq_dir) or not any(
+            f.endswith(".parquet") or os.path.isdir(os.path.join(self.dlq_dir, f))
+            for f in os.listdir(self.dlq_dir)
+        )
+        if empty:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(self.dlq_dir)
+        out = spark.read.schema(read_schema).parquet(self.dlq_dir)
+        return out.drop("event_date") if self.dlq_partition_by_date else out

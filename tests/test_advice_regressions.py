@@ -132,7 +132,10 @@ def test_topic_schema_not_mutated_by_imports_or_retry(spark, tmp_path):
         "value",
         "timestamp",
     ]
-    assert [f.name for f in app_mod._OUT_SCHEMA.fields][-1] == "route_id"
+    assert [f.name for f in app_mod._OUT_SCHEMA.fields][-2:] == [
+        "route_id",
+        "event_date",
+    ]
 
     # retry dlq()/load must not mutate the caller DataFrame's schema
     runner = RetryTableRunner(

@@ -62,3 +62,54 @@ def test_write_clustered_layout_and_pruning(spark, sf_dir, tmp_path):
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_orderdate"]
             mins = [md.row_group(rg).column(idx).statistics.min for rg in range(md.num_row_groups)]
             assert mins == sorted(mins), (d, f, mins)
+
+
+def test_firehose_sink_is_partitioned_and_prunes(spark, tmp_path):
+    """The firehose output is a real partitioned table: event_date (and
+    route_id in app mode) are hive keys, date predicates land in
+    PartitionFilters, and compact_output merges the per-batch file
+    spray without changing the data."""
+    import os
+
+    from storm_dynamic_spout_spark.streaming import FileTopic
+    from storm_dynamic_spout_spark.streaming.filter_chain import FilterChain
+    from storm_dynamic_spout_spark.streaming.firehose import Firehose
+    from storm_dynamic_spout_spark.streaming.sideline import SidelineController
+
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=2)
+    ctl = SidelineController(topic, FilterChain(), str(tmp_path / "state"))
+    fh = Firehose(
+        spark, topic, ctl,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    fh.start(max_files_per_trigger=1)  # one micro-batch per append file
+    try:
+        for i in range(4):
+            topic.append([("k", f"v{i}")])
+        fh.process_all_available()
+    finally:
+        fh.stop()
+
+    # hive layout on disk
+    assert any(d.startswith("event_date=") for d in os.listdir(fh.output_dir))
+
+    # date predicate prunes at the directory level
+    df = fh.output().filter("offset >= 0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    before = sorted(r["value"] for r in fh.output().collect())
+    assert before == ["v0", "v1", "v2", "v3"]
+
+    # per-batch spray -> compacted, data identical
+    def data_files(root):
+        out = []
+        for dirpath, _, files in os.walk(root):
+            out += [f for f in files if f.endswith(".parquet")]
+        return out
+
+    assert len(data_files(fh.output_dir)) >= 4
+    fh.compact_output(target_files=1)
+    assert len(data_files(fh.output_dir)) < 4
+    assert sorted(r["value"] for r in fh.output().collect()) == before
