@@ -45,6 +45,10 @@ DEFAULTS: dict[str, Any] = {
     "output.fields": None,  # None → schema inferred from source/parse
     "output.stream_id": "default",  # DynamicSpout.java:552-563
     "output.failed_stream_id": "failed",  # DLQ stream (DynamicSpout.java:292)
+    # metrics recorder selection (SpoutConfig metrics.class analogue:
+    # Log / Storm / Dropwizard → memory / log / jsonl)
+    "metrics.recorder": "memory",
+    "metrics.jsonl_path": None,  # required when metrics.recorder=jsonl
     # --- Spark execution defaults ----------------------------------------
     "spark.master": os.environ.get(
         "SPARK_GRAFT_MASTER",
@@ -54,6 +58,32 @@ DEFAULTS: dict[str, Any] = {
     "spark.shuffle_partitions": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     "spark.session_timezone": "UTC",
     "spark.driver_memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+}
+
+#: One-line documentation per config key — the annotation-driven config
+#: docs of the reference (``documentation/ConfigDocumentation.java``);
+#: ``documentation.py`` renders DEFAULTS + these into README.md, and a
+#: test keeps key sets identical.
+CONFIG_DOCS: dict[str, str] = {
+    "retry.limit": "Max failures per record before the DLQ; <0 retries forever, 0 never retries",
+    "retry.initial_delay_ms": "Backoff delay after the first failure",
+    "retry.delay_multiplier": "Exponential backoff multiplier per additional failure",
+    "retry.max_delay_ms": "Backoff ceiling",
+    "buffer.max_size_per_route": "Per-route per-trigger row budget (backpressure; RoundRobinBuffer size analogue)",
+    "coordinator.max_concurrent_routes": "Max live streaming queries (firehose + replays)",
+    "coordinator.state_flush_interval_ms": "Periodic control-state flush cadence",
+    "coordinator.monitor_interval_ms": "Progress/lag monitor cadence",
+    "sideline.refresh_interval_seconds": "How often sideline control state is re-read outside batch boundaries",
+    "output.fields": "Declared output schema; None infers from source/deserializer",
+    "output.stream_id": "Route id of the main output stream",
+    "output.failed_stream_id": "Route id of the permanently-failed (DLQ) stream",
+    "metrics.recorder": "Recorder backend: memory | log | jsonl",
+    "metrics.jsonl_path": "Target file for the jsonl recorder",
+    "spark.master": "Spark master URL (env SPARK_GRAFT_MASTER / SPARK_GRAFT_CPUS)",
+    "spark.app_name": "Spark application name",
+    "spark.shuffle_partitions": "spark.sql.shuffle.partitions for the session",
+    "spark.session_timezone": "Session timezone (UTC keeps timestamp semantics engine-portable)",
+    "spark.driver_memory": "Driver JVM heap (env SPARK_GRAFT_DRIVER_MEM)",
 }
 
 

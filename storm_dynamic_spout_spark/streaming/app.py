@@ -33,7 +33,7 @@ from pyspark.sql import types as _st
 from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA, FileTopic
 from storm_dynamic_spout_spark.streaming.filter_chain import FilterChain
 from storm_dynamic_spout_spark.streaming.firehose import Firehose, write_sink_batch
-from storm_dynamic_spout_spark.streaming.metrics import MetricsRecorder
+from storm_dynamic_spout_spark.streaming.metrics import MetricsRecorder, make_recorder
 from storm_dynamic_spout_spark.streaming.sideline import (
     FileWatchTrigger,
     SidelineController,
@@ -75,7 +75,9 @@ class DynamicStreamApp:
         self.workdir = workdir
         self.config = config or EngineConfig()
         self.topic = FileTopic(topic_path, num_partitions)
-        self.recorder = recorder or MetricsRecorder()
+        # explicit recorder wins; otherwise the config key picks the
+        # backend (metrics.recorder: memory | log | jsonl)
+        self.recorder = recorder or make_recorder(self.config)
         self.controller = SidelineController(
             self.topic, FilterChain(), os.path.join(workdir, "state")
         )

@@ -65,6 +65,116 @@ class MetricsRecorder:
         return elapsed
 
 
+class LogRecorder(MetricsRecorder):
+    """Recorder that additionally emits every update through ``logging``
+    (the ``metrics/LogRecorder.java`` role: observability with no metric
+    infrastructure attached). Keeps the in-memory state so reads — tests,
+    progress gauges — still work."""
+
+    def __init__(self, logger_name: str = "storm_dynamic_spout_spark.metrics") -> None:
+        import logging
+
+        super().__init__()
+        self._log = logging.getLogger(logger_name)
+
+    def count(self, key: str, amount: int = 1, *params: Any) -> None:
+        super().count(key, amount, *params)
+        k = build_key(key, *params)
+        self._log.info("counter %s = %d", k, self.counters[k])
+
+    def assign_value(self, key: str, value: Any, *params: Any) -> None:
+        super().assign_value(key, value, *params)
+        self._log.info("gauge %s = %s", build_key(key, *params), value)
+
+    def stop_timer(self, key: str, started: float) -> float:
+        elapsed = super().stop_timer(key, started)
+        self._log.info("timer %s += %.6fs", key, elapsed)
+        return elapsed
+
+
+class JsonLinesRecorder(MetricsRecorder):
+    """Recorder that appends one JSON object per update to a file — the
+    ship-to-a-real-metrics-backend seam (the ``DropwizardRecorder.java``
+    role; a collector tails the file instead of scraping a registry).
+    Events carry a monotonic sequence number rather than wall-clock so
+    output is deterministic and diff-able."""
+
+    def __init__(self, path: str) -> None:
+        import os
+
+        super().__init__()
+        self.path = path
+        self._seq = 0
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def _emit(self, kind: str, key: str, value: Any) -> None:
+        import json
+
+        with self._lock:
+            self._seq += 1
+            rec = {"seq": self._seq, "kind": kind, "key": key, "value": value}
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    def count(self, key: str, amount: int = 1, *params: Any) -> None:
+        super().count(key, amount, *params)
+        self._emit("counter", build_key(key, *params), amount)
+
+    def assign_value(self, key: str, value: Any, *params: Any) -> None:
+        super().assign_value(key, value, *params)
+        k = build_key(key, *params)
+        self._emit("gauge", k, value if isinstance(value, (int, float, str)) else str(value))
+
+    def stop_timer(self, key: str, started: float) -> float:
+        elapsed = super().stop_timer(key, started)
+        self._emit("timer", key, elapsed)
+        return elapsed
+
+
+def make_recorder(config) -> MetricsRecorder:
+    """Recorder from config (``metrics.recorder``: memory | log | jsonl)
+    — the reference picks its recorder class the same way
+    (``SpoutConfig`` key ``metrics.class`` → Log/Storm/Dropwizard)."""
+    kind = str(config.get("metrics.recorder", "memory"))
+    if kind == "memory":
+        return MetricsRecorder()
+    if kind == "log":
+        return LogRecorder()
+    if kind == "jsonl":
+        path = config.get("metrics.jsonl_path")
+        if not path:
+            raise ValueError("metrics.recorder=jsonl requires metrics.jsonl_path")
+        return JsonLinesRecorder(str(path))
+    raise ValueError(f"unknown metrics.recorder: {kind!r}")
+
+
+#: The engine's emitted metric keys (``metrics/SpoutMetrics.java``
+#: catalog analogue). ``{}`` placeholders interpolate via build_key;
+#: f-string keys are listed with their symbolic segment. The doc
+#: generator renders this table into README.md — keep entries in sync
+#: with emit sites (tests assert every literal emit key is cataloged).
+METRIC_CATALOG: list[tuple[str, str, str]] = [
+    ("firehose.batches", "counter", "Micro-batches processed by the live firehose route"),
+    ("sideline.start", "counter", "Sideline START commands accepted"),
+    ("sideline.resume", "counter", "Sideline RESUME commands accepted"),
+    ("sideline.resolve", "counter", "Sideline RESOLVE commands accepted"),
+    ("sideline.<id>.replayed", "counter", "Rows delivered by a sideline's bounded batch replay"),
+    ("sideline-<id>.batches", "counter", "Micro-batches processed by a sideline's parallel replay stream"),
+    ("queries.started", "counter", "Streaming queries started (listener onQueryStarted)"),
+    ("queries.completed", "counter", "Streaming queries terminated cleanly"),
+    ("queries.errored", "counter", "Streaming queries terminated with an exception"),
+    ("query.<name>.batches", "counter", "Progress events per query (one per micro-batch)"),
+    ("query.<name>.input_rows", "counter", "Cumulative input rows across the query's batches"),
+    ("query.<name>.input_rows_per_second", "gauge", "Latest inputRowsPerSecond reported by the query"),
+    ("query.<name>.batch_id", "gauge", "Latest micro-batch id"),
+    ("query.<name>.duration_ms.<phase>", "gauge", "Latest per-phase batch durations (addBatch, getBatch, ...)"),
+    ("query.<name>.source.<i>.lag", "gauge", "Backlog of source i when the source reports latestOffset"),
+    ("query.<name>.exception", "gauge", "Terminal exception text (error-report sink, S8)"),
+    ("route.{}.partition.{}.lag", "gauge", "Per-partition consumer lag of a route (topic head minus committed)"),
+    ("route.{}.lag.total", "gauge", "Total consumer lag of a route across partitions"),
+]
+
+
 @dataclass(frozen=True)
 class PartitionProgress:
     """Per-partition completion arithmetic

@@ -1,0 +1,121 @@
+"""Doc generator + recorder backends (O11 docgen parity, O9 recorders).
+
+The reference generates README config/metric tables from code
+(``documentation/DocGenerator.java``) so docs cannot drift; these tests
+enforce the same invariant — a stale README or an undocumented config
+key fails the build — and exercise the Log / JSON-lines recorder
+backends (``metrics/LogRecorder.java`` / ``DropwizardRecorder.java``
+roles).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+from storm_dynamic_spout_spark import documentation as doc
+from storm_dynamic_spout_spark.engine import CONFIG_DOCS, DEFAULTS, EngineConfig
+from storm_dynamic_spout_spark.streaming.metrics import (
+    METRIC_CATALOG,
+    JsonLinesRecorder,
+    LogRecorder,
+    MetricsRecorder,
+    make_recorder,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_readme_tables_are_in_sync():
+    """Regenerating must be a no-op on the checked-in README."""
+    text = (REPO / "README.md").read_text()
+    assert doc.render(text) == text, (
+        "README.md generated tables are stale — run "
+        "`python -m storm_dynamic_spout_spark.documentation`"
+    )
+
+
+def test_every_config_key_is_documented():
+    assert set(DEFAULTS) == set(CONFIG_DOCS)
+    assert all(CONFIG_DOCS[k].strip() for k in CONFIG_DOCS)
+
+
+def test_literal_emit_keys_are_cataloged():
+    """Every literal metric key emitted in the engine source appears in
+    METRIC_CATALOG (f-string keys are cataloged with <name> segments)."""
+    src_dir = REPO / "storm_dynamic_spout_spark"
+    emitted = set()
+    pat = re.compile(r"""(?:recorder|self\.recorder)\.(?:count|assign_value)\(\s*"([^"{]+)"[,)]""")
+    for p in src_dir.rglob("*.py"):
+        emitted |= set(pat.findall(p.read_text()))
+    cataloged = {k for k, _, _ in METRIC_CATALOG}
+    missing = emitted - cataloged
+    assert not missing, f"emitted metric keys missing from METRIC_CATALOG: {missing}"
+
+
+def test_log_recorder_logs_and_keeps_state(caplog):
+    import logging
+
+    rec = LogRecorder()
+    with caplog.at_level(logging.INFO, logger="storm_dynamic_spout_spark.metrics"):
+        rec.count("firehose.batches")
+        rec.assign_value("route.{}.lag.total", 7, "firehose")
+    assert rec.counters["firehose.batches"] == 1
+    assert rec.gauges["route.firehose.lag.total"] == 7
+    messages = [r.getMessage() for r in caplog.records]
+    assert any("counter firehose.batches = 1" in m for m in messages)
+    assert any("gauge route.firehose.lag.total = 7" in m for m in messages)
+
+
+def test_jsonl_recorder_appends_events(tmp_path):
+    path = str(tmp_path / "metrics" / "m.jsonl")
+    rec = JsonLinesRecorder(path)
+    rec.count("firehose.batches")
+    rec.count("firehose.batches", 2)
+    t0 = rec.start_timer()
+    rec.stop_timer("batch.time", t0)
+    events = [json.loads(line) for line in open(path)]
+    assert [e["seq"] for e in events] == [1, 2, 3]
+    assert events[0] == {"seq": 1, "kind": "counter", "key": "firehose.batches", "value": 1}
+    assert events[1]["value"] == 2
+    assert events[2]["kind"] == "timer" and events[2]["value"] >= 0
+    # in-memory state intact for progress/gauge readers
+    assert rec.counters["firehose.batches"] == 3
+
+
+def test_make_recorder_from_config(tmp_path):
+    assert type(make_recorder(EngineConfig())) is MetricsRecorder
+    assert type(make_recorder(EngineConfig({"metrics.recorder": "log"}))) is LogRecorder
+    jl = make_recorder(
+        EngineConfig(
+            {
+                "metrics.recorder": "jsonl",
+                "metrics.jsonl_path": str(tmp_path / "m.jsonl"),
+            }
+        )
+    )
+    assert type(jl) is JsonLinesRecorder
+    with pytest.raises(ValueError):
+        make_recorder(EngineConfig({"metrics.recorder": "jsonl"}))
+    with pytest.raises(ValueError):
+        make_recorder(EngineConfig({"metrics.recorder": "statsd"}))
+
+
+def test_app_builds_recorder_from_config(spark, tmp_path):
+    from storm_dynamic_spout_spark.streaming.app import DynamicStreamApp
+
+    app = DynamicStreamApp(
+        spark,
+        topic_path=str(tmp_path / "t"),
+        workdir=str(tmp_path / "w"),
+        config=EngineConfig(
+            {
+                "metrics.recorder": "jsonl",
+                "metrics.jsonl_path": str(tmp_path / "m.jsonl"),
+            }
+        ),
+    )
+    assert type(app.recorder) is JsonLinesRecorder
