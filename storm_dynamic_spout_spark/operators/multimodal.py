@@ -45,6 +45,18 @@ IMAGE_META_SCHEMA = T.StructType(
 _MAGIC = b"SDSS"
 _HEADER = struct.Struct("<4siii")
 
+# Real-codec import seam: Pillow decodes actual JPEG/PNG bytes where it
+# is installed (executors re-run this import when they unpickle the
+# decode closure, so driver and executors agree); without it the honest
+# NotImplementedError below stands and fake=True remains the only path.
+try:
+    from PIL import Image as _PILImage  # noqa: N814
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
 
 def make_synthetic_image(seed: bytes, width: int = 8, height: int = 8, channels: int = 3) -> bytes:
     """Deterministic fake image payload: header + sha256-keystream pixels.
@@ -93,8 +105,7 @@ DECODED_SCHEMA = T.StructType(
 
 
 def _decode_payload(buf: bytes) -> tuple[int, int, int, float]:
-    """Decode the synthetic format. REAL-CODEC SEAM: replace this body
-    with Pillow/libjpeg on a cluster with codecs installed."""
+    """Decode the synthetic format (the fake=True path)."""
     magic, w, h, c = _HEADER.unpack_from(buf, 0)
     if magic != _MAGIC:
         raise ValueError("not an SDSS synthetic payload")
@@ -103,22 +114,40 @@ def _decode_payload(buf: bytes) -> tuple[int, int, int, float]:
     return w, h, c, mean
 
 
+def _decode_payload_pil(buf: bytes) -> tuple[int, int, int, float]:
+    """Real decode via Pillow (the fake=False path where PIL exists):
+    same feature tuple as the synthetic decoder, so the surrounding
+    Spark plumbing — schema, batching, partitioning — is identical."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(buf))
+    img.load()
+    channels = len(img.getbands())
+    data = list(img.convert("L").getdata())
+    mean = sum(data) / len(data) if data else 0.0
+    return img.width, img.height, channels, mean
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id", fake: bool = False) -> DataFrame:
     """binary content → per-image features via Arrow-batched mapInPandas.
 
-    ``fake=False`` raises NotImplementedError (no codecs in this
-    container); ``fake=True`` decodes the engine's synthetic format
-    deterministically. Narrow transformation: partitioning preserved.
+    ``fake=True`` decodes the engine's synthetic format
+    deterministically; ``fake=False`` decodes real JPEG/PNG bytes via
+    Pillow when installed, else raises NotImplementedError (this
+    container ships no codecs). Narrow transformation: partitioning
+    preserved.
     """
-    if not fake:
+    if not fake and not HAS_PIL:
         raise NotImplementedError(
             "image codecs are not installed in this environment; "
-            "pass fake=True for the deterministic synthetic decoder"
+            "install Pillow for real decode or pass fake=True for the "
+            "deterministic synthetic decoder"
         )
+    decode_one = _decode_payload if fake else _decode_payload_pil
 
     def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_payload(b) for b in pdf["content"]]
+            decoded = [decode_one(b) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

@@ -201,3 +201,42 @@ def test_text_source_line_per_row(spark, sources, tmp_path):
     f.write_text("alpha\nbeta\ngamma\n")
     df = sources.read(spark, "text", path=str(f))
     assert sorted(r["value"] for r in df.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_decode_image_real_codec_seam(spark):
+    """fake=False takes the Pillow path when installed, and raises the
+    honest NotImplementedError otherwise — the import-try seam means a
+    cluster with codecs gets real decode with zero code changes."""
+    import pytest
+
+    from storm_dynamic_spout_spark.operators import multimodal as mm
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    if not mm.HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(mm.attach_image_payload(df, "doc_id"), fake=False)
+        return
+
+    # real path: build tiny PNGs via Pillow, decode through the same
+    # mapInPandas plumbing as the synthetic format
+    import io
+
+    import pandas as pd
+    from PIL import Image
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def _png(ids: pd.Series) -> pd.Series:
+        def make(i):
+            img = Image.new("RGB", (4, 2), color=(int(i) * 10 % 256, 0, 0))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+
+        return ids.map(make)
+
+    payloads = df.withColumn("content", _png("doc_id"))
+    out = mm.decode_image(payloads, fake=False).orderBy("doc_id").collect()
+    assert [(r["width"], r["height"], r["n_channels"]) for r in out] == [(4, 2, 3)] * 3
+    assert all(0.0 <= r["mean_intensity"] <= 255.0 for r in out)
