@@ -96,6 +96,9 @@ _PRIORITY = [
     "text_tfidf_top_term",
     "embedding_centroids",
     "ann_ivf_assign",
+    "corpus_contamination",
+    "sequence_packing",
+    "training_export_shuffle",
 ]
 
 

@@ -783,3 +783,117 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("c_label")).alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level pipeline ops (operators/corpus.py): contamination,
+# sequence packing, deterministic export shuffle
+# ---------------------------------------------------------------------------
+
+CONTAM_NGRAM = 8
+EVAL_MOD = 7  # eval set: doc_id % 7 == 0 (deterministic holdout, dense
+#   enough that the fixtures' near-dup clusters straddle the split)
+PACK_BUDGET = 512  # tokens per packed training sequence
+EXPORT_SHARDS = 16
+
+_SQL_GRAMS = (
+    f"list_distinct(list_transform("
+    f"list_transform(range(1, greatest(len({_TOKS}) - {CONTAM_NGRAM - 1}, 0) + 1), "
+    f"i -> array_to_string({_TOKS}[i:i+{CONTAM_NGRAM - 1}], ' ')), "
+    f"g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)))"
+)
+
+
+@query(
+    "corpus_contamination",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, UNNEST({_SQL_GRAMS}) AS g FROM documents
+    ),
+    eval_grams AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0
+    )
+    SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams
+    FROM grams
+    JOIN eval_grams USING (g)
+    WHERE doc_id % {EVAL_MOD} <> 0
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination screen: train docs sharing a hashed token
+    8-gram with the deterministic holdout (doc_id % 7 == 0). Explode →
+    equi-join on the 8-byte gram hash → per-doc count; the eval gram
+    set broadcasts, there is never a train×eval doc product. The op a
+    pretraining pipeline runs before every export."""
+    from storm_dynamic_spout_spark.operators import corpus as C
+
+    d = t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    return (
+        C.contamination(d.filter(~is_eval), d.filter(is_eval), ngram=CONTAM_NGRAM)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH counted AS (
+        SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+        FROM counted
+    )
+    SELECT doc_id, lang, n_tokens, start_offset,
+           start_offset // {PACK_BUDGET} AS seq_index,
+           ((start_offset + greatest(n_tokens, 1) - 1) // {PACK_BUDGET})
+               - (start_offset // {PACK_BUDGET}) + 1 AS n_seqs
+    FROM cum
+    ORDER BY lang, doc_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing per language stream: concatenate
+    docs in id order, cut every 512 tokens; emits each doc's start
+    offset, first sequence index, and sequences spanned. Windows run
+    per-stream (no global sort) so packing parallelizes across the
+    corpus."""
+    from storm_dynamic_spout_spark.operators import corpus as C
+
+    d = t(spark, sf_dir, "documents")
+    return C.pack_sequences(d, PACK_BUDGET).orderBy("lang", "doc_id")
+
+
+@query(
+    "training_export_shuffle",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           h % {EXPORT_SHARDS} AS shard,
+           CAST(row_number() OVER (PARTITION BY h % {EXPORT_SHARDS} ORDER BY h, doc_id)
+                AS BIGINT) AS shuffle_rank
+    FROM hashed
+    ORDER BY shard, shuffle_rank
+    """,
+)
+def training_export_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export shuffle: md5(doc_id) → shard + within-shard
+    rank. A reproducible global permutation with no rand() and no
+    global sort — every shard orders independently, and the write side
+    (operators/layout.py) lands one directory per shard."""
+    from storm_dynamic_spout_spark.operators import corpus as C
+
+    d = t(spark, sf_dir, "documents")
+    return C.export_shuffle(d, EXPORT_SHARDS).orderBy("shard", "shuffle_rank")

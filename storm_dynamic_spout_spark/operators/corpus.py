@@ -1,0 +1,125 @@
+"""Corpus-level training-data operators: contamination screening,
+sequence packing, deterministic export shuffling (north-star extension
+beyond the reference's operator set — BASELINE.json pipeline family).
+
+All three are built to the same 100 TB rules as operators/dedup.py:
+- candidate generation is an EQUI-JOIN on md5-derived integer keys,
+  never an all-pairs comparison (contamination joins train n-grams to
+  the eval gram set on the gram hash);
+- nothing depends on nondeterminism — hashes, not rand(), drive
+  sampling/shuffling, so re-runs, resumed jobs, and different engines
+  agree row-for-row;
+- global orderings are avoided: packing runs per language stream
+  (Window.partitionBy), export shuffling per shard, so no stage
+  collapses to a single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def md5_int(col: Column) -> Column:
+    """Engine-portable 60-bit integer hash: first 15 hex digits of md5
+    (DuckDB twin: ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def token_ngram_hashes(text: Column, n: int) -> Column:
+    """Distinct hashed token ``n``-grams of a document — the
+    contamination / overlap unit. Token n-grams (not char shingles)
+    because eval-set leakage is verbatim phrase reuse. Hashed to int64
+    immediately so the explode+join shuffles 8-byte keys, not strings."""
+    toks = F.split(text, r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(F.transform(grams, lambda g: md5_int(g)))
+
+
+def contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Train documents sharing >=1 hashed token n-gram with the eval
+    set: ``(doc_id, n_shared_grams)``, one row per contaminated doc.
+
+    Scale shape: explode both sides to (doc, gram_hash), equi-join on
+    the hash (the eval gram set is typically small enough that AQE
+    broadcasts it), aggregate per train doc. Work is linear in total
+    grams; there is no train×eval document cross product anywhere.
+    """
+    train_grams = train.select(
+        F.col(id_col), F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g")
+    )
+    eval_grams = (
+        eval_set.select(F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"))
+        .distinct()
+    )
+    return (
+        train_grams.join(eval_grams, "__g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("__g").alias("n_shared_grams"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Offset-based sequence packing: concatenate each stream's
+    documents in id order and cut every ``budget`` tokens — the
+    standard LLM-pretraining packing layout, computed as metadata
+    (start offset, sequence index, sequences spanned) without moving
+    any text.
+
+    One window per stream (no global ordering): cumulative token sums
+    run per ``stream_col`` partition, so the operator parallelizes
+    across streams and a 100 TB corpus packs shard-by-shard.
+    """
+    n_tok = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    win = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("__n").over(win), F.lit(0)).cast("long")
+    out = docs.withColumn("__n", n_tok).withColumn("start_offset", start)
+    seq = F.expr(f"start_offset div {budget}")
+    last_seq = F.expr(f"(start_offset + greatest(__n, 1) - 1) div {budget}")
+    return out.select(
+        F.col(id_col),
+        F.col(stream_col),
+        F.col("__n").alias("n_tokens"),
+        "start_offset",
+        seq.cast("long").alias("seq_index"),
+        (last_seq - seq + 1).cast("long").alias("n_seqs"),
+    )
+
+
+def export_shuffle(
+    docs: DataFrame, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic training-export shuffle: md5(doc_id) assigns every
+    document a shard and a rank within it — a reproducible global
+    permutation with no rand() and no global sort (each shard orders
+    independently; ``write_clustered(partition_by=['shard'])`` then
+    lands one directory per shard)."""
+    h = md5_int(F.col(id_col).cast("string"))
+    win = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        docs.select(F.col(id_col))
+        .withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("long"))
+        .withColumn("shuffle_rank", F.row_number().over(win).cast("long"))
+        .drop("__h")
+    )

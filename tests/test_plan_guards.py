@@ -154,3 +154,50 @@ def test_q21_lineitem_single_wide_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q21")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_derived_partsupp_queries_never_cartesian(spark, sf_dir):
+    # q2/q11/q16/q20 generate partsupp from part x supplier-count (a
+    # broadcast 1-row cross join + explode — NOT a cartesian product of
+    # two real relations) and must join everything else on keys
+    for name in ("tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan[:2000]}"
+
+
+def test_q2_min_cost_aggregate_joins_back_on_key(spark, sf_dir):
+    # the decorrelated per-part MIN comes back as a key equi-join and
+    # the dims broadcast; the only nested-loop joins allowed are the
+    # 1-row supplier-count broadcasts the partsupp generator uses
+    # (IdentityBroadcastMode Cross — a scalar, not a relation pair)
+    plan = _plan(spark, sf_dir, "tpch_q2")
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert all("Cross" in ln for ln in bnlj), plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
+
+
+def test_q11_total_is_broadcast_not_reshuffle(spark, sf_dir):
+    # the one-row grand total joins back via broadcast; the grouped
+    # relation must not shuffle a second time for the HAVING filter
+    plan = _plan(spark, sf_dir, "tpch_q11")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_is_gram_hash_equi_join(spark, sf_dir):
+    # the train x eval screen must join exploded gram HASHES, never
+    # compare document pairs: no cartesian, no nested loop over docs
+    plan = _plan(spark, sf_dir, "corpus_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_packing_and_shuffle_have_no_global_sort_stage(spark, sf_dir):
+    # packing windows per lang stream and export shuffling per shard:
+    # every Sort in the plan must be preceded by a hash-partitioned
+    # Exchange (parallel), not a SinglePartition collapse
+    for name in ("sequence_packing", "training_export_shuffle"):
+        plan = _plan(spark, sf_dir, name)
+        # the final presentation orderBy is allowed to range-partition;
+        # a SinglePartition exchange feeding a Sort is the smell
+        assert "Exchange SinglePartition" not in plan, f"{name}:\n{plan[:2000]}"
