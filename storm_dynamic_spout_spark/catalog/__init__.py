@@ -99,6 +99,7 @@ _PRIORITY = [
     "corpus_contamination",
     "sequence_packing",
     "training_export_shuffle",
+    "stream_incremental_dedup",
 ]
 
 

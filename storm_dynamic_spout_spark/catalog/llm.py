@@ -897,3 +897,27 @@ def training_export_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return C.export_shuffle(d, EXPORT_SHARDS).orderBy("shard", "shuffle_rank")
+
+
+@query("stream_incremental_dedup", oracle=None)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection, driven in two micro-batches over
+    the documents table (even ids arrive first, odd ids second): new
+    docs match against the persistent minhash band-key index via
+    equi-joins (streaming/dedup_stream.py). Rows-only check — the
+    multi-batch stateful contract is not one SQL query; full scenario
+    coverage lives in tests/test_streaming_dedup.py."""
+    import tempfile
+
+    from storm_dynamic_spout_spark.streaming.dedup_stream import StreamingDedupIndex
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = StreamingDedupIndex(tempfile.mkdtemp(prefix="sdss-dd-"))
+    idx.process_batch(d.filter(F.col("doc_id") % 2 == 0), lambda df: df.count())
+    idx.process_batch(d.filter(F.col("doc_id") % 2 == 1), lambda df: df.count())
+    dups = idx.duplicates(spark)
+    if dups is None:
+        return spark.createDataFrame(
+            [], "doc_id long, matched_id long, agreement double"
+        )
+    return dups.orderBy("doc_id")

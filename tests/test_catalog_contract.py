@@ -12,8 +12,16 @@ from storm_dynamic_spout_spark.queries import ORACLES, QUERIES
 SF = "/root/testdata/sf0.001"
 
 
+#: The only queries allowed to skip the DuckDB oracle (multi-batch
+#: stateful streaming is not one SQL query — driver records the weaker
+#: rows-only check; scenario tests carry the real coverage). Everything
+#: else MUST be oracle-backed.
+ROWS_ONLY = {"stream_incremental_dedup"}
+
+
 def test_every_query_has_an_oracle():
-    assert set(QUERIES) == set(ORACLES)
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY
+    assert set(ORACLES) <= set(QUERIES)
     assert len(QUERIES) >= 93
 
 
