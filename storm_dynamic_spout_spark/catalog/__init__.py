@@ -100,6 +100,9 @@ _PRIORITY = [
     "sequence_packing",
     "training_export_shuffle",
     "stream_incremental_dedup",
+    "text_pii_scrub",
+    "embedding_normalize",
+    "embedding_quantize",
 ]
 
 

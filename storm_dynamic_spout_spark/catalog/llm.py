@@ -921,3 +921,102 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_id long, matched_id long, agreement double"
         )
     return dups.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + embedding preprocessing
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no organic PII, so the query plants a
+# deterministic email + digit run per doc (same construction both
+# engines) and scrubs it — the redaction mechanics, counts, and
+# replacement output all get real row-level evidence.
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ref '"
+    " || lpad(CAST(doc_id * 7919 AS VARCHAR), 10, '0')"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH aug AS (SELECT doc_id, {AUG} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{NUM}')) AS BIGINT) AS n_numbers,
+           regexp_replace(regexp_replace(t, '{EMAIL}', '<EMAIL>', 'g'),
+                          '{NUM}', '<NUM>', 'g') AS scrubbed
+    FROM aug
+    ORDER BY doc_id
+    """.format(
+        AUG=_PII_AUG_SQL,
+        EMAIL="[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        NUM="[0-9]{6,}",
+    ),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (operators/text.py pii_scrub): emails then
+    long digit runs → placeholders, with per-doc match counts. Pure
+    regexp built-ins — codegen'd, linear, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        F.lpad((F.col("doc_id") * 7919).cast("string"), 10, "0"),
+    )
+    n_emails, n_numbers = X.pii_counts(aug)
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_numbers.alias("n_numbers"),
+        X.pii_scrub(aug).alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "embedding_normalize",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings)
+    SELECT vec_id,
+           round(sqrt(list_inner_product(ve, ve)), 6) AS l2_norm,
+           list_transform(ve, x -> round(x / sqrt(list_inner_product(ve, ve)), 6)) AS unit
+    FROM v
+    ORDER BY vec_id
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column — the preprocessing
+    every cosine index expects (operators/similarity.py l2_normalize).
+    Components rounded in-query on both engines."""
+    return S.l2_normalize(t(spark, sf_dir, "embeddings"), "vec_id", "embedding").orderBy(
+        "vec_id"
+    )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    s AS (SELECT vec_id, ve,
+                 CASE WHEN list_max(list_transform(ve, x -> abs(x))) > 0
+                      THEN 127.0 / list_max(list_transform(ve, x -> abs(x)))
+                      ELSE 0.0 END AS sc
+          FROM v)
+    SELECT vec_id,
+           round(sc, 6) AS scale,
+           list_transform(ve, x -> CAST(round(x * sc) AS INTEGER)) AS q
+    FROM s
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (scale = 127/max|x|): 4x smaller
+    vectors for the ANN index with exact integer outputs
+    (operators/similarity.py int8_quantize)."""
+    return S.int8_quantize(t(spark, sf_dir, "embeddings"), "vec_id", "embedding").orderBy(
+        "vec_id"
+    )

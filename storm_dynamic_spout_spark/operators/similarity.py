@@ -135,3 +135,35 @@ def cosine_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def l2_normalize(df: DataFrame, id_col: str, vec_col: str, round_dp: int = 6) -> DataFrame:
+    """Unit-normalize an embedding column: ``(id, l2_norm, unit)`` with
+    components rounded in-query (engine-portable — the division is one
+    IEEE op per component, rounding pins the cross-engine string repr).
+    The preprocessing step every cosine index expects; pure built-in
+    array ops, JVM-side, no shuffle."""
+    v = as_double(F.col(vec_col))
+    n = norm(v)
+    unit = F.transform(v, lambda x: F.round(x / n, round_dp))
+    return df.select(
+        F.col(id_col),
+        F.round(n, round_dp).alias("l2_norm"),
+        unit.alias("unit"),
+    )
+
+
+def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric int8 quantization: ``scale = 127 / max|x|``, components
+    ``round(x * scale)`` — 4x smaller vectors for the ANN index with
+    exact integer outputs (the only float crossing engines is the
+    rounded scale). Zero vectors quantize to zeros with scale 0."""
+    v = as_double(F.col(vec_col))
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("q"),
+    )

@@ -151,3 +151,25 @@ def sql_punct_ratio(expr: str) -> str:
 
 def sql_token_hash(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# -- PII scrubbing (pipeline redaction pass) --------------------------------
+
+#: RE2-compatible patterns (run on both Spark/Java regex and DuckDB/RE2)
+PII_EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_NUMBER_PATTERN = "[0-9]{6,}"
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact emails then long digit runs (order matters: an email may
+    contain digits). Pure regexp_replace — JVM-side, no UDF."""
+    out = F.regexp_replace(col, PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, PII_NUMBER_PATTERN, "<NUM>")
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_numbers) found in the column."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_PATTERN), F.lit(0))).cast("long"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_NUMBER_PATTERN), F.lit(0))).cast("long"),
+    )
