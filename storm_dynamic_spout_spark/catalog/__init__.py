@@ -103,6 +103,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "embedding_normalize",
     "embedding_quantize",
+    "ann_topk_ivf_nprobe",
 ]
 
 

@@ -1020,3 +1020,64 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.int8_quantize(t(spark, sf_dir, "embeddings"), "vec_id", "embedding").orderBy(
         "vec_id"
     )
+
+
+ANN_NPROBE = 2
+
+
+@query(
+    "ann_topk_ivf_nprobe",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    comp AS (SELECT label, UNNEST(range(1, len(ve) + 1)) AS pos, ve FROM v),
+    cvec AS (
+        SELECT label AS cb, list(c ORDER BY pos) AS cv
+        FROM (SELECT label, pos, avg(ve[pos]) AS c FROM comp GROUP BY label, pos)
+        GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < {ANN_QUERY_MAX_ID}),
+    probes AS (
+        SELECT query_id, qv, cb FROM (
+            SELECT query_id, qv, cb,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                       list_inner_product(qv, cv)
+                         / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
+                       DESC, cb) AS pr
+            FROM q CROSS JOIN cvec
+        ) WHERE pr <= {ANN_NPROBE}
+    ),
+    scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               round(list_inner_product(qv, ve)
+                 / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(ve, ve)))
+                 * 1000000) / 1000000 AS cos
+        FROM probes JOIN v ON v.label = probes.cb AND v.vec_id <> probes.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {ANN_K}
+    """,
+)
+def ann_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k (nprobe=2): each query searches its two
+    nearest coarse-centroid buckets — the recall knob of a real IVF
+    index, still bucket-equi-join cost (operators/similarity.py
+    cosine_topk_ivf_nprobe)."""
+    df = S.cosine_topk_ivf_nprobe(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        F.col("vec_id") < ANN_QUERY_MAX_ID,
+        ANN_K,
+        ANN_NPROBE,
+    )
+    return df.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(F.col("cos") * 1000000) / 1000000).alias("cos"),
+        "rank",
+    )

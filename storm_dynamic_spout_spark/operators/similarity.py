@@ -167,3 +167,65 @@ def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.round(scale, 6).alias("scale"),
         q.alias("q"),
     )
+
+
+def cosine_topk_ivf_nprobe(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    query_pred: Column,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Multi-probe IVF top-k: each query searches its ``nprobe`` nearest
+    coarse centroids' buckets instead of one — the recall knob real IVF
+    indexes expose (probing 2-8 of hundreds of buckets recovers most of
+    the recall brute force has, at bucket-sized cost).
+
+    Centroids are bucket means (tiny: |buckets| rows, broadcast);
+    query→probe assignment is a broadcast scan + per-query top-nprobe;
+    candidate scoring joins corpus to probes on the bucket key — at
+    100 TB the probe join stays an equi-join with nprobe·|bucket|
+    candidates per query, never |corpus|."""
+    corpus = _with_vec(df, id_col, vec_col, bucket_col)
+    comp = df.select(
+        bucket_col, F.posexplode(as_double(F.col(vec_col))).alias("pos", "val")
+    )
+    cvec = (
+        comp.groupBy(bucket_col, "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy(bucket_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("__pc"))
+        .select(
+            F.col(bucket_col).alias("__cb"),
+            F.transform(F.col("__pc"), lambda s: s.getField("c")).alias("__cv"),
+        )
+    )
+    queries = corpus.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__q"),
+        F.col("__n").alias("__qn"),
+    )
+    ccos = dot(F.col("__q"), F.col("__cv")) / (F.col("__qn") * norm(F.col("__cv")))
+    wq = W.partitionBy("query_id").orderBy(F.desc("__ccos"), "__cb")
+    probes = (
+        queries.crossJoin(F.broadcast(cvec))
+        .withColumn("__ccos", ccos)
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__q", "__qn", F.col("__cb").alias("__qb"))
+    )
+    scored = corpus.join(
+        F.broadcast(probes),
+        (F.col(bucket_col) == F.col("__qb")) & (F.col(id_col) != F.col("query_id")),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), id_col)
+    return (
+        scored.withColumn(
+            "cos", dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__n"))
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )

@@ -348,3 +348,33 @@ class DynamicStreamApp:
             .parquet(self.out_dir)
             .drop("event_date")
         )
+
+    def optimize_output(self, target_files: int = 1) -> None:
+        """Maintenance OPTIMIZE of the merged output table: each
+        (route_id, event_date) partition's per-micro-batch file spray is
+        rewritten down to ``target_files`` with (partition, offset)
+        clustering restored — the app-level twin of
+        :meth:`FileTopic.compact` /  :meth:`Firehose.compact_output`.
+        Call with the app CLOSED (no live firehose/replay queries): the
+        directory swap would race their appends."""
+        import shutil
+        import uuid
+
+        from storm_dynamic_spout_spark.operators.layout import write_clustered
+
+        if self._firehose is not None or self._replay_queries:
+            raise RuntimeError("optimize_output requires a closed app")
+        df = self.spark.read.schema(_OUT_SCHEMA).parquet(self.out_dir)
+        tmp = f"{self.out_dir}-optimize-{uuid.uuid4().hex[:8]}"
+        write_clustered(
+            df,
+            tmp,
+            partition_by=["route_id", "event_date"],
+            cluster_by=["partition", "offset"],
+            target_files=target_files,
+            mode="overwrite",
+        )
+        old = f"{self.out_dir}-old-{uuid.uuid4().hex[:8]}"
+        os.rename(self.out_dir, old)
+        os.rename(tmp, self.out_dir)
+        shutil.rmtree(old)

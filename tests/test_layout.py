@@ -113,3 +113,43 @@ def test_firehose_sink_is_partitioned_and_prunes(spark, tmp_path):
     fh.compact_output(target_files=1)
     assert len(data_files(fh.output_dir)) < 4
     assert sorted(r["value"] for r in fh.output().collect()) == before
+
+
+def test_app_optimize_output_compacts_and_preserves(spark, tmp_path):
+    """DynamicStreamApp.optimize_output: per-batch file spray in the
+    merged output collapses per (route_id, event_date) partition, data
+    and layout (hive keys) identical; refuses to run while open."""
+    import os
+
+    import pytest
+
+    from storm_dynamic_spout_spark.streaming.app import DynamicStreamApp
+
+    app = DynamicStreamApp(
+        spark, topic_path=str(tmp_path / "t"), workdir=str(tmp_path / "w"),
+        num_partitions=2,
+    )
+    app.open(max_files_per_trigger=1)
+    try:
+        for i in range(4):
+            app.produce([("k", f"v{i}")])
+        app.process_all_available()
+        with pytest.raises(RuntimeError):
+            app.optimize_output()
+    finally:
+        app.close()
+
+    before = sorted((r["offset"], r["value"]) for r in app.output().collect())
+
+    def data_files(root):
+        out = []
+        for dirpath, _, files in os.walk(root):
+            out += [f for f in files if f.endswith(".parquet")]
+        return out
+
+    n_before = len(data_files(app.out_dir))
+    assert n_before >= 4
+    app.optimize_output(target_files=1)
+    assert len(data_files(app.out_dir)) < n_before
+    assert any(d.startswith("route_id=") for d in os.listdir(app.out_dir))
+    assert sorted((r["offset"], r["value"]) for r in app.output().collect()) == before
