@@ -65,6 +65,30 @@ class MetricsRecorder:
         return elapsed
 
 
+class TimerManager:
+    """Start/stop timers BY KEY (``metrics/TimerManager.java:37-84``):
+    ``start(key)`` remembers the clock, ``stop(key)`` records the
+    elapsed time into the recorder and returns elapsed milliseconds.
+    Stopping an unstarted key raises, like the reference."""
+
+    def __init__(self, recorder: MetricsRecorder) -> None:
+        self._recorder = recorder
+        self._starts: dict[str, float] = {}
+        self._lock = Lock()
+
+    def start(self, key: str) -> None:
+        with self._lock:
+            self._starts[key] = time.perf_counter()
+
+    def stop(self, key: str) -> float:
+        with self._lock:
+            started = self._starts.pop(key, None)
+        if started is None:
+            raise KeyError(f"no timer started for key: {key}")
+        elapsed_s = self._recorder.stop_timer(key, started)
+        return elapsed_s * 1000.0
+
+
 class LogRecorder(MetricsRecorder):
     """Recorder that additionally emits every update through ``logging``
     (the ``metrics/LogRecorder.java`` role: observability with no metric

@@ -129,19 +129,46 @@ class SidelinePersistence:
             os.remove(p)
 
 
+class InMemorySidelinePersistence:
+    """Dict-backed persistence adapter, same surface as
+    :class:`SidelinePersistence` (``sideline/persistence/
+    InMemoryPersistenceAdapter.java:34-105`` — the embedded/test
+    backend; swap in for the file adapter via the controller's
+    ``persistence`` parameter, like the reference's FactoryManager
+    wiring)."""
+
+    def __init__(self) -> None:
+        self._store: dict[str, str] = {}
+
+    def persist(self, payload: SidelinePayload) -> None:
+        self._store[payload.id] = payload.to_json()
+
+    def retrieve(self, sideline_id: str) -> SidelinePayload | None:
+        raw = self._store.get(sideline_id)
+        return SidelinePayload.from_json(raw) if raw is not None else None
+
+    def list_ids(self) -> list[str]:
+        return sorted(self._store)
+
+    def delete(self, sideline_id: str) -> None:
+        self._store.pop(sideline_id, None)
+
+
 class SidelineController:
     """SidelineController SPI (``handler/SidelineController.java:35-94``)
-    over a FileTopic + FilterChain + persistence."""
+    over a FileTopic + FilterChain + persistence (pluggable — file JSON
+    by default, :class:`InMemorySidelinePersistence` for embedded)."""
 
     def __init__(
         self,
         topic: FileTopic,
         chain: FilterChain,
         state_dir: str,
+        persistence=None,
     ) -> None:
         self.topic = topic
         self.chain = chain
-        self.persistence = SidelinePersistence(state_dir)
+        self.persistence = persistence or SidelinePersistence(state_dir)
 
     # -- state machine ------------------------------------------------------
 
@@ -269,7 +296,24 @@ class TriggerEvent:
         }
 
 
-class FileWatchTrigger:
+class SidelineTrigger:
+    """Trigger SPI (``sideline/trigger/SidelineTrigger.java:37-62``):
+    an external control plane that opens against a controller, fires
+    START/RESUME/RESOLVE commands while open, and closes. Subclass and
+    override :meth:`poll` (called per micro-batch by the firehose) for
+    a new backend — ZK watches, a DB outbox, an HTTP queue."""
+
+    def open(self, controller: "SidelineController") -> None:
+        self.controller = controller
+
+    def poll(self) -> int:
+        return 0
+
+    def close(self) -> None:
+        pass
+
+
+class FileWatchTrigger(SidelineTrigger):
     """ZookeeperWatchTrigger analogue
     (``recipes/trigger/zookeeper/ZookeeperWatchTrigger.java:61-189``):
     watches a directory of TriggerEvent JSON files, dispatches unprocessed

@@ -252,3 +252,88 @@ def test_ratio_buffer_throughput(spark, tmp_path):
     assert counts["sideline-a"] >= 1, counts
     assert counts["live"] < 80, f"live drained everything; cadence cap ineffective: {counts}"
     assert counts["live"] >= 2 * counts["sideline-a"], counts
+
+
+def test_in_memory_persistence_adapter(tmp_path):
+    """InMemorySidelinePersistence: same CRUD surface as the file
+    adapter, injectable into the controller (InMemoryPersistenceAdapter
+    parity)."""
+    from storm_dynamic_spout_spark.streaming import FileTopic, FilterChain
+    from storm_dynamic_spout_spark.streaming.sideline import (
+        InMemorySidelinePersistence,
+        SidelineController,
+        SidelineRequest,
+        SidelineType,
+    )
+
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=1)
+    mem = InMemorySidelinePersistence()
+    ctl = SidelineController(topic, FilterChain(), str(tmp_path / "s"), persistence=mem)
+    ctl.start(SidelineRequest("s1", "key = 'a'"))
+    assert mem.list_ids() == ["s1"]
+    assert ctl.persistence.retrieve("s1").type is SidelineType.START
+    ctl.resume("s1")
+    ctl.resolve("s1")
+    ctl.complete("s1")
+    assert mem.list_ids() == []
+    # nothing ever touched the state dir (not even created)
+    import os
+
+    assert not os.path.exists(str(tmp_path / "s"))
+
+
+def test_timer_manager_keyed_timers():
+    """TimerManager parity: start/stop by key, elapsed recorded into
+    the recorder's timer series; stopping an unstarted key raises."""
+    import pytest
+
+    from storm_dynamic_spout_spark.streaming.metrics import (
+        MetricsRecorder,
+        TimerManager,
+    )
+
+    rec = MetricsRecorder()
+    tm = TimerManager(rec)
+    tm.start("batch")
+    ms = tm.stop("batch")
+    assert ms >= 0
+    assert len(rec.timers["batch"]) == 1
+    with pytest.raises(KeyError):
+        tm.stop("batch")
+
+
+def test_trigger_spi_base_class(tmp_path):
+    """FileWatchTrigger is a SidelineTrigger; a custom subclass plugs in
+    via the same poll() seam."""
+    from storm_dynamic_spout_spark.streaming import FileTopic, FilterChain
+    from storm_dynamic_spout_spark.streaming.sideline import (
+        FileWatchTrigger,
+        SidelineController,
+        SidelineTrigger,
+    )
+
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=1)
+    ctl = SidelineController(topic, FilterChain(), str(tmp_path / "s"))
+    assert isinstance(FileWatchTrigger(str(tmp_path / "e"), ctl), SidelineTrigger)
+
+    class ListTrigger(SidelineTrigger):
+        def __init__(self, commands):
+            self.commands = commands
+
+        def poll(self):
+            n = 0
+            while self.commands:
+                sid, pred = self.commands.pop(0)
+                self.controller.start(
+                    __import__(
+                        "storm_dynamic_spout_spark.streaming.sideline",
+                        fromlist=["SidelineRequest"],
+                    ).SidelineRequest(sid, pred)
+                )
+                n += 1
+            return n
+
+    trig = ListTrigger([("sx", "key = 'x'")])
+    trig.open(ctl)
+    assert trig.poll() == 1
+    assert ctl.chain.has_step("sx")
