@@ -1,0 +1,73 @@
+"""Property-style invariants of the corpus operators, checked over the
+real fixture corpus (operators/corpus.py):
+
+- packing: per stream, start offsets are exact prefix sums and the
+  doc intervals [start, start+n) tile [0, total) with no gap/overlap;
+- export shuffle: a permutation — every doc exactly once, shard ranks
+  are 1..|shard| dense;
+- contamination: symmetric evidence — every flagged doc really shares
+  a gram with the eval side (spot-checked via recomputation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.engine import load_table
+from storm_dynamic_spout_spark.operators import corpus as C
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_packing_tiles_each_stream_exactly(spark):
+    docs = load_table(spark, SF, "documents")
+    packed = C.pack_sequences(docs, budget=128).collect()
+    by_stream = {}
+    for r in packed:
+        by_stream.setdefault(r["lang"], []).append(r)
+    assert by_stream
+    for lang, rows in by_stream.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rows:
+            assert r["start_offset"] == expect, f"{lang}: gap/overlap at {r['doc_id']}"
+            assert r["seq_index"] == r["start_offset"] // 128
+            span = (r["start_offset"] + max(r["n_tokens"], 1) - 1) // 128 - r["seq_index"] + 1
+            assert r["n_seqs"] == span
+            expect += r["n_tokens"]
+
+
+def test_export_shuffle_is_a_dense_permutation(spark):
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    out = C.export_shuffle(docs, n_shards=8).collect()
+    assert len(out) == n
+    assert len({r["doc_id"] for r in out}) == n  # every doc exactly once
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["shuffle_rank"])
+    assert set(by_shard) <= set(range(8))
+    for shard, ranks in by_shard.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), f"shard {shard} ranks not dense"
+
+
+def test_contamination_flags_are_real_overlaps(spark):
+    docs = load_table(spark, SF, "documents")
+    is_eval = F.col("doc_id") % 3 == 0  # dense split for the tiny fixture
+    flagged = C.contamination(
+        docs.filter(~is_eval), docs.filter(is_eval), ngram=3
+    ).collect()
+    if not flagged:  # tiny corpus may legitimately have no overlap
+        return
+    # recompute the gram sets in python for a sample and confirm overlap
+    sample_ids = [r["doc_id"] for r in flagged[:3]]
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    eval_grams = set()
+    for did, text in texts.items():
+        if did % 3 == 0:
+            toks = text.split()
+            eval_grams |= {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    for did in sample_ids:
+        toks = texts[did].split()
+        grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        assert grams & eval_grams, f"doc {did} flagged but shares no 3-gram"

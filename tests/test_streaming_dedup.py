@@ -127,3 +127,13 @@ def test_streaming_pipeline_over_file_topic(spark, tmp_path):
     assert uniques == {0, 1, 3}  # offset 2 (= DOC_A_NEAR) deduped
     dups = {r["doc_id"]: r["matched_id"] for r in index.duplicates(spark).collect()}
     assert dups == {2: 0}
+
+
+def test_empty_batch_is_a_noop(spark, index):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = []
+    index.process_batch(empty, _collect_sink(out))
+    assert out == []
+    # state machinery still works afterwards
+    index.process_batch(_docs_df(spark, [(0, DOC_A)]), _collect_sink(out))
+    assert [i for i, _ in out] == [0]
