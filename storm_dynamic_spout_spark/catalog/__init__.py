@@ -104,6 +104,7 @@ _PRIORITY = [
     "embedding_normalize",
     "embedding_quantize",
     "ann_topk_ivf_nprobe",
+    "udtf_split_tokens",
 ]
 
 

@@ -13,6 +13,8 @@ itself is correctness-gated:
 - UDTF-shape (1:N): ``mapInPandas`` — exercised by
   ``operators/multimodal.frame_sample``; the relational explode shape
   is covered by ``scalar_array_explode``.
+- true table function: Spark 4 ``@udtf`` + LATERAL join
+  (``udtf_split_tokens``, Arrow-enabled).
 
 These exist to prove the plumbing; real operators prefer built-ins
 (every other catalog query is pure JVM).
@@ -96,3 +98,47 @@ def udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
     return e.groupBy("user_id").applyInPandas(slope, _SLOPE_SCHEMA)
+
+
+@query(
+    "udtf_split_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+        FROM documents WHERE doc_id < 50
+    ),
+    pos AS (SELECT doc_id, UNNEST(range(1, len(tk) + 1)) AS p, tk FROM toks)
+    SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos, tk[p] AS tok
+    FROM pos
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python UDTF (Spark 4 ``@udtf``, Arrow-enabled): one doc →
+    one row per token with its position, consumed via LATERAL join —
+    the table-function extension point the reference exposes only as
+    plugin SPIs. Arrow batching keeps it off the row-at-a-time path;
+    the relational equivalent (posexplode/split) stays the preferred
+    form for production plans."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="pos int, tok string")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split()):
+                yield i, tok
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.tok
+        FROM __udtf_docs d, LATERAL split_tokens(d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    )
