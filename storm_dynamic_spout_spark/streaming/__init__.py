@@ -18,9 +18,13 @@ from storm_dynamic_spout_spark.streaming.coordinator import (
 )
 from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA, FileTopic
 from storm_dynamic_spout_spark.streaming.filter_chain import FilterChain
-from storm_dynamic_spout_spark.streaming.firehose import Firehose
+from storm_dynamic_spout_spark.streaming.dedup_stream import StreamingDedupIndex
+from storm_dynamic_spout_spark.streaming.firehose import Firehose, write_sink_batch
 from storm_dynamic_spout_spark.streaming.metrics import (
+    JsonLinesRecorder,
+    LogRecorder,
     MetricsRecorder,
+    TimerManager,
     PartitionProgress,
     attach_query_listener,
     record_route_lag,
@@ -37,10 +41,12 @@ from storm_dynamic_spout_spark.streaming.retry import (
 )
 from storm_dynamic_spout_spark.streaming.sideline import (
     FileWatchTrigger,
+    InMemorySidelinePersistence,
     SidelineController,
     SidelinePayload,
     SidelinePersistence,
     SidelineRequest,
+    SidelineTrigger,
     SidelineType,
     TriggerEvent,
 )
@@ -55,6 +61,9 @@ __all__ = [
     "FileWatchTrigger",
     "FilterChain",
     "Firehose",
+    "InMemorySidelinePersistence",
+    "JsonLinesRecorder",
+    "LogRecorder",
     "MetricsRecorder",
     "NeverRetryPolicy",
     "PartitionProgress",
@@ -65,7 +74,10 @@ __all__ = [
     "SidelinePayload",
     "SidelinePersistence",
     "SidelineRequest",
+    "SidelineTrigger",
     "SidelineType",
+    "StreamingDedupIndex",
+    "TimerManager",
     "ThrottledBufferPolicy",
     "TriggerEvent",
     "attach_query_listener",
@@ -75,4 +87,5 @@ __all__ = [
     "schedule_failures",
     "split_due",
     "split_exhausted",
+    "write_sink_batch",
 ]
