@@ -105,6 +105,7 @@ _PRIORITY = [
     "embedding_quantize",
     "ann_topk_ivf_nprobe",
     "udtf_split_tokens",
+    "dedup_cluster_assignment",
 ]
 
 

@@ -1081,3 +1081,34 @@ def ann_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("cos") * 1000000) / 1000000).alias("cos"),
         "rank",
     )
+
+
+def _cluster_oracle_sql() -> str:
+    psql = _minhash_pairs_sql()
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({psql})),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query("dedup_cluster_assignment", oracle=_cluster_oracle_sql())
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical dedup cluster ids: connected components over the
+    MinHash near-dup pairs via iterative min-label propagation
+    (operators/dedup.py connected_components — the Pregel pattern,
+    oracle-checked against a recursive-CTE transitive closure).
+    Singletons keep their own id; corpus-level dedup then keeps
+    doc_id == cluster_id."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(d, "doc_id", "text", NEAR_DUP_JACCARD)
+    return D.connected_components(pairs, d, "doc_id").orderBy("doc_id")

@@ -310,3 +310,57 @@ def ngram_jaccard_pairs(
         .filter(F.col("ngram_jaccard") >= threshold)
         .select("id_a", "id_b", "ngram_jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every node labeled with
+    the MINIMUM id reachable from it — the canonical cluster id that
+    turns pair detection into corpus-level dedup (keep one doc per
+    cluster, not per pair).
+
+    Iterative min-label propagation (the Pregel/GraphX pattern): each
+    round, a node takes the smallest label among itself and its
+    neighbors; converged when a round changes nothing. The loop is
+    driver-side but each step is a distributed equi-join + aggregate;
+    ``localCheckpoint`` truncates the growing lineage each round.
+    Rounds needed = graph diameter (near-dup clusters are shallow).
+    At extreme scale swap the step for large-star/small-star, which
+    contracts paths in O(log n) rounds — same fixpoint.
+    """
+    e = pairs.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    edges = (
+        e.unionByName(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(id_col).alias("__n"), F.col(id_col).alias("__l"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["__d"] == labels["__n"])
+            .groupBy("__s")
+            .agg(F.min("__l").alias("__nl"))
+        )
+        new = (
+            labels.join(nbr, labels["__n"] == nbr["__s"], "left")
+            .select(
+                F.col("__n"),
+                F.least(F.col("__l"), F.coalesce(F.col("__nl"), F.col("__l"))).alias("__l"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("__l", "__prev"), "__n")
+            .filter(F.col("__l") != F.col("__prev"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("__n").alias(id_col), F.col("__l").alias("cluster_id"))
