@@ -106,6 +106,7 @@ _PRIORITY = [
     "ann_topk_ivf_nprobe",
     "udtf_split_tokens",
     "dedup_cluster_assignment",
+    "text_quality_filter",
 ]
 
 

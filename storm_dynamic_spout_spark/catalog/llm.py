@@ -1112,3 +1112,50 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     pairs = D.minhash_near_dups(d, "doc_id", "text", NEAR_DUP_JACCARD)
     return D.connected_components(pairs, d, "doc_id").orderBy("doc_id")
+
+
+# quality gate thresholds (shared Spark/oracle)
+QF_MIN_TOKENS = 20
+QF_MIN_STOPWORD = 0.02
+QF_MAX_STOPWORD = 0.15
+
+
+def _quality_filter_sql() -> str:
+    sw = X.sql_stopword_ratio("text", X.QUALITY_STOPWORDS)
+    n = "len(regexp_split_to_array(text, '\\s+'))"
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {n} < {QF_MIN_TOKENS} THEN 'too_short'
+                WHEN {sw} < {QF_MIN_STOPWORD} THEN 'low_stopword'
+                WHEN {sw} > {QF_MAX_STOPWORD} THEN 'high_stopword'
+                ELSE 'keep' END AS reason,
+           CASE WHEN {n} >= {QF_MIN_TOKENS}
+                 AND {sw} >= {QF_MIN_STOPWORD}
+                 AND {sw} <= {QF_MAX_STOPWORD}
+                THEN TRUE ELSE FALSE END AS keep
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@query("text_quality_filter", oracle=_quality_filter_sql())
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality GATE (decision, not score): keep/drop per doc with
+    the first failing rule as the reason — token-count floor, then
+    stopword-ratio band (too low = no natural-language signal, too
+    high = boilerplate). Pure per-row expressions, so the double
+    comparisons are bit-identical across engines (no accumulation)."""
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = X.token_count(text)
+    sw = X.stopword_ratio(text)
+    reason = (
+        F.when(n < QF_MIN_TOKENS, "too_short")
+        .when(sw < QF_MIN_STOPWORD, "low_stopword")
+        .when(sw > QF_MAX_STOPWORD, "high_stopword")
+        .otherwise("keep")
+    )
+    keep = (n >= QF_MIN_TOKENS) & (sw >= QF_MIN_STOPWORD) & (sw <= QF_MAX_STOPWORD)
+    return d.select(
+        "doc_id", reason.alias("reason"), keep.alias("keep")
+    ).orderBy("doc_id")
