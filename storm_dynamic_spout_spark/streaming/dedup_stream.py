@@ -85,6 +85,28 @@ class StreamingDedupIndex:
             return None
         return spark.read.parquet(self.dup_dir)
 
+    def compact_index(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Merge the per-batch signature files (one parquet append per
+        micro-batch) into ``target_files``, dedup-by-id in the process —
+        the index-side twin of :meth:`Firehose.compact_output`. Run in a
+        maintenance window: a concurrent ``process_batch`` would read
+        the directory mid-swap. Returns the row count after compaction.
+        """
+        import shutil
+        import uuid
+
+        idx = self.index_df(spark)
+        if idx is None:
+            return 0
+        merged = idx.dropDuplicates([self.id_col]).repartition(target_files)
+        tmp = f"{self.index_dir}-compact-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{self.index_dir}-old-{uuid.uuid4().hex[:8]}"
+        os.rename(self.index_dir, old)
+        os.rename(tmp, self.index_dir)
+        shutil.rmtree(old)
+        return self.index_df(spark).count()
+
     # -- the per-batch step --------------------------------------------------
 
     def _match(self, new_sig: DataFrame, seen_sig: DataFrame) -> DataFrame:

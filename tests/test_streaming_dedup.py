@@ -137,3 +137,20 @@ def test_empty_batch_is_a_noop(spark, index):
     # state machinery still works afterwards
     index.process_batch(_docs_df(spark, [(0, DOC_A)]), _collect_sink(out))
     assert [i for i, _ in out] == [0]
+
+
+def test_compact_index_merges_files_and_preserves_matching(spark, index):
+    import os
+
+    for b, rows in enumerate([[(0, DOC_A)], [(1, DOC_B)], [(4, DOC_C)]]):
+        index.process_batch(_docs_df(spark, rows), lambda df: df.count())
+    n_files = len([f for f in os.listdir(index.index_dir) if f.endswith(".parquet")])
+    assert n_files >= 3
+    assert index.compact_index(spark) == 3
+    assert len([f for f in os.listdir(index.index_dir) if f.endswith(".parquet")]) == 1
+    # matching still works against the compacted index
+    out = []
+    index.process_batch(_docs_df(spark, [(9, DOC_A_NEAR)]), _collect_sink(out))
+    assert out == []
+    dups = {r["doc_id"]: r["matched_id"] for r in index.duplicates(spark).collect()}
+    assert dups == {9: 0}
