@@ -2,6 +2,7 @@
 
 from storm_dynamic_spout_spark.catalog import (  # noqa: F401
     aggregates,
+    analytics,
     filters,
     joins,
     llm,
@@ -107,6 +108,10 @@ _PRIORITY = [
     "udtf_split_tokens",
     "dedup_cluster_assignment",
     "text_quality_filter",
+    "events_funnel",
+    "events_retention",
+    "agg_histogram",
+    "text_repetition",
 ]
 
 

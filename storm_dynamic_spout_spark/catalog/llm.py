@@ -1159,3 +1159,55 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", reason.alias("reason"), keep.alias("keep")
     ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1] || ' '
+                    || string_split(text, ' ')[i+2]) AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+             AS rep_ratio
+    FROM g
+    WHERE len(grams) > 0
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal (Gopher-style quality heuristic): the fraction
+    of word 3-gram *occurrences* that are repeats of an earlier 3-gram
+    in the same document — near-0 for natural prose, high for looping
+    boilerplate. Entirely array expressions inside one projection (no
+    explode, no shuffle): at 100 TB this is a pure map-side scan whose
+    cost is the tokenize, same as the other text signals."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    # stage `words` as a column so the transform lambda indexes an
+    # attribute, not three re-evaluated split() calls per element
+    grams = F.expr(
+        "transform(sequence(0, size(words) - 3),"
+        " i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
+    )
+    return (
+        d.filter(F.size(words) >= 3)
+        .select("doc_id", words.alias("words"))
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+            F.round(
+                1.0 - F.size(F.array_distinct("grams")).cast("double")
+                / F.size("grams"),
+                6,
+            ).alias("rep_ratio"),
+        )
+    )

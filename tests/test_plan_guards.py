@@ -201,3 +201,29 @@ def test_packing_and_shuffle_have_no_global_sort_stage(spark, sf_dir):
         # the final presentation orderBy is allowed to range-partition;
         # a SinglePartition exchange feeding a Sort is the smell
         assert "Exchange SinglePartition" not in plan, f"{name}:\n{plan[:2000]}"
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """The four funnel stages are conditional window-mins over one
+    partitionBy(user_id) — adding a stage must not add a shuffle, and
+    the closing per-user aggregate reuses the same partitioning."""
+    plan = _plan(spark, sf_dir, "events_funnel")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_retention_one_scan_two_exchanges(spark, sf_dir):
+    """Cohort retention reads events ONCE (per-user min+collect_set),
+    then aggregates the tiny exploded cells: one events scan, two
+    exchanges. The naive first-seen-join-activity plan (two scans,
+    four exchanges) is the regression this guards against."""
+    plan = _plan(spark, sf_dir, "events_retention")
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_histogram_partial_aggregates(spark, sf_dir):
+    """The histogram's map-side combine collapses the scan to ~20 rows
+    before the shuffle: two HashAggregate phases around one Exchange."""
+    plan = _plan(spark, sf_dir, "agg_histogram")
+    assert plan.count("HashAggregate") == 2, plan
+    assert plan.count("Exchange") == 1, plan
