@@ -112,6 +112,7 @@ _PRIORITY = [
     "events_retention",
     "agg_histogram",
     "text_repetition",
+    "events_transitions",
 ]
 
 

@@ -1,21 +1,24 @@
-"""Event-analytics operators: funnel, cohort retention, histogram.
+"""Event-analytics operators: funnel, retention, histogram, paths.
 
 The reference feeds exactly this class of consumer (its Storm topologies
 sit in front of event-analytics backends; the engine owns the whole
-query). All three are classic warehouse shapes expressed so Catalyst
-keeps them to one shuffle each:
+query). All are classic warehouse shapes expressed so Catalyst keeps
+each to the minimum shuffle count (plan-guarded in
+``tests/test_plan_guards.py``):
 
 - **funnel**: chained conditional window-mins over ONE
   ``partitionBy(user_id)`` exchange — each stage's "first event at or
   after the previous stage" is a window expression over the same
   partitioning, so the four stages add zero extra shuffles, and the
   closing per-user aggregate reuses the partitioning again.
-- **retention**: two aggregates keyed on user_id (co-partitioned join),
-  then a final small aggregate on (cohort, offset) — at 100 TB the
-  user_id shuffle dominates and happens once.
+- **retention**: one events scan — per-user ``min(week)`` +
+  ``collect_set(week)`` in a single user_id aggregate, exploded to
+  (cohort, offset) cells for a tiny closing aggregate.
 - **histogram**: fixed-width buckets from *integer cents* arithmetic so
   Spark and the oracle bucket identically (DOUBLE cents would truncate
   vs round differently at boundaries); pure map-side + one tiny agg.
+- **transitions**: per-user lag over one shuffle+sort, then a
+  |event types|² aggregate.
 """
 
 from __future__ import annotations
@@ -168,4 +171,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.min("l_extendedprice").alias("lo_price"),
         F.max("l_extendedprice").alias("hi_price"),
+    )
+
+
+@query(
+    "events_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY {_TS}, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the event-type transition matrix — for every
+    consecutive pair in each user's timeline (event_id tiebreak for
+    equal timestamps, so the sequence is deterministic across engines),
+    count (prev → next) globally. One user_id shuffle + local sort for
+    the lag, then a tiny |types|² aggregate."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
     )
