@@ -174,6 +174,112 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Session gap threshold. Fixture inter-event gaps: median ~7.4 h,
+#: p90 ~25 h — 24 h splits real pauses without atomizing the timeline.
+SESSION_GAP_US = 86_400 * 1_000_000
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, value, {_TS} AS ts,
+             lag({_TS}) OVER (PARTITION BY user_id
+                              ORDER BY {_TS}, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_index
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+             AS duration_sec,
+           round(sum(value), 6) AS total_value
+    FROM sess GROUP BY user_id, session_index
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (24 h inactivity closes a session): the
+    lag/flag/running-sum idiom — one user_id shuffle + local sort covers
+    the lag AND the running session counter, then a per-session rollup.
+    Gap comparison runs in *microseconds* on both engines (Spark's
+    timestamp→long cast truncates sub-second parts; DuckDB's epoch()
+    keeps them — µs integers are exact in both)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = e.select("user_id", "event_id", "value", "ts").withColumn(
+        "session_index",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_index").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+         / F.lit(1_000_000)).cast("long").alias("duration_sec"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@query(
+    "events_gap_fill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ), days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ), types AS (
+      SELECT DISTINCT event_type FROM daily
+    )
+    SELECT t.event_type, d.day, CAST(coalesce(n, 0) AS BIGINT) AS n_events
+    FROM types t CROSS JOIN days d
+    LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: the dense (event_type × day) grid with explicit
+    zero rows for silent days — what alerting and time-series models
+    need downstream of sparse event streams. Every grid input derives
+    from the *daily aggregate itself* (types and date span), so the
+    events scan + its shuffle exchange are planned once and reused
+    (ReusedExchange) across the three consumers; the closing left join
+    broadcasts the tiny daily counts against the driver-free grid."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(days))
+    return grid.join(F.broadcast(daily), ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
 @query(
     "events_transitions",
     oracle=f"""
