@@ -982,7 +982,9 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings)
     SELECT vec_id,
            round(sqrt(list_inner_product(ve, ve)), 6) AS l2_norm,
-           list_transform(ve, x -> round(x / sqrt(list_inner_product(ve, ve)), 6)) AS unit
+           array_to_string(list_transform(ve, x ->
+               CAST(CAST(round(x / sqrt(list_inner_product(ve, ve)) * 1000000) AS BIGINT) AS VARCHAR)
+           ), ',') AS unit_ppm
     FROM v
     ORDER BY vec_id
     """,
@@ -990,10 +992,16 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization of the embedding column — the preprocessing
     every cosine index expects (operators/similarity.py l2_normalize).
-    Components rounded in-query on both engines."""
-    return S.l2_normalize(t(spark, sf_dir, "embeddings"), "vec_id", "embedding").orderBy(
-        "vec_id"
+    The unit vector crosses the driver hash as one CSV of integer
+    parts-per-million components (list cells aren't hashable in the
+    driver's canonical sort; integers are exact on both engines)."""
+    unit = S.l2_normalize(t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    ppm = F.transform(
+        F.col("unit"), lambda x: (x * 1_000_000).cast("long").cast("string")
     )
+    return unit.select(
+        "vec_id", "l2_norm", F.array_join(ppm, ",").alias("unit_ppm")
+    ).orderBy("vec_id")
 
 
 @query(

@@ -265,7 +265,7 @@ def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map",
     oracle="""
     SELECT event_id,
-           ['et', 'uid'] AS map_keys_sorted,
+           'et,uid' AS map_keys_sorted,
            CAST(2 AS BIGINT) AS map_size,
            CAST(user_id AS VARCHAR) AS uid_val,
            event_type AS et_val
@@ -276,7 +276,9 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family (SURVEY §2.8): create_map, map_keys (sorted for
     determinism), size, element_at lookup. The oracle states the
     expected values directly — it checks the map ops round-trip, not
-    DuckDB's own MAP type."""
+    DuckDB's own MAP type. Keys are emitted as one joined string:
+    the driver's canonical row sort can't factorize list-typed cells
+    (CORRECTNESS_r02 scalar_map err), so hashable scalars only."""
     e = t(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("et"), F.col("event_type"),
@@ -284,7 +286,7 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("map_keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("map_keys_sorted"),
         F.size(m).cast("long").alias("map_size"),
         F.element_at(m, "uid").alias("uid_val"),
         F.element_at(m, "et").alias("et_val"),
