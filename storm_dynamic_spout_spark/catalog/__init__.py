@@ -16,103 +16,73 @@ from storm_dynamic_spout_spark.catalog import (  # noqa: F401
 from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 
 #: Registration order doubles as the driver's sampling order: its
-#: correctness sweep checks the FIRST N registered queries (round 1
-#: stopped at 50, covering only aggregates/filters/joins/llm).  The
-#: priority list front-loads a cross-family sample — every §2 family
-#: (windows, sorts/top-k, set ops, each scalar family, both UDF
-#: entries, the stream_* queries, the TPC-H set) lands inside the first
-#: 50 slots — followed by the remaining not-yet-driver-checked entries,
-#: then the queries that already have green CORRECTNESS_r01 rows.
+#: correctness sweep checks the FIRST 50 registered queries.  Rounds
+#: 1+3 together covered exactly 100 of 133 registered queries; round 4
+#: rotates the window a third time — the 33 never-driver-checked
+#: queries occupy slots 1–33, and slots 34–50 hold 17 canaries drawn
+#: from every previously-green family (one regression tripwire per
+#: family).  Union of CORRECTNESS_r1..r4 then covers all 133.
 _PRIORITY = [
-    # §2.5 windows + §2.6 sorts/top-k (9)
-    "window_ranking",
-    "window_lag_lead",
-    "window_running",
-    "window_range_frame",
-    "window_first_last",
-    "window_distribution",
-    "orderby_limit",
-    "topk_per_group",
-    "sort_multi_key",
-    # §2.7 set ops (5)
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "setop_union_distinct",
-    "setop_union_evolved",
-    # §2.8 scalar families (11)
-    "scalar_string",
-    "scalar_regex",
-    "scalar_date",
-    "scalar_math",
-    "scalar_conditional",
-    "scalar_json",
-    "scalar_json_schema",
-    "scalar_array",
-    "scalar_map",
-    "scalar_string_distance",
-    "scalar_null_handling",
-    # §2.11 UDF surface (2)
-    "udf_pandas_scalar",
-    "udaf_apply_in_pandas",
-    # §2.9 T13 event-time + retry schedule (5)
-    "stream_tumbling_window",
-    "stream_hopping_window",
-    "stream_session_window",
-    "stream_dedup_within_window",
-    "retry_backoff_schedule",
-    # TPC-H (18 incl. the derived-partsupp four; q4/q12/q14/q22 deferred
-    # just past the 50-slot window)
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    # --- slots 51+: the rest of the not-yet-driver-checked entries ---
+    # --- slots 1–33: never driver-checked before round 4 ---
+    # events analytics (5)
+    "events_sessionize",
+    "events_funnel",
+    "events_retention",
+    "events_transitions",
+    "events_gap_fill",
+    # corpus / training-pipeline ops (3)
+    "corpus_contamination",
+    "sequence_packing",
+    "training_export_shuffle",
+    # embeddings / ANN (5)
+    "embedding_normalize",
+    "embedding_quantize",
+    "embedding_centroids",
+    "ann_ivf_assign",
+    "ann_topk_ivf_nprobe",
+    # text analysis (6)
+    "text_chunking",
+    "text_term_freq",
+    "text_tfidf_top_term",
+    "text_pii_scrub",
+    "text_quality_filter",
+    "text_repetition",
+    # sampling (2)
+    "sample_deterministic",
+    "sample_mixture",
+    # UDTF + dedup clustering + streaming dedup (3)
+    "udtf_split_tokens",
+    "dedup_cluster_assignment",
+    "stream_incremental_dedup",
+    # deferred TPC-H four (4)
     "tpch_q4",
     "tpch_q12",
     "tpch_q14",
     "tpch_q22",
-    "scalar_array_explode",
-    "scalar_map_explode",
+    # remaining scalars (4) + histogram agg (1)
     "scalar_bitops",
     "scalar_trig",
-    "text_chunking",
-    "sample_deterministic",
-    "sample_mixture",
-    "text_term_freq",
-    "text_tfidf_top_term",
-    "embedding_centroids",
-    "ann_ivf_assign",
-    "corpus_contamination",
-    "sequence_packing",
-    "training_export_shuffle",
-    "stream_incremental_dedup",
-    "text_pii_scrub",
-    "embedding_normalize",
-    "embedding_quantize",
-    "ann_topk_ivf_nprobe",
-    "udtf_split_tokens",
-    "dedup_cluster_assignment",
-    "text_quality_filter",
-    "events_funnel",
-    "events_retention",
+    "scalar_array_explode",
+    "scalar_map_explode",
     "agg_histogram",
-    "text_repetition",
-    "events_transitions",
+    # --- slots 34–50: one green canary per family (r1/r3 rows) ---
+    "tpch_q1",
+    "tpch_q9",
+    "window_ranking",
+    "topk_per_group",
+    "setop_union_all",
+    "scalar_string",
+    "scalar_math",
+    "scalar_map",
+    "udf_pandas_scalar",
+    "udaf_apply_in_pandas",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "retry_backoff_schedule",
+    "agg_having",
+    "join_star",
+    "dedup_exact",
+    "ann_topk_ivf",
 ]
 
 

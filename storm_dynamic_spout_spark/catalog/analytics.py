@@ -215,8 +215,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps them — µs integers are exact in both)."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    prev_us = F.unix_micros(F.lag("ts").over(w))
+    # Parquet ts is timestamp[us] without tz → Spark 4 reads TIMESTAMP_NTZ,
+    # and unix_micros requires TIMESTAMP; the cast is deterministic because
+    # the session TZ is pinned to UTC (engine.py session builder).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
     is_new = F.when(
         prev_us.isNull() | (us - prev_us > SESSION_GAP_US), 1
     ).otherwise(0)
@@ -228,7 +231,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        ((F.unix_micros(F.max("ts").cast("timestamp"))
+          - F.unix_micros(F.min("ts").cast("timestamp")))
          / F.lit(1_000_000)).cast("long").alias("duration_sec"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )

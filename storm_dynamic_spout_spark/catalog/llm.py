@@ -899,14 +899,66 @@ def training_export_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.export_shuffle(d, EXPORT_SHARDS).orderBy("shard", "shuffle_rank")
 
 
-@query("stream_incremental_dedup", oracle=None)
+def _stream_dedup_sql() -> str:
+    """The two-micro-batch dup-log, staged as CTEs: batch 1 = even
+    doc_ids matching within-batch (any earlier even doc counts as
+    seen); batch 2 = odd doc_ids matching earlier odds within-batch
+    PLUS the index, which holds only the evens that were NOT flagged
+    dup in batch 1. Best match = max agreement, ties to the earliest
+    seen id — exactly StreamingDedupIndex._match/process_batch."""
+    mh_cols = ", ".join(f"{_sql_minhash(s)} AS mh{s}" for s in D.MINHASH_SEEDS)
+    band_cols = ", ".join(
+        f"{_sql_band(rows)} AS band_{b}" for b, rows in enumerate(D.MINHASH_BANDS)
+    )
+    band_match = " OR ".join(
+        f"n.band_{b} = s.band_{b}" for b in range(len(D.MINHASH_BANDS))
+    )
+    agree = " + ".join(
+        f"(CASE WHEN n.mh{s} = s.mh{s} THEN 1 ELSE 0 END)" for s in D.MINHASH_SEEDS
+    )
+    pair_select = f"""
+      SELECT n.doc_id AS new_id, s.doc_id AS seen_id,
+             CAST({agree} AS DOUBLE) / {len(D.MINHASH_SEEDS)} AS agreement
+      FROM keyed n JOIN keyed s
+        ON ({band_match}) AND s.doc_id < n.doc_id"""
+    best = (
+        "SELECT new_id, seen_id, agreement, "
+        "row_number() OVER (PARTITION BY new_id "
+        "ORDER BY agreement DESC, seen_id ASC) AS rn "
+    )
+    return f"""
+    WITH sig AS (SELECT doc_id, {mh_cols} FROM documents),
+    keyed AS (SELECT *, {band_cols} FROM sig),
+    p1 AS ({pair_select}
+      WHERE n.doc_id % 2 = 0 AND s.doc_id % 2 = 0),
+    d1 AS ({best} FROM p1 WHERE agreement >= 0.5),
+    dups1 AS (SELECT new_id AS doc_id, seen_id AS matched_id, agreement
+              FROM d1 WHERE rn = 1),
+    p2 AS ({pair_select}
+      WHERE n.doc_id % 2 = 1
+        AND (s.doc_id % 2 = 1
+             OR s.doc_id NOT IN (SELECT doc_id FROM dups1))),
+    d2 AS ({best} FROM p2 WHERE agreement >= 0.5),
+    dups2 AS (SELECT new_id AS doc_id, seen_id AS matched_id, agreement
+              FROM d2 WHERE rn = 1)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(matched_id AS BIGINT) AS matched_id,
+           agreement
+    FROM (SELECT * FROM dups1 UNION ALL SELECT * FROM dups2)
+    ORDER BY doc_id
+    """
+
+
+@query("stream_incremental_dedup", oracle=_stream_dedup_sql())
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection, driven in two micro-batches over
     the documents table (even ids arrive first, odd ids second): new
     docs match against the persistent minhash band-key index via
-    equi-joins (streaming/dedup_stream.py). Rows-only check — the
-    multi-batch stateful contract is not one SQL query; full scenario
-    coverage lives in tests/test_streaming_dedup.py."""
+    equi-joins (streaming/dedup_stream.py). The final dup-log IS
+    SQL-expressible (two staged half-corpus CTEs — see
+    _stream_dedup_sql), so the driver hash-checks values; the
+    multi-batch stateful mechanics get scenario coverage in
+    tests/test_streaming_dedup.py."""
     import tempfile
 
     from storm_dynamic_spout_spark.streaming.dedup_stream import StreamingDedupIndex
@@ -991,14 +1043,14 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization of the embedding column — the preprocessing
-    every cosine index expects (operators/similarity.py l2_normalize).
-    The unit vector crosses the driver hash as one CSV of integer
-    parts-per-million components (list cells aren't hashable in the
-    driver's canonical sort; integers are exact on both engines)."""
-    unit = S.l2_normalize(t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
-    ppm = F.transform(
-        F.col("unit"), lambda x: (x * 1_000_000).cast("long").cast("string")
-    )
+    every cosine index expects (operators/similarity.py
+    l2_normalize_ppm).  The unit vector crosses the driver hash as one
+    CSV of integer parts-per-million components (list cells aren't
+    hashable in the driver's canonical sort).  Both engines round the
+    raw quotient ``x/norm * 1e6`` exactly once, so the integers match
+    bit-for-bit."""
+    unit = S.l2_normalize_ppm(t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    ppm = F.transform(F.col("unit_ppm"), lambda x: x.cast("string"))
     return unit.select(
         "vec_id", "l2_norm", F.array_join(ppm, ",").alias("unit_ppm")
     ).orderBy("vec_id")

@@ -142,7 +142,12 @@ def l2_normalize(df: DataFrame, id_col: str, vec_col: str, round_dp: int = 6) ->
     components rounded in-query (engine-portable — the division is one
     IEEE op per component, rounding pins the cross-engine string repr).
     The preprocessing step every cosine index expects; pure built-in
-    array ops, JVM-side, no shuffle."""
+    array ops, JVM-side, no shuffle.
+
+    For exact cross-engine *integer* comparison use
+    :func:`l2_normalize_ppm` — scaling a component already rounded to
+    ``round_dp`` places and then truncating re-introduces one-ulp
+    mismatches (a 6-dp double like 0.123457 is stored as 0.12345699…)."""
     v = as_double(F.col(vec_col))
     n = norm(v)
     unit = F.transform(v, lambda x: F.round(x / n, round_dp))
@@ -150,6 +155,22 @@ def l2_normalize(df: DataFrame, id_col: str, vec_col: str, round_dp: int = 6) ->
         F.col(id_col),
         F.round(n, round_dp).alias("l2_norm"),
         unit.alias("unit"),
+    )
+
+
+def l2_normalize_ppm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Unit-normalize with integer parts-per-million components:
+    ``(id, l2_norm, unit_ppm: array<long>)``.  Each component is the
+    raw quotient ``x / ||v||`` scaled by 1e6 and rounded ONCE — the
+    same single rounding DuckDB's ``round(x/norm * 1000000)`` applies,
+    so the integers match bit-for-bit across engines.  No shuffle."""
+    v = as_double(F.col(vec_col))
+    n = norm(v)
+    ppm = F.transform(v, lambda x: F.round(x / n * 1_000_000).cast("long"))
+    return df.select(
+        F.col(id_col),
+        F.round(n, 6).alias("l2_norm"),
+        ppm.alias("unit_ppm"),
     )
 
 

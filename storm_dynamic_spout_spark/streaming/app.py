@@ -86,6 +86,7 @@ class DynamicStreamApp:
         self.dlq_dir = os.path.join(workdir, "dlq")
         self._firehose: Firehose | None = None
         self._replay_queries: dict[str, object] = {}
+        self._last_sideline_refresh = 0.0
         os.makedirs(self.out_dir, exist_ok=True)
         # fail → retry-with-backoff → DLQ (T4-T7/S7): rows matching the
         # failure condition are treated as processing failures. Policy
@@ -120,7 +121,10 @@ class DynamicStreamApp:
         ``loadSidelines`` — SidelineSpoutHandler.java:227-322), then
         start the firehose last (race avoidance, same ordering as the
         reference)."""
+        import time as _time
+
         self.controller.load_sidelines()
+        self._last_sideline_refresh = _time.monotonic()
 
         retry_runner = self.retry_runner
 
@@ -157,7 +161,46 @@ class DynamicStreamApp:
 
     def process_all_available(self) -> None:
         assert self._firehose is not None, "call open() first"
+        self._maybe_reconcile_sidelines()
         self._firehose.process_all_available()
+
+    # -- periodic sideline reconciliation (T11) -----------------------------
+
+    def _maybe_reconcile_sidelines(self) -> list[str]:
+        """Timed reconciliation poll: runs :meth:`reconcile_sidelines`
+        when ``sideline.refresh_interval_seconds`` has elapsed since the
+        last reload (reference re-loads persisted sidelines on a timer,
+        ``SidelineSpoutHandler.java:192-214``, default 600s).  Interval
+        0 reconciles on every poll; negative disables the automatic
+        path (explicit :meth:`reconcile_sidelines` still works)."""
+        import time as _time
+
+        interval = float(self.config["sideline.refresh_interval_seconds"])
+        if interval < 0:
+            return []
+        if _time.monotonic() - self._last_sideline_refresh < interval:
+            return []
+        return self.reconcile_sidelines()
+
+    def reconcile_sidelines(self) -> list[str]:
+        """Re-read persisted sideline state — including payloads written
+        by ANOTHER process sharing the state dir — re-apply firehose
+        filters, and (re)spawn replay streams for RESUME/RESOLVE
+        sidelines that have no running replay query (the loadSidelines
+        re-spawn, ``SidelineSpoutHandler.java:227-322``).  Returns the
+        route ids spawned."""
+        import time as _time
+
+        self._last_sideline_refresh = _time.monotonic()
+        to_replay = self.controller.load_sidelines()
+        spawned: list[str] = []
+        for payload in to_replay:
+            route_id = f"sideline-{payload.id}"
+            if route_id not in self._replay_queries:
+                self.start_replay_stream(payload.id)
+                spawned.append(route_id)
+        self.recorder.count("sideline.reconcile")
+        return spawned
 
     def close(self) -> None:
         """Graceful shutdown: replays first, firehose last (reverse of

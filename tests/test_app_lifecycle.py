@@ -209,3 +209,58 @@ def test_retry_state_survives_restart(spark, tmp_path):
     assert [(r["value"], r[ATTEMPTS_COL]) for r in dlq.collect()] == [("p1", 2)]
     assert _vals(app2.output(), "firehose") == ["o1", "o2"]
     app2.close()
+
+
+def test_periodic_reconciliation_picks_up_external_sideline(spark, tmp_path):
+    """T11 periodic reconciliation (SidelineSpoutHandler.java:192-214):
+    a sideline persisted by a SECOND process sharing the state dir is
+    picked up by the running app without restart — the firehose filter
+    applies and the replay stream is auto-spawned — once
+    sideline.refresh_interval_seconds elapses (0 = every poll here)."""
+    from storm_dynamic_spout_spark.engine import EngineConfig
+    from storm_dynamic_spout_spark.streaming.file_topic import FileTopic
+    from storm_dynamic_spout_spark.streaming.filter_chain import FilterChain
+    from storm_dynamic_spout_spark.streaming.sideline import (
+        SidelineController,
+        SidelineRequest,
+    )
+
+    topic_path = str(tmp_path / "topic")
+    workdir = str(tmp_path / "work")
+    app = DynamicStreamApp(
+        spark, topic_path, workdir,
+        config=EngineConfig({"sideline.refresh_interval_seconds": 0}),
+    )
+    app.produce([("tenant-x", "x1"), ("tenant-a", "a1")])
+    app.open()
+    app.process_all_available()
+    assert _vals(app.output()) == ["a1", "x1"]
+
+    # a SECOND controller (different process in production) starts and
+    # resumes a sideline against the same shared state dir — the running
+    # app is never told directly
+    other = SidelineController(
+        FileTopic(topic_path, app.topic.num_partitions),
+        FilterChain(),
+        str(tmp_path / "work" / "state"),
+    )
+    other.start(SidelineRequest("ext", "key = 'tenant-x'"))
+    other.resume("ext")
+
+    app.produce([("tenant-x", "x2"), ("tenant-a", "a2")])
+    app.process_all_available()  # reconcile poll runs here
+    # the external filter was applied (x2 withheld from the firehose)...
+    assert _vals(app.output(), "firehose") == ["a1", "a2", "x1"]
+    # ...and the replay stream was auto-spawned for the RESUME sideline
+    assert "sideline-ext" in app._replay_queries
+    for q in app._replay_queries.values():
+        q.processAllAvailable()
+    assert _vals(app.output(), "sideline-ext") == ["x2"]
+    assert app.recorder.counters.get("sideline.reconcile", 0) >= 1
+
+    # a negative interval disables the automatic path
+    app.config.values["sideline.refresh_interval_seconds"] = -1
+    before = app.recorder.counters.get("sideline.reconcile", 0)
+    app.process_all_available()
+    assert app.recorder.counters.get("sideline.reconcile", 0) == before
+    app.close()
