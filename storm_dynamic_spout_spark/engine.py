@@ -43,8 +43,11 @@ DEFAULTS: dict[str, Any] = {
     "sideline.refresh_interval_seconds": 600,
     # output schema declaration (SpoutConfig.java:70 spout.output_fields)
     "output.fields": None,  # None → schema inferred from source/parse
-    "output.stream_id": "default",  # DynamicSpout.java:552-563
-    "output.failed_stream_id": "failed",  # DLQ stream (DynamicSpout.java:292)
+    # stream ids (DynamicSpout.java:552-563, :292-293): the live route's
+    # provenance tag and the DLQ directory name under the app workdir
+    # (the reference's Storm defaults were "default"/"failed")
+    "output.stream_id": "firehose",
+    "output.failed_stream_id": "dlq",
     # metrics recorder selection (SpoutConfig metrics.class analogue:
     # Log / Storm / Dropwizard → memory / log / jsonl)
     "metrics.recorder": "memory",
@@ -71,12 +74,12 @@ CONFIG_DOCS: dict[str, str] = {
     "retry.max_delay_ms": "Backoff ceiling",
     "buffer.max_size_per_route": "Per-route per-trigger row budget (backpressure; RoundRobinBuffer size analogue)",
     "coordinator.max_concurrent_routes": "Max live streaming queries (firehose + replays)",
-    "coordinator.state_flush_interval_ms": "Periodic control-state flush cadence",
-    "coordinator.monitor_interval_ms": "Progress/lag monitor cadence",
-    "sideline.refresh_interval_seconds": "How often sideline control state is re-read outside batch boundaries",
-    "output.fields": "Declared output schema; None infers from source/deserializer",
-    "output.stream_id": "Route id of the main output stream",
-    "output.failed_stream_id": "Route id of the permanently-failed (DLQ) stream",
+    "coordinator.state_flush_interval_ms": "Consumer-state flush cadence of the monitor thread (DynamicStreamApp.start_monitor -> O6 adapter)",
+    "coordinator.monitor_interval_ms": "Monitor-thread lag-gauge cadence (DynamicStreamApp.start_monitor)",
+    "sideline.refresh_interval_seconds": "Periodic sideline reconciliation cadence (0 = every poll, negative disables; DynamicStreamApp.reconcile_sidelines)",
+    "output.fields": "Declared output projection of DynamicStreamApp.output(); None keeps the full schema",
+    "output.stream_id": "Provenance route id of the live stream",
+    "output.failed_stream_id": "Directory name of the permanently-failed (DLQ) stream under the app workdir",
     "metrics.recorder": "Recorder backend: memory | log | jsonl",
     "metrics.jsonl_path": "Target file for the jsonl recorder",
     "spark.master": "Spark master URL (env SPARK_GRAFT_MASTER / SPARK_GRAFT_CPUS)",

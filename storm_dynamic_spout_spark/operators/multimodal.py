@@ -9,14 +9,22 @@ Partitioning is preserved through mapInPandas (narrow transformation —
 no shuffle); repartition *before* the decode stage to spread work, not
 after.
 
-The decode step itself is STUBBED: the container ships no image/audio
-codecs, so ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic pure-Python decode of the engine's own synthetic payload
-format is used. Everything *around* the decode — schemas, UDF
-signatures, Arrow batch shapes, partition behavior — is real and
-tested; swapping in Pillow/librosa on a real cluster changes only the
-body of ``_decode_batch``.
+Codec coverage is tiered:
+
+- **Real, always available**: uncompressed formats decoded with
+  stdlib + numpy — PPM (P6) and BMP (24-bit uncompressed) images,
+  WAV (PCM) audio via the stdlib ``wave`` module. These run and are
+  tested in any environment, including this container.
+- **Real, gated**: compressed formats (JPEG/PNG) decode via Pillow
+  where installed (import-try seam); absent Pillow the honest
+  ``NotImplementedError`` stands.
+- **Synthetic** (``fake=True``): the engine's deterministic payload
+  format, for fixtures whose bytes must derive from an id.
+
+Everything *around* the decode — schemas, UDF signatures, Arrow batch
+shapes, partition behavior — is identical across the three tiers, so
+swapping codecs on a real cluster changes only the per-payload decode
+function.
 """
 
 from __future__ import annotations
@@ -115,8 +123,8 @@ def _decode_payload(buf: bytes) -> tuple[int, int, int, float]:
 
 
 def _decode_payload_pil(buf: bytes) -> tuple[int, int, int, float]:
-    """Real decode via Pillow (the fake=False path where PIL exists):
-    same feature tuple as the synthetic decoder, so the surrounding
+    """Real decode via Pillow (compressed formats, where PIL exists):
+    same feature tuple as the other decoders, so the surrounding
     Spark plumbing — schema, batching, partitioning — is identical."""
     import io
 
@@ -128,22 +136,102 @@ def _decode_payload_pil(buf: bytes) -> tuple[int, int, int, float]:
     return img.width, img.height, channels, mean
 
 
+def make_ppm_image(seed: bytes, width: int = 8, height: int = 8) -> bytes:
+    """A REAL binary PPM (P6) image with deterministic pixels — netpbm
+    is a published public format; these bytes open in any image viewer.
+    Fixture twin of :func:`make_synthetic_image` for the real path."""
+    need = width * height * 3
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(seed + b"ppm" + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(out[:need])
+
+
+def _decode_ppm(buf: bytes) -> tuple[int, int, int, float]:
+    """Pure-numpy decode of binary PPM (P6, maxval<=255): header is
+    ASCII tokens (whitespace/comment separated), pixels are raw RGB."""
+    import numpy as np
+
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: magic, width, height, maxval; '#' starts a
+    # comment running to end-of-line (netpbm spec)
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(buf):
+        c = buf[i : i + 1]
+        if c == b"#":
+            i = buf.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(buf) and not buf[j : j + 1].isspace():
+                j += 1
+            tokens.append(buf[i:j])
+            i = j
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pixels = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i + 1)
+    return w, h, 3, float(pixels.mean()) if pixels.size else 0.0
+
+
+def _decode_bmp(buf: bytes) -> tuple[int, int, int, float]:
+    """Pure-numpy decode of uncompressed 24/32-bit BMP (the Windows
+    BITMAPINFOHEADER layout): rows are bottom-up and padded to 4 bytes,
+    but a whole-image mean only needs the pixel bytes per row."""
+    import numpy as np
+
+    if not buf.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", buf, 10)[0]
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP supported (bpp={bpp})")
+    h_abs = abs(h)
+    channels = bpp // 8
+    row_bytes = w * channels
+    stride = (row_bytes + 3) & ~3
+    rows = [
+        np.frombuffer(buf, np.uint8, count=row_bytes, offset=data_offset + r * stride)
+        for r in range(h_abs)
+    ]
+    pixels = np.concatenate(rows) if rows else np.empty(0, np.uint8)
+    return w, h_abs, channels, float(pixels.mean()) if pixels.size else 0.0
+
+
+def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
+    """fake=False dispatch: sniff the magic — uncompressed formats
+    (PPM/BMP) decode with stdlib+numpy everywhere; compressed formats
+    fall through to Pillow where installed."""
+    if buf.startswith(b"P6"):
+        return _decode_ppm(buf)
+    if buf.startswith(b"BM"):
+        return _decode_bmp(buf)
+    if HAS_PIL:
+        return _decode_payload_pil(buf)
+    raise NotImplementedError(
+        "compressed image codecs are not installed in this environment; "
+        "PPM/BMP decode natively — install Pillow for JPEG/PNG, or pass "
+        "fake=True for the deterministic synthetic decoder"
+    )
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id", fake: bool = False) -> DataFrame:
     """binary content → per-image features via Arrow-batched mapInPandas.
 
     ``fake=True`` decodes the engine's synthetic format
-    deterministically; ``fake=False`` decodes real JPEG/PNG bytes via
-    Pillow when installed, else raises NotImplementedError (this
-    container ships no codecs). Narrow transformation: partitioning
-    preserved.
+    deterministically; ``fake=False`` decodes REAL image bytes — PPM and
+    uncompressed BMP natively (stdlib+numpy, no codec dependency),
+    JPEG/PNG via Pillow where installed. Narrow transformation:
+    partitioning preserved.
     """
-    if not fake and not HAS_PIL:
-        raise NotImplementedError(
-            "image codecs are not installed in this environment; "
-            "install Pillow for real decode or pass fake=True for the "
-            "deterministic synthetic decoder"
-        )
-    decode_one = _decode_payload if fake else _decode_payload_pil
+    decode_one = _decode_payload if fake else _decode_payload_real
 
     def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -282,25 +370,79 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def make_wav_audio(seed: bytes, sample_rate: int = 16000, n_samples: int = 256) -> bytes:
+    """A REAL RIFF/WAV file (PCM16 mono) with deterministic samples,
+    written by the stdlib ``wave`` module — plays in any audio player.
+    Fixture twin of :func:`make_synthetic_audio` for the real path."""
+    import io
+    import wave
+
+    need = n_samples * 2
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(seed + b"wav" + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(bytes(out[:need]))
+    return bio.getvalue()
+
+
+def _decode_wav(buf: bytes) -> tuple[int, int, float]:
+    """Real WAV (PCM) decode via the stdlib ``wave`` module + numpy —
+    no external codec required. Returns (sample_rate, n_frames, rms of
+    the int16 samples normalized to [-1, 1])."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(buf), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        frames = wf.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+    return rate, n, rms
+
+
 def decode_audio(df: DataFrame, id_col: str = "doc_id", fake: bool = False) -> DataFrame:
     """binary audio → per-clip features via Arrow-batched mapInPandas.
-    Same seam as :func:`decode_image`: ``fake=False`` raises (no codecs
-    in this container); ``fake=True`` decodes the synthetic format."""
-    if not fake:
+    ``fake=False`` decodes REAL RIFF/WAV (PCM) bytes via the stdlib
+    ``wave`` module — no external codec dependency; compressed audio
+    (FLAC/MP3) is out of scope without a codec library.  ``fake=True``
+    decodes the engine's synthetic format."""
+
+    def _decode_real(buf: bytes) -> tuple[int, int, float]:
+        if buf[:4] == b"RIFF":
+            return _decode_wav(buf)
         raise NotImplementedError(
-            "audio codecs are not installed in this environment; "
-            "pass fake=True for the deterministic synthetic decoder"
+            "compressed audio codecs are not installed in this "
+            "environment; WAV decodes natively — pass fake=True for the "
+            "deterministic synthetic decoder"
         )
+
+    decode_one = _decode_audio_payload if fake else _decode_real
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rates, durs, rmss, shas = [], [], [], []
             for buf in pdf["content"]:
-                rate, n, rms = _decode_audio_payload(buf)
+                rate, n, rms = decode_one(bytes(buf))
                 rates.append(rate)
                 durs.append(n / rate)
                 rmss.append(rms)
-                shas.append(hashlib.sha256(buf).hexdigest())
+                shas.append(hashlib.sha256(bytes(buf)).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

@@ -15,7 +15,11 @@ from storm_dynamic_spout_spark.sources.deserializers import (
     json_deserializer,
     utf8_deserializer,
 )
-from storm_dynamic_spout_spark.sources.registry import SourceRegistry, SinkRegistry
+from storm_dynamic_spout_spark.sources.registry import (
+    SinkRegistry,
+    SourceRegistry,
+    kafka_options,
+)
 
 __all__ = [
     "DESERIALIZERS",
@@ -24,5 +28,6 @@ __all__ = [
     "csv_deserializer",
     "drop_undeserializable",
     "json_deserializer",
+    "kafka_options",
     "utf8_deserializer",
 ]

@@ -21,6 +21,67 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def kafka_options(
+    bootstrap_servers: str,
+    subscribe: str | list[str] | None = None,
+    assign: dict[str, list[int]] | None = None,
+    starting_offsets: str | dict[str, dict[int, int]] = "earliest",
+    ending_offsets: str | dict[str, dict[int, int]] | None = None,
+    fail_on_data_loss: bool = False,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Build the Kafka source option map from structured inputs — the
+    engine's ``KafkaConsumerConfig`` analogue
+    (``kafka/KafkaConsumerConfig.java:103-175``), unit-testable without
+    a broker or a SparkSession.
+
+    - ``subscribe`` (topic or topic list, comma-joined) XOR ``assign``
+      (``{topic: [partitions]}`` → the source's assign JSON) — exactly
+      one must be given, like the consumer's subscribe path.
+    - offset dicts ``{topic: {partition: offset}}`` render to the
+      source's ``startingOffsets``/``endingOffsets`` JSON (the
+      ``ConsumerState`` per-partition map, ``consumer/ConsumerState
+      .java:39-48``); the strings ``earliest``/``latest`` pass through.
+    - ``fail_on_data_loss=False`` (default) reproduces the reference's
+      offset-out-of-range recovery — stale offsets reset to earliest
+      instead of failing the query (``kafka/Consumer.java:548-625``).
+    """
+    import json
+
+    if (subscribe is None) == (assign is None):
+        raise ValueError("exactly one of subscribe/assign is required")
+
+    def _offsets_json(v: str | dict[str, dict[int, int]]) -> str:
+        if isinstance(v, str):
+            if v not in ("earliest", "latest"):
+                raise ValueError(f"offset literal must be earliest/latest, got {v!r}")
+            return v
+        return json.dumps(
+            {t: {str(p): int(o) for p, o in parts.items()} for t, parts in v.items()},
+            sort_keys=True,
+        )
+
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+        "startingOffsets": _offsets_json(starting_offsets),
+    }
+    if subscribe is not None:
+        opts["subscribe"] = (
+            subscribe if isinstance(subscribe, str) else ",".join(subscribe)
+        )
+    else:
+        opts["assign"] = json.dumps(
+            {t: sorted(int(p) for p in ps) for t, ps in assign.items()},
+            sort_keys=True,
+        )
+    if ending_offsets is not None:
+        opts["endingOffsets"] = _offsets_json(ending_offsets)
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(int(max_offsets_per_trigger))
+    return opts
+
+
 class SourceRegistry:
     """format key → reader builders, batch and streaming."""
 
@@ -117,7 +178,7 @@ class SourceRegistry:
 
         self.register("rate", stream=_rate)
 
-        def _kafka_batch(spark: SparkSession, **opts: Any) -> DataFrame:
+        def _kafka_batch(spark: SparkSession, **opts: Any) -> DataFrame:  # pragma: no cover - needs broker
             # bounded replay: pass startingOffsets/endingOffsets JSON —
             # the Consumer.java:261-310 seek + VirtualSpout ending-bound
             # analogue. failOnDataLoss=false reproduces the reference's

@@ -68,8 +68,12 @@ class DynamicStreamApp:
         failure_condition_sql: str | None = None,
         retry_policy=None,
         config=None,
+        consumer_state=None,
     ) -> None:
         from storm_dynamic_spout_spark.engine import EngineConfig
+        from storm_dynamic_spout_spark.streaming.consumer_state import (
+            FileConsumerStatePersistence,
+        )
 
         self.spark = spark
         self.workdir = workdir
@@ -83,10 +87,22 @@ class DynamicStreamApp:
         )
         self.trigger = FileWatchTrigger(os.path.join(workdir, "commands"), self.controller)
         self.out_dir = os.path.join(workdir, "out")
-        self.dlq_dir = os.path.join(workdir, "dlq")
+        # the live route's tag + the DLQ stream's directory come from the
+        # declared stream ids (DynamicSpout.java:552-563, :292-293)
+        self.live_route_id = str(self.config["output.stream_id"])
+        self.dlq_dir = os.path.join(
+            workdir, str(self.config["output.failed_stream_id"])
+        )
+        # O6 seam: the checkpoint's queryable mirror — swap for a remote
+        # adapter the way O7 allows for sidelines (consumer_state.py)
+        self.consumer_state = consumer_state or FileConsumerStatePersistence(
+            os.path.join(workdir, "consumer_state")
+        )
         self._firehose: Firehose | None = None
         self._replay_queries: dict[str, object] = {}
         self._last_sideline_refresh = 0.0
+        self._monitor_thread = None
+        self._monitor_stop = None
         os.makedirs(self.out_dir, exist_ok=True)
         # fail → retry-with-backoff → DLQ (T4-T7/S7): rows matching the
         # failure condition are treated as processing failures. Policy
@@ -127,6 +143,7 @@ class DynamicStreamApp:
         self._last_sideline_refresh = _time.monotonic()
 
         retry_runner = self.retry_runner
+        live_route_id = self.live_route_id
 
         class _TaggedFirehose(Firehose):
             # kept rows are tagged with the route id on the way out;
@@ -140,7 +157,7 @@ class DynamicStreamApp:
                 kept = chain.keep(batch_df)
 
                 def _sink(ok: DataFrame) -> None:
-                    write_sink_batch(ok, inner.output_dir, route_id="firehose")
+                    write_sink_batch(ok, inner.output_dir, route_id=live_route_id)
 
                 if retry_runner is not None:
                     retry_runner.process_batch(kept, int(_time.time() * 1000), _sink)
@@ -241,12 +258,18 @@ class DynamicStreamApp:
         Idempotence note: like the reference, a replay that runs in both
         RESUME and RESOLVE states would re-deliver (at-least-once); run
         it once per state transition or only at RESOLVE."""
+        from pyspark.sql import Observation
+
         payload = self.controller.persistence.retrieve(sideline_id)
         df = self.controller.replay_df(self.spark, sideline_id).withColumn(
             "route_id", F.lit(f"sideline-{sideline_id}")
         )
-        n = df.count()
+        # observed metric instead of a pre-count: the replay runs ONE
+        # Spark job — the row count rides along with the sink write
+        obs = Observation(f"replay-{sideline_id}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         write_sink_batch(df, self.out_dir)
+        n = int(obs.get["n"])
         self.recorder.count(f"sideline.{sideline_id}.replayed", n)
         if payload is not None and payload.type is SidelineType.RESOLVE:
             self.controller.complete(sideline_id)
@@ -336,12 +359,12 @@ class DynamicStreamApp:
             self.spark, payload.start_offsets, payload.end_offsets
         ).filter(F.expr(payload.predicate_sql))
         expected_n = expected.count()
-        replayed_n = self.output().filter(F.col("route_id") == route_id).count()
+        replayed_n = self._full_output().filter(F.col("route_id") == route_id).count()
         return replayed_n >= expected_n
 
     # -- observability (O10, SpoutPartitionProgressMonitor arithmetic) ------
 
-    def progress(self, route_id: str = "firehose") -> dict[int, "object"]:
+    def progress(self, route_id: str | None = None) -> dict[int, "object"]:
         """Per-partition progress of one route: starting offset (−1 for
         the firehose; the recorded start snapshot for sidelines),
         current = the route's delivered high-water mark, ending = the
@@ -351,9 +374,11 @@ class DynamicStreamApp:
         ``SpoutPartitionProgressMonitor.java:100-123``."""
         from storm_dynamic_spout_spark.streaming.metrics import route_progress
 
+        if route_id is None:
+            route_id = self.live_route_id
         starting = {p: -1 for p in range(self.topic.num_partitions)}
         ending = self.topic.latest_offsets()
-        if route_id != "firehose":
+        if route_id != self.live_route_id:
             sid = route_id.removeprefix("sideline-")
             payload = self.controller.persistence.retrieve(sid)
             if payload is not None:
@@ -361,7 +386,7 @@ class DynamicStreamApp:
                 if payload.end_offsets is not None:
                     ending = payload.end_offsets
         delivered = (
-            self.output()
+            self._full_output()
             .filter(F.col("route_id") == route_id)
             .groupBy("partition")
             .agg(F.max("offset").alias("cur"))
@@ -372,25 +397,109 @@ class DynamicStreamApp:
             current.setdefault(p, starting[p])
         return route_progress(starting, current, ending)
 
-    def lag(self, route_id: str = "firehose") -> dict[int, int]:
+    def lag(self, route_id: str | None = None) -> dict[int, int]:
         """The reference's own perf KPI: per-partition consumer lag =
         head offset − delivered offset (``kafka/Consumer.java:373-426``,
         reported as the Kafka lag metric). 0 when fully caught up."""
-        prog = self.progress(route_id)
+        prog = self.progress(route_id or self.live_route_id)
         out = {}
         for p, pp in prog.items():
             end = pp.ending_offset if pp.ending_offset is not None else pp.current_offset
             out[p] = max(end - pp.current_offset, 0)
         return out
 
+    # -- consumer-state flush + monitor (O2 monitor thread, T2 flush) -------
+
+    def flush_consumer_state(self) -> dict[str, dict[int, int]]:
+        """Persist every route's delivered per-partition high-water mark
+        through the O6 adapter (``VirtualSpout.flushState`` →
+        ``persistConsumerState``, ``VirtualSpout.java:542-549``).  The
+        checkpoint stays the restart source of truth; this table is the
+        operational mirror a monitor or remote adapter reads.  Returns
+        the flushed state per route."""
+        delivered = (
+            self._full_output()
+            .groupBy("route_id", "partition")
+            .agg(F.max("offset").alias("cur"))
+            .collect()
+        )
+        states: dict[str, dict[int, int]] = {}
+        for r in delivered:
+            states.setdefault(r["route_id"], {})[int(r["partition"])] = int(r["cur"])
+        for route_id, offsets in states.items():
+            self.consumer_state.persist_state(route_id, offsets)
+        return states
+
+    def start_monitor(self) -> None:
+        """The coordinator's monitor thread (``SpoutCoordinator.java:
+        158-178`` reports status on a cadence): every
+        ``coordinator.monitor_interval_ms`` record per-route total lag
+        as a gauge; every ``coordinator.state_flush_interval_ms`` flush
+        consumer state through the O6 adapter."""
+        import threading
+        import time as _time
+
+        if self._monitor_thread is not None:
+            return
+        monitor_ms = int(self.config["coordinator.monitor_interval_ms"])
+        flush_ms = int(self.config["coordinator.state_flush_interval_ms"])
+        stop = threading.Event()
+
+        def _loop() -> None:
+            last_flush = _time.monotonic()
+            while not stop.wait(monitor_ms / 1000.0):
+                try:
+                    total = sum(self.lag().values())
+                    self.recorder.assign_value(
+                        "route.{}.lag.total", total, self.live_route_id
+                    )
+                    if (_time.monotonic() - last_flush) * 1000.0 >= flush_ms:
+                        self.flush_consumer_state()
+                        last_flush = _time.monotonic()
+                        self.recorder.count("consumer_state.flushes")
+                except Exception:  # noqa: BLE001 - monitor must not kill the app
+                    self.recorder.count("monitor.errors")
+
+        self._monitor_stop = stop
+        self._monitor_thread = threading.Thread(
+            target=_loop, name="route-monitor", daemon=True
+        )
+        self._monitor_thread.start()
+
+    def stop_monitor(self) -> None:
+        if self._monitor_thread is None:
+            return
+        self._monitor_stop.set()
+        self._monitor_thread.join(timeout=10)
+        self._monitor_thread = None
+        self._monitor_stop = None
+
     # -- output -------------------------------------------------------------
 
-    def output(self) -> DataFrame:
+    def _full_output(self) -> DataFrame:
+        """The stored output with all control columns — progress/lag and
+        consumer-state arithmetic read this, independent of any declared
+        ``output.fields`` projection."""
         return (
             self.spark.read.schema(_OUT_SCHEMA)
             .parquet(self.out_dir)
             .drop("event_date")
         )
+
+    def output(self) -> DataFrame:
+        out = self._full_output()
+        # declared output schema (SpoutConfig.java:70 spout.output_fields,
+        # declared once in DynamicSpout.declareOutputFields): when set,
+        # the output view projects to exactly those fields + provenance.
+        # Storage keeps the full control columns (partition/offset) —
+        # progress/lag arithmetic needs them.
+        fields = self.config["output.fields"]
+        if fields:
+            if isinstance(fields, str):
+                fields = [f.strip() for f in fields.split(",")]
+            keep = list(fields) + ["route_id"]
+            out = out.select(*[c for c in keep if c in out.columns])
+        return out
 
     def optimize_output(self, target_files: int = 1) -> None:
         """Maintenance OPTIMIZE of the merged output table: each

@@ -28,9 +28,10 @@ control/state on disk, re-read inside foreachBatch):
   re-delivery idempotent in the dup-log and a no-op in the index
   (dedup_by_key on append).
 
-No oracle_sql: multi-batch stateful streaming is not expressible as one
-DuckDB query — covered by the rows-only check + scenario tests
-(tests/test_streaming_dedup.py), like the other stateful ops.
+The final dup-log IS SQL-expressible (two staged half-corpus CTEs —
+catalog/llm.py _stream_dedup_sql), so the catalog entry carries a full
+DuckDB oracle; the multi-batch stateful mechanics get scenario coverage
+in tests/test_streaming_dedup.py.
 """
 
 from __future__ import annotations

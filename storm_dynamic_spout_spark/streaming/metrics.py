@@ -196,6 +196,9 @@ METRIC_CATALOG: list[tuple[str, str, str]] = [
     ("query.<name>.exception", "gauge", "Terminal exception text (error-report sink, S8)"),
     ("route.{}.partition.{}.lag", "gauge", "Per-partition consumer lag of a route (topic head minus committed)"),
     ("route.{}.lag.total", "gauge", "Total consumer lag of a route across partitions"),
+    ("sideline.reconcile", "counter", "Periodic sideline reconciliation runs (T11 timer)"),
+    ("consumer_state.flushes", "counter", "Consumer-state flushes through the O6 adapter (monitor thread)"),
+    ("monitor.errors", "counter", "Monitor-thread iterations that raised (app kept running)"),
 ]
 
 

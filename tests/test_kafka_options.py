@@ -1,0 +1,70 @@
+"""Kafka source option construction (S1): pure-unit tests, no broker,
+no SparkSession — mirrors KafkaConsumerConfig.java:103-175 (forced
+deserializer/auto-commit settings there become the Spark source's
+option map here) and the ConsumerState-to-offsets-JSON rendering
+(consumer/ConsumerState.java:39-48)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from storm_dynamic_spout_spark.sources import kafka_options
+
+
+def test_subscribe_list_and_defaults():
+    opts = kafka_options("b1:9092,b2:9092", subscribe=["t1", "t2"])
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "t1,t2"
+    # offset-out-of-range recovery default (kafka/Consumer.java:548-625)
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["startingOffsets"] == "earliest"
+    assert "endingOffsets" not in opts
+    assert "assign" not in opts
+
+
+def test_subscribe_single_topic_string():
+    assert kafka_options("b:9092", subscribe="events")["subscribe"] == "events"
+
+
+def test_assign_renders_partition_json():
+    opts = kafka_options("b:9092", assign={"events": [3, 1, 2]})
+    assert json.loads(opts["assign"]) == {"events": [1, 2, 3]}
+    assert "subscribe" not in opts
+
+
+def test_offsets_dict_renders_consumer_state_json():
+    # ConsumerState {partition: last-finished-offset} → startingOffsets
+    # JSON with STRING partition keys (the Kafka source's format)
+    opts = kafka_options(
+        "b:9092",
+        subscribe="events",
+        starting_offsets={"events": {0: 100, 1: 250}},
+        ending_offsets={"events": {0: 200, 1: 300}},
+    )
+    assert json.loads(opts["startingOffsets"]) == {"events": {"0": 100, "1": 250}}
+    assert json.loads(opts["endingOffsets"]) == {"events": {"0": 200, "1": 300}}
+
+
+def test_offset_literals_pass_through():
+    opts = kafka_options("b:9092", subscribe="t", starting_offsets="latest")
+    assert opts["startingOffsets"] == "latest"
+    with pytest.raises(ValueError):
+        kafka_options("b:9092", subscribe="t", starting_offsets="oldest")
+
+
+def test_subscribe_assign_exclusivity():
+    with pytest.raises(ValueError):
+        kafka_options("b:9092")
+    with pytest.raises(ValueError):
+        kafka_options("b:9092", subscribe="t", assign={"t": [0]})
+
+
+def test_throttle_and_data_loss_overrides():
+    opts = kafka_options(
+        "b:9092", subscribe="t", fail_on_data_loss=True, max_offsets_per_trigger=2000
+    )
+    assert opts["failOnDataLoss"] == "true"
+    # buffer.max_size_per_route analogue (RoundRobinBuffer.java:66)
+    assert opts["maxOffsetsPerTrigger"] == "2000"
