@@ -50,10 +50,11 @@ _PRIORITY = [
     # sampling (2)
     "sample_deterministic",
     "sample_mixture",
-    # UDTF + dedup clustering + streaming dedup (3)
+    # UDTF + dedup clustering + streaming dedup/rollup (4)
     "udtf_split_tokens",
     "dedup_cluster_assignment",
     "stream_incremental_dedup",
+    "stream_continuous_rollup",
     # deferred TPC-H four (4)
     "tpch_q4",
     "tpch_q12",
@@ -65,14 +66,13 @@ _PRIORITY = [
     "scalar_array_explode",
     "scalar_map_explode",
     "agg_histogram",
-    # --- slots 34–50: one green canary per family (r1/r3 rows) ---
+    # --- slots 35–50: one green canary per family (r1/r3 rows) ---
     "tpch_q1",
     "tpch_q9",
     "window_ranking",
     "topk_per_group",
     "setop_union_all",
     "scalar_string",
-    "scalar_math",
     "scalar_map",
     "udf_pandas_scalar",
     "udaf_apply_in_pandas",

@@ -314,3 +314,55 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+@query(
+    "stream_continuous_rollup",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('hour', {_TS}) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained hourly rollup (streaming/rollup.py),
+    driven in two micro-batches over events (even event_ids first, odd
+    second) plus one REDELIVERED batch that must be a no-op (the
+    batch_id watermark makes maintenance exactly-once on at-least-once
+    delivery).  The final table must equal the one-pass GROUP BY over
+    the whole history — the merge functions are decomposable and the
+    measure is integer cents, so partial sums merge exactly."""
+    import tempfile
+
+    from storm_dynamic_spout_spark.streaming.rollup import ContinuousRollup
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    r = ContinuousRollup(
+        tempfile.mkdtemp(prefix="sdss-ru-"), ["event_type"], "cents"
+    )
+    r.process_batch(e.filter(F.col("event_id") % 2 == 0), batch_id=0)
+    r.process_batch(e.filter(F.col("event_id") % 2 == 1), batch_id=1)
+    r.process_batch(e.filter(F.col("event_id") % 2 == 1), batch_id=1)  # no-op
+    return (
+        r.table(spark)
+        .select(
+            "event_type",
+            "bucket_start",
+            F.col("n").alias("n_events"),
+            F.col("sum_m").alias("sum_cents"),
+            F.col("min_m").alias("min_cents"),
+            F.col("max_m").alias("max_cents"),
+        )
+        .orderBy("event_type", "bucket_start")
+    )

@@ -227,3 +227,30 @@ def test_histogram_partial_aggregates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_histogram")
     assert plan.count("HashAggregate") == 2, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_rollup_partial_aggregates_map_side(spark, sf_dir):
+    """ContinuousRollup's per-batch partial must be a two-phase hash
+    aggregate (partial before the exchange, final after) — at 100 TB
+    the map-side combine collapses a batch to |keys| rows before the
+    single shuffle on the rollup keys."""
+    from pyspark.sql import functions as F
+
+    from storm_dynamic_spout_spark.streaming.rollup import ContinuousRollup
+
+    import tempfile
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    r = ContinuousRollup(tempfile.mkdtemp(), ["event_type"], "cents")
+    plan = r._partial(e)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "Exchange" in plan
+    # exactly ONE shuffle: the rollup-key exchange, nothing else
+    assert plan.count("Exchange") == 1, plan

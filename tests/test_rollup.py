@@ -1,0 +1,97 @@
+"""ContinuousRollup scenario tests (streaming/rollup.py): incremental
+maintenance must equal one-pass recomputation regardless of how history
+is split into batches, survive restarts, and ignore redelivered
+batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.streaming.rollup import ContinuousRollup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+def _one_pass(e):
+    return (
+        e.withColumn("bucket_start", F.date_trunc("hour", "ts"))
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_m"),
+            F.min("cents").alias("min_m"),
+            F.max("cents").alias("max_m"),
+        )
+    )
+
+
+def _as_dict(df):
+    return {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["sum_m"], r["min_m"], r["max_m"])
+        for r in df.collect()
+    }
+
+
+def test_incremental_equals_recompute_any_split(spark, tmp_path):
+    e = _events(spark)
+    expected = _as_dict(_one_pass(e))
+    # a 3-way uneven split by modulus — batch boundaries must not matter
+    r = ContinuousRollup(str(tmp_path), ["event_type"], "cents")
+    for i in range(3):
+        assert r.process_batch(e.filter(F.col("event_id") % 3 == i), batch_id=i)
+    assert _as_dict(r.table(spark)) == expected
+
+
+def test_redelivered_batch_is_noop(spark, tmp_path):
+    e = _events(spark)
+    r = ContinuousRollup(str(tmp_path), ["event_type"], "cents")
+    b0 = e.filter(F.col("event_id") % 2 == 0)
+    assert r.process_batch(b0, batch_id=0)
+    before = _as_dict(r.table(spark))
+    # at-least-once redelivery: same batch id arrives again
+    assert r.process_batch(b0, batch_id=0) is False
+    assert _as_dict(r.table(spark)) == before
+
+
+def test_restart_resumes_from_persisted_state(spark, tmp_path):
+    e = _events(spark)
+    r1 = ContinuousRollup(str(tmp_path), ["event_type"], "cents")
+    r1.process_batch(e.filter(F.col("event_id") % 2 == 0), batch_id=0)
+    # a NEW object over the same workdir (process restart) continues:
+    # already-applied batches skip, the next batch merges
+    r2 = ContinuousRollup(str(tmp_path), ["event_type"], "cents")
+    assert r2.process_batch(e.filter(F.col("event_id") % 2 == 0), batch_id=0) is False
+    assert r2.process_batch(e.filter(F.col("event_id") % 2 == 1), batch_id=1)
+    assert _as_dict(r2.table(spark)) == _as_dict(_one_pass(e))
+
+
+def test_derived_mean_at_read(spark, tmp_path):
+    e = _events(spark)
+    r = ContinuousRollup(str(tmp_path), ["event_type"], "cents")
+    r.process_batch(e, batch_id=0)
+    row = r.read(spark).collect()[0]
+    assert abs(row["avg_m"] - row["sum_m"] / row["n"]) < 1e-12
+
+
+def test_table_stays_compact(spark, tmp_path):
+    """The merge rewrites the rollup table each batch — file count must
+    not grow with batch count (the table is the aggregate, not a log)."""
+    import glob
+
+    e = _events(spark)
+    r = ContinuousRollup(str(tmp_path), ["event_type"], "cents")
+    counts = []
+    for i in range(4):
+        r.process_batch(e.filter(F.col("event_id") % 4 == i), batch_id=i)
+        counts.append(len(glob.glob(f"{r.table_dir}/*.parquet")))
+    assert max(counts) <= max(counts[0], counts[-1]) + 1  # bounded, not monotone-growing
