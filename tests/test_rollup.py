@@ -95,3 +95,44 @@ def test_table_stays_compact(spark, tmp_path):
         r.process_batch(e.filter(F.col("event_id") % 4 == i), batch_id=i)
         counts.append(len(glob.glob(f"{r.table_dir}/*.parquet")))
     assert max(counts) <= max(counts[0], counts[-1]) + 1  # bounded, not monotone-growing
+
+
+def test_hll_distinct_sketch_merges_exactly(spark, tmp_path):
+    """Mergeable distinct-count: the HLL sketch union is register-wise
+    max (commutative/associative), so the incrementally-merged estimate
+    equals the one-pass sketch estimate EXACTLY — and both sit within
+    HLL error of the true distinct count."""
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    r = ContinuousRollup(
+        str(tmp_path / "inc"), ["event_type"], "cents", distinct_col="user_id"
+    )
+    for i in range(3):
+        r.process_batch(e.filter(F.col("event_id") % 3 == i), batch_id=i)
+    incremental = {
+        r_["event_type"]: r_["n_distinct"]
+        for r_ in r.read(spark)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("n_distinct"))
+        .collect()
+    }
+    one_pass = {
+        r_["event_type"]: r_["n_distinct"]
+        for r_ in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_distinct"))
+        .collect()
+    }
+    assert incremental == one_pass  # exact estimate equality, not approx
+    exact = {
+        r_["event_type"]: r_["n"]
+        for r_ in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, est in incremental.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05  # within HLL error
