@@ -55,6 +55,7 @@ _PRIORITY = [
     "dedup_cluster_assignment",
     "stream_incremental_dedup",
     "stream_continuous_rollup",
+    "join_range_binned",
     # deferred TPC-H four (4)
     "tpch_q4",
     "tpch_q12",
@@ -73,7 +74,6 @@ _PRIORITY = [
     "topk_per_group",
     "setop_union_all",
     "scalar_string",
-    "scalar_map",
     "udf_pandas_scalar",
     "udaf_apply_in_pandas",
     "stream_tumbling_window",

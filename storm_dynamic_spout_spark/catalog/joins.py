@@ -392,3 +392,39 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.ka.eqNullSafe(b.kb) & (a.id_a < b.id_b))
         .select("id_a", "id_b")
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(count(*) AS BIGINT) AS n_bands
+    FROM lineitem l JOIN part p
+      ON l.l_extendedprice >= p.p_retailprice - 50.0
+     AND l.l_extendedprice <  p.p_retailprice + 50.0
+    GROUP BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big keyless range join via the bin optimization
+    (operators/rangejoin.py): lineitem prices matched to +-50 price
+    bands around every part's retail price.  Neither side is broadcast
+    dimension-tiny at scale, so the naive plan is a nested loop; the
+    binned plan is an equi-join on the bin id (plan-guarded non-BNLJ)
+    with the exact range as residual.  Bin width = the interval length,
+    so each interval explodes to at most 3 bins."""
+    from storm_dynamic_spout_spark.operators.rangejoin import interval_join_binned
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    bands = t(spark, sf_dir, "part").select(
+        (F.col("p_retailprice") - 50.0).alias("band_lo"),
+        (F.col("p_retailprice") + 50.0).alias("band_hi"),
+    )
+    joined = interval_join_binned(
+        li, bands, "l_extendedprice", "band_lo", "band_hi", bin_width=100.0
+    )
+    return joined.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("n_bands")
+    )

@@ -254,3 +254,13 @@ def test_rollup_partial_aggregates_map_side(spark, sf_dir):
     assert "Exchange" in plan
     # exactly ONE shuffle: the rollup-key exchange, nothing else
     assert plan.count("Exchange") == 1, plan
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The keyless big-big range join must execute as an equi-join on
+    the bin id with the range as residual — never a nested loop over
+    both sides (the naive plan at 100 TB)."""
+    plan = _plan(spark, sf_dir, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan  # hash or sort-merge on __bin

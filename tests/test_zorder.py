@@ -111,3 +111,41 @@ def test_zorder_skips_files_on_second_dimension(spark, tmp_path):
         (F.col("y") >= lo) & (F.col("y") <= hi)
     )
     assert back.count() == (hi - lo + 1) * side
+
+
+# -- binned interval join (operators/rangejoin.py) --------------------------
+
+
+def test_interval_join_binned_boundaries(spark):
+    """[start, end) semantics at exact bin boundaries: start inclusive,
+    end exclusive, intervals spanning multiple bins still match once."""
+    from storm_dynamic_spout_spark.operators.rangejoin import interval_join_binned
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 9.999), (3, 10.0), (4, 25.0)], "pid long, p double"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 5.0, 30.0)], "iid long, lo double, hi double"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join_binned(
+            points, intervals, "p", "lo", "hi", bin_width=4.0
+        ).collect()
+    }
+    assert got == {
+        (1, 100),          # start inclusive
+        (2, 100), (2, 200),
+        (3, 200),          # end exclusive: 10.0 not in [0, 10)
+        (4, 200),          # interval spanning 7 bins matches exactly once
+    }
+
+
+def test_interval_join_binned_rejects_bad_width(spark):
+    import pytest
+
+    from storm_dynamic_spout_spark.operators.rangejoin import interval_join_binned
+
+    df = spark.range(1).withColumn("p", F.col("id").cast("double"))
+    with pytest.raises(ValueError):
+        interval_join_binned(df, df, "p", "p", "p", bin_width=0)
