@@ -90,11 +90,55 @@ def asof_join(t):
     )
 
 
+def binned_range_join(t):
+    """Big-big keyless range join via the bin optimization
+    (operators/rangejoin.py) — the shape whose naive BNLJ alternative
+    is O(points x intervals); binned it must scale ~linearly in the
+    points side."""
+    from storm_dynamic_spout_spark.operators.rangejoin import interval_join_binned
+
+    # extendedprice spans ~900-105000 while bands cover ~850-2150, so
+    # matches are sparse (the catalog query's shape) — the smoke then
+    # measures join machinery, not the size of a dense true result
+    li = t("lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    bands = t("part").select(
+        (F.col("p_retailprice") - 50.0).alias("lo"),
+        (F.col("p_retailprice") + 50.0).alias("hi"),
+    )
+    joined = interval_join_binned(li, bands, "l_extendedprice", "lo", "hi", 100.0)
+    return joined.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("n_bands")
+    )
+
+
+def rollup_partial(t):
+    """ContinuousRollup's per-batch partial (streaming/rollup.py) —
+    map-side combine + one shuffle; the per-batch cost that must stay
+    linear in batch size at 100 TB."""
+    e = t("events").select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        e.withColumn("bucket_start", F.date_trunc("hour", "ts"))
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_m"),
+            F.min("cents").alias("min_m"),
+            F.max("cents").alias("max_m"),
+        )
+    )
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
     ("window_topk", window_topk),
     ("asof_join", asof_join),
+    ("binned_range", binned_range_join),
+    ("rollup_part", rollup_partial),
 ]
 
 
@@ -107,8 +151,12 @@ def main() -> None:
 
     def loader_nx(name):
         base = load_table(spark, SF_DIR, name)
-        if name in ("nation", "region"):
-            return base  # dims stay dim-sized
+        if name in ("nation", "region", "part"):
+            # dims stay dim-sized; part is the interval side of the
+            # binned range join — duplicating it would multiply the
+            # TRUE result size (5x bands over every price), which
+            # measures output growth, not plan health
+            return base
         copies = []
         for i in range(COPIES):
             shifted = base
