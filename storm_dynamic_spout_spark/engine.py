@@ -37,6 +37,8 @@ DEFAULTS: dict[str, Any] = {
     "buffer.max_size_per_route": 2000,
     # coordinator (SpoutCoordinator.java:564-566)
     "coordinator.max_concurrent_routes": 10,
+    # graceful-shutdown bound (SpoutCoordinator max_spout_shutdown_time_ms)
+    "coordinator.max_shutdown_time_ms": 10_000,
     "coordinator.state_flush_interval_ms": 30_000,
     "coordinator.monitor_interval_ms": 2_000,
     # sideline (sideline/config/SidelineConfig.java:74)
@@ -74,6 +76,7 @@ CONFIG_DOCS: dict[str, str] = {
     "retry.max_delay_ms": "Backoff ceiling",
     "buffer.max_size_per_route": "Per-route per-trigger row budget (backpressure; RoundRobinBuffer size analogue)",
     "coordinator.max_concurrent_routes": "Max live streaming queries (firehose + replays)",
+    "coordinator.max_shutdown_time_ms": "Graceful-shutdown wait per streaming query (spark.sql.streaming.stopTimeout; DynamicStreamApp.close)",
     "coordinator.state_flush_interval_ms": "Consumer-state flush cadence of the monitor thread (DynamicStreamApp.start_monitor -> O6 adapter)",
     "coordinator.monitor_interval_ms": "Monitor-thread lag-gauge cadence (DynamicStreamApp.start_monitor)",
     "sideline.refresh_interval_seconds": "Periodic sideline reconciliation cadence (0 = every poll, negative disables; DynamicStreamApp.reconcile_sidelines)",
@@ -136,6 +139,13 @@ def build_session(config: EngineConfig | None = None, **spark_confs: str) -> Spa
         .config("spark.driver.memory", cfg["spark.driver_memory"])
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # graceful shutdown: query.stop() waits this long for the
+        # in-flight micro-batch before forcing (the reference's
+        # max_spout_shutdown_time_ms, SpoutCoordinator.java:476-515)
+        .config(
+            "spark.sql.streaming.stopTimeout",
+            str(cfg["coordinator.max_shutdown_time_ms"]),
+        )
         # S4 offset-out-of-range recovery: a file listed by a plan (or a
         # streaming checkpoint) may be deleted by retention/compaction
         # before the task reads it — skip it and continue from what

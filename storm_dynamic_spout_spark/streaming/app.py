@@ -220,9 +220,12 @@ class DynamicStreamApp:
         return spawned
 
     def close(self) -> None:
-        """Graceful shutdown: replays first, firehose last (reverse of
-        open order; SpoutCoordinator.close ``SpoutCoordinator.java:
-        476-515``)."""
+        """Graceful shutdown: monitor first, replays next, firehose
+        last (reverse of open order; SpoutCoordinator.close
+        ``SpoutCoordinator.java:476-515``).  Each query.stop() waits up
+        to ``coordinator.max_shutdown_time_ms`` for the in-flight batch
+        (wired to spark.sql.streaming.stopTimeout in build_session)."""
+        self.stop_monitor()
         for route_id, q in list(self._replay_queries.items()):
             q.stop()
             self._replay_queries.pop(route_id, None)
