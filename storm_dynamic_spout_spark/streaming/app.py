@@ -69,7 +69,16 @@ class DynamicStreamApp:
         retry_policy=None,
         config=None,
         consumer_state=None,
+        rollup=None,
+        rollup_prepare=None,
     ) -> None:
+        """``rollup``: an optional :class:`~storm_dynamic_spout_spark.
+        streaming.rollup.ContinuousRollup` maintained live over the
+        firehose — each micro-batch's KEPT rows merge into the rollup
+        table right after the sink write (continuous aggregates over
+        the stream; the batch_id watermark keeps replayed batches
+        no-ops).  ``rollup_prepare`` optionally maps the batch to the
+        rollup's input columns (e.g. derive a numeric measure)."""
         from storm_dynamic_spout_spark.engine import EngineConfig
         from storm_dynamic_spout_spark.streaming.consumer_state import (
             FileConsumerStatePersistence,
@@ -109,6 +118,8 @@ class DynamicStreamApp:
         # defaults come from the config system (SpoutConfig.setDefaults
         # parity — retry limit 25, initial 1000ms, config/SpoutConfig
         # .java:490-507).
+        self.rollup = rollup
+        self.rollup_prepare = rollup_prepare
         self.retry_runner = None
         if failure_condition_sql is not None:
             from storm_dynamic_spout_spark.streaming.retry import (
@@ -144,6 +155,8 @@ class DynamicStreamApp:
 
         retry_runner = self.retry_runner
         live_route_id = self.live_route_id
+        rollup = self.rollup
+        rollup_prepare = self.rollup_prepare
 
         class _TaggedFirehose(Firehose):
             # kept rows are tagged with the route id on the way out;
@@ -163,6 +176,15 @@ class DynamicStreamApp:
                     retry_runner.process_batch(kept, int(_time.time() * 1000), _sink)
                 else:
                     _sink(kept)
+                if rollup is not None:
+                    # continuous aggregate over the stream: kept rows
+                    # merge into the rollup table; the batch_id
+                    # watermark makes checkpoint-replayed batches no-ops
+                    prepared = (
+                        rollup_prepare(kept) if rollup_prepare is not None else kept
+                    )
+                    if rollup.process_batch(prepared, batch_id):
+                        inner.recorder.count("rollup.batches")
                 inner.recorder.count("firehose.batches")
 
         self._firehose = _TaggedFirehose(

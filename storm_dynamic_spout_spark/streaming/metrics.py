@@ -199,6 +199,7 @@ METRIC_CATALOG: list[tuple[str, str, str]] = [
     ("sideline.reconcile", "counter", "Periodic sideline reconciliation runs (T11 timer)"),
     ("consumer_state.flushes", "counter", "Consumer-state flushes through the O6 adapter (monitor thread)"),
     ("monitor.errors", "counter", "Monitor-thread iterations that raised (app kept running)"),
+    ("rollup.batches", "counter", "Micro-batches merged into the continuous rollup (skipped replays excluded)"),
 ]
 
 

@@ -136,3 +136,46 @@ def test_hll_distinct_sketch_merges_exactly(spark, tmp_path):
     }
     for k, est in incremental.items():
         assert abs(est - exact[k]) / exact[k] < 0.05  # within HLL error
+
+
+def test_rollup_maintained_live_over_firehose(spark, tmp_path):
+    """Continuous aggregates over the live stream: a ContinuousRollup
+    attached to DynamicStreamApp merges every kept micro-batch — after
+    two produce/drain rounds the rollup equals a one-pass GROUP BY over
+    the delivered output (bytes per key per hour)."""
+    from storm_dynamic_spout_spark.streaming.app import DynamicStreamApp
+
+    roll = ContinuousRollup(
+        str(tmp_path / "roll"), ["key"], "bytes", time_col="timestamp"
+    )
+    app = DynamicStreamApp(
+        spark,
+        str(tmp_path / "t"),
+        str(tmp_path / "w"),
+        rollup=roll,
+        rollup_prepare=lambda df: df.withColumn("bytes", F.length("value").cast("long")),
+    )
+    app.produce([("a", "x1"), ("b", "longer-value")])
+    app.open()
+    app.process_all_available()
+    app.produce([("a", "x2-even-longer"), ("a", "y")])
+    app.process_all_available()
+
+    expected = {
+        (r["bucket_start"], r["key"]): (r["n"], r["sum_m"])
+        for r in (
+            app.output()
+            .withColumn("bucket_start", F.date_trunc("hour", "timestamp"))
+            .withColumn("bytes", F.length("value").cast("long"))
+            .groupBy("bucket_start", "key")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("bytes").alias("sum_m"))
+            .collect()
+        )
+    }
+    got = {
+        (r["bucket_start"], r["key"]): (r["n"], r["sum_m"])
+        for r in roll.table(spark).collect()
+    }
+    assert got == expected
+    assert app.recorder.counters.get("rollup.batches", 0) >= 1
+    app.close()
