@@ -56,6 +56,7 @@ _PRIORITY = [
     "stream_incremental_dedup",
     "stream_continuous_rollup",
     "join_range_binned",
+    "corpus_composition",
     # deferred TPC-H four (4)
     "tpch_q4",
     "tpch_q12",
@@ -69,7 +70,6 @@ _PRIORITY = [
     "agg_histogram",
     # --- slots 35–50: one green canary per family (r1/r3 rows) ---
     "tpch_q1",
-    "tpch_q9",
     "window_ranking",
     "topk_per_group",
     "setop_union_all",

@@ -1271,3 +1271,45 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep_ratio"),
         )
     )
+
+
+@query(
+    "corpus_composition",
+    oracle=f"""
+    SELECT lang,
+           CAST(least(length(text) // 500, 4) AS BIGINT) AS len_band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+           round(sum(
+             (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+              + (1.0 - least({{P}} * 5, 1.0))
+              + (1.0 - abs({{S}} - 0.4))
+             ) / 3.0
+           ), 6) AS quality_sum
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """.format(
+        P=X.sql_punct_ratio("text"),
+        S=X.sql_stopword_ratio("text", X.QUALITY_STOPWORDS),
+    ),
+)
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus composition report every training-data pipeline
+    publishes: per (language, length band) document counts, total
+    whitespace tokens, and summed quality (operators/text.py scoring).
+    Length bands are exact integer arithmetic (500-char buckets capped
+    at 4) so both engines band identically; one map-side-combined
+    aggregate — 100 TB collapses to ~25 rows before the shuffle."""
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    band = F.least(F.floor(F.length(text) / 500), F.lit(4)).cast("long")
+    return (
+        d.groupBy("lang", band.alias("len_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(X.token_count(text)).alias("total_tokens"),
+            F.round(F.sum(X.quality_score(text)), 6).alias("quality_sum"),
+        )
+        .orderBy("lang", "len_band")
+    )
