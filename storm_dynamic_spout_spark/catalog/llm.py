@@ -1068,7 +1068,9 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM v)
     SELECT vec_id,
            round(sc, 6) AS scale,
-           list_transform(ve, x -> CAST(round(x * sc) AS INTEGER)) AS q
+           array_to_string(list_transform(ve, x ->
+               CAST(CAST(round(x * sc) AS INTEGER) AS VARCHAR)
+           ), ',') AS q_csv
     FROM s
     ORDER BY vec_id
     """,
@@ -1076,10 +1078,14 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (scale = 127/max|x|): 4x smaller
     vectors for the ANN index with exact integer outputs
-    (operators/similarity.py int8_quantize)."""
-    return S.int8_quantize(t(spark, sf_dir, "embeddings"), "vec_id", "embedding").orderBy(
-        "vec_id"
-    )
+    (operators/similarity.py int8_quantize).  Like embedding_normalize,
+    the int8 vector crosses the driver hash as one CSV string — list
+    cells aren't hashable in the driver's canonical pandas sort."""
+    q = S.int8_quantize(t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    q_str = F.transform(F.col("q"), lambda x: x.cast("string"))
+    return q.select(
+        "vec_id", "scale", F.array_join(q_str, ",").alias("q_csv")
+    ).orderBy("vec_id")
 
 
 ANN_NPROBE = 2

@@ -171,20 +171,25 @@ class DynamicStreamApp:
 
                 def _sink(ok: DataFrame) -> None:
                     write_sink_batch(ok, inner.output_dir, route_id=live_route_id)
+                    if rollup is not None:
+                        # continuous aggregate over the DELIVERED rows:
+                        # merging here (inside the sink, after the
+                        # retry split) keeps the rollup consistent with
+                        # the output table — rows that exhaust retries
+                        # into the DLQ never count; rows that succeed
+                        # on a later retry count at their delivery
+                        # batch.  The batch_id watermark still makes
+                        # checkpoint-replayed batches no-ops.
+                        prepared = (
+                            rollup_prepare(ok) if rollup_prepare is not None else ok
+                        )
+                        if rollup.process_batch(prepared, batch_id):
+                            inner.recorder.count("rollup.batches")
 
                 if retry_runner is not None:
                     retry_runner.process_batch(kept, int(_time.time() * 1000), _sink)
                 else:
                     _sink(kept)
-                if rollup is not None:
-                    # continuous aggregate over the stream: kept rows
-                    # merge into the rollup table; the batch_id
-                    # watermark makes checkpoint-replayed batches no-ops
-                    prepared = (
-                        rollup_prepare(kept) if rollup_prepare is not None else kept
-                    )
-                    if rollup.process_batch(prepared, batch_id):
-                        inner.recorder.count("rollup.batches")
                 inner.recorder.count("firehose.batches")
 
         self._firehose = _TaggedFirehose(

@@ -10,10 +10,16 @@ merges into the persistent table with decomposable merge functions
 (count/sum add; min/max fold).  Cost per batch is O(batch + |table|),
 never O(history) — the raw events are re-read by nothing.
 
-Exactly-once table maintenance on at-least-once delivery: the table
-swap is atomic (tmp + rename) and a ``batch_id`` high-water mark makes
-re-delivered batches no-ops — the standard idempotent-foreachBatch
-recipe, same shape as the engine's other control tables.
+Exactly-once table maintenance on at-least-once delivery: each merge
+writes a NEW versioned table directory containing both the parquet
+files and a ``_rollup_meta.json`` batch_id marker, then publishes it
+with ONE atomic ``os.replace`` of the ``rollup-CURRENT`` pointer file —
+data and high-water mark commit together, so a crash at any point
+either leaves the previous version fully live (the batch re-applies
+idempotently on replay) or the new version fully live (the replay
+no-ops).  There is no window where the table is absent or the marker
+disagrees with the data; a CURRENT pointer naming a missing directory
+is surfaced as corruption, never read as an empty table.
 
 Exactness across engines: the measure column should be an exact
 integer (e.g. cents = ``round(value*100)::long``) so partial sums merge
@@ -55,33 +61,57 @@ class ContinuousRollup:
         one-pass estimate EXACTLY, not just approximately.  This is the
         only way distinct-counts compose incrementally at 100 TB
         (an exact distinct would need the full value set per bucket)."""
-        self.table_dir = os.path.join(workdir, "rollup")
-        self.meta_path = os.path.join(workdir, "rollup-meta.json")
+        self.workdir = workdir
+        self.current_path = os.path.join(workdir, "rollup-CURRENT")
         self.key_cols = list(key_cols)
         self.measure_col = measure_col
         self.time_col = time_col
         self.bucket = bucket
         self.distinct_col = distinct_col
-        os.makedirs(self.table_dir, exist_ok=True)
+        os.makedirs(workdir, exist_ok=True)
+
+    #: batch_id marker inside each version dir.  The leading underscore
+    #: makes Spark's file index skip it (same convention as _SUCCESS),
+    #: so the parquet read never sees it.
+    META_NAME = "_rollup_meta.json"
 
     # -- state ---------------------------------------------------------------
 
+    def _current_dir(self) -> str | None:
+        """The live version directory, or None before the first commit.
+        A CURRENT pointer naming a missing directory is corruption (the
+        table was deleted out from under the marker) — raise, never
+        silently treat it as an empty rollup."""
+        if not os.path.exists(self.current_path):
+            return None
+        with open(self.current_path) as fh:
+            name = fh.read().strip()
+        d = os.path.join(self.workdir, name)
+        if not os.path.isdir(d):
+            raise RuntimeError(
+                f"rollup corruption: CURRENT points at missing version {d!r}"
+            )
+        return d
+
+    @property
+    def table_dir(self) -> str:
+        """Path of the live version dir (a not-yet-existing placeholder
+        before the first commit, so globs simply match nothing)."""
+        d = self._current_dir()
+        return d if d is not None else os.path.join(self.workdir, "rollup-none")
+
     def _last_batch_id(self) -> int:
-        if not os.path.exists(self.meta_path):
+        d = self._current_dir()
+        if d is None:
             return -1
-        with open(self.meta_path) as fh:
+        with open(os.path.join(d, self.META_NAME)) as fh:
             return int(json.load(fh).get("last_batch_id", -1))
 
-    def _set_last_batch_id(self, batch_id: int) -> None:
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"last_batch_id": int(batch_id)}, fh)
-        os.replace(tmp, self.meta_path)
-
     def table(self, spark: SparkSession) -> DataFrame | None:
-        if not any(f.endswith(".parquet") for f in os.listdir(self.table_dir)):
+        d = self._current_dir()
+        if d is None:
             return None
-        return spark.read.parquet(self.table_dir)
+        return spark.read.parquet(d)
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         """The rollup with derived columns (avg = sum/n; the distinct
@@ -120,7 +150,17 @@ class ContinuousRollup:
         for an already-applied ``batch_id`` — idempotent under
         at-least-once redelivery.  ONE shuffle on the rollup keys; the
         persistent table is read back compact (it is the aggregate, not
-        the history)."""
+        the history).
+
+        Commit protocol (exactly-once): write the merged table AND its
+        batch_id marker into a fresh version directory, then publish
+        with one atomic ``os.replace`` of the CURRENT pointer.  A crash
+        before the replace leaves the old version live (this batch_id is
+        above the watermark, so replay re-merges it); a crash after
+        leaves the new version live (replay no-ops).  Unpublished
+        version dirs are garbage-collected on the next successful
+        commit."""
+        import shutil
         import uuid
 
         if batch_id <= self._last_batch_id():
@@ -140,13 +180,16 @@ class ContinuousRollup:
         if self.distinct_col is not None:
             merge_aggs.append(F.hll_union_agg("hll").alias("hll"))
         merged = merged_src.groupBy("bucket_start", *self.key_cols).agg(*merge_aggs)
-        tmp = f"{self.table_dir}-tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        old = f"{self.table_dir}-old-{uuid.uuid4().hex[:8]}"
-        os.rename(self.table_dir, old)
-        os.rename(tmp, self.table_dir)
-        shutil.rmtree(old)
-        self._set_last_batch_id(batch_id)
+        new_name = f"rollup-v{int(batch_id)}-{uuid.uuid4().hex[:8]}"
+        new_dir = os.path.join(self.workdir, new_name)
+        merged.write.mode("overwrite").parquet(new_dir)
+        with open(os.path.join(new_dir, self.META_NAME), "w") as fh:
+            json.dump({"last_batch_id": int(batch_id)}, fh)
+        ptr_tmp = self.current_path + ".tmp"
+        with open(ptr_tmp, "w") as fh:
+            fh.write(new_name)
+        os.replace(ptr_tmp, self.current_path)  # the single commit point
+        for name in os.listdir(self.workdir):
+            if name.startswith("rollup-v") and name != new_name:
+                shutil.rmtree(os.path.join(self.workdir, name), ignore_errors=True)
         return True

@@ -43,7 +43,25 @@ def _rows_canon(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare_spark_duck(spark_df, duck_con, sql: str) -> None:
-    """Assert Spark DataFrame result matches DuckDB oracle result."""
+    """Assert Spark DataFrame result matches DuckDB oracle result.
+
+    Rejects array/map/struct result columns outright: the driver's
+    canonicalizer sorts rows with pandas, where list cells raise
+    ``TypeError: unhashable type`` — a query that returns one would be
+    green here and red in CORRECTNESS_r{N}.json (the embedding_quantize
+    r4 failure).  CSV-join arrays (``F.array_join`` /
+    ``array_to_string``) before returning them.
+    """
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, (
+        f"driver-unhashable result columns {complex_cols}: the driver's "
+        "pandas canonical sort crashes on list cells — CSV-join arrays "
+        "(array_join / array_to_string) in both engines instead"
+    )
     sp_cols = [c.lower() for c in spark_df.columns]
     sp_rows = [tuple(r) for r in spark_df.collect()]
     res = duck_con.execute(sql)

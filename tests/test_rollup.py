@@ -179,3 +179,105 @@ def test_rollup_maintained_live_over_firehose(spark, tmp_path):
     assert got == expected
     assert app.recorder.counters.get("rollup.batches", 0) >= 1
     app.close()
+
+
+def test_crash_before_publish_reapplies_batch(spark, tmp_path, monkeypatch):
+    """Atomic commit protocol: a crash AFTER the version dir is written
+    but BEFORE the CURRENT pointer swap must leave the old version live
+    with the old watermark — the batch re-applies on replay (no double
+    count, no lost rollup), and the orphaned version dir is GC'd by the
+    next successful commit."""
+    import os as _os
+
+    import pytest
+
+    e = _events(spark)
+    r = ContinuousRollup(str(tmp_path), ["event_type"], "cents")
+    assert r.process_batch(e.filter(F.col("event_id") % 2 == 0), batch_id=0)
+    before = _as_dict(r.table(spark))
+
+    real_replace = _os.replace
+
+    def crash_on_publish(src, dst):
+        if str(dst).endswith("rollup-CURRENT"):
+            raise OSError("simulated crash at the commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", crash_on_publish)
+    with pytest.raises(OSError, match="simulated crash"):
+        r.process_batch(e.filter(F.col("event_id") % 2 == 1), batch_id=1)
+    monkeypatch.undo()
+
+    # restart over the same workdir: old version fully live, watermark
+    # unmoved, replayed batch merges — result equals one-pass recompute
+    r2 = ContinuousRollup(str(tmp_path), ["event_type"], "cents")
+    assert r2._last_batch_id() == 0
+    assert _as_dict(r2.table(spark)) == before
+    assert r2.process_batch(e.filter(F.col("event_id") % 2 == 1), batch_id=1)
+    assert _as_dict(r2.table(spark)) == _as_dict(_one_pass(e))
+    vdirs = [n for n in _os.listdir(tmp_path) if n.startswith("rollup-v")]
+    assert len(vdirs) == 1  # the orphan from the crashed commit is gone
+
+
+def test_missing_current_version_is_corruption(spark, tmp_path):
+    """A CURRENT pointer naming a missing version dir is corruption —
+    never silently read as an empty rollup (the failure the old
+    two-rename swap could produce)."""
+    import shutil
+
+    import pytest
+
+    e = _events(spark)
+    r = ContinuousRollup(str(tmp_path), ["event_type"], "cents")
+    r.process_batch(e, batch_id=0)
+    shutil.rmtree(r.table_dir)
+    with pytest.raises(RuntimeError, match="corruption"):
+        r.table(spark)
+    with pytest.raises(RuntimeError, match="corruption"):
+        ContinuousRollup(str(tmp_path), ["event_type"], "cents")._last_batch_id()
+
+
+def test_rollup_excludes_dlq_rows(spark, tmp_path):
+    """With a retry policy configured, the rollup merges the DELIVERED
+    rows (post-retry-split), so rows that exhaust retries into the DLQ
+    never count — the rollup equals a one-pass GROUP BY over the output
+    table exactly, DLQ traffic excluded."""
+    from storm_dynamic_spout_spark.streaming.app import DynamicStreamApp
+    from storm_dynamic_spout_spark.streaming.retry import NeverRetryPolicy
+
+    roll = ContinuousRollup(
+        str(tmp_path / "roll"), ["key"], "bytes", time_col="timestamp"
+    )
+    app = DynamicStreamApp(
+        spark,
+        str(tmp_path / "t"),
+        str(tmp_path / "w"),
+        rollup=roll,
+        rollup_prepare=lambda df: df.withColumn(
+            "bytes", F.length("value").cast("long")
+        ),
+        failure_condition_sql="key = 'poison'",
+        retry_policy=NeverRetryPolicy(),
+    )
+    app.produce([("ok", "o1"), ("poison", "p1"), ("ok", "o2-longer")])
+    app.open()
+    app.process_all_available()
+
+    expected = {
+        (r["bucket_start"], r["key"]): (r["n"], r["sum_m"])
+        for r in (
+            app.output()
+            .withColumn("bucket_start", F.date_trunc("hour", "timestamp"))
+            .withColumn("bytes", F.length("value").cast("long"))
+            .groupBy("bucket_start", "key")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("bytes").alias("sum_m"))
+            .collect()
+        )
+    }
+    got = {
+        (r["bucket_start"], r["key"]): (r["n"], r["sum_m"])
+        for r in roll.table(spark).collect()
+    }
+    assert got == expected  # poison row is in the DLQ, not the rollup
+    assert all(k[1] != "poison" for k in got)
+    app.close()
