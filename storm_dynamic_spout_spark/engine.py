@@ -51,9 +51,10 @@ DEFAULTS: dict[str, Any] = {
     "output.stream_id": "firehose",
     "output.failed_stream_id": "dlq",
     # metrics recorder selection (SpoutConfig metrics.class analogue:
-    # Log / Storm / Dropwizard → memory / log / jsonl)
+    # Log / Storm / Dropwizard → memory / log / jsonl / prometheus)
     "metrics.recorder": "memory",
     "metrics.jsonl_path": None,  # required when metrics.recorder=jsonl
+    "metrics.prom_path": None,  # required when metrics.recorder=prometheus
     # --- Spark execution defaults ----------------------------------------
     "spark.master": os.environ.get(
         "SPARK_GRAFT_MASTER",
@@ -83,8 +84,9 @@ CONFIG_DOCS: dict[str, str] = {
     "output.fields": "Declared output projection of DynamicStreamApp.output(); None keeps the full schema",
     "output.stream_id": "Provenance route id of the live stream",
     "output.failed_stream_id": "Directory name of the permanently-failed (DLQ) stream under the app workdir",
-    "metrics.recorder": "Recorder backend: memory | log | jsonl",
+    "metrics.recorder": "Recorder backend: memory | log | jsonl | prometheus",
     "metrics.jsonl_path": "Target file for the jsonl recorder",
+    "metrics.prom_path": "Pull file of the prometheus recorder (textfile-collector exposition format)",
     "spark.master": "Spark master URL (env SPARK_GRAFT_MASTER / SPARK_GRAFT_CPUS)",
     "spark.app_name": "Spark application name",
     "spark.shuffle_partitions": "spark.sql.shuffle.partitions for the session",

@@ -312,6 +312,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def _canonical_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set in canonical (greater, lesser) form, no
+    self-loops, distinct."""
+    return (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("__s"),
+            F.least(F.col(src), F.col(dst)).alias("__d"),
+        )
+        .filter(F.col("__s") != F.col("__d"))
+        .distinct()
+    )
+
+
+def _large_star(canon: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood.  Halves long
+    paths — the O(log n) contraction step."""
+    sym = canon.unionByName(
+        canon.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+    )
+    mins = (
+        sym.groupBy("__s")
+        .agg(F.min("__d").alias("__mn"))
+        .select("__s", F.least(F.col("__mn"), F.col("__s")).alias("__m"))
+    )
+    # v > u >= m, so (v, m) is already canonical (greater, lesser)
+    return (
+        sym.filter(F.col("__d") > F.col("__s"))
+        .join(mins, "__s")
+        .select(F.col("__d").alias("__s"), F.col("__m").alias("__d"))
+        .filter(F.col("__s") != F.col("__d"))
+        .distinct()
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    """Small-star round: every node links all its smaller neighbors
+    (and itself) to the minimum among them — flattens the tree toward
+    the component minimum."""
+    mins = canon.groupBy("__s").agg(F.min("__d").alias("__m"))
+    to_min = (
+        canon.join(mins, "__s")
+        .filter(F.col("__d") != F.col("__m"))
+        .select(F.col("__d").alias("__s"), F.col("__m").alias("__d"))
+    )
+    self_edge = mins.select("__s", F.col("__m").alias("__d"))
+    return (
+        to_min.unionByName(self_edge)
+        .filter(F.col("__s") != F.col("__d"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -319,21 +373,51 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    method: str = "label_prop",
 ) -> DataFrame:
     """Connected components over near-dup pairs: every node labeled with
     the MINIMUM id reachable from it — the canonical cluster id that
     turns pair detection into corpus-level dedup (keep one doc per
     cluster, not per pair).
 
-    Iterative min-label propagation (the Pregel/GraphX pattern): each
-    round, a node takes the smallest label among itself and its
-    neighbors; converged when a round changes nothing. The loop is
-    driver-side but each step is a distributed equi-join + aggregate;
-    ``localCheckpoint`` truncates the growing lineage each round.
-    Rounds needed = graph diameter (near-dup clusters are shallow).
-    At extreme scale swap the step for large-star/small-star, which
-    contracts paths in O(log n) rounds — same fixpoint.
+    ``method="label_prop"`` (default): iterative min-label propagation
+    (the Pregel/GraphX pattern): each round, a node takes the smallest
+    label among itself and its neighbors; converged when a round changes
+    nothing. The loop is driver-side but each step is a distributed
+    equi-join + aggregate; ``localCheckpoint`` truncates the growing
+    lineage each round. Rounds needed = graph diameter — right for
+    near-dup graphs, whose clusters are shallow.
+
+    ``method="star"``: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    public MapReduce algorithm): each pair of rounds halves path
+    lengths, converging in O(log n) rounds regardless of diameter —
+    the 100 TB choice when dup chains can be long (boilerplate striping
+    across a crawl).  Both methods reach the same fixpoint labels
+    (property-tested in tests/test_corpus_properties.py).
     """
+    if method == "star":
+        canon = _canonical_edges(pairs, src, dst).localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            canon2 = _small_star(_large_star(canon)).localCheckpoint(eager=True)
+            same = (
+                canon2.count() == canon.count()
+                and canon2.exceptAll(canon).count() == 0
+            )
+            canon = canon2
+            if same:
+                break
+        lab = canon.groupBy("__s").agg(F.min("__d").alias("__l"))
+        return (
+            nodes.select(F.col(id_col).alias("__n"))
+            .join(lab, F.col("__n") == F.col("__s"), "left")
+            .select(
+                F.col("__n").alias(id_col),
+                F.coalesce(F.col("__l"), F.col("__n")).alias("cluster_id"),
+            )
+        )
+    if method != "label_prop":
+        raise ValueError(f"unknown connected_components method: {method!r}")
     e = pairs.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     edges = (
         e.unionByName(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))

@@ -72,8 +72,10 @@ def zorder_key(cols: list[str], bits: int = 16) -> F.Column:
     bit-interleaving).  Use with :func:`write_clustered` as
     ``cluster_by=["__z"]`` or ``repartitionByRange`` on the key.
 
-    ``bits`` per dimension: 16 bits x 2 cols = 32-bit key (fits LONG up
-    to 4 dims).  Callers quantize: ``((col - min) * (2^bits - 1) /
+    ``bits`` per dimension: 16 bits x 2 cols = 32-bit key.  The key
+    must fit a signed LONG (``len(cols) * bits <= 63``), so at 16 bits
+    up to 3 columns are supported; 4 columns need ``bits <= 15``.
+    Callers quantize: ``((col - min) * (2^bits - 1) /
     (max - min)).cast("long")``.
     """
     if not 1 <= len(cols) * bits <= 63:

@@ -54,6 +54,100 @@ _OUT_SCHEMA = _st.StructType(
 )
 
 
+class RouteHighWater:
+    """In-memory per-route delivered high-water marks and row counts.
+
+    The scale fix for the O(history) control plane: progress/lag/
+    consumer-state arithmetic used to ``groupBy(partition).max(offset)``
+    over the ENTIRE delivered output table on every monitor tick — at
+    100 TB of output the lag gauge itself costs a full table scan.  Now
+    each sink write contributes its own per-partition maxima through an
+    ``Observation`` riding the write job (O(batch), zero extra reads),
+    and the full-output scan runs exactly once, on cold start.  The
+    marks survive restarts via the O6 consumer-state adapter
+    (``flush_consumer_state``); the cold-start scan reconciles anything
+    flushed stale."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self.warm = False
+        self._offsets: dict[str, dict[int, int]] = {}
+        self._rows: dict[str, int] = {}
+
+    def record(self, route_id: str, per_partition: dict[int, int], n_rows: int) -> None:
+        """Merge one delivered batch's maxima (monotone max per
+        partition) and add its row count."""
+        with self._lock:
+            cur = self._offsets.setdefault(route_id, {})
+            for p, off in per_partition.items():
+                if off > cur.get(p, -1):
+                    cur[p] = off
+            self._rows[route_id] = self._rows.get(route_id, 0) + int(n_rows)
+
+    def warm_load(self, rows) -> None:
+        """One-time cold-start load from the full-output scan.  Offsets
+        max-merge (a concurrent batch may have recorded already); row
+        counts reset to the scanned totals (the scan already includes
+        every delivered row)."""
+        with self._lock:
+            if self.warm:
+                return
+            totals: dict[str, int] = {}
+            for r in rows:
+                route, p = r["route_id"], int(r["partition"])
+                cur = self._offsets.setdefault(route, {})
+                cur[p] = max(cur.get(p, -1), int(r["cur"]))
+                totals[route] = totals.get(route, 0) + int(r["n"])
+            for route, n in totals.items():
+                self._rows[route] = n
+            self.warm = True
+
+    def offsets(self, route_id: str) -> dict[int, int]:
+        with self._lock:
+            return dict(self._offsets.get(route_id, {}))
+
+    def rows(self, route_id: str) -> int:
+        with self._lock:
+            return int(self._rows.get(route_id, 0))
+
+    def snapshot(self) -> dict[str, dict[int, int]]:
+        with self._lock:
+            return {r: dict(o) for r, o in self._offsets.items()}
+
+
+def observe_delivery(df: DataFrame, num_partitions: int, name: str):
+    """Attach a delivery-metrics Observation to a batch DataFrame: row
+    count + per-partition max offset, computed map-side inside whatever
+    action materializes ``df`` (the sink write) — no second read of the
+    batch.  Per-partition maxima are expressed as ``max(when(partition
+    = p, offset))`` aggregate columns, which partial-aggregate before
+    the driver sees them; partition counts are topic metadata (small),
+    never data-sized."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in range(num_partitions):
+        aggs.append(
+            F.max(F.when(F.col("partition") == p, F.col("offset"))).alias(f"p{p}")
+        )
+    return df.observe(obs, *aggs), obs
+
+
+def delivery_from_observation(obs, num_partitions: int) -> tuple[dict[int, int], int]:
+    """Decode (per-partition maxima, row count) once the observed job
+    finished (``Observation.get`` blocks on the action)."""
+    row = obs.get
+    per_part = {
+        p: int(row[f"p{p}"])
+        for p in range(num_partitions)
+        if row[f"p{p}"] is not None
+    }
+    return per_part, int(row["n"] or 0)
+
+
 class DynamicStreamApp:
     """The engine container: one live route + N sideline replays over a
     partitioned topic, with persistent control state under ``workdir``."""
@@ -108,6 +202,7 @@ class DynamicStreamApp:
             os.path.join(workdir, "consumer_state")
         )
         self._firehose: Firehose | None = None
+        self._hwm = RouteHighWater()
         self._replay_queries: dict[str, object] = {}
         self._last_sideline_refresh = 0.0
         self._monitor_thread = None
@@ -152,11 +247,16 @@ class DynamicStreamApp:
 
         self.controller.load_sidelines()
         self._last_sideline_refresh = _time.monotonic()
+        # cold-start warm-up BEFORE the firehose starts: the one full
+        # output scan; every later high-water read is in-memory
+        self._ensure_hwm_warm()
 
         retry_runner = self.retry_runner
         live_route_id = self.live_route_id
         rollup = self.rollup
         rollup_prepare = self.rollup_prepare
+        hwm = self._hwm
+        num_partitions = self.topic.num_partitions
 
         class _TaggedFirehose(Firehose):
             # kept rows are tagged with the route id on the way out;
@@ -170,7 +270,16 @@ class DynamicStreamApp:
                 kept = chain.keep(batch_df)
 
                 def _sink(ok: DataFrame) -> None:
+                    # delivery metrics ride the write job (Observation):
+                    # per-partition maxima feed the in-memory high-water
+                    # accumulator, so progress/lag never rescan the sink
+                    ok, obs = observe_delivery(
+                        ok, num_partitions, f"deliver-{live_route_id}-{batch_id}"
+                    )
                     write_sink_batch(ok, inner.output_dir, route_id=live_route_id)
+                    hwm.record(
+                        live_route_id, *delivery_from_observation(obs, num_partitions)
+                    )
                     if rollup is not None:
                         # continuous aggregate over the DELIVERED rows:
                         # merging here (inside the sink, after the
@@ -288,18 +397,20 @@ class DynamicStreamApp:
         Idempotence note: like the reference, a replay that runs in both
         RESUME and RESOLVE states would re-deliver (at-least-once); run
         it once per state transition or only at RESOLVE."""
-        from pyspark.sql import Observation
-
         payload = self.controller.persistence.retrieve(sideline_id)
         df = self.controller.replay_df(self.spark, sideline_id).withColumn(
             "route_id", F.lit(f"sideline-{sideline_id}")
         )
-        # observed metric instead of a pre-count: the replay runs ONE
-        # Spark job — the row count rides along with the sink write
-        obs = Observation(f"replay-{sideline_id}")
-        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        # observed metrics instead of a pre-count: the replay runs ONE
+        # Spark job — row count + per-partition high-water marks ride
+        # along with the sink write
+        route_id = f"sideline-{sideline_id}"
+        df, obs = observe_delivery(
+            df, self.topic.num_partitions, f"replay-{sideline_id}-{id(df)}"
+        )
         write_sink_batch(df, self.out_dir)
-        n = int(obs.get["n"])
+        per_part, n = delivery_from_observation(obs, self.topic.num_partitions)
+        self._hwm.record(route_id, per_part, n)
         self.recorder.count(f"sideline.{sideline_id}.replayed", n)
         if payload is not None and payload.type is SidelineType.RESOLVE:
             self.controller.complete(sideline_id)
@@ -354,7 +465,14 @@ class DynamicStreamApp:
                 .filter(F.coalesce(F.expr(payload.predicate_sql), F.lit(False)))
                 .withColumn("route_id", F.lit(route_id))
             )
+            out, obs = observe_delivery(
+                out, self.topic.num_partitions, f"{route_id}-{batch_id}"
+            )
             write_sink_batch(out, self.out_dir)
+            self._hwm.record(
+                route_id,
+                *delivery_from_observation(obs, self.topic.num_partitions),
+            )
             self.recorder.count(f"{route_id}.batches")
 
         writer = (
@@ -388,9 +506,12 @@ class DynamicStreamApp:
         expected = self.topic.read_range(
             self.spark, payload.start_offsets, payload.end_offsets
         ).filter(F.expr(payload.predicate_sql))
+        # expected side scans only the sideline's bounded offset window;
+        # the replayed side is the in-memory delivery counter — the old
+        # full-output count made completion polling O(history)
         expected_n = expected.count()
-        replayed_n = self._full_output().filter(F.col("route_id") == route_id).count()
-        return replayed_n >= expected_n
+        self._ensure_hwm_warm()
+        return self._hwm.rows(route_id) >= expected_n
 
     # -- observability (O10, SpoutPartitionProgressMonitor arithmetic) ------
 
@@ -415,14 +536,12 @@ class DynamicStreamApp:
                 starting = payload.start_offsets
                 if payload.end_offsets is not None:
                     ending = payload.end_offsets
-        delivered = (
-            self._full_output()
-            .filter(F.col("route_id") == route_id)
-            .groupBy("partition")
-            .agg(F.max("offset").alias("cur"))
-            .collect()
-        )
-        current = {int(r["partition"]): int(r["cur"]) for r in delivered}
+        # delivered high-water marks come from the in-memory accumulator
+        # (fed per batch by the sink-write Observations); the output
+        # table is scanned once at cold start, never per progress call —
+        # the monitor tick stays O(1) at any output size
+        self._ensure_hwm_warm()
+        current = self._hwm.offsets(route_id)
         for p in starting:
             current.setdefault(p, starting[p])
         return route_progress(starting, current, ending)
@@ -446,19 +565,31 @@ class DynamicStreamApp:
         ``persistConsumerState``, ``VirtualSpout.java:542-549``).  The
         checkpoint stays the restart source of truth; this table is the
         operational mirror a monitor or remote adapter reads.  Returns
-        the flushed state per route."""
-        delivered = (
-            self._full_output()
-            .groupBy("route_id", "partition")
-            .agg(F.max("offset").alias("cur"))
-            .collect()
-        )
-        states: dict[str, dict[int, int]] = {}
-        for r in delivered:
-            states.setdefault(r["route_id"], {})[int(r["partition"])] = int(r["cur"])
+        the flushed state per route.
+
+        Reads the in-memory high-water accumulator (O(routes), no table
+        scan) — the periodic flush used to aggregate the entire output
+        table, which melts at 100 TB."""
+        self._ensure_hwm_warm()
+        states = self._hwm.snapshot()
         for route_id, offsets in states.items():
             self.consumer_state.persist_state(route_id, offsets)
         return states
+
+    def _ensure_hwm_warm(self) -> None:
+        """The one permitted full-output scan: populate the high-water
+        accumulator at cold start (open(), or the first observability
+        call on a freshly-restarted instance).  Everything after reads
+        memory."""
+        if self._hwm.warm:
+            return
+        delivered = (
+            self._full_output()
+            .groupBy("route_id", "partition")
+            .agg(F.max("offset").alias("cur"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        self._hwm.warm_load(delivered)
 
     def start_monitor(self) -> None:
         """The coordinator's monitor thread (``SpoutCoordinator.java:

@@ -155,9 +155,85 @@ class JsonLinesRecorder(MetricsRecorder):
         return elapsed
 
 
+class PrometheusTextRecorder(MetricsRecorder):
+    """Recorder that maintains a pull file in the Prometheus text
+    exposition format (the node_exporter *textfile collector* pattern:
+    a scraper reads the file; nothing in the engine binds a port).
+    This is the ``metrics/DropwizardRecorder.java:42`` analogue — the
+    same counters/gauges/timers split mapped onto a public metrics
+    surface: counters emit as monotonic ``_total`` series, gauges as
+    plain gauges, timers as ``_seconds`` summaries (sum + count).
+
+    The file is rewritten atomically (tmp + ``os.replace``) on every
+    update — a scrape never sees a torn file.  Metric names are
+    sanitized to the Prometheus grammar (dots/dashes → underscores);
+    the original engine key is preserved as a ``key`` label so dashboards
+    can still group by the reference's dotted names."""
+
+    def __init__(self, path: str) -> None:
+        import os
+
+        super().__init__()
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    @staticmethod
+    def _sanitize(key: str) -> str:
+        import re
+
+        name = re.sub(r"[^a-zA-Z0-9_:]", "_", key)
+        if not name or not (name[0].isalpha() or name[0] in "_:"):
+            name = "_" + name
+        return name
+
+    def render(self) -> str:
+        """The current exposition-format payload (what a scrape reads)."""
+        lines: list[str] = []
+        with self._lock:
+            for key in sorted(self.counters):
+                n = self._sanitize(key) + "_total"
+                lines.append(f"# TYPE {n} counter")
+                lines.append(f'{n}{{key="{key}"}} {self.counters[key]}')
+            for key in sorted(self.gauges):
+                v = self.gauges[key]
+                if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    continue  # non-numeric gauges are not representable
+                n = self._sanitize(key)
+                lines.append(f"# TYPE {n} gauge")
+                lines.append(f'{n}{{key="{key}"}} {v}')
+            for key in sorted(self.timers):
+                samples = self.timers[key]
+                n = self._sanitize(key) + "_seconds"
+                lines.append(f"# TYPE {n} summary")
+                lines.append(f'{n}_sum{{key="{key}"}} {sum(samples)}')
+                lines.append(f'{n}_count{{key="{key}"}} {len(samples)}')
+        return "\n".join(lines) + ("\n" if lines else "")
+
+    def _flush(self) -> None:
+        import os
+
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self.render())
+        os.replace(tmp, self.path)
+
+    def count(self, key: str, amount: int = 1, *params: Any) -> None:
+        super().count(key, amount, *params)
+        self._flush()
+
+    def assign_value(self, key: str, value: Any, *params: Any) -> None:
+        super().assign_value(key, value, *params)
+        self._flush()
+
+    def stop_timer(self, key: str, started: float) -> float:
+        elapsed = super().stop_timer(key, started)
+        self._flush()
+        return elapsed
+
+
 def make_recorder(config) -> MetricsRecorder:
-    """Recorder from config (``metrics.recorder``: memory | log | jsonl)
-    — the reference picks its recorder class the same way
+    """Recorder from config (``metrics.recorder``: memory | log | jsonl
+    | prometheus) — the reference picks its recorder class the same way
     (``SpoutConfig`` key ``metrics.class`` → Log/Storm/Dropwizard)."""
     kind = str(config.get("metrics.recorder", "memory"))
     if kind == "memory":
@@ -169,6 +245,11 @@ def make_recorder(config) -> MetricsRecorder:
         if not path:
             raise ValueError("metrics.recorder=jsonl requires metrics.jsonl_path")
         return JsonLinesRecorder(str(path))
+    if kind == "prometheus":
+        path = config.get("metrics.prom_path")
+        if not path:
+            raise ValueError("metrics.recorder=prometheus requires metrics.prom_path")
+        return PrometheusTextRecorder(str(path))
     raise ValueError(f"unknown metrics.recorder: {kind!r}")
 
 

@@ -71,3 +71,61 @@ def test_contamination_flags_are_real_overlaps(spark):
         toks = texts[did].split()
         grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
         assert grams & eval_grams, f"doc {did} flagged but shares no 3-gram"
+
+
+def test_star_and_label_prop_reach_same_fixpoint(spark):
+    """connected_components(method="star") — the O(log n) large-star/
+    small-star contraction (Kiveris et al.) — must produce EXACTLY the
+    min-reachable-id labels of the default label propagation, on the
+    real fixture near-dup graph AND on an adversarial long chain
+    (diameter >> log n, where the two algorithms take very different
+    round counts)."""
+    from storm_dynamic_spout_spark.operators import dedup as D
+
+    docs = load_table(spark, SF, "documents")
+    pairs = D.minhash_near_dups(docs, "doc_id", "text", 0.7)
+    lp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(pairs, docs, "doc_id").collect()
+    }
+    st = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(pairs, docs, "doc_id", method="star").collect()
+    }
+    assert st == lp and lp  # identical fixpoint labels
+
+    # adversarial: one 60-node path + a triangle + singletons
+    chain = [(i, i + 1) for i in range(100, 160)]
+    tri = [(900, 901), (901, 902), (902, 900)]
+    edges = spark.createDataFrame(chain + tri, ["id_a", "id_b"])
+    nodes = spark.createDataFrame(
+        [(n,) for n in range(100, 161)] + [(900,), (901,), (902,), (999,)],
+        ["doc_id"],
+    )
+    expect = {n: 100 for n in range(100, 161)}
+    expect.update({900: 900, 901: 900, 902: 900, 999: 999})
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(
+            edges, nodes, "doc_id", method="star"
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_star_handles_reversed_and_duplicate_edges(spark):
+    """Canonicalization: duplicate, reversed, and self-loop edges must
+    not change the star method's labels."""
+    from storm_dynamic_spout_spark.operators import dedup as D
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 3), (2, 3), (5, 4)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 4, 5, 6]], ["doc_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(
+            edges, nodes, "doc_id", method="star"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}

@@ -119,3 +119,52 @@ def test_app_builds_recorder_from_config(spark, tmp_path):
         ),
     )
     assert type(app.recorder) is JsonLinesRecorder
+
+
+def test_prometheus_recorder_exposition_format(tmp_path):
+    """PrometheusTextRecorder (DropwizardRecorder.java:42 analogue):
+    counters emit as monotonic _total series, gauges plain, timers as
+    _seconds summaries — in the text exposition format a textfile
+    collector scrapes; names sanitized, dotted key kept as a label."""
+    from storm_dynamic_spout_spark.streaming.metrics import PrometheusTextRecorder
+
+    path = str(tmp_path / "metrics" / "engine.prom")
+    rec = PrometheusTextRecorder(path)
+    rec.count("firehose.batches")
+    rec.count("firehose.batches", 2)
+    rec.assign_value("route.{}.lag.total", 7, "firehose")
+    rec.assign_value("query.q1.exception", "boom")  # non-numeric: skipped
+    t0 = rec.start_timer()
+    rec.stop_timer("batch.time", t0)
+
+    text = open(path).read()
+    assert text == rec.render()  # pull file mirrors in-memory state
+    assert "# TYPE firehose_batches_total counter" in text
+    assert 'firehose_batches_total{key="firehose.batches"} 3' in text
+    assert "# TYPE route_firehose_lag_total gauge" in text
+    assert 'route_firehose_lag_total{key="route.firehose.lag.total"} 7' in text
+    assert "# TYPE batch_time_seconds summary" in text
+    assert 'batch_time_seconds_count{key="batch.time"} 1' in text
+    assert "boom" not in text  # string gauges not representable
+    # in-memory surface intact for progress/lag readers
+    assert rec.counters["firehose.batches"] == 3
+    assert not any(
+        line and not line.startswith("#") and " " not in line
+        for line in text.splitlines()
+    )
+
+
+def test_make_recorder_prometheus(tmp_path):
+    from storm_dynamic_spout_spark.streaming.metrics import PrometheusTextRecorder
+
+    pr = make_recorder(
+        EngineConfig(
+            {
+                "metrics.recorder": "prometheus",
+                "metrics.prom_path": str(tmp_path / "engine.prom"),
+            }
+        )
+    )
+    assert type(pr) is PrometheusTextRecorder
+    with pytest.raises(ValueError):
+        make_recorder(EngineConfig({"metrics.recorder": "prometheus"}))
