@@ -16,73 +16,116 @@ from storm_dynamic_spout_spark.catalog import (  # noqa: F401
 from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 
 #: Registration order doubles as the driver's sampling order: its
-#: correctness sweep checks the FIRST 50 registered queries.  Rounds
-#: 1+3 together covered exactly 100 of 133 registered queries; round 4
-#: rotates the window a third time — the 33 never-driver-checked
-#: queries occupy slots 1–33, and slots 34–50 hold 17 canaries drawn
-#: from every previously-green family (one regression tripwire per
-#: family).  Union of CORRECTNESS_r1..r4 then covers all 133.
+#: correctness sweep checks the FIRST ~50 registered queries.  The
+#: union of CORRECTNESS_r1..r4 covers all 136 registered queries;
+#: round 5 re-composes the window as a staleness rotation:
+#:   slots 1–7   — must-recheck: queries whose most recent driver row
+#:                 is red (embedding_quantize r4 harness crash,
+#:                 agg_stats r1 float ULPs — both since fixed), the
+#:                 verdict's named canaries (scalar_map,
+#:                 events_sessionize, embedding_normalize), and the
+#:                 two queries whose implementation changed after
+#:                 their last driver check (dedup_cluster_assignment
+#:                 — star-method refactor; stream_continuous_rollup —
+#:                 atomic-commit + ok-rows rework).
+#:   slots 8–52  — every query whose ONLY driver evidence is round 1
+#:                 (the most stale cohort), alphabetical.
+#:   remainder   — r3 cohort, then r4 cohort: freshest checks last.
 _PRIORITY = [
-    # --- slots 1–33: never driver-checked before round 4 ---
-    # events analytics (5)
-    "events_sessionize",
-    "events_funnel",
-    "events_retention",
-    "events_transitions",
-    "events_gap_fill",
-    # corpus / training-pipeline ops (3)
-    "corpus_contamination",
-    "sequence_packing",
-    "training_export_shuffle",
-    # embeddings / ANN (5)
-    "embedding_normalize",
+    # --- slots 1–7: must-recheck ---
     "embedding_quantize",
-    "embedding_centroids",
-    "ann_ivf_assign",
-    "ann_topk_ivf_nprobe",
-    # text analysis (6)
-    "text_chunking",
-    "text_term_freq",
-    "text_tfidf_top_term",
-    "text_pii_scrub",
-    "text_quality_filter",
-    "text_repetition",
-    # sampling (2)
-    "sample_deterministic",
-    "sample_mixture",
-    # UDTF + dedup clustering + streaming dedup/rollup (4)
-    "udtf_split_tokens",
+    "agg_stats",
+    "scalar_map",
     "dedup_cluster_assignment",
-    "stream_incremental_dedup",
     "stream_continuous_rollup",
-    "join_range_binned",
-    "corpus_composition",
-    # deferred TPC-H four (4)
-    "tpch_q4",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q22",
-    # remaining scalars (4) + histogram agg (1)
-    "scalar_bitops",
-    "scalar_trig",
-    "scalar_array_explode",
-    "scalar_map_explode",
-    "agg_histogram",
-    # --- slots 35–50: one green canary per family (r1/r3 rows) ---
-    "tpch_q1",
-    "window_ranking",
-    "topk_per_group",
-    "setop_union_all",
-    "scalar_string",
-    "udf_pandas_scalar",
-    "udaf_apply_in_pandas",
-    "stream_tumbling_window",
-    "stream_session_window",
-    "retry_backoff_schedule",
-    "agg_having",
-    "join_star",
-    "dedup_exact",
-    "ann_topk_ivf",
+    "embedding_normalize",
+    "events_sessionize",
+    # --- slots 8–52: last driver-checked in round 1 ---
+    "agg_approx_count_distinct",
+    "agg_arg_min_max",
+    "agg_conditional",
+    "agg_corr_covar",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_string_concat",
+    "ann_topk_bruteforce",
+    "dedup_by_key",
+    "dedup_minhash_pairs",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "deserialize_project",
+    "embedding_near_pairs",
+    "filter_chain",
+    "filter_key",
+    "filter_negated",
+    "filter_offset_bound",
+    "join_anti",
+    "join_asof",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left",
+    "join_null_safe",
+    "join_range",
+    "join_right",
+    "join_semi",
+    "join_stream_static",
+    "join_theta",
+    "project_expressions",
+    "q1_pricing_summary",
+    "sideline_window",
+    "sql_exists_subquery",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_stats",
+    # --- remainder: last checked round 3, then round 4 ---
+    "orderby_limit",
+    "scalar_array",
+    "scalar_conditional",
+    "scalar_date",
+    "scalar_json",
+    "scalar_json_schema",
+    "scalar_math",
+    "scalar_null_handling",
+    "scalar_regex",
+    "scalar_string_distance",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_distinct",
+    "setop_union_evolved",
+    "sort_multi_key",
+    "stream_dedup_within_window",
+    "stream_hopping_window",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "window_distribution",
+    "window_first_last",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_running",
 ]
 
 
