@@ -8,6 +8,7 @@ from storm_dynamic_spout_spark.catalog import (  # noqa: F401
     llm,
     scalars,
     setops,
+    sources_io,
     streaming_time,
     tpch,
     udfs,

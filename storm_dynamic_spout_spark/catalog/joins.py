@@ -428,3 +428,48 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("l_orderkey", "l_linenumber").agg(
         F.count(F.lit(1)).alias("n_bands")
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically-salted equi-join (operators/skew.py): the fact
+    side gets a salt hashed from its unique id, the dimension is
+    replicated salt-ways, and the join key becomes (key, salt) — a hot
+    supplier's rows spread across n_salts shuffle partitions.  The
+    mitigation is a pure re-partitioning: the oracle is the UNSALTED
+    join, and results are identical row-for-row.  For when AQE's
+    skew-split can't help: hash-aggregate feeds, or
+    small-but-unbroadcastable dims.  Money summed in integer cents
+    (engine-portable)."""
+    from storm_dynamic_spout_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_suppkey").alias("s_suppkey"),
+        "l_extendedprice",
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li, sup, "s_suppkey", salt_from=["l_orderkey", "l_linenumber"], n_salts=8
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+        .orderBy("s_nationkey")
+    )

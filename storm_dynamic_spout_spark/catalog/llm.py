@@ -438,6 +438,82 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SRP-LSH geometry (shared Spark/oracle): 64-dim fixture embeddings,
+#: 16 sign bits in 4 bands of 4 — band-bucket blocking with no label.
+SRP_DIM = 64
+SRP_PLANES = 16
+SRP_BAND_BITS = 4
+
+
+def _srp_lsh_oracle() -> str:
+    """DuckDB mirror of operators/similarity.py srp_band_pairs: the ±1
+    hyperplanes are generated by the SAME ``srp_planes`` call and
+    inlined as list literals, so both engines compute bit-identical
+    sign bits (same left-to-right accumulation order)."""
+    planes = S.srp_planes(SRP_DIM, SRP_PLANES)
+    bit_exprs = ",\n           ".join(
+        "(CASE WHEN list_inner_product(ve, ["
+        + ", ".join(str(w) for w in row)
+        + f"]) >= 0 THEN 1 ELSE 0 END) AS b{p}"
+        for p, row in enumerate(planes)
+    )
+    n_bands = SRP_PLANES // SRP_BAND_BITS
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {bi} AS band_idx, "
+        + " + ".join(f"{2**j} * b{bi * SRP_BAND_BITS + j}" for j in range(SRP_BAND_BITS))
+        + " AS band_val FROM sig"
+        for bi in range(n_bands)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    sig AS (SELECT vec_id, ve,
+           {bit_exprs}
+            FROM v),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             list_inner_product(va.ve, vb.ve)
+               / (sqrt(list_inner_product(va.ve, va.ve)) * sqrt(list_inner_product(vb.ve, vb.ve)))
+               AS c_raw
+      FROM cand c
+      JOIN v va ON va.vec_id = c.id_a
+      JOIN v vb ON vb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, round(c_raw * 1000000) / 1000000 AS cos
+    FROM scored WHERE c_raw >= {EMBED_COS_THRESHOLD}
+    """
+
+
+@query("embedding_lsh_pairs", oracle=_srp_lsh_oracle())
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-FREE embedding near-dup pairs via signed-random-projection
+    LSH (random hyperplanes → sign bits → bands → bucket equi-join →
+    exact cosine verify).  The blocking key is derived from the vector
+    itself — the scale path for a corpus with no precomputed cluster
+    ids.  Band join is equi (never all-pairs); candidate dedup is one
+    shuffle on the pair key."""
+    df = S.srp_band_pairs(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        EMBED_COS_THRESHOLD,
+        dim=SRP_DIM,
+        n_planes=SRP_PLANES,
+        band_bits=SRP_BAND_BITS,
+    )
+    return df.select(
+        "id_a", "id_b", (F.round(F.col("cos") * 1000000) / 1000000).alias("cos")
+    )
+
+
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -1318,4 +1394,106 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(X.quality_score(text)), 6).alias("quality_sum"),
         )
         .orderBy("lang", "len_band")
+    )
+
+
+@query(
+    "corpus_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, text || ' [rev2]' AS text, lang, source,
+             CAST(length(text || ' [rev2]') AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    inserts AS (
+      SELECT doc_id + 1000000 AS doc_id, 'recrawl: ' || text AS text, lang,
+             'recrawl' AS source,
+             CAST(length('recrawl: ' || text) AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    src AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+    merged AS (
+      SELECT coalesce(s.doc_id, t.doc_id) AS doc_id,
+             CASE WHEN s.doc_id IS NOT NULL THEN s.text ELSE t.text END AS text,
+             CASE WHEN s.doc_id IS NOT NULL THEN s.lang ELSE t.lang END AS lang,
+             CASE WHEN s.doc_id IS NOT NULL THEN s.source ELSE t.source END AS source,
+             CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars ELSE t.n_chars END AS n_chars
+      FROM documents t FULL OUTER JOIN src s ON t.doc_id = s.doc_id
+    )
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM merged
+    """,
+)
+def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 corpus refresh (operators/merge.py): a re-crawl batch of
+    revised docs (doc_id % 7) plus brand-new docs (doc_id % 50, keyed
+    past the fixture id range) MERGEs into the documents table — matched
+    rows replaced whole-row, new rows inserted, untouched rows kept.
+    One full-outer shuffle on doc_id; Catalyst broadcasts the (small)
+    update batch.  The oracle is the ANSI FULL OUTER JOIN + CASE
+    equivalent of MERGE INTO."""
+    from storm_dynamic_spout_spark.operators.merge import merge_upsert
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+        "lang",
+        "source",
+        F.length(F.concat(F.col("text"), F.lit(" [rev2]"))).cast("long").alias("n_chars"),
+    )
+    inserts = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("recrawl: "), F.col("text")).alias("text"),
+        "lang",
+        F.lit("recrawl").alias("source"),
+        F.length(F.concat(F.lit("recrawl: "), F.col("text"))).cast("long").alias("n_chars"),
+    )
+    merged = merge_upsert(docs, updates.unionByName(inserts), keys=["doc_id"])
+    return merged.select(
+        "doc_id", "lang", "source", "n_chars", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+def _sql_quality() -> str:
+    """The quality_score composite as a DuckDB expression (same formula
+    as operators/text.py quality_score, shared by three oracles)."""
+    p = X.sql_punct_ratio("text")
+    s = X.sql_stopword_ratio("text", X.QUALITY_STOPWORDS)
+    return (
+        "(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+        f" + (1.0 - least({p} * 5, 1.0))"
+        f" + (1.0 - abs({s} - 0.4))"
+        ") / 3.0"
+    )
+
+
+@query(
+    "text_quality_gate_quantile",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, {_sql_quality()} AS quality FROM documents),
+    thr AS (SELECT quantile_cont(quality, 0.75) AS q75 FROM scored)
+    SELECT s.doc_id, round(s.quality, 6) AS quality
+    FROM scored s, thr WHERE s.quality >= thr.q75
+    """,
+)
+def text_quality_gate_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: keep documents at or above the
+    corpus P75 quality score.  The threshold is a one-row global
+    aggregate broadcast back over the scan (scalar-subquery pattern —
+    the crossJoin is a 1-row broadcast, not a cartesian).  Exact
+    interpolated percentile here (matches DuckDB quantile_cont); at
+    100 TB swap in approx_percentile — same plan shape, sketch-merge
+    instead of sort.  Threshold comparison is ULP-safe: the
+    interpolated value lies strictly between two adjacent sorted
+    scores, so no document score can sit inside the engines'
+    1-ulp interpolation disagreement."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+    thr = scored.agg(F.percentile(F.col("quality"), F.lit(0.75)).alias("__q75"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("__q75"))
+        .select("doc_id", F.round(F.col("quality"), 6).alias("quality"))
     )

@@ -1,0 +1,135 @@
+"""File-format round-trip queries (SURVEY §2.1 S9): drive the CSV /
+JSON / ORC batch sources through the driver's oracle gate.
+
+Each query writes a fixture table to a temp directory in the target
+format via the engine's sink path, reads it back through
+``SourceRegistry`` (the S9 scan surface), and aggregates.  The oracle
+runs the same aggregate over the ORIGINAL parquet — green means the
+format round-trip is lossless for the exercised types (int/bigint/
+string/double).  Schemas are explicit on read (never inferred: at
+100 TB schema inference is a full extra scan and an availability
+hazard when files arrive concurrently).
+
+Side-effectful construction (like stream_incremental_dedup): building
+the DataFrame writes a small temp dir; excluded from bench plan
+snapshots by the side-effect list in bench.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.catalog.registry import query, t
+from storm_dynamic_spout_spark.sources import SourceRegistry
+
+_REGISTRY = SourceRegistry()
+
+
+def _roundtrip(
+    spark: SparkSession,
+    df: DataFrame,
+    fmt: str,
+    schema: str,
+    write_opts: dict | None = None,
+    read_opts: dict | None = None,
+) -> DataFrame:
+    path = tempfile.mkdtemp(prefix=f"sdss-io-{fmt}-")
+    df.write.mode("overwrite").options(**(write_opts or {})).format(fmt).save(path)
+    return _REGISTRY.read(spark, fmt, path=path, schema=schema, **(read_opts or {}))
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan: customer written to headered CSV, read back with an
+    explicit schema (doubles survive — Spark writes shortest-roundtrip
+    repr), aggregated per segment.  Oracle runs on the original
+    parquet, so green proves the CSV path is value-lossless."""
+    c = t(spark, sf_dir, "customer")
+    back = _roundtrip(
+        spark,
+        c,
+        "csv",
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+        write_opts={"header": "true"},
+        read_opts={"header": "true"},
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS acctbal_cents
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan: supplier round-tripped through the json source
+    with an explicit schema, aggregated per nation."""
+    s = t(spark, sf_dir, "supplier")
+    back = _roundtrip(
+        spark,
+        s,
+        "json",
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT n.n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n.n_name) AS first_nation
+    FROM nation n GROUP BY n.n_regionkey ORDER BY n.n_regionkey
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan: nation round-tripped through the orc source (the
+    columnar alternative to parquet), aggregated per region."""
+    n = t(spark, sf_dir, "nation")
+    back = _roundtrip(
+        spark,
+        n,
+        "orc",
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("n_regionkey")
+    )

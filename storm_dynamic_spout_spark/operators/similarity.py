@@ -250,3 +250,96 @@ def cosine_topk_ivf_nprobe(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
     )
+
+
+# --- signed-random-projection (random-hyperplane) LSH ------------------
+
+SRP_SEED = 42
+
+
+def srp_planes(dim: int, n_planes: int, seed: int = SRP_SEED) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights via md5 parity — the same
+    list is inlined into the DuckDB oracle SQL, so both engines hash
+    with bit-identical planes.  ±1 entries (instead of gaussians) are
+    the standard sparse-SRP simplification; sign(v·w) keeps the
+    cosine-LSH property (P[bit equal] = 1 − θ/π)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"srp:{seed}:{p}:{d}".encode()).digest()[0] % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: int = SRP_SEED,
+) -> DataFrame:
+    """Label-free embedding near-dup pairs via random-hyperplane LSH:
+    ``n_planes`` sign bits, banded ``band_bits`` at a time; pairs
+    sharing ≥1 band are candidates; exact cosine ≥ ``threshold``
+    verifies.  Unlike :func:`cosine_near_dup_pairs` this needs no
+    precomputed bucket column — the blocking key is derived from the
+    vector itself, which is what a 100 TB corpus without cluster labels
+    requires.  Scale shape: band-key equi-join (never all-pairs), one
+    dedup shuffle on the candidate pair key, AQE skew-split for dense
+    buckets.  Returns ``(id_a, id_b, cos)``."""
+    if n_planes % band_bits != 0:
+        raise ValueError("n_planes must be a multiple of band_bits")
+    planes = srp_planes(dim, n_planes, seed)
+    v = _with_vec(df, id_col, vec_col)
+    bits = [
+        (dot(F.col("__v"), F.array(*[F.lit(w) for w in row])) >= 0).cast("int")
+        for row in planes
+    ]
+    n_bands = n_planes // band_bits
+    band_structs = []
+    for bi in range(n_bands):
+        val: Column = F.lit(0)
+        for j in range(band_bits):
+            val = val + bits[bi * band_bits + j] * F.lit(2**j)
+        band_structs.append(
+            F.struct(F.lit(bi).alias("band_idx"), val.alias("band_val"))
+        )
+    banded = v.select(
+        id_col,
+        "__v",
+        "__n",
+        F.explode(F.array(*band_structs)).alias("__bk"),
+    ).select(id_col, "__v", "__n", "__bk.band_idx", "__bk.band_val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "cos", dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
