@@ -113,15 +113,31 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one band bucket.
 
-    Equi-join per band on the 32-byte band key, unioned, deduped —
-    never an all-pairs product."""
-    pairs = None
-    for b in range(len(MINHASH_BANDS)):
-        a = sig.select(F.col(id_col).alias("id_a"), F.col(f"band_{b}").alias("__bk"))
-        c = sig.select(F.col(id_col).alias("id_b"), F.col(f"band_{b}").alias("__bk"))
-        p = a.join(c, "__bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    The bands are EXPLODED into (band_idx, band_key) rows and the self-
+    join runs ONCE on the composite key — one exchange of the exploded
+    signature (reused for both join sides) instead of one join per band
+    over a re-computed signature.  Never an all-pairs product."""
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("__bk")
+                    )
+                    for b in range(len(MINHASH_BANDS))
+                ]
+            )
+        ).alias("__x"),
+    ).select(id_col, "__x.band_idx", "__x.__bk")
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "__bk")
+    c = bands.select(F.col(id_col).alias("id_b"), "band_idx", "__bk")
+    return (
+        a.join(c, ["band_idx", "__bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def jaccard_verify(
@@ -167,13 +183,75 @@ def jaccard_verify(
 
 
 def minhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.9
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Full pipeline: signature → LSH buckets → candidate pairs →
-    exact-Jaccard verification."""
-    sig = minhash_signature(df, id_col, text_col)
-    cands = lsh_candidate_pairs(sig, id_col)
-    return jaccard_verify(cands, df, id_col, text_col, threshold)
+    exact-Jaccard verification.
+
+    ``collapse_exact`` (default): documents with IDENTICAL distinct-
+    token sets collapse to one representative (min id) before the LSH
+    join, and verified representative pairs expand back to document
+    pairs afterwards.  Output is pair-for-pair identical to the
+    uncollapsed pipeline — identical token sets mean identical
+    signatures (so candidate status is preserved both ways) and
+    identical Jaccard values — but the quadratic bucket join runs on
+    representatives only.  On a dup-dense corpus this is the difference
+    between a 250-copy viral document contributing one bucket row and
+    contributing 250² join pairs; exactly the skew a 100 TB crawl
+    exhibits."""
+    if not collapse_exact:
+        sig = minhash_signature(df, id_col, text_col)
+        cands = lsh_candidate_pairs(sig, id_col)
+        return jaccard_verify(cands, df, id_col, text_col, threshold)
+
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(F.to_json(F.array_sort(distinct_tokens(F.col(text_col))))).alias("__tk"),
+    )
+    groups = keyed.groupBy("__tk").agg(
+        F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__gn")
+    )
+    mapping = keyed.join(groups, "__tk").select(F.col(id_col), "__rep", "__gn")
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col)), id_col
+    )
+    sig = minhash_signature(reps, id_col, text_col)
+    rep_pairs = jaccard_verify(
+        lsh_candidate_pairs(sig, id_col), reps, id_col, text_col, threshold
+    )
+    # cross-group expansion: members(rep_a) × members(rep_b); groups are
+    # disjoint, so each unordered doc pair appears exactly once
+    ma = mapping.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__da"))
+    mb = mapping.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__db"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__da", "__db").alias("id_a"),
+            F.greatest("__da", "__db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-group pairs: identical token sets ⇒ jaccard exactly 1.0,
+    # always ≥ threshold; all member pairs within each multi-doc group
+    intra = (
+        mapping.filter(F.col("__gn") >= 2)
+        .select(F.col("__rep"), F.col(id_col).alias("__da"))
+        .join(
+            mapping.select(F.col("__rep"), F.col(id_col).alias("__db")), "__rep"
+        )
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            F.col("__da").alias("id_a"),
+            F.col("__db").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
