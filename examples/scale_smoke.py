@@ -132,6 +132,48 @@ def rollup_partial(t):
     )
 
 
+def minhash_lsh(t):
+    """MinHash near-dup pipeline (operators/dedup.py, rep-collapsed LSH
+    band join) — the 100 TB dedup workhorse.  The Nx loader token-salts
+    each document copy, so per-copy dup density is constant and healthy
+    scaling is ~linear in corpus size (buckets multiply, bucket SIZES
+    stay flat).  Un-salted copies would instead multiply every
+    exact-dup group Nx and grow the TRUE pair output N² — measuring
+    result size, not plan health."""
+    from storm_dynamic_spout_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(t("documents"), "doc_id", "text", 0.9)
+
+
+def srp_lsh(t, scale=1):
+    """Signed-random-projection embedding LSH (operators/similarity.py
+    srp_band_pairs).  The Nx loader circular-shifts each embedding copy,
+    decorrelating copies (cosine of a random 64-dim vector with its
+    rotation ≈ 0) so the true pair count scales ~linearly.
+
+    Band width is the index's scale knob: at FIXED band_bits the bucket
+    count is constant, so bucket sizes — and the quadratic-in-bucket
+    candidate join — grow linearly with the corpus.  A production SRP
+    index adds ~log2(growth) bits per band as the corpus grows, keeping
+    bucket sizes (and per-row join cost) flat; the smoke does exactly
+    that, so a ~linear ratio here validates the *parameterized* design,
+    not a fixed tiny index."""
+    import math
+
+    from storm_dynamic_spout_spark.operators.similarity import srp_band_pairs
+
+    band_bits = 4 + math.ceil(math.log2(scale)) if scale > 1 else 4
+    return srp_band_pairs(
+        t("embeddings"),
+        "vec_id",
+        "embedding",
+        0.25,
+        dim=64,
+        n_planes=4 * band_bits,
+        band_bits=band_bits,
+    )
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -139,6 +181,8 @@ QUERIES = [
     ("asof_join", asof_join),
     ("binned_range", binned_range_join),
     ("rollup_part", rollup_partial),
+    ("minhash_lsh", minhash_lsh),
+    ("srp_lsh", srp_lsh),
 ]
 
 
@@ -166,6 +210,28 @@ def main() -> None:
                     shifted = shifted.withColumn(
                         col, F.col(col) + F.lit(i * 1_000_000_000)
                     )
+            if name == "documents":
+                # distinct ids + per-copy token salt: every token gets a
+                # copy suffix, so cross-copy Jaccard is 0 and per-copy
+                # dup structure is preserved (see minhash_lsh docstring)
+                shifted = shifted.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000)
+                ).withColumn(
+                    "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1_c{i}")
+                )
+            if name == "embeddings":
+                # distinct ids + circular shift by i: decorrelates copies
+                shifted = shifted.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * 1_000_000_000)
+                )
+                if i > 0:
+                    shifted = shifted.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice(F.col("embedding"), i + 1, 64 - i),
+                            F.slice(F.col("embedding"), 1, i),
+                        ),
+                    )
             copies.append(shifted)
         out = copies[0]
         for c in copies[1:]:
@@ -173,9 +239,15 @@ def main() -> None:
         return out
 
     print(f"scale smoke: {SF_DIR} at 1x vs {COPIES}x (keys shifted per copy)")
+    import inspect
+
     for label, build in QUERIES:
+        takes_scale = "scale" in inspect.signature(build).parameters
         times = {}
-        for tag, loader in (("1x", loader_1x), (f"{COPIES}x", loader_nx)):
+        for tag, loader, scale in (
+            ("1x", loader_1x, 1),
+            (f"{COPIES}x", loader_nx, COPIES),
+        ):
             best = float("inf")
             # best-of-3: the host is noisy and the first noop write in a
             # JVM pays ~9s of classloading/codegen — 2 runs is not enough
@@ -183,7 +255,8 @@ def main() -> None:
             # 10x)
             for _ in range(3):
                 t0 = time.perf_counter()
-                build(loader).write.format("noop").mode("overwrite").save()
+                df = build(loader, scale=scale) if takes_scale else build(loader)
+                df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             times[tag] = best
         ratio = times[f"{COPIES}x"] / times["1x"]

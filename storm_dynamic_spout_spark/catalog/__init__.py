@@ -18,7 +18,8 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 
 #: Registration order doubles as the driver's sampling order: its
 #: correctness sweep checks the FIRST ~50 registered queries.  The
-#: union of CORRECTNESS_r1..r4 covers all 136 registered queries;
+#: union of CORRECTNESS_r1..r4 covers all 136 queries registered through
+#: round 4 (round 5 adds 7 more, appended after the priority list);
 #: round 5 re-composes the window as a staleness rotation:
 #:   slots 1–7   — must-recheck: queries whose most recent driver row
 #:                 is red (embedding_quantize r4 harness crash,
