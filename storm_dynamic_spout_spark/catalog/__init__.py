@@ -30,8 +30,12 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 their last driver check (dedup_cluster_assignment
 #:                 — star-method refactor; stream_continuous_rollup —
 #:                 atomic-commit + ok-rows rework).
-#:   slots 8–52  — every query whose ONLY driver evidence is round 1
-#:                 (the most stale cohort), alphabetical.
+#:   slots 8–14  — the 7 queries ADDED in round 5 (never driver-
+#:                 checked): SRP-LSH pairs, salted join, SCD-1 merge,
+#:                 quantile gate, CSV/JSON/ORC round-trips.
+#:   slots 15–50 — queries whose ONLY driver evidence is round 1 (the
+#:                 most stale cohort), alphabetical; the ~9 that spill
+#:                 past slot 50 sit immediately after and lead round 6.
 #:   remainder   — r3 cohort, then r4 cohort: freshest checks last.
 _PRIORITY = [
     # --- slots 1–7: must-recheck ---
@@ -42,7 +46,15 @@ _PRIORITY = [
     "stream_continuous_rollup",
     "embedding_normalize",
     "events_sessionize",
-    # --- slots 8–52: last driver-checked in round 1 ---
+    # --- slots 8–14: new in round 5, never driver-checked ---
+    "embedding_lsh_pairs",
+    "join_skew_salted",
+    "corpus_merge_upsert",
+    "text_quality_gate_quantile",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    # --- slots 15+: last driver-checked in round 1 ---
     "agg_approx_count_distinct",
     "agg_arg_min_max",
     "agg_conditional",

@@ -45,8 +45,9 @@ def test_first_fifty_registrations_cover_the_stale():
     whole catalog, so round 5's window is a staleness rotation: (a) the
     must-recheck set — queries whose most recent driver row is red or
     whose implementation changed after their last driver check — leads
-    the order, and (b) the rest of the first 50 is exactly the cohort
-    whose only driver evidence is round 1 (the most stale rows)."""
+    the order, (b) queries ADDED this round (never driver-checked)
+    come next, and (c) the rest of the first 50 is the cohort whose
+    only driver evidence is round 1 (the most stale rows)."""
     import json
     import os
 
@@ -65,9 +66,18 @@ def test_first_fifty_registrations_cover_the_stale():
             with open(p) as fh:
                 for q in json.load(fh):
                     last_round[q] = r
+    never_checked = set(QUERIES) - set(last_round)
+    assert never_checked <= first50, (
+        f"never-driver-checked queries outside window: "
+        f"{sorted(never_checked - first50)}"
+    )
     r1_stale = {q for q, r in last_round.items() if r == 1} - must
     outside = r1_stale - first50
-    # at most a 2-query overhang is tolerated (52 stale+must > 50 slots);
-    # the overhang queries must sit at slots 51-52 so they lead round 6.
-    assert len(outside) <= 2, f"round-1-stale queries too far outside window: {sorted(outside)}"
-    assert outside <= set(order[50:52]), f"stale overhang not adjacent to window: {sorted(outside)}"
+    # the stale cohort spills past slot 50 (must + new + stale > 50);
+    # the overhang must sit immediately after so it leads round 6.
+    assert len(outside) <= len(must | never_checked), (
+        f"round-1-stale queries too far outside window: {sorted(outside)}"
+    )
+    assert outside <= set(order[50 : 50 + len(outside)]), (
+        f"stale overhang not adjacent to window: {sorted(outside)}"
+    )
