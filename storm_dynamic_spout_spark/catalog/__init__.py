@@ -30,11 +30,12 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 their last driver check (dedup_cluster_assignment
 #:                 — star-method refactor; stream_continuous_rollup —
 #:                 atomic-commit + ok-rows rework).
-#:   slots 8–14  — the 7 queries ADDED in round 5 (never driver-
+#:   slots 8–17  — the 10 queries ADDED in round 5 (never driver-
 #:                 checked): SRP-LSH pairs, salted join, SCD-1 merge,
-#:                 quantile gate, CSV/JSON/ORC round-trips.
-#:   slots 15–50 — queries whose ONLY driver evidence is round 1 (the
-#:                 most stale cohort), alphabetical; the ~9 that spill
+#:                 quantile gate, CSV/JSON/ORC round-trips, containment
+#:                 dedup, ANN hard negatives, stratified split.
+#:   slots 18–50 — queries whose ONLY driver evidence is round 1 (the
+#:                 most stale cohort), alphabetical; the ~12 that spill
 #:                 past slot 50 sit immediately after and lead round 6.
 #:   remainder   — r3 cohort, then r4 cohort: freshest checks last.
 _PRIORITY = [
@@ -46,7 +47,7 @@ _PRIORITY = [
     "stream_continuous_rollup",
     "embedding_normalize",
     "events_sessionize",
-    # --- slots 8–14: new in round 5, never driver-checked ---
+    # --- slots 8–17: new in round 5, never driver-checked ---
     "embedding_lsh_pairs",
     "join_skew_salted",
     "corpus_merge_upsert",
@@ -54,6 +55,9 @@ _PRIORITY = [
     "source_csv_roundtrip",
     "source_json_roundtrip",
     "source_orc_roundtrip",
+    "dedup_containment",
+    "ann_hard_negatives",
+    "corpus_stratified_split",
     # --- slots 15+: last driver-checked in round 1 ---
     "agg_approx_count_distinct",
     "agg_arg_min_max",

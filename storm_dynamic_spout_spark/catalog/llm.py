@@ -1497,3 +1497,153 @@ def text_quality_gate_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= F.col("__q75"))
         .select("doc_id", F.round(F.col("quality"), 6).alias("quality"))
     )
+
+
+CONTAINMENT_T = 0.9
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH grams AS (SELECT doc_id, {_SQL_GRAMS} AS g FROM documents),
+    sized AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+    ex AS (SELECT doc_id, UNNEST(g) AS gk FROM sized),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.gk = b.gk AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) AS i,
+             x.n AS na, y.n AS nb
+      FROM cand c
+      JOIN sized x ON x.doc_id = c.id_a
+      JOIN sized y ON y.doc_id = c.id_b
+    ),
+    directed AS (
+      SELECT id_a AS contained_id, id_b AS container_id, i / na AS containment FROM j
+      UNION ALL
+      SELECT id_b, id_a, i / nb FROM j
+    )
+    SELECT contained_id, container_id,
+           round(containment * 1000000) / 1000000 AS containment
+    FROM directed WHERE containment >= {CONTAINMENT_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric subset-duplication pairs (operators/dedup.py
+    containment_pairs): containment = |G_a ∩ G_b| / |G_a| over hashed
+    token 8-gram sets.  Catches the boilerplate-plus-article case
+    Jaccard-tuned MinHash bands miss; candidates from a shared-8-gram
+    equi-join (verbatim phrase reuse is the signal), exact verify per
+    direction."""
+    df = D.containment_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", CONTAINMENT_T, CONTAM_NGRAM
+    )
+    return df.select(
+        "contained_id",
+        "container_id",
+        (F.round(F.col("containment") * 1000000) / 1000000).alias("containment"),
+    )
+
+
+@query(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH {_VQ},
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             round({_SQL_COS} * 1000000) / 1000000 AS cos
+      FROM q JOIN v ON v.label <> q.qlabel
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the top-k most-similar vectors with a DIFFERENT label — the
+    negatives that sit closest to the decision boundary.  Same
+    broadcast-queries × corpus-scan shape as ann_topk_bruteforce with
+    the label-mismatch condition fused into the join, per-query top-k
+    via WindowGroupLimit."""
+    from pyspark.sql.window import Window as W
+
+    corpus = t(spark, sf_dir, "embeddings")
+    v = corpus.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    ).withColumn("__n", S.norm(F.col("__v")))
+    queries = v.filter(F.col("vec_id") < ANN_QUERY_MAX_ID).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("__qlabel"),
+        F.col("__v").alias("__q"),
+        F.col("__n").alias("__qn"),
+    )
+    scored = v.join(F.broadcast(queries), F.col("label") != F.col("__qlabel"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn(
+            "cos",
+            F.round(
+                S.dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__n")) * 1000000
+            )
+            / 1000000,
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+@query(
+    "corpus_stratified_split",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(lang || ':' || source || ':' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                WHEN rn * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+)
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split: within each
+    (lang, source) stratum, rank documents by a salted md5 and cut at
+    EXACT 80/10/10 proportions (integer arithmetic at the boundaries —
+    no float fractions).  Reproducible across runs and engines (no
+    rand()); one window over the stratum key.  At 100 TB the stratum
+    count-window is a single shuffle on (lang, source); skewed strata
+    are just big partitions — AQE handles them, and the hash ordering
+    spreads writes."""
+    from pyspark.sql.window import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    salt = F.md5(
+        F.concat(
+            F.col("lang"), F.lit(":"), F.col("source"), F.lit(":"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    w = W.partitionBy("lang", "source").orderBy(salt, "doc_id")
+    wn = W.partitionBy("lang", "source")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(F.row_number().over(w) * 10 <= F.count(F.lit(1)).over(wn) * 8, "train")
+        .when(F.row_number().over(w) * 10 <= F.count(F.lit(1)).over(wn) * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

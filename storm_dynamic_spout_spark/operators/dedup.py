@@ -526,3 +526,70 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("__n").alias(id_col), F.col("__l").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (subset duplication)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    ngram: int = 8,
+) -> DataFrame:
+    """Asymmetric near-dup detection: ``(contained_id, container_id,
+    containment)`` where containment = |G_a ∩ G_b| / |G_a| over hashed
+    token ``ngram``-gram sets.
+
+    Jaccard-tuned MinHash bands MISS subset duplication (a page that
+    embeds another's article plus boilerplate has low Jaccard but high
+    one-sided containment — the RefinedWeb/Gopher case), so candidates
+    come from a shared-8-gram equi-join instead: verbatim phrase reuse
+    IS the signal, and the join key is the phrase hash.  Verification
+    is exact on the full gram sets, one intersect per unordered pair,
+    emitted per passing direction.
+
+    Scale: explode ships 8-byte gram hashes (never text); hot grams
+    (site boilerplate) are AQE-skew-split — or cap gram document
+    frequency upstream when boilerplate is known.  Documents with
+    fewer than ``ngram`` tokens have no grams and drop out naturally.
+    """
+    from storm_dynamic_spout_spark.operators.corpus import token_ngram_hashes
+
+    grams = df.select(
+        F.col(id_col), token_ngram_hashes(F.col(text_col), ngram).alias("__g")
+    ).withColumn("__n", F.size("__g"))
+    ex = grams.select(id_col, F.explode("__g").alias("__gk"))
+    a = ex.select(F.col(id_col).alias("id_a"), "__gk")
+    b = ex.select(F.col(id_col).alias("id_b"), "__gk")
+    cand = (
+        a.join(b, "__gk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"), F.col("__n").alias("__na")
+    )
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"), F.col("__n").alias("__nb")
+    )
+    joined = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("__i", F.size(F.array_intersect("__ga", "__gb")).cast("double"))
+    )
+    fwd = joined.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("__i") / F.col("__na")).alias("containment"),
+    )
+    rev = joined.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("__i") / F.col("__nb")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
