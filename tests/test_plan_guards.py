@@ -264,3 +264,35 @@ def test_binned_range_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan  # hash or sort-merge on __bin
+
+
+def test_round5_lsh_pipelines_never_cartesian(spark, sf_dir):
+    """SRP-LSH and containment candidates must come from bucket
+    equi-joins (band key / shared 8-gram), never an all-pairs product."""
+    for name in ("embedding_lsh_pairs", "dedup_containment"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name} went all-pairs"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} went all-pairs"
+
+
+def test_merge_upsert_single_join_on_key(spark, sf_dir):
+    """The SCD-1 merge is ONE outer join on the merge key — no window
+    functions, no nested loop (a small source side may broadcast)."""
+    plan = _plan(spark, sf_dir, "corpus_merge_upsert")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_quantile_gate_threshold_is_broadcast(spark, sf_dir):
+    """The P75 threshold is a one-row aggregate broadcast back over the
+    scan — the scalar-subquery pattern, not a shuffled join."""
+    plan = _plan(spark, sf_dir, "text_quality_gate_quantile")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hard_negatives_broadcasts_queries(spark, sf_dir):
+    """Query set is broadcast; corpus is scanned once."""
+    plan = _plan(spark, sf_dir, "ann_hard_negatives")
+    assert "BroadcastExchange" in plan
+    assert plan.count("FileScan") <= 2  # corpus + broadcast query scan
