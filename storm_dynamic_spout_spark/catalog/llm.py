@@ -1647,3 +1647,68 @@ def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def _stream_ann_sql() -> str:
+    """DuckDB mirror of the streaming ANN index's deterministic two-batch
+    schedule (even vec_ids indexed first, odd arrive second): the final
+    match log is exactly 'for each odd vector, top-k among same-bucket
+    even vectors'.  Bucket ids use the SAME srp_planes hyperplanes as
+    streaming/ann_stream.py, inlined as literals."""
+    from storm_dynamic_spout_spark.streaming.ann_stream import (
+        ANN_STREAM_DIM,
+        ANN_STREAM_K,
+        ANN_STREAM_PLANES,
+    )
+
+    planes = S.srp_planes(ANN_STREAM_DIM, ANN_STREAM_PLANES)
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(ve, ["
+        + ", ".join(str(w) for w in row)
+        + f"]) >= 0 THEN {2**p} ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    b AS (SELECT vec_id, ve, {bucket} AS bucket FROM v),
+    idx AS (SELECT * FROM b WHERE vec_id % 2 = 0),
+    q AS (SELECT * FROM b WHERE vec_id % 2 = 1),
+    scored AS (
+      SELECT q.vec_id AS query_id, idx.vec_id AS neighbor_id,
+             round(list_inner_product(q.ve, idx.ve)
+               / (sqrt(list_inner_product(q.ve, q.ve)) * sqrt(list_inner_product(idx.ve, idx.ve)))
+               * 1000000) / 1000000 AS cos
+      FROM q JOIN idx ON q.bucket = idx.bucket
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_STREAM_K}
+    """
+
+
+@query("stream_ann_index", oracle=_stream_ann_sql())
+def stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ANN (streaming/ann_stream.py), driven in
+    two micro-batches over the embeddings table (even vec_ids indexed
+    first, odd arrive second): each new vector top-k-matches against
+    the same-SRP-bucket slice of the index built so far.  The final
+    match log is SQL-expressible (staged half-corpus CTEs), so the
+    driver hash-checks values; multi-batch stateful mechanics get
+    scenario coverage in tests/test_ann_stream.py."""
+    import tempfile
+
+    from storm_dynamic_spout_spark.streaming.ann_stream import StreamingAnnIndex
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = StreamingAnnIndex(tempfile.mkdtemp(prefix="sdss-ann-"))
+    idx.process_batch(e.filter(F.col("vec_id") % 2 == 0))
+    idx.process_batch(e.filter(F.col("vec_id") % 2 == 1))
+    m = idx.matches(spark)
+    if m is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank long"
+        )
+    return m.select("query_id", "neighbor_id", "cos", "rank")

@@ -1,0 +1,161 @@
+"""Streaming incremental ANN index over an embedding stream.
+
+Batch ANN (operators/similarity.py) answers "what are the neighbors of
+these queries in THIS corpus"; a live embedding pipeline needs the
+incremental question: "what does this NEW vector match among everything
+indexed so far?" — asked per micro-batch, against an index that
+outlives any one batch.  This is the similarity twin of
+streaming/dedup_stream.py's signature index.
+
+Engine mapping:
+
+- **Coarse buckets without training**: signed-random-projection sign
+  bits (operators/similarity.py srp_planes — the same deterministic ±1
+  hyperplanes the batch LSH uses).  Unlike k-means IVF there is no
+  centroid-training step, so the index accepts its very first batch
+  cold and two engines (Spark / the DuckDB oracle) agree on every
+  bucket id bit-for-bit.
+- **State**: a parquet table of (id, bucket, vector) appended once per
+  micro-batch.  Bucket ids ARE the shuffle keys: matching a batch
+  against N indexed vectors is an equi-join on the bucket id touching
+  |bucket| candidates per query, never a scan of N.
+- **Per micro-batch**: vectors whose id is already indexed are dropped
+  first (anti-join on id), making at-least-once re-delivery a no-op
+  for both the match log and the index.  Surviving NEW vectors
+  bucket-join against the PRE-BATCH index, score exact cosine, keep
+  top-k per query (rank by rounded cosine desc, then neighbor id —
+  integer-stable across engines), append matches to the log and the
+  vectors to the index.
+- **Growth**: the index grows by exactly the unique vectors ingested;
+  per-batch cost is |batch| × |bucket|, independent of history length
+  beyond bucket occupancy — at scale, widen the SRP bucket count
+  (~log2 growth bits, examples/scale_smoke.py srp_lsh) to keep bucket
+  sizes flat.
+
+The final match log of a deterministic batch schedule IS
+SQL-expressible (staged half-corpus CTEs — catalog/llm.py
+_stream_ann_sql), so the catalog entry carries a full DuckDB oracle;
+multi-batch mechanics get scenario coverage in tests/test_ann_stream.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from storm_dynamic_spout_spark.operators.similarity import (
+    as_double,
+    dot,
+    norm,
+    srp_planes,
+)
+
+#: Coarse-bucket geometry: 4 sign bits → 16 buckets over the 64-dim
+#: fixture embeddings.  Widen n_planes as the corpus grows.
+ANN_STREAM_PLANES = 4
+ANN_STREAM_DIM = 64
+ANN_STREAM_K = 3
+
+
+def srp_bucket(vec_col, dim: int = ANN_STREAM_DIM, n_planes: int = ANN_STREAM_PLANES):
+    """Deterministic coarse-bucket id: SRP sign bits packed little-endian
+    (bit p set iff v · plane_p ≥ 0) — identical in the DuckDB oracle."""
+    v = as_double(vec_col)
+    planes = srp_planes(dim, n_planes)
+    out = F.lit(0)
+    for p, row in enumerate(planes):
+        bit = (dot(v, F.array(*[F.lit(w) for w in row])) >= 0).cast("int")
+        out = out + bit * F.lit(2**p)
+    return out
+
+
+class StreamingAnnIndex:
+    """The persistent vector index + the per-batch match step."""
+
+    def __init__(
+        self,
+        workdir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = ANN_STREAM_K,
+        dim: int = ANN_STREAM_DIM,
+        n_planes: int = ANN_STREAM_PLANES,
+    ) -> None:
+        self.index_dir = os.path.join(workdir, "index")
+        self.match_dir = os.path.join(workdir, "matches")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+        self.dim = dim
+        self.n_planes = n_planes
+        os.makedirs(self.index_dir, exist_ok=True)
+        os.makedirs(self.match_dir, exist_ok=True)
+
+    # -- state ---------------------------------------------------------------
+
+    def _has_files(self, d: str) -> bool:
+        return any(f.endswith(".parquet") for f in os.listdir(d))
+
+    def index_df(self, spark: SparkSession) -> DataFrame | None:
+        if not self._has_files(self.index_dir):
+            return None
+        return spark.read.parquet(self.index_dir)
+
+    def matches(self, spark: SparkSession) -> DataFrame | None:
+        if not self._has_files(self.match_dir):
+            return None
+        return spark.read.parquet(self.match_dir)
+
+    # -- the per-batch step --------------------------------------------------
+
+    def _prepared(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(self.id_col).alias("__id"),
+            as_double(F.col(self.vec_col)).alias("__v"),
+            srp_bucket(F.col(self.vec_col), self.dim, self.n_planes).alias("__b"),
+        ).withColumn("__n", norm(F.col("__v")))
+
+    def process_batch(self, batch_df: DataFrame) -> None:
+        """Match one micro-batch against the pre-batch index, append the
+        match log and the new vectors.
+
+        The match log materializes BEFORE the index append so its
+        lineage reads the pre-append index files; already-indexed ids
+        are dropped first, so re-delivered batches are a complete no-op
+        (idempotent under at-least-once)."""
+        spark = batch_df.sparkSession
+        new = self._prepared(batch_df)
+        seen = self.index_df(spark)
+        if seen is not None:
+            new = new.join(
+                seen.select(F.col("__id")), "__id", "left_anti"
+            )
+        new = new.localCheckpoint(eager=True)
+        if seen is not None:
+            q = new.select(
+                F.col("__id").alias("query_id"),
+                F.col("__v").alias("__q"),
+                F.col("__n").alias("__qn"),
+                F.col("__b").alias("__qb"),
+            )
+            cos = F.round(
+                dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__n")) * 1000000
+            ) / 1000000
+            w = W.partitionBy("query_id").orderBy(F.desc("cos"), "__id")
+            matches = (
+                seen.join(F.broadcast(q), F.col("__b") == F.col("__qb"))
+                .withColumn("cos", cos)
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= self.k)
+                .select(
+                    "query_id",
+                    F.col("__id").alias("neighbor_id"),
+                    "cos",
+                    "rank",
+                )
+            )
+            matches.write.mode("append").parquet(self.match_dir)
+        new.write.mode("append").parquet(self.index_dir)
