@@ -172,6 +172,12 @@ def main() -> None:
     timings["firehose_100k_stream"] = round(bench_firehose(spark), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # the round-1..4 series totals exactly these 17 queries; round 5
+    # added dedup_minhash_pairs to the headline, so the comparable
+    # series number is reported alongside the full total
+    anchor_17 = round(
+        sum(v for k, v in timings.items() if k != "dedup_minhash_pairs"), 4
+    )
     print(
         json.dumps(
             {
@@ -179,6 +185,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "anchor_17_subtotal": anchor_17,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -366,3 +366,42 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_start")
     )
+
+
+@query(
+    "events_anomaly",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round((e.value - s.mu) / s.sd, 6) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs(e.value - s.mu) > 3 * s.sd
+    ORDER BY e.event_id
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outlier flags: per-event_type mean/stddev (a
+    ~|event types|-row aggregate) broadcast back over the scan, flag
+    |value − μ| > 3σ.  Two scans of events but only one shuffle — the
+    stats side reduces map-side to a handful of rows.  Cross-engine
+    float note: partition-order summation makes μ/σ differ from the
+    oracle's at ~1e-12 relative; the fixture's nearest |z| to the cut
+    is 2e-4 away (checked at sf0.001/0.01/0.1), so the flag set is
+    deterministic, and z is rounded to 1e-6 in-query for the value
+    hash."""
+    e = t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"), F.stddev_samp("value").alias("__sd")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("__mu")) > 3 * F.col("__sd"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("__mu")) / F.col("__sd"), 6).alias("z"),
+        )
+        .orderBy("event_id")
+    )
