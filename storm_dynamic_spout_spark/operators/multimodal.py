@@ -11,13 +11,14 @@ after.
 
 Codec coverage is tiered:
 
-- **Real, always available**: uncompressed formats decoded with
-  stdlib + numpy — PPM (P6) and BMP (24-bit uncompressed) images,
-  WAV (PCM) audio via the stdlib ``wave`` module. These run and are
-  tested in any environment, including this container.
-- **Real, gated**: compressed formats (JPEG/PNG) decode via Pillow
-  where installed (import-try seam); absent Pillow the honest
-  ``NotImplementedError`` stands.
+- **Real, always available**: formats decoded with stdlib + numpy —
+  PPM (P6) and BMP (24-bit uncompressed) images, PNG (8-bit
+  gray/RGB/RGBA, non-interlaced: stdlib zlib inflate + all five
+  unfilters), WAV (PCM) audio via the stdlib ``wave`` module. These
+  run and are tested in any environment, including this container.
+- **Real, gated**: JPEG and exotic PNG variants (16-bit, interlaced,
+  palette) decode via Pillow where installed (import-try seam);
+  absent Pillow the honest ``NotImplementedError`` stands.
 - **Synthetic** (``fake=True``): the engine's deterministic payload
   format, for fixtures whose bytes must derive from an id.
 
@@ -205,20 +206,169 @@ def _decode_bmp(buf: bytes) -> tuple[int, int, int, float]:
     return w, h_abs, channels, float(pixels.mean()) if pixels.size else 0.0
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: IHDR color type → channel count (palette intentionally unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def make_png_image(
+    seed: bytes, width: int = 8, height: int = 8, channels: int = 3
+) -> bytes:
+    """A REAL PNG (8-bit gray/RGB/RGBA, non-interlaced) with
+    deterministic pixels — zlib-compressed IDAT, CRC'd chunks; these
+    bytes open in any viewer.  Rows cycle through ALL five PNG filter
+    types (None/Sub/Up/Average/Paeth), so a decode test exercises every
+    unfilter branch, not just the trivial one."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    need = width * height * channels
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(seed + b"png" + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    raw = np.frombuffer(bytes(out[:need]), np.uint8).reshape(height, width * channels)
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    scanlines = bytearray()
+    prev = np.zeros(width * channels, dtype=np.int32)
+    for r in range(height):
+        row = raw[r].astype(np.int32)
+        f = r % 5
+        filt = np.empty_like(row)
+        for i in range(row.size):
+            a = int(row[i - channels]) if i >= channels else 0
+            b = int(prev[i])
+            c = int(prev[i - channels]) if i >= channels else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[f]
+            filt[i] = (int(row[i]) - pred) % 256
+        scanlines += bytes([f]) + filt.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        import binascii
+
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
+    """Native PNG decode (stdlib zlib + numpy): 8-bit gray / gray+alpha
+    / RGB / RGBA, non-interlaced, all five filter types.  The Sub /
+    Average / Paeth unfilters are inherently sequential per row
+    (each byte depends on the reconstructed left neighbor), so they run
+    as a per-byte loop — fine for thumbnail-scale fixtures; large-image
+    production decode should go through Pillow's C path where installed
+    (the dispatch below prefers this decoder only when it can handle
+    the file)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = b""
+    w = h = depth = colortype = interlace = None
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if depth != 8 or interlace != 0 or colortype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG variant unsupported natively (depth={depth}, "
+            f"colortype={colortype}, interlace={interlace})"
+        )
+    channels = _PNG_CHANNELS[colortype]
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for r in range(h):
+        f = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += 1 + stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorizable (depends only on prior row)
+            row = (row + prev) % 256
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential per byte
+            for i in range(stride):
+                a = int(row[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = row.astype(np.uint8)
+        prev = row
+    return w, h, channels, float(out.mean()) if out.size else 0.0
+
+
 def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
-    """fake=False dispatch: sniff the magic — uncompressed formats
-    (PPM/BMP) decode with stdlib+numpy everywhere; compressed formats
-    fall through to Pillow where installed."""
+    """fake=False dispatch: sniff the magic — PPM/BMP decode with
+    stdlib+numpy everywhere; PNG decodes natively for the common shapes
+    (8-bit, non-interlaced) with Pillow as the fallback for exotic
+    variants; JPEG needs Pillow."""
     if buf.startswith(b"P6"):
         return _decode_ppm(buf)
     if buf.startswith(b"BM"):
         return _decode_bmp(buf)
+    if buf.startswith(_PNG_SIG):
+        try:
+            return _decode_png(buf)
+        except NotImplementedError:
+            if HAS_PIL:
+                return _decode_payload_pil(buf)
+            raise
     if HAS_PIL:
         return _decode_payload_pil(buf)
     raise NotImplementedError(
         "compressed image codecs are not installed in this environment; "
-        "PPM/BMP decode natively — install Pillow for JPEG/PNG, or pass "
-        "fake=True for the deterministic synthetic decoder"
+        "PPM/BMP/PNG decode natively — install Pillow for JPEG and "
+        "exotic PNG variants, or pass fake=True for the deterministic "
+        "synthetic decoder"
     )
 
 

@@ -328,3 +328,73 @@ def test_decode_wav_real_audio(spark):
         assert out[i]["sample_rate"] == 16000
         assert abs(out[i]["duration_s"] - 0.02) < 1e-12
         assert 0 < out[i]["rms"] <= 1.0
+
+
+def test_decode_png_real_image(spark):
+    """REAL PNG decode with no codec dependency: stdlib-zlib IDAT,
+    CRC'd chunks, rows cycling through ALL five filter types — decoded
+    natively through the same mapInPandas plumbing and verified against
+    an independent reconstruction of the deterministic pixels."""
+    import hashlib
+
+    import numpy as np
+
+    def expected_pixels(seed: bytes, w: int, h: int, ch: int) -> np.ndarray:
+        need = w * h * ch
+        out = bytearray()
+        counter = 0
+        while len(out) < need:
+            out += hashlib.sha256(
+                seed + b"png" + counter.to_bytes(4, "little")
+            ).digest()
+            counter += 1
+        return np.frombuffer(bytes(out[:need]), np.uint8)
+
+    rows = [
+        (i, bytearray(M.make_png_image(str(i).encode(), width=7, height=6)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in M.decode_image(df, fake=False).collect()}
+    for i in range(4):
+        assert (out[i]["width"], out[i]["height"], out[i]["n_channels"]) == (7, 6, 3)
+        exp = expected_pixels(str(i).encode(), 7, 6, 3).mean()
+        assert abs(out[i]["mean_intensity"] - exp) < 1e-9
+
+
+def test_decode_png_channel_variants():
+    """Gray, gray+alpha, RGB and RGBA all round-trip through the native
+    encoder/decoder; height spanning >5 rows exercises every filter."""
+    import hashlib
+
+    import numpy as np
+
+    for ch in (1, 2, 3, 4):
+        buf = M.make_png_image(b"variant", width=5, height=7, channels=ch)
+        w, h, c, mean = M._decode_png(buf)
+        assert (w, h, c) == (5, 7, ch)
+        need = 5 * 7 * ch
+        out = bytearray()
+        counter = 0
+        while len(out) < need:
+            out += hashlib.sha256(
+                b"variant" + b"png" + counter.to_bytes(4, "little")
+            ).digest()
+            counter += 1
+        assert abs(mean - np.frombuffer(bytes(out[:need]), np.uint8).mean()) < 1e-9
+
+
+def test_decode_png_rejects_exotic_variants():
+    """16-bit / interlaced PNGs raise the documented NotImplementedError
+    from the native path (Pillow, where installed, is the fallback)."""
+    import struct
+
+    import pytest
+
+    buf = bytearray(M.make_png_image(b"x", 4, 4))
+    # IHDR data starts at offset 16 (8 sig + 4 len + 4 type); bit depth
+    # is byte 8 of the IHDR payload
+    ihdr_off = 16
+    buf[ihdr_off + 8] = 16  # bit depth 8 -> 16
+    with pytest.raises(NotImplementedError):
+        M._decode_png(bytes(buf))
