@@ -1,0 +1,86 @@
+"""Plan-shape inventory diff: every catalog query's physical-plan
+operator counts (shuffles, join strategies, cartesians, Python nodes,
+scans) must match the checked-in PLAN_INVENTORY.json — a silent plan
+regression (dim stops broadcasting, join degrades to a nested loop,
+Python sneaks onto a relational path) fails here even though results
+stay correct.  Regenerate with `python tools/plan_inventory.py` and
+review the diff when a plan change is intentional."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from storm_dynamic_spout_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+INVENTORY_PATH = Path(__file__).resolve().parent.parent / "PLAN_INVENTORY.json"
+
+
+def _load() -> dict[str, dict[str, int]]:
+    with open(INVENTORY_PATH) as fh:
+        return json.load(fh)
+
+
+def test_inventory_covers_exactly_the_registered_queries():
+    inv = _load()
+    assert set(inv) == set(QUERIES), (
+        "PLAN_INVENTORY.json out of sync with the registry — run "
+        "`python tools/plan_inventory.py`.  "
+        f"missing={sorted(set(QUERIES) - set(inv))} "
+        f"stale={sorted(set(inv) - set(QUERIES))}"
+    )
+
+
+def test_every_query_plan_matches_inventory(spark):
+    from tools.plan_inventory import plan_counts
+
+    inv = _load()
+    mismatches = []
+    for name, fn in QUERIES.items():
+        got = plan_counts(fn(spark, SF))
+        if got != inv[name]:
+            mismatches.append((name, inv[name], got))
+    assert not mismatches, (
+        "plan shapes drifted from PLAN_INVENTORY.json (stored vs live):\n"
+        + "\n".join(f"  {n}: {a} -> {b}" for n, a, b in mismatches)
+        + "\nif intentional: python tools/plan_inventory.py"
+    )
+
+
+def test_inventory_global_invariants():
+    """Cross-cutting scale rules over the stored inventory: cartesian
+    products appear ONLY where declared (the explicit cross-join
+    operator and the broadcast one-row scalar-subquery pattern), and
+    Python nodes only on the declared Arrow-UDF surface."""
+    inv = _load()
+    allowed_cartesian = {"join_cross"}
+    cartesian = {n for n, c in inv.items() if c["cartesian_products"] > 0}
+    assert cartesian <= allowed_cartesian, (
+        f"unexpected cartesian products: {sorted(cartesian - allowed_cartesian)}"
+    )
+    allowed_python = {
+        "udf_pandas_scalar",
+        "udaf_apply_in_pandas",
+        "udtf_split_tokens",
+    }
+    python = {n for n, c in inv.items() if c["python_nodes"] > 0}
+    assert python <= allowed_python, (
+        f"Python nodes on unexpected plans: {sorted(python - allowed_python)}"
+    )
+
+
+@pytest.mark.parametrize("family_prefix,max_exchanges", [("scalar_", 2)])
+def test_scalar_family_stays_near_shuffle_free(family_prefix, max_exchanges):
+    """Scalar-function queries are map-side work; at most a closing
+    agg + sort pair of exchanges (scalar_json_schema's shape) — more
+    is a regression."""
+    inv = _load()
+    offenders = {
+        n: c["exchanges"]
+        for n, c in inv.items()
+        if n.startswith(family_prefix) and c["exchanges"] > max_exchanges
+    }
+    assert not offenders, f"scalar queries with extra shuffles: {offenders}"
