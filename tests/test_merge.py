@@ -52,3 +52,32 @@ def test_output_column_order_follows_target(spark):
     source = spark.createDataFrame([(2, "b", 3)], "id long, name string, v int")
     out = merge_upsert(target, source, keys=["id"])
     assert out.columns == ["id", "name", "v"]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ids = st.integers(min_value=0, max_value=6)
+_vals = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+_row_lists = st.lists(
+    st.tuples(_ids, _vals, _vals), max_size=7, unique_by=lambda r: r[0]
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target_rows=_row_lists, source_rows=_row_lists)
+def test_merge_matches_pure_python_reference(spark, target_rows, source_rows):
+    """For ANY (target, source) pair with unique keys: merge_upsert ==
+    the dict-semantics reference {**target_by_key, **source_by_key},
+    including NULL keys-of-columns and empty frames."""
+    schema = "id long, a long, b long"
+    target = spark.createDataFrame(target_rows, schema)
+    source = spark.createDataFrame(source_rows, schema)
+    got = sorted(tuple(r) for r in merge_upsert(target, source, keys=["id"]).collect())
+    ref = {r[0]: r for r in target_rows}
+    ref.update({r[0]: r for r in source_rows})
+    assert got == sorted(ref.values())
