@@ -109,6 +109,28 @@ class StreamingAnnIndex:
             return None
         return spark.read.parquet(self.match_dir)
 
+    def compact_index(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Merge the per-batch index files (one parquet append per
+        micro-batch) into ``target_files``, dedup-by-id in the process —
+        same maintenance-window contract as
+        StreamingDedupIndex.compact_index: a concurrent
+        ``process_batch`` would read the directory mid-swap.  Returns
+        the row count after compaction."""
+        import shutil
+        import uuid
+
+        idx = self.index_df(spark)
+        if idx is None:
+            return 0
+        merged = idx.dropDuplicates(["__id"]).repartition(target_files)
+        tmp = f"{self.index_dir}-compact-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{self.index_dir}-old-{uuid.uuid4().hex[:8]}"
+        os.rename(self.index_dir, old)
+        os.rename(tmp, self.index_dir)
+        shutil.rmtree(old)
+        return self.index_df(spark).count()
+
     # -- the per-batch step --------------------------------------------------
 
     def _prepared(self, df: DataFrame) -> DataFrame:

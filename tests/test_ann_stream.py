@@ -72,3 +72,31 @@ def test_index_grows_by_unique_vectors_only(spark):
     # overlapping ids never re-match themselves into the log
     m = idx.matches(spark)
     assert all(r["query_id"] >= 100 for r in m.collect())
+
+
+def test_compact_index_preserves_matching(spark):
+    idx = StreamingAnnIndex(tempfile.mkdtemp(prefix="ann-t5-"))
+    e = _emb(spark)
+    idx.process_batch(e.filter(F.col("vec_id") < 60))
+    idx.process_batch(e.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 120)))
+    import os
+
+    n_files_before = sum(
+        f.endswith(".parquet") for f in os.listdir(idx.index_dir)
+    )
+    n = idx.compact_index(spark, target_files=1)
+    assert n == 120
+    n_files_after = sum(f.endswith(".parquet") for f in os.listdir(idx.index_dir))
+    assert n_files_after < n_files_before
+    # matching against the compacted index behaves identically
+    before = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in idx.matches(spark).collect()
+    }
+    idx.process_batch(e.filter((F.col("vec_id") >= 120) & (F.col("vec_id") < 160)))
+    after = idx.matches(spark)
+    assert after.count() > len(before)
+    new_rows = {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in after.collect()
+    } - before
+    assert all(q >= 120 and n2 < 120 for q, n2, _ in new_rows)
