@@ -178,25 +178,47 @@ class SourceRegistry:
 
         self.register("rate", stream=_rate)
 
+        def _kafka_missing(err: Exception) -> Exception:
+            # Spark raises an opaque "Failed to find data source: kafka"
+            # when the connector jar isn't on the classpath — surface
+            # the fix (and the tested stand-in) instead
+            if "kafka" in str(err).lower() and "find" in str(err).lower():
+                wrapped = RuntimeError(
+                    "the spark-sql-kafka connector jar is not on this "
+                    "Spark's classpath: submit with --packages "
+                    "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>, "
+                    "or use the 'file_topic' source (same offset/replay "
+                    "semantics, fully tested without a broker)"
+                )
+                wrapped.__cause__ = err
+                return wrapped
+            return err
+
         def _kafka_batch(spark: SparkSession, **opts: Any) -> DataFrame:  # pragma: no cover - needs broker
             # bounded replay: pass startingOffsets/endingOffsets JSON —
             # the Consumer.java:261-310 seek + VirtualSpout ending-bound
             # analogue. failOnDataLoss=false reproduces the reference's
             # offset-out-of-range recovery (kafka/Consumer.java:548-625).
-            return (
-                spark.read.format("kafka")
-                .option("failOnDataLoss", "false")
-                .options(**opts)
-                .load()
-            )
+            try:
+                return (
+                    spark.read.format("kafka")
+                    .option("failOnDataLoss", "false")
+                    .options(**opts)
+                    .load()
+                )
+            except Exception as e:
+                raise _kafka_missing(e)
 
         def _kafka_stream(spark: SparkSession, **opts: Any) -> DataFrame:
-            return (
-                spark.readStream.format("kafka")
-                .option("failOnDataLoss", "false")
-                .options(**opts)
-                .load()
-            )
+            try:
+                return (
+                    spark.readStream.format("kafka")
+                    .option("failOnDataLoss", "false")
+                    .options(**opts)
+                    .load()
+                )
+            except Exception as e:
+                raise _kafka_missing(e)
 
         self.register("kafka", batch=_kafka_batch, stream=_kafka_stream)
 

@@ -68,3 +68,19 @@ def test_throttle_and_data_loss_overrides():
     assert opts["failOnDataLoss"] == "true"
     # buffer.max_size_per_route analogue (RoundRobinBuffer.java:66)
     assert opts["maxOffsetsPerTrigger"] == "2000"
+
+
+def test_missing_kafka_connector_gets_actionable_error(spark):
+    """This Spark install ships no spark-sql-kafka jar; the registry
+    must surface the --packages fix and the file_topic stand-in instead
+    of Spark's opaque 'failed to find data source' error."""
+    import pytest
+
+    from storm_dynamic_spout_spark.sources import SourceRegistry
+
+    reg = SourceRegistry()
+    with pytest.raises(RuntimeError, match="spark-sql-kafka|file_topic"):
+        reg.read_stream(
+            spark, "kafka",
+            **{"kafka.bootstrap.servers": "localhost:9092", "subscribe": "t"},
+        )
