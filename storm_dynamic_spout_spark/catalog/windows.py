@@ -230,3 +230,28 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.percent_rank().over(w) * 1_000_000) / 1_000_000).alias("pct_rank"),
         (F.round(F.cume_dist().over(w) * 1_000_000) / 1_000_000).alias("cume"),
     )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4)  OVER w AS BIGINT) AS quartile,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing per status partition (quartiles + deciles over
+    the same total order, so both specs share one exchange+sort).  The
+    per-partition quantile-bucket assignment that feeds stratified
+    processing — integer outputs, deterministic via the unique
+    tie-breaker."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
