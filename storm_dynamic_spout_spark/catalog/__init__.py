@@ -19,7 +19,7 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #: Registration order doubles as the driver's sampling order: its
 #: correctness sweep checks the FIRST ~50 registered queries.  The
 #: union of CORRECTNESS_r1..r4 covers all 136 queries registered through
-#: round 4 (round 5 adds 13 more, placed inside the window below);
+#: round 4 (round 5 adds 15 more, placed inside the window below);
 #: round 5 re-composes the window as a staleness rotation:
 #:   slots 1–7   — must-recheck: queries whose most recent driver row
 #:                 is red (embedding_quantize r4 harness crash,
@@ -30,14 +30,14 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 their last driver check (dedup_cluster_assignment
 #:                 — star-method refactor; stream_continuous_rollup —
 #:                 atomic-commit + ok-rows rework).
-#:   slots 8–20  — the 13 queries ADDED in round 5 (never driver-
-#:                 checked): SRP-LSH pairs, salted join, SCD-1 merge,
-#:                 quantile gate, CSV/JSON/ORC round-trips, containment
-#:                 dedup, ANN hard negatives, stratified split,
-#:                 streaming ANN index, 3-sigma event anomaly flags,
-#:                 ntile bucketing.
-#:   slots 21–50 — queries whose ONLY driver evidence is round 1 (the
-#:                 most stale cohort), alphabetical; the ~15 that spill
+#:   slots 8–22  — the 15 queries ADDED in round 5 (never driver-
+#:                 checked): SRP-LSH pairs, salted join, SCD-1 merge +
+#:                 changelog, quantile gate, CSV/JSON/ORC round-trips,
+#:                 containment dedup, ANN hard negatives, stratified
+#:                 split, streaming ANN index, 3-sigma event anomaly
+#:                 flags, ntile bucketing, ANALYZE-style column stats.
+#:   slots 23–50 — queries whose ONLY driver evidence is round 1 (the
+#:                 most stale cohort), alphabetical; the ~17 that spill
 #:                 past slot 50 sit immediately after and lead round 6.
 #:   remainder   — r3 cohort, then r4 cohort: freshest checks last.
 _PRIORITY = [
@@ -49,7 +49,7 @@ _PRIORITY = [
     "stream_continuous_rollup",
     "embedding_normalize",
     "events_sessionize",
-    # --- slots 8–20: new in round 5, never driver-checked ---
+    # --- slots 8–22: new in round 5, never driver-checked ---
     "embedding_lsh_pairs",
     "join_skew_salted",
     "corpus_merge_upsert",
@@ -63,7 +63,9 @@ _PRIORITY = [
     "stream_ann_index",
     "events_anomaly",
     "window_ntile",
-    # --- slots 21+: last driver-checked in round 1 ---
+    "table_column_stats",
+    "corpus_merge_changelog",
+    # --- slots 23+: last driver-checked in round 1 ---
     "agg_approx_count_distinct",
     "agg_arg_min_max",
     "agg_conditional",

@@ -398,3 +398,48 @@ def agg_arg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "table_column_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           CAST(min(l_quantity) AS DOUBLE) AS min_v,
+           CAST(max(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(count(*) AS BIGINT),
+           CAST(count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    ORDER BY col
+    """,
+)
+def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style column statistics (row count, non-null
+    count, NDV, min/max) — the stats that drive join reordering,
+    file skipping, and partition sizing.  One pass per stat set,
+    map-side combined to a single row per column; at 100 TB swap the
+    exact count(DISTINCT) for approx_count_distinct (same plan shape,
+    HLL merge instead of a distinct expand)."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def stats(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("ndv"),
+            F.min(col).cast("double").alias("min_v"),
+            F.max(col).cast("double").alias("max_v"),
+        )
+
+    return (
+        stats("l_quantity").unionByName(stats("l_extendedprice")).orderBy("col")
+    )

@@ -1712,3 +1712,54 @@ def stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id long, neighbor_id long, cos double, rank long"
         )
     return m.select("query_id", "neighbor_id", "cos", "rank")
+
+
+@query(
+    "corpus_merge_changelog",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+    ),
+    inserts AS (
+      SELECT doc_id + 1000000 AS doc_id FROM documents WHERE doc_id % 50 = 0
+    ),
+    merged AS (
+      SELECT coalesce(u.doc_id, t.doc_id) AS doc_id,
+             CASE WHEN u.doc_id IS NOT NULL THEN 'update' ELSE 'keep' END AS action
+      FROM documents t FULL OUTER JOIN updates u ON t.doc_id = u.doc_id
+      UNION ALL
+      SELECT doc_id, 'insert' AS action FROM inserts
+    )
+    SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM merged GROUP BY action ORDER BY action
+    """,
+)
+def corpus_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed summary of the SCD-1 corpus refresh
+    (corpus_merge_upsert's batch): per action — insert / update /
+    keep — row counts and id ranges.  What a downstream consumer
+    subscribes to instead of re-diffing the table; derived from the
+    same full-outer join, aggregated map-side to three rows."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("__u_id")
+    )
+    inserts = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id")
+    )
+    merged = docs.join(
+        updates, F.col("doc_id") == F.col("__u_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("__u_id")).alias("doc_id"),
+        F.when(F.col("__u_id").isNotNull(), "update").otherwise("keep").alias("action"),
+    ).unionByName(inserts.select("doc_id", F.lit("insert").alias("action")))
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("action")
+    )
