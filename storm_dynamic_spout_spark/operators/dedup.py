@@ -110,13 +110,26 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.drop("__toks")
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sizes: DataFrame | None = None,
+    size_ratio: float | None = None,
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one band bucket.
 
     The bands are EXPLODED into (band_idx, band_key) rows and the self-
     join runs ONCE on the composite key — one exchange of the exploded
     signature (reused for both join sides) instead of one join per band
-    over a re-computed signature.  Never an all-pairs product."""
+    over a re-computed signature.  Never an all-pairs product.
+
+    ``sizes`` (``(id_col, __n)``) + ``size_ratio``: push the Jaccard
+    size-ratio prune INTO the band join, before the candidate distinct
+    — J ≥ t implies min(|A|,|B|)/max(|A|,|B|) ≥ t, so mismatched-size
+    pairs (≈half the candidates on the fixture corpus) never reach the
+    dedup shuffle or the verify probes.  Purely an early application of
+    the same filter jaccard_verify applies; the final pair set is
+    unchanged."""
     bands = sig.select(
         id_col,
         F.explode(
@@ -130,14 +143,27 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
             )
         ).alias("__x"),
     ).select(id_col, "__x.band_idx", "__x.__bk")
-    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "__bk")
-    c = bands.select(F.col(id_col).alias("id_b"), "band_idx", "__bk")
-    return (
-        a.join(c, ["band_idx", "__bk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    if sizes is not None and size_ratio is not None:
+        bands = bands.join(sizes, id_col)
+        a = bands.select(
+            F.col(id_col).alias("id_a"), "band_idx", "__bk", F.col("__n").alias("__na")
+        )
+        c = bands.select(
+            F.col(id_col).alias("id_b"), "band_idx", "__bk", F.col("__n").alias("__nb")
+        )
+        joined = (
+            a.join(c, ["band_idx", "__bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                (F.col("__na") >= F.lit(size_ratio) * F.col("__nb"))
+                & (F.col("__nb") >= F.lit(size_ratio) * F.col("__na"))
+            )
+        )
+    else:
+        a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "__bk")
+        c = bands.select(F.col(id_col).alias("id_b"), "band_idx", "__bk")
+        joined = a.join(c, ["band_idx", "__bk"]).filter(F.col("id_a") < F.col("id_b"))
+    return joined.select("id_a", "id_b").distinct()
 
 
 def jaccard_verify(
@@ -220,9 +246,11 @@ def minhash_near_dups(
         groups.select(F.col("__rep").alias(id_col)), id_col
     )
     sig = minhash_signature(reps, id_col, text_col)
-    rep_pairs = jaccard_verify(
-        lsh_candidate_pairs(sig, id_col), reps, id_col, text_col, threshold
+    sizes = reps.select(
+        F.col(id_col), F.size(distinct_tokens(F.col(text_col))).alias("__n")
     )
+    cands = lsh_candidate_pairs(sig, id_col, sizes=sizes, size_ratio=threshold)
+    rep_pairs = jaccard_verify(cands, reps, id_col, text_col, threshold)
     # cross-group expansion: members(rep_a) × members(rep_b); groups are
     # disjoint, so each unordered doc pair appears exactly once
     ma = mapping.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__da"))
