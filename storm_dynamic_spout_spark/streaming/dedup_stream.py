@@ -70,6 +70,13 @@ class StreamingDedupIndex:
         self.min_sig_agreement = min_sig_agreement
         os.makedirs(self.index_dir, exist_ok=True)
         os.makedirs(self.dup_dir, exist_ok=True)
+        # heal a crash inside a previous compact_index swap — without
+        # this, the makedirs above would present a silently-empty index
+        from storm_dynamic_spout_spark.streaming.dirswap import (
+            recover_interrupted_swap,
+        )
+
+        recover_interrupted_swap(self.index_dir)
 
     # -- state ---------------------------------------------------------------
 
@@ -92,20 +99,20 @@ class StreamingDedupIndex:
         the index-side twin of :meth:`Firehose.compact_output`. Run in a
         maintenance window: a concurrent ``process_batch`` would read
         the directory mid-swap. Returns the row count after compaction.
-        """
-        import shutil
-        import uuid
+
+        Crash-safe via streaming/dirswap.py: the constructor heals any
+        interrupted swap, so a crash mid-compaction can never surface
+        as an empty index on restart."""
+        from storm_dynamic_spout_spark.streaming.dirswap import swap_publish
 
         idx = self.index_df(spark)
         if idx is None:
             return 0
         merged = idx.dropDuplicates([self.id_col]).repartition(target_files)
-        tmp = f"{self.index_dir}-compact-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.index_dir}-old-{uuid.uuid4().hex[:8]}"
-        os.rename(self.index_dir, old)
-        os.rename(tmp, self.index_dir)
-        shutil.rmtree(old)
+        swap_publish(
+            self.index_dir,
+            lambda tmp: merged.write.mode("overwrite").parquet(tmp),
+        )
         return self.index_df(spark).count()
 
     # -- the per-batch step --------------------------------------------------
