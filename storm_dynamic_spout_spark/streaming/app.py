@@ -208,6 +208,12 @@ class DynamicStreamApp:
         self._monitor_thread = None
         self._monitor_stop = None
         os.makedirs(self.out_dir, exist_ok=True)
+        # heal a crash inside a previous optimize_output swap
+        from storm_dynamic_spout_spark.streaming.dirswap import (
+            recover_interrupted_swap,
+        )
+
+        recover_interrupted_swap(self.out_dir)
         # fail → retry-with-backoff → DLQ (T4-T7/S7): rows matching the
         # failure condition are treated as processing failures. Policy
         # defaults come from the config system (SpoutConfig.setDefaults
@@ -670,24 +676,21 @@ class DynamicStreamApp:
         :meth:`FileTopic.compact` /  :meth:`Firehose.compact_output`.
         Call with the app CLOSED (no live firehose/replay queries): the
         directory swap would race their appends."""
-        import shutil
-        import uuid
-
         from storm_dynamic_spout_spark.operators.layout import write_clustered
 
         if self._firehose is not None or self._replay_queries:
             raise RuntimeError("optimize_output requires a closed app")
+        from storm_dynamic_spout_spark.streaming.dirswap import swap_publish
+
         df = self.spark.read.schema(_OUT_SCHEMA).parquet(self.out_dir)
-        tmp = f"{self.out_dir}-optimize-{uuid.uuid4().hex[:8]}"
-        write_clustered(
-            df,
-            tmp,
-            partition_by=["route_id", "event_date"],
-            cluster_by=["partition", "offset"],
-            target_files=target_files,
-            mode="overwrite",
+        swap_publish(
+            self.out_dir,
+            lambda tmp: write_clustered(
+                df,
+                tmp,
+                partition_by=["route_id", "event_date"],
+                cluster_by=["partition", "offset"],
+                target_files=target_files,
+                mode="overwrite",
+            ),
         )
-        old = f"{self.out_dir}-old-{uuid.uuid4().hex[:8]}"
-        os.rename(self.out_dir, old)
-        os.rename(tmp, self.out_dir)
-        shutil.rmtree(old)

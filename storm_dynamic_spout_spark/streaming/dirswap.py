@@ -50,6 +50,10 @@ def swap_publish(live_dir: str, write_tmp: Callable[[str], None]) -> None:
     token = uuid.uuid4().hex[:8]
     tmp = f"{live_dir}-compact-{token}"
     write_tmp(tmp)
+    if not os.path.isdir(live_dir):
+        # first publish: nothing to retire
+        os.rename(tmp, live_dir)
+        return
     old = f"{live_dir}-old-{token}"
     os.rename(live_dir, old)
     os.rename(tmp, live_dir)

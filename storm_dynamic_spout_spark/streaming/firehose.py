@@ -112,6 +112,12 @@ class Firehose:
         self.on_batch = on_batch
         self.query = None
         os.makedirs(output_dir, exist_ok=True)
+        # heal a crash inside a previous compact_output swap
+        from storm_dynamic_spout_spark.streaming.dirswap import (
+            recover_interrupted_swap,
+        )
+
+        recover_interrupted_swap(output_dir)
 
     # -- the per-micro-batch control-plane preamble --
     def _refresh_chain(self) -> FilterChain:
@@ -180,9 +186,6 @@ class Firehose:
         MUST NOT run while the firehose query is live (the swap would
         race the stream's appends); schedule it like any table OPTIMIZE.
         """
-        import shutil
-        import uuid
-
         from pyspark.sql import types as T
 
         from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA
@@ -190,14 +193,14 @@ class Firehose:
         schema = T.StructType(
             list(TOPIC_SCHEMA.fields) + [T.StructField("event_date", T.DateType())]
         )
+        from storm_dynamic_spout_spark.streaming.dirswap import swap_publish
+
         df = self.spark.read.schema(schema).parquet(self.output_dir)
-        tmp = f"{self.output_dir}-compact-{uuid.uuid4().hex[:8]}"
-        write_clustered(
-            df, tmp, partition_by=["event_date"],
-            cluster_by=["partition", "offset"], target_files=target_files,
-            mode="overwrite",
+        swap_publish(
+            self.output_dir,
+            lambda tmp: write_clustered(
+                df, tmp, partition_by=["event_date"],
+                cluster_by=["partition", "offset"], target_files=target_files,
+                mode="overwrite",
+            ),
         )
-        old = f"{self.output_dir}-old-{uuid.uuid4().hex[:8]}"
-        os.rename(self.output_dir, old)
-        os.rename(tmp, self.output_dir)
-        shutil.rmtree(old)

@@ -183,6 +183,12 @@ class RetryTableRunner:
         self.dlq_dir = dlq_dir
         self.policy = policy
         self.failure_condition_sql = failure_condition_sql
+        # heal a crash inside a previous retry-table publish swap
+        from storm_dynamic_spout_spark.streaming.dirswap import (
+            recover_interrupted_swap,
+        )
+
+        recover_interrupted_swap(self.retries_dir)
         self.dlq_partition_by_date = dlq_partition_by_date
         os.makedirs(dlq_dir, exist_ok=True)
 
@@ -204,10 +210,6 @@ class RetryTableRunner:
         ``sink`` runs BEFORE the retry-table swap: the ok rows' lineage
         reads the pre-swap retry files, so they must materialize first
         (the swap deletes what the lazy plan would re-read)."""
-        import os
-        import shutil
-        import uuid
-
         spark = batch_df.sparkSession
         # Coalesce to false: a failure predicate evaluating to NULL (nullable
         # key/value columns) must classify the row as ok, not let it vanish
@@ -242,12 +244,13 @@ class RetryTableRunner:
         else:
             exhausted.write.mode("append").parquet(self.dlq_dir)
 
+        from storm_dynamic_spout_spark.streaming.dirswap import swap_publish
+
         keep = retryable if pending is None else pending.unionByName(retryable)
-        tmp = f"{self.retries_dir}-tmp-{uuid.uuid4().hex[:8]}"
-        keep.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(self.retries_dir):
-            shutil.rmtree(self.retries_dir)
-        os.rename(tmp, self.retries_dir)
+        swap_publish(
+            self.retries_dir,
+            lambda tmp: keep.write.mode("overwrite").parquet(tmp),
+        )
 
     def dlq(self, spark, like: DataFrame) -> DataFrame:
         import os
