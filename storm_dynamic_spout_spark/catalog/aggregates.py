@@ -443,3 +443,51 @@ def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stats("l_quantity").unionByName(stats("l_extendedprice")).orderBy("col")
     )
+
+
+@query(
+    "agg_hll_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL):
+    build one sketch per (event_type, day), then roll the daily
+    sketches up to per-type totals with ``hll_union_agg`` — the
+    pre-aggregated-distinct pattern: a day's raw events are scanned
+    ONCE ever; month/quarter/all-time distincts come from merging
+    kilobyte sketches, never re-scanning history.  (This is what makes
+    distinct counts tractable in a 100 TB rollup table, where exact
+    COUNT(DISTINCT) would need a full re-shuffle of all history per
+    query.)  Sketch estimates differ across engines/libraries by
+    design, so — like agg_approx_count_distinct — the oracle checks
+    the exact count plus the documented error bound: lgConfigK=14 ⇒
+    rsd ≈ 0.81%, asserted here at 5%."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("__day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("__sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(rolled, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -1763,3 +1763,171 @@ def corpus_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling / dedup canonicalization / LM quality scoring
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+#: Deterministic uniform in (0, 1]: md5-derived 60-bit hash folded into
+#: a prime field.  Shared by the Spark and DuckDB expressions below.
+_U_MOD = 1_000_000_007
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, round(samp_key, 6) AS samp_key FROM (
+      SELECT doc_id, lang, n_chars,
+             pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % {_U_MOD} + 1) / {_U_MOD + 1}.0,
+                 1.0 / greatest(n_chars, 1)) AS samp_key
+      FROM documents
+    ) ORDER BY samp_key DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    key = u^(1/w) with deterministic u = md5(doc_id) folded into (0,1],
+    weight w = n_chars; the global top-k by key is an exact weighted
+    sample — reproducible across runs/engines (no rand()), and
+    restartable mid-job.
+
+    Why at 100 TB: the mixture-weighting step of a training-data recipe
+    ("sample 10B tokens, long documents proportionally more often")
+    without a global shuffle — ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject: per-partition top-k then a driver merge of
+    k×partitions rows, never a full sort of the corpus."""
+    d = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _U_MOD
+        + 1
+    ) / float(_U_MOD + 1)
+    key = F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)))
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("__k"))
+        .orderBy(F.desc("__k"), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        # rounded AFTER the top-k cut so the selection order is exact
+        .select("doc_id", "lang", "n_chars", F.round("__k", 6).alias("samp_key"))
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    SELECT doc_id, fingerprint, n_dups FROM (
+      SELECT doc_id, md5({_SQL_NORM_TEXT}) AS fingerprint,
+             CAST(count(*) OVER (PARTITION BY md5({_SQL_NORM_TEXT})) AS BIGINT) AS n_dups,
+             row_number() OVER (PARTITION BY md5({_SQL_NORM_TEXT})
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup canonicalization: group by content fingerprint and keep
+    ONE representative per duplicate cluster — the longest document,
+    ties to the smallest doc_id (deterministic).  The step after
+    detection in every dedup pipeline: emit the survivor set, not the
+    pair list.
+
+    Why at 100 TB: implemented as ``groupBy(fingerprint).agg(max_by)``
+    — a single shuffle with MAP-SIDE partial aggregation (each task
+    pre-reduces its clusters to one candidate row), unlike the
+    window-function formulation which must materialize every duplicate
+    row on one reducer before ranking.  max_by's ordering struct
+    (n_chars, -doc_id) reproduces the (DESC, ASC) tie-break."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            X.content_fingerprint(F.col("text")).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.max_by(
+                F.col("doc_id"), F.struct(F.col("n_chars"), (-F.col("doc_id")))
+            ).alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("doc_id", "fingerprint", "n_dups")
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    big AS (
+      SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i + 1] AS bg
+      FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2
+    ),
+    bgc AS (SELECT bg, count(*) AS c_bg FROM big GROUP BY bg),
+    uni AS (SELECT u.w AS w1, count(*) AS c_w FROM toks, UNNEST(tk) AS u(w) GROUP BY u.w),
+    v AS (SELECT count(*) AS n_vocab FROM uni)
+    SELECT doc_id,
+           round(avg(ln((c_bg + 1.0) / (c_w + n_vocab))), 4) AS avg_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM big JOIN bgc USING (bg) JOIN uni USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived bigram language-model score per document (add-one
+    smoothing): avg over the doc's bigrams of
+    ln((count(w1 w2) + 1) / (count(w1) + |V|)) — the classic
+    perplexity-proxy quality filter (KenLM-style gating) computed
+    entirely in-engine, no external model.
+
+    Why at 100 TB: the bigram/unigram count tables are Zipf-shaped —
+    orders of magnitude smaller than the corpus after aggregation (and
+    truncatable to a top-V vocabulary), so the score joins are
+    fact-to-dim joins AQE turns into broadcasts; the vocab size |V| is
+    a one-row broadcast (scalar-subquery pattern).  Counts are built
+    with map-side partial aggregation off a single corpus scan."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", r"\s+").alias("tk"))
+    big = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(element_at(tk, i) AS w1,"
+                    " concat(element_at(tk, i), ' ', element_at(tk, i + 1)) AS bg))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.bg")
+    )
+    bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    uni = (
+        toks.select(F.explode("tk").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("n_vocab"))
+    return (
+        big.join(bgc, "bg")
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            # rounded in-query: avg-of-logs accumulation order differs
+            # between engines by ~1e-14 ULPs; 4 dp is noise-proof
+            F.round(
+                F.avg(F.log((F.col("c_bg") + 1.0) / (F.col("c_w") + F.col("n_vocab")))), 4
+            ).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

@@ -296,3 +296,32 @@ def test_hard_negatives_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann_hard_negatives")
     assert "BroadcastExchange" in plan
     assert plan.count("FileScan") <= 2  # corpus + broadcast query scan
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
+    """A-ES weighted sampling must plan as TakeOrderedAndProject
+    (per-partition top-k + driver merge), never a full sort shuffle."""
+    plan = _plan(spark, sf_dir, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_keep_best_dedup_aggregates_map_side(spark, sf_dir):
+    """max_by canonicalization must two-phase: partial agg before the
+    fingerprint shuffle so each task pre-reduces its clusters."""
+    plan = _plan(spark, sf_dir, "dedup_keep_best")
+    assert plan.count("Exchange") == 1
+    # plans print top-down: the partial aggregate sits BELOW the
+    # exchange (later in the text), the final aggregate above it
+    _, _, below = plan.partition("Exchange")
+    assert "partial_max_by" in below
+    assert "Window" not in plan  # the non-map-side formulation
+
+
+def test_bigram_logprob_count_joins_never_cartesian(spark, sf_dir):
+    """LM-score joins are equi-joins on bigram/unigram keys plus one
+    single-row vocab broadcast — no cartesian product."""
+    plan = _plan(spark, sf_dir, "text_bigram_logprob")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 1-row vocab scalar broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
