@@ -1931,3 +1931,101 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+#: Quality-ordered token-budget selection: buckets must partition the
+#: rounded score's [0, 1] range so bucket order == global score order.
+_BUDGET_BUCKETS = 20
+
+_SQL_QUALITY = """
+    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+     + (1.0 - least({punct} * 5, 1.0))
+     + (1.0 - abs({stop} - 0.4))
+    ) / 3.0
+"""
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             round({_SQL_QUALITY.format(punct=X.sql_punct_ratio('text'), stop=X.sql_stopword_ratio('text', X.QUALITY_STOPWORDS))}, 6) AS quality,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum_tokens,
+             sum(n_tokens) OVER () AS total_tokens
+      FROM scored
+    )
+    SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE 2 * cum_tokens <= total_tokens
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: walk the corpus in descending quality
+    order and keep documents until half the corpus's tokens are
+    spent — the "take the best N billion tokens" step of a training
+    recipe.
+
+    The oracle states it as a GLOBAL running sum (one ORDER BY over
+    everything); the Spark plan decomposes it into a distributed
+    prefix sum, which is the formulation that survives 100 TB:
+      1. bucket docs by quality band (a pure function of the score, so
+         bucket order == global order);
+      2. per-bucket running sum — windows partitioned by bucket, all
+         parallel;
+      3. per-bucket token totals (20 rows) prefix-summed and broadcast
+         back as each bucket's starting offset.
+    cum = bucket offset + within-bucket running sum, exactly equal to
+    the single-ordered-window answer, with no single-reducer global
+    sort.  The half-corpus budget is an integer comparison
+    (2*cum <= total) off a one-row broadcast total — no float
+    thresholds."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.round(X.quality_score(F.col("text")), 6).alias("quality"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "__b",
+        F.least(
+            F.floor(F.col("quality") * _BUDGET_BUCKETS).cast("int"),
+            F.lit(_BUDGET_BUCKETS - 1),
+        ),
+    )
+    within = F.sum("n_tokens").over(
+        Window.partitionBy("__b")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_totals = scored.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
+    # 20-row prefix sum: offset = tokens in all strictly-better buckets
+    offsets = bucket_totals.select(
+        "__b",
+        (
+            F.sum("__bt").over(
+                Window.orderBy(F.desc("__b")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("__bt")
+        ).alias("__off"),
+    )
+    total = scored.agg(F.sum("n_tokens").alias("__tot"))
+    return (
+        scored.withColumn("__run", within)
+        .join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(total))
+        .filter(2 * (F.col("__off") + F.col("__run")) <= F.col("__tot"))
+        .select(
+            "doc_id",
+            "quality",
+            "n_tokens",
+            (F.col("__off") + F.col("__run")).cast("long").alias("cum_tokens"),
+        )
+    )

@@ -325,3 +325,14 @@ def test_bigram_logprob_count_joins_never_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the only nested-loop is the 1-row vocab scalar broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_token_budget_prefix_sum_is_bucket_parallel(spark, sf_dir):
+    """The corpus-wide running sum must window over quality BUCKETS
+    (hash-partitioned, parallel); only the 20-row bucket-offset prefix
+    sum and the 1-row total may be SinglePartition."""
+    plan = _plan(spark, sf_dir, "corpus_token_budget")
+    first_window = next(l for l in plan.splitlines() if "Window" in l)
+    assert "windowspecdefinition(__b" in first_window
+    assert "Exchange hashpartitioning(__b" in plan
+    assert plan.count("SinglePartition") <= 2
