@@ -91,23 +91,36 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     8 minhash lambdas reference it — an expression nested inside a
     higher-order lambda is re-evaluated per array element, which turns
     split+distinct into O(tokens²) work per row."""
+    return minhash_signature_tokens(
+        df.select(F.col(id_col), distinct_tokens(F.col(text_col)).alias("__toks")),
+        id_col,
+        "__toks",
+    ).drop("__toks")
+
+
+def minhash_signature_tokens(
+    df: DataFrame, id_col: str, toks_col: str
+) -> DataFrame:
+    """Signature from an ALREADY-TOKENIZED distinct-token array column —
+    lets a pipeline that needs the token arrays elsewhere (sizes, exact
+    verification, exact-set collapse) tokenize the corpus once instead
+    of re-splitting the text per consumer."""
+
     def seeded_md5(seed: int):
         # closure factory (default-arg lambdas read as the 2-arg form)
         return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x).cast("binary"))
 
-    out = df.select(
-        F.col(id_col), distinct_tokens(F.col(text_col)).alias("__toks")
-    )
+    out = df
     for s in MINHASH_SEEDS:
         out = out.withColumn(
-            f"minhash_{s}", F.array_min(F.transform(F.col("__toks"), seeded_md5(s)))
+            f"minhash_{s}", F.array_min(F.transform(F.col(toks_col), seeded_md5(s)))
         )
     for b, rows in enumerate(MINHASH_BANDS):
         out = out.withColumn(
             f"band_{b}",
             F.md5(F.concat(*[F.col(f"minhash_{r}") for r in rows]).cast("binary")),
         )
-    return out.drop("__toks")
+    return out
 
 
 def lsh_candidate_pairs(
@@ -115,6 +128,7 @@ def lsh_candidate_pairs(
     id_col: str,
     sizes: DataFrame | None = None,
     size_ratio: float | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one band bucket.
 
@@ -129,7 +143,16 @@ def lsh_candidate_pairs(
     pairs (≈half the candidates on the fixture corpus) never reach the
     dedup shuffle or the verify probes.  Purely an early application of
     the same filter jaccard_verify applies; the final pair set is
-    unchanged."""
+    unchanged.
+
+    ``materialize``: localCheckpoint the exploded band rows before the
+    self-join.  Catalyst does NOT reuse the exchange across the two
+    differently-aliased sides, so without this the whole signature
+    subtree (8 md5 minhash lambdas over every token) is computed TWICE;
+    the checkpoint computes it once and both sides scan the result.
+    (Local checkpoint = executor-local blocks; on a real cluster prefer
+    reliable checkpointing or persist() if executor loss matters —
+    here the rows are cheap to rebuild.)"""
     bands = sig.select(
         id_col,
         F.explode(
@@ -145,6 +168,8 @@ def lsh_candidate_pairs(
     ).select(id_col, "__x.band_idx", "__x.__bk")
     if sizes is not None and size_ratio is not None:
         bands = bands.join(sizes, id_col)
+        if materialize:
+            bands = bands.localCheckpoint(eager=True)
         a = bands.select(
             F.col(id_col).alias("id_a"), "band_idx", "__bk", F.col("__n").alias("__na")
         )
@@ -160,6 +185,8 @@ def lsh_candidate_pairs(
             )
         )
     else:
+        if materialize:
+            bands = bands.localCheckpoint(eager=True)
         a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "__bk")
         c = bands.select(F.col(id_col).alias("id_b"), "band_idx", "__bk")
         joined = a.join(c, ["band_idx", "__bk"]).filter(F.col("id_a") < F.col("id_b"))
@@ -167,7 +194,13 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, threshold: float
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    tok_df: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard on candidate pairs; keep ≥ threshold.
 
@@ -181,11 +214,23 @@ def jaccard_verify(
     - size-ratio prune BEFORE touching arrays: J ≥ t ⟹
       min(|A|,|B|)/max(|A|,|B|) ≥ t, so mismatched-size pairs die on two
       int comparisons
+    - ``tok_df`` (``(id_col, __toks)`` distinct string tokens) skips
+      re-tokenizing the text; ``materialize`` localCheckpoints the
+      hashed arrays so the a- and b-side joins scan one computed copy
+      instead of hashing every token twice
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.transform(distinct_tokens(F.col(text_col)), token_hash).alias("__toks"),
-    ).withColumn("__n", F.size("__toks"))
+    if tok_df is not None:
+        toks = tok_df.select(
+            F.col(id_col),
+            F.transform(F.col("__toks"), token_hash).alias("__toks"),
+        ).withColumn("__n", F.size("__toks"))
+    else:
+        toks = docs.select(
+            F.col(id_col),
+            F.transform(distinct_tokens(F.col(text_col)), token_hash).alias("__toks"),
+        ).withColumn("__n", F.size("__toks"))
+    if materialize:
+        toks = toks.localCheckpoint(eager=True)
     a = toks.select(
         F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"), F.col("__n").alias("__na")
     )
@@ -231,26 +276,35 @@ def minhash_near_dups(
     exhibits."""
     if not collapse_exact:
         sig = minhash_signature(df, id_col, text_col)
-        cands = lsh_candidate_pairs(sig, id_col)
+        cands = lsh_candidate_pairs(sig, id_col, materialize=True)
         return jaccard_verify(cands, df, id_col, text_col, threshold)
 
-    keyed = df.select(
+    # tokenize ONCE and localCheckpoint: the exact-set key, the
+    # signature, the size prune, and the exact verification all read
+    # this one materialized token table instead of re-splitting the
+    # text per consumer (was: 20 file scans / 16 minhash evaluations
+    # per run — Catalyst can't dedupe differently-aliased subtrees)
+    tok = df.select(
+        F.col(id_col), distinct_tokens(F.col(text_col)).alias("__toks")
+    ).localCheckpoint(eager=True)
+    keyed = tok.select(
         F.col(id_col),
-        F.md5(F.to_json(F.array_sort(distinct_tokens(F.col(text_col))))).alias("__tk"),
+        F.md5(F.to_json(F.array_sort(F.col("__toks")))).alias("__tk"),
     )
     groups = keyed.groupBy("__tk").agg(
         F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__gn")
     )
     mapping = keyed.join(groups, "__tk").select(F.col(id_col), "__rep", "__gn")
-    reps = df.join(
-        groups.select(F.col("__rep").alias(id_col)), id_col
+    reps_tok = tok.join(groups.select(F.col("__rep").alias(id_col)), id_col)
+    sig = minhash_signature_tokens(reps_tok, id_col, "__toks")
+    sizes = reps_tok.select(F.col(id_col), F.size("__toks").alias("__n"))
+    cands = lsh_candidate_pairs(
+        sig, id_col, sizes=sizes, size_ratio=threshold, materialize=True
     )
-    sig = minhash_signature(reps, id_col, text_col)
-    sizes = reps.select(
-        F.col(id_col), F.size(distinct_tokens(F.col(text_col))).alias("__n")
+    rep_pairs = jaccard_verify(
+        cands, reps_tok, id_col, text_col, threshold,
+        tok_df=reps_tok, materialize=True,
     )
-    cands = lsh_candidate_pairs(sig, id_col, sizes=sizes, size_ratio=threshold)
-    rep_pairs = jaccard_verify(cands, reps, id_col, text_col, threshold)
     # cross-group expansion: members(rep_a) × members(rep_b); groups are
     # disjoint, so each unordered doc pair appears exactly once
     ma = mapping.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__da"))
