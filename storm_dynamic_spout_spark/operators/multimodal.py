@@ -14,11 +14,14 @@ Codec coverage is tiered:
 - **Real, always available**: formats decoded with stdlib + numpy —
   PPM (P6) and BMP (24-bit uncompressed) images, PNG (8-bit
   gray/RGB/RGBA, non-interlaced: stdlib zlib inflate + all five
-  unfilters), WAV (PCM) audio via the stdlib ``wave`` module. These
-  run and are tested in any environment, including this container.
-- **Real, gated**: JPEG and exotic PNG variants (16-bit, interlaced,
-  palette) decode via Pillow where installed (import-try seam);
-  absent Pillow the honest ``NotImplementedError`` stands.
+  unfilters), baseline-sequential JPEG (operators/jpeg.py: canonical
+  Huffman decode from the file's DHT tables, 4:4:4/4:2:2/4:2:0
+  sampling, restart markers, matrix IDCT), WAV (PCM) audio via the
+  stdlib ``wave`` module. These run and are tested in any
+  environment, including this container.
+- **Real, gated**: progressive JPEG and exotic PNG variants (16-bit,
+  interlaced, palette) decode via Pillow where installed (import-try
+  seam); absent Pillow the honest ``NotImplementedError`` stands.
 - **Synthetic** (``fake=True``): the engine's deterministic payload
   format, for fixtures whose bytes must derive from an id.
 
@@ -211,6 +214,26 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+def make_jpeg_image(seed: bytes, width: int = 16, height: int = 16, gray: bool = False) -> bytes:
+    """A REAL baseline JPEG (4:4:4, file-carried Huffman tables) with
+    sha256-derived deterministic pixels — opens in any viewer.  Encoded
+    by the native pure-numpy codec (operators/jpeg.py)."""
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.jpeg import encode_baseline_jpeg
+
+    n = width * height * (1 if gray else 3)
+    raw = b""
+    counter = 0
+    while len(raw) < n:
+        raw += hashlib.sha256(seed + b"jpg" + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    arr = np.frombuffer(raw[:n], dtype=np.uint8).reshape(
+        (height, width) if gray else (height, width, 3)
+    )
+    return encode_baseline_jpeg(arr)
+
+
 def make_png_image(
     seed: bytes, width: int = 8, height: int = 8, channels: int = 3
 ) -> bytes:
@@ -346,11 +369,24 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
     return w, h, channels, float(out.mean()) if out.size else 0.0
 
 
+def _decode_jpeg(buf: bytes) -> tuple[int, int, int, float]:
+    """Native baseline JPEG decode (operators/jpeg.py — pure numpy,
+    canonical Huffman tables read from the file's own DHT segments).
+    Progressive/extended frames raise NotImplementedError and fall
+    through to Pillow when present."""
+    from storm_dynamic_spout_spark.operators.jpeg import decode_baseline_jpeg
+
+    arr = decode_baseline_jpeg(buf)
+    channels = 1 if arr.ndim == 2 else arr.shape[2]
+    return arr.shape[1], arr.shape[0], channels, float(arr.mean())
+
+
 def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
     """fake=False dispatch: sniff the magic — PPM/BMP decode with
     stdlib+numpy everywhere; PNG decodes natively for the common shapes
-    (8-bit, non-interlaced) with Pillow as the fallback for exotic
-    variants; JPEG needs Pillow."""
+    (8-bit, non-interlaced) and baseline JPEG decodes natively
+    (operators/jpeg.py); Pillow, when installed, is the fallback for
+    the exotic variants (progressive JPEG, 16-bit/interlaced PNG)."""
     if buf.startswith(b"P6"):
         return _decode_ppm(buf)
     if buf.startswith(b"BM"):
@@ -362,13 +398,20 @@ def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
             if HAS_PIL:
                 return _decode_payload_pil(buf)
             raise
+    if buf.startswith(b"\xff\xd8"):
+        try:
+            return _decode_jpeg(buf)
+        except NotImplementedError:
+            if HAS_PIL:
+                return _decode_payload_pil(buf)
+            raise
     if HAS_PIL:
         return _decode_payload_pil(buf)
     raise NotImplementedError(
-        "compressed image codecs are not installed in this environment; "
-        "PPM/BMP/PNG decode natively — install Pillow for JPEG and "
-        "exotic PNG variants, or pass fake=True for the deterministic "
-        "synthetic decoder"
+        "unrecognized image payload; PPM/BMP/PNG/baseline-JPEG decode "
+        "natively — install Pillow for progressive JPEG and exotic PNG "
+        "variants, or pass fake=True for the deterministic synthetic "
+        "decoder"
     )
 
 

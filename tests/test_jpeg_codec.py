@@ -1,0 +1,212 @@
+"""Native baseline JPEG codec: round-trips, subsampling, restart
+markers, and the Spark decode_image integration."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from storm_dynamic_spout_spark.operators import jpeg as J
+from storm_dynamic_spout_spark.operators.jpeg import (
+    decode_baseline_jpeg,
+    encode_baseline_jpeg,
+)
+
+
+def test_flat_color_roundtrips_exactly():
+    flat = np.full((16, 24, 3), 100, dtype=np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(flat))
+    assert dec.shape == (16, 24, 3)
+    assert int(np.abs(dec.astype(int) - 100).max()) == 0
+
+
+def test_gradient_roundtrip_small_error_and_odd_dims():
+    g = np.zeros((17, 23, 3), dtype=np.uint8)
+    for y in range(17):
+        for x in range(23):
+            g[y, x] = (x * 10 % 256, y * 13 % 256, (x + y) * 7 % 256)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(g))
+    assert dec.shape == g.shape  # padding cropped back
+    assert float(np.abs(dec.astype(int) - g.astype(int)).mean()) < 3.0
+
+
+def test_noise_roundtrip_bounded_error():
+    rng = np.random.default_rng(7)
+    r = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(r))
+    assert float(np.abs(dec.astype(int) - r.astype(int)).mean()) < 8.0
+
+
+def test_grayscale_roundtrip():
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (9, 11), dtype=np.uint8).astype(np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(g))
+    assert dec.ndim == 2 and dec.shape == (9, 11)
+    assert float(np.abs(dec.astype(int) - g.astype(int)).mean()) < 4.0
+
+
+def test_rejects_non_jpeg_and_progressive():
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"not a jpeg at all")
+    # craft a minimal progressive-frame header: SOI + SOF2
+    sof2 = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC2, 11) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes([1, 0x11, 0])
+    with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(sof2)
+
+
+def _encode_420(arr: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Test-only 4:2:0 encoder (2x2 luma sampling, averaged chroma,
+    optional restart markers) built from the module's primitives —
+    exercises the decoder paths the 4:4:4 production encoder never
+    emits."""
+    h, w = arr.shape[:2]
+    ycc = J._rgb_to_ycbcr(arr)
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    ph, pw = mcuy * 16, mcux * 16
+    planes = [
+        np.pad(ycc[..., i], ((0, ph - h), (0, pw - w)), mode="edge")
+        for i in range(3)
+    ]
+    # chroma: 2x2 box average then one block per MCU
+    chroma = [p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) for p in planes[1:]]
+
+    def quant_block(plane, y0, x0, qt):
+        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coef = J._DCT @ block @ J._DCT.T
+        q = np.round(coef / qt.astype(np.float64)).astype(np.int64)
+        return q[J._ZIG_ROWS, J._ZIG_COLS]
+
+    bw = J._BitWriter()
+    pred = [0, 0, 0]
+
+    def emit(zz, ci):
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s, extra = J._magnitude(diff) if diff else (0, 0)
+        code, n = J._DC_CODES[s]
+        bw.write(code, n)
+        if s:
+            bw.write(extra, s)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = (int(nz.max()) + 1) if nz.size else 0
+        for i in range(1, 64):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, n = J._AC_CODES[0xF0]
+                bw.write(code, n)
+                run -= 16
+            s, extra = J._magnitude(v)
+            code, n = J._AC_CODES[(run << 4) | s]
+            bw.write(code, n)
+            bw.write(extra, s)
+            run = 0
+        if last < 63:
+            code, n = J._AC_CODES[0x00]
+            bw.write(code, n)
+
+    out_entropy = bytearray()
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                out_entropy += bw.out
+                out_entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                bw = J._BitWriter()
+                pred = [0, 0, 0]
+            for v in range(2):
+                for hb in range(2):
+                    emit(
+                        quant_block(
+                            planes[0], (my * 2 + v) * 8, (mx * 2 + hb) * 8, J._QT_LUMA
+                        ),
+                        0,
+                    )
+            for ci, cp in enumerate(chroma):
+                emit(quant_block(cp, my * 8, mx * 8, J._QT_CHROMA), ci + 1)
+            mcu_count += 1
+    bw.flush()
+    out_entropy += bw.out
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes(int(J._QT_LUMA[r, c]) for r, c in J._ZIGZAG))
+    out += seg(0xDB, b"\x01" + bytes(int(J._QT_CHROMA[r, c]) for r, c in J._ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, J._dht_payload(0, 0, J._DC_SYMBOLS, 4))
+    out += seg(0xC4, J._dht_payload(1, 0, J._AC_SYMBOLS, 8))
+    out += seg(0xC4, J._dht_payload(0, 1, J._DC_SYMBOLS, 4))
+    out += seg(0xC4, J._dht_payload(1, 1, J._AC_SYMBOLS, 8))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xDA, sos)
+    out += out_entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _smooth_image(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (y * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = ((x + y) * 255 // max(h + w - 2, 1)).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def test_decode_420_subsampled():
+    img = _smooth_image(24, 40)
+    dec = decode_baseline_jpeg(_encode_420(img))
+    assert dec.shape == img.shape
+    # chroma is box-averaged+nearest-upsampled: smooth content stays close
+    assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 6.0
+
+
+def test_decode_420_with_restart_markers():
+    img = _smooth_image(40, 56)
+    plain = decode_baseline_jpeg(_encode_420(img, restart_interval=0))
+    rst = decode_baseline_jpeg(_encode_420(img, restart_interval=2))
+    # restart markers change the byte stream, not the pixels
+    assert np.array_equal(plain, rst)
+
+
+def test_fixture_maker_and_spark_decode(spark):
+    """make_jpeg_image payloads flow through the mapInPandas decode_image
+    path with real (non-fake) decoding."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        decode_image,
+        make_jpeg_image,
+    )
+
+    payloads = [(i, make_jpeg_image(bytes([i]), 16, 16)) for i in range(4)]
+    payloads.append((99, make_jpeg_image(b"g", 8, 8, gray=True)))
+    df = spark.createDataFrame(payloads, ["doc_id", "content"])
+    out = {r["doc_id"]: r for r in decode_image(df, "doc_id").collect()}
+    assert out[0]["width"] == 16 and out[0]["height"] == 16
+    assert out[0]["n_channels"] == 3
+    assert out[99]["n_channels"] == 1
+    # decoded mean tracks the true pixel mean within JPEG loss
+    import hashlib
+
+    n = 16 * 16 * 3
+    raw = b""
+    counter = 0
+    while len(raw) < n:
+        raw += hashlib.sha256(bytes([0]) + b"jpg" + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    true_mean = float(np.frombuffer(raw[:n], dtype=np.uint8).mean())
+    assert abs(out[0]["mean_intensity"] - true_mean) < 6.0
