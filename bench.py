@@ -34,6 +34,7 @@ HEADLINE = [
     "tpch_q6",  # pushdown scan-filter-agg
     "dedup_exact",  # fingerprint hash-groupBy dedup
     "dedup_minhash_pairs",  # MinHash-LSH band-join near-dup (the 100 TB workhorse)
+    "corpus_token_budget",  # distributed prefix-sum budget selection
     "ann_topk_ivf",  # bucketed similarity search
     "text_stats",  # corpus volumetrics
     "stream_session_window",  # event-time sessionization

@@ -174,6 +174,89 @@ def srp_lsh(t, scale=1):
     )
 
 
+def weighted_sample(t):
+    """A-ES weighted sampling (catalog sample_weighted shape):
+    TakeOrderedAndProject — per-partition top-k then a driver merge of
+    k x partitions rows.  Healthy scaling is SUB-linear (the top-k scan
+    is the only part that grows; the merge is constant)."""
+    d = t("documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000_007
+        + 1
+    ) / float(1_000_000_008)
+    key = F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)))
+    return (
+        d.select("doc_id", key.alias("__k")).orderBy(F.desc("__k"), "doc_id").limit(100)
+    )
+
+
+def keep_best(t):
+    """Keep-best dedup canonicalization (catalog dedup_keep_best shape):
+    map-side partial max_by pre-reduces each task's clusters, so the
+    fingerprint shuffle carries one candidate row per (task, cluster) —
+    ~linear scaling with flat reducer skew."""
+    from storm_dynamic_spout_spark.operators.text import content_fingerprint
+
+    d = t("documents")
+    return (
+        d.select(
+            "doc_id", "n_chars", content_fingerprint(F.col("text")).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.max_by(F.col("doc_id"), F.struct(F.col("n_chars"), -F.col("doc_id"))),
+            F.count(F.lit(1)),
+        )
+    )
+
+
+def token_budget_prefix_sum(t):
+    """Distributed prefix sum (catalog corpus_token_budget shape):
+    quality-band buckets windowed in parallel + a 20-row offset
+    broadcast.  Healthy scaling is ~linear — the single-partition
+    pieces are the 20-row bucket totals and the 1-row grand total,
+    both independent of corpus size."""
+    from pyspark.sql.window import Window as W
+
+    from storm_dynamic_spout_spark.operators.text import quality_score
+
+    d = t("documents")
+    scored = d.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    ).withColumn("__b", F.least(F.floor(F.col("q") * 20).cast("int"), F.lit(19)))
+    within = F.sum("n_tokens").over(
+        W.partitionBy("__b")
+        .orderBy(F.desc("q"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    totals = scored.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
+    offsets = totals.select(
+        "__b",
+        (
+            F.sum("__bt").over(
+                W.orderBy(F.desc("__b")).rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            - F.col("__bt")
+        ).alias("__off"),
+    )
+    total = scored.agg(F.sum("n_tokens").alias("__tot"))
+    return (
+        scored.withColumn("__run", within)
+        .join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(total))
+        .filter(2 * (F.col("__off") + F.col("__run")) <= F.col("__tot"))
+        .groupBy()
+        .agg(F.count(F.lit(1)), F.max(F.col("__off") + F.col("__run")))
+    )
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -183,6 +266,9 @@ QUERIES = [
     ("rollup_part", rollup_partial),
     ("minhash_lsh", minhash_lsh),
     ("srp_lsh", srp_lsh),
+    ("weighted_sample", weighted_sample),
+    ("keep_best", keep_best),
+    ("token_budget", token_budget_prefix_sum),
 ]
 
 

@@ -210,3 +210,30 @@ def test_fixture_maker_and_spark_decode(spark):
         counter += 1
     true_mean = float(np.frombuffer(raw[:n], dtype=np.uint8).mean())
     assert abs(out[0]["mean_intensity"] - true_mean) < 6.0
+
+
+def test_property_roundtrip_arbitrary_shapes():
+    """Hypothesis: any uint8 image (1..25 x 1..25, gray or RGB)
+    encodes to a decodable JPEG with the exact original shape and
+    bounded reconstruction error."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 25),
+        w=st.integers(1, 25),
+        gray=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, gray, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, shape, dtype=np.uint8).astype(np.uint8)
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        assert dec.shape == img.shape
+        # flat-8/12 quantization of random noise: worst-case mean error
+        # stays far under 16 grey levels
+        assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 16.0
+
+    check()
