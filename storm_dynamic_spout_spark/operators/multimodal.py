@@ -647,3 +647,159 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id", fake: bool = False) -> D
             )
 
     return df.select(id_col, "content").mapInPandas(_decode, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: MJPEG-in-AVI — real container + real frames via operators/jpeg.py
+# ---------------------------------------------------------------------------
+
+
+def make_mjpeg_avi(
+    seed: bytes,
+    width: int = 16,
+    height: int = 16,
+    n_frames: int = 8,
+    fps: int = 10,
+) -> bytes:
+    """A REAL RIFF/AVI file whose video stream is Motion-JPEG: each
+    frame is a baseline JPEG from the native encoder
+    (operators/jpeg.py), deterministic in (seed, frame index).  Plays
+    in any MJPG-capable player.  Fixture twin of the synthetic video
+    payload for the real decode path."""
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.jpeg import encode_baseline_jpeg
+
+    frames = []
+    for i in range(n_frames):
+        n = width * height * 3
+        raw = b""
+        counter = 0
+        while len(raw) < n:
+            raw += hashlib.sha256(
+                seed + b"avi" + i.to_bytes(4, "little") + counter.to_bytes(4, "little")
+            ).digest()
+            counter += 1
+        arr = np.frombuffer(raw[:n], dtype=np.uint8).reshape(height, width, 3)
+        frames.append(encode_baseline_jpeg(arr))
+
+    def chunk(ckid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return ckid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(typ: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", typ + data)
+
+    usec_per_frame = 1_000_000 // fps
+    max_frame = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, max_frame * fps, 0, 0x10,  # AVIF_HASINDEX
+        n_frames, 0, 1, max_frame, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n_frames, max_frame, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_chunks)
+    # idx1: offsets relative to the start of the 'movi' list type field
+    idx = b""
+    off = 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_mjpeg_avi(buf: bytes) -> tuple[dict, list[bytes]]:
+    """Parse a RIFF/AVI container and return (header meta, JPEG frame
+    payloads) — '00dc'/'00db' chunks inside the 'movi' list.  Container
+    walk only; frame decode stays in operators/jpeg.py."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    meta: dict = {}
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            ckid = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            data_start = pos + 8
+            if ckid == b"LIST":
+                walk(data_start + 4, data_start + size)
+            elif ckid == b"avih":
+                vals = struct.unpack("<14I", buf[data_start : data_start + 56])
+                meta.update(
+                    usec_per_frame=vals[0],
+                    n_frames=vals[4],
+                    width=vals[8],
+                    height=vals[9],
+                )
+            elif ckid[2:4] in (b"dc", b"db"):
+                frames.append(buf[data_start : data_start + size])
+            pos = data_start + size + (size % 2)
+
+    walk(12, 12 + struct.unpack("<I", buf[4:8])[0] - 4)
+    return meta, frames
+
+
+REAL_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_intensity", T.DoubleType(), False),
+        T.StructField("frame_sha", T.StringType(), False),
+    ]
+)
+
+
+def frame_sample_real(df: DataFrame, n_frames: int, id_col: str = "doc_id") -> DataFrame:
+    """REAL video frame sampling: parse the MJPEG/AVI container, pick
+    ``n_frames`` evenly-spaced frames, decode each with the native
+    baseline-JPEG decoder, and emit per-frame stats.  Same 1:N
+    mapInPandas explosion shape as :func:`frame_sample` (the synthetic
+    twin); at scale the explosion factor — not the decode — drives
+    partition sizing, which is why the two share a shape."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from storm_dynamic_spout_spark.operators.jpeg import decode_baseline_jpeg
+
+        for pdf in batches:
+            ids, idxs, ws, hs, means, shas = [], [], [], [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf["content"]):
+                buf = bytes(content)
+                _, frames = parse_mjpeg_avi(buf)
+                if not frames:
+                    continue
+                take = min(n_frames, len(frames))
+                picks = [round(i * (len(frames) - 1) / max(take - 1, 1)) for i in range(take)]
+                for fi in picks:
+                    arr = decode_baseline_jpeg(frames[fi])
+                    ids.append(int(doc_id))
+                    idxs.append(int(fi))
+                    hs.append(int(arr.shape[0]))
+                    ws.append(int(arr.shape[1]))
+                    means.append(float(arr.mean()))
+                    shas.append(hashlib.sha256(frames[fi]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_index": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "mean_intensity": means,
+                    "frame_sha": shas,
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(_sample, REAL_FRAME_SCHEMA)

@@ -237,3 +237,52 @@ def test_property_roundtrip_arbitrary_shapes():
         assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 16.0
 
     check()
+
+
+# --- MJPEG/AVI video path --------------------------------------------------
+
+
+def test_avi_container_roundtrip():
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        make_mjpeg_avi,
+        parse_mjpeg_avi,
+    )
+
+    buf = make_mjpeg_avi(b"x", 16, 12, 6, fps=5)
+    meta, frames = parse_mjpeg_avi(buf)
+    assert meta["n_frames"] == 6 and meta["width"] == 16 and meta["height"] == 12
+    assert meta["usec_per_frame"] == 200000
+    assert len(frames) == 6
+    for f in frames:
+        arr = decode_baseline_jpeg(f)
+        assert arr.shape == (12, 16, 3)
+
+
+def test_avi_rejects_non_avi():
+    from storm_dynamic_spout_spark.operators.multimodal import parse_mjpeg_avi
+
+    with pytest.raises(ValueError):
+        parse_mjpeg_avi(b"RIFFxxxxWAVE")
+
+
+def test_real_frame_sample_spark(spark):
+    """MJPEG/AVI payloads flow through the mapInPandas real frame
+    sampler: evenly-spaced picks, native decode, per-frame stats."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        frame_sample_real,
+        make_mjpeg_avi,
+    )
+
+    rows = [(i, make_mjpeg_avi(bytes([i]), 16, 16, 10, fps=4)) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    out = frame_sample_real(df, 4).collect()
+    assert len(out) == 12  # 3 videos x 4 sampled frames
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, frames in by_doc.items():
+        idxs = sorted(r["frame_index"] for r in frames)
+        assert idxs == [0, 3, 6, 9]  # evenly spaced over 10 frames
+        for r in frames:
+            assert r["width"] == 16 and r["height"] == 16
+            assert 0.0 < r["mean_intensity"] < 255.0
