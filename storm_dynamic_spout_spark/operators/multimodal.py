@@ -12,16 +12,18 @@ after.
 Codec coverage is tiered:
 
 - **Real, always available**: formats decoded with stdlib + numpy —
-  PPM (P6) and BMP (24-bit uncompressed) images, PNG (8-bit
-  gray/RGB/RGBA, non-interlaced: stdlib zlib inflate + all five
-  unfilters), baseline-sequential JPEG (operators/jpeg.py: canonical
+  PPM (P6) and BMP (24-bit uncompressed) images, PNG (8/16-bit
+  gray/gray-alpha/RGB/RGBA + 8-bit palette, non-interlaced: stdlib
+  zlib inflate + all five byte-wise unfilters at the correct
+  bytes-per-pixel distance), baseline-sequential JPEG (operators/jpeg.py: canonical
   Huffman decode from the file's DHT tables, 4:4:4/4:2:2/4:2:0
   sampling, restart markers, matrix IDCT), WAV (PCM) audio via the
   stdlib ``wave`` module. These run and are tested in any
   environment, including this container.
-- **Real, gated**: progressive JPEG and exotic PNG variants (16-bit,
-  interlaced, palette) decode via Pillow where installed (import-try
-  seam); absent Pillow the honest ``NotImplementedError`` stands.
+- **Real, gated**: progressive JPEG and the remaining PNG exotica
+  (interlaced, sub-byte depths) decode via Pillow where installed
+  (import-try seam); absent Pillow the honest ``NotImplementedError``
+  stands.
 - **Synthetic** (``fake=True``): the engine's deterministic payload
   format, for fixtures whose bytes must derive from an id.
 
@@ -296,8 +298,10 @@ def make_png_image(
 
 
 def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
-    """Native PNG decode (stdlib zlib + numpy): 8-bit gray / gray+alpha
-    / RGB / RGBA, non-interlaced, all five filter types.  The Sub /
+    """Native PNG decode (stdlib zlib + numpy): 8/16-bit gray /
+    gray+alpha / RGB / RGBA plus 8-bit palette (PLTE), non-interlaced,
+    all five filter types (byte-wise, left-neighbor distance =
+    bytes-per-pixel per the spec — 2 for 16-bit gray etc.).  The Sub /
     Average / Paeth unfilters are inherently sequential per row
     (each byte depends on the reconstructed left neighbor), so they run
     as a per-byte loop — fine for thumbnail-scale fixtures; large-image
@@ -313,6 +317,7 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
         raise ValueError("not a PNG payload")
     pos = 8
     idat = b""
+    plte = b""
     w = h = depth = colortype = interlace = None
     while pos + 8 <= len(buf):
         (ln,) = struct.unpack(">I", buf[pos : pos + 4])
@@ -323,18 +328,29 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
             w, h, depth, colortype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
-    if depth != 8 or interlace != 0 or colortype not in _PNG_CHANNELS:
+    palette = colortype == 3
+    supported = (
+        interlace == 0
+        and (
+            (depth == 8 and (colortype in _PNG_CHANNELS or palette))
+            or (depth == 16 and colortype in _PNG_CHANNELS)
+        )
+    )
+    if not supported:
         raise NotImplementedError(
             f"PNG variant unsupported natively (depth={depth}, "
             f"colortype={colortype}, interlace={interlace})"
         )
-    channels = _PNG_CHANNELS[colortype]
+    channels = 1 if palette else _PNG_CHANNELS[colortype]
+    bpp = channels * (depth // 8)  # filter left-neighbor distance is BYTES
     raw = zlib.decompress(idat)
-    stride = w * channels
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
@@ -350,9 +366,9 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
             row = (row + prev) % 256
         elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential per byte
             for i in range(stride):
-                a = int(row[i - channels]) if i >= channels else 0
+                a = int(row[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 if f == 1:
                     pred = a
                 elif f == 3:
@@ -366,6 +382,16 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
             raise ValueError(f"unknown PNG filter type {f}")
         out[r] = row.astype(np.uint8)
         prev = row
+    if palette:
+        if not plte:
+            raise ValueError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        rgb = pal[out.reshape(-1)]
+        return w, h, 3, float(rgb.mean()) if rgb.size else 0.0
+    if depth == 16:
+        vals = out.reshape(-1).view(np.uint8)
+        u16 = (vals[0::2].astype(np.float64) * 256 + vals[1::2]) / 257.0
+        return w, h, channels, float(u16.mean()) if u16.size else 0.0
     return w, h, channels, float(out.mean()) if out.size else 0.0
 
 
@@ -384,9 +410,10 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, float]:
 def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
     """fake=False dispatch: sniff the magic — PPM/BMP decode with
     stdlib+numpy everywhere; PNG decodes natively for the common shapes
-    (8-bit, non-interlaced) and baseline JPEG decodes natively
-    (operators/jpeg.py); Pillow, when installed, is the fallback for
-    the exotic variants (progressive JPEG, 16-bit/interlaced PNG)."""
+    (8/16-bit and palette, non-interlaced) and baseline JPEG decodes
+    natively (operators/jpeg.py); Pillow, when installed, is the
+    fallback for the exotic variants (progressive JPEG, interlaced or
+    sub-byte-depth PNG)."""
     if buf.startswith(b"P6"):
         return _decode_ppm(buf)
     if buf.startswith(b"BM"):

@@ -385,16 +385,90 @@ def test_decode_png_channel_variants():
 
 
 def test_decode_png_rejects_exotic_variants():
-    """16-bit / interlaced PNGs raise the documented NotImplementedError
-    from the native path (Pillow, where installed, is the fallback)."""
-    import struct
-
+    """Interlaced / sub-byte-depth PNGs raise the documented
+    NotImplementedError from the native path (Pillow, where installed,
+    is the fallback)."""
     import pytest
 
-    buf = bytearray(M.make_png_image(b"x", 4, 4))
-    # IHDR data starts at offset 16 (8 sig + 4 len + 4 type); bit depth
-    # is byte 8 of the IHDR payload
+    # IHDR data starts at offset 16 (8 sig + 4 len + 4 type)
     ihdr_off = 16
-    buf[ihdr_off + 8] = 16  # bit depth 8 -> 16
+    buf = bytearray(M.make_png_image(b"x", 4, 4))
+    buf[ihdr_off + 12] = 1  # interlace byte: Adam7
     with pytest.raises(NotImplementedError):
         M._decode_png(bytes(buf))
+    buf = bytearray(M.make_png_image(b"x", 4, 4))
+    buf[ihdr_off + 8] = 4  # bit depth 8 -> 4 (sub-byte packing)
+    with pytest.raises(NotImplementedError):
+        M._decode_png(bytes(buf))
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import binascii
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def test_decode_png_palette():
+    """Colortype-3 (palette) PNG: indices map through PLTE to RGB."""
+    import struct
+    import zlib
+
+    w, h = 4, 2
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    # rows of indices, filter type 0
+    rows = [[0, 1, 2, 3], [3, 2, 1, 0]]
+    raw = b"".join(bytes([0]) + bytes(r) for r in rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    buf = (
+        M._PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, c, mean = M._decode_png(buf)
+    assert (got_w, got_h, c) == (w, h, 3)
+    # each palette color used twice -> mean over all RGB components
+    exp = (2 * (255 + 0 + 0) + 2 * (0 + 255 + 0) + 2 * (0 + 0 + 255) + 2 * (10 + 20 + 30)) / 24
+    assert abs(mean - exp) < 1e-9
+
+
+def test_decode_png_16bit_gray_with_sub_filter():
+    """Depth-16 PNG: byte-wise unfilter with bpp=2, values scaled /257.
+    The Sub-filtered row exercises the 2-byte left-neighbor distance."""
+    import struct
+    import zlib
+
+    w, h = 3, 2
+    vals = [[0, 257, 514], [65535, 32896, 0]]  # u16 pixel values
+
+    def row_bytes(r):
+        out = b""
+        for v in r:
+            out += struct.pack(">H", v)
+        return out
+
+    # row 0: filter 0; row 1: filter 1 (Sub) applied byte-wise at bpp=2
+    r0 = row_bytes(vals[0])
+    r1 = row_bytes(vals[1])
+    filt1 = bytearray(r1)
+    for i in range(len(filt1) - 1, 1, -1):
+        filt1[i] = (filt1[i] - r1[i - 2]) % 256
+    raw = bytes([0]) + r0 + bytes([1]) + bytes(filt1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    buf = (
+        M._PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, c, mean = M._decode_png(buf)
+    assert (got_w, got_h, c) == (w, h, 1)
+    exp = sum(v / 257.0 for r in vals for v in r) / 6
+    assert abs(mean - exp) < 1e-9
