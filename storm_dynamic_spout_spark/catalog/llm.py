@@ -2029,3 +2029,44 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__off") + F.col("__run")).cast("long").alias("cum_tokens"),
         )
     )
+
+
+@query(
+    "dedup_cluster_histogram",
+    oracle=f"""
+    SELECT n_copies, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(n_copies * count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT md5({_SQL_NORM_TEXT}) AS fp, CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY 1
+    ) GROUP BY n_copies ORDER BY n_copies
+    """,
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many exact-dup clusters
+    have 1, 2, ... N members — THE ops metric for a dedup pipeline (dup
+    rate, skew of viral clusters, expected output shrink) without
+    materializing any pair list.
+
+    Why at 100 TB: two cascaded shuffles whose data SHRINKS at each
+    step — docs → one row per cluster (32-byte fingerprint keys,
+    map-side partial counts) → one row per distinct cluster size
+    (~dozens).  The histogram is what sizing decisions (band counts,
+    skew-split thresholds) should be read from before running the
+    quadratic stages."""
+    d = t(spark, sf_dir, "documents")
+    clusters = (
+        d.select(X.content_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    return (
+        clusters.groupBy("n_copies")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "n_copies",
+            "n_clusters",
+            (F.col("n_copies") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("n_copies")
+    )
