@@ -491,3 +491,118 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+HIST_BINS = 128
+HIST_Q = 0.95
+
+
+@query(
+    "agg_histogram_percentile_rollup",
+    oracle=f"""
+    WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+    rng AS (SELECT min(v) AS lo, max(v) AS hi FROM ev),
+    binned AS (
+      SELECT event_type,
+             least(CAST(floor((v - lo) / ((hi - lo) / {HIST_BINS})) AS INT),
+                   {HIST_BINS - 1}) AS bin
+      FROM ev CROSS JOIN rng
+    ),
+    merged AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      FROM merged
+    ),
+    tot AS (SELECT event_type, sum(cnt) AS total FROM merged GROUP BY 1),
+    pick AS (
+      SELECT c.event_type, min(bin) AS bin
+      FROM cum c JOIN tot USING (event_type)
+      WHERE cum >= {HIST_Q} * total GROUP BY 1
+    )
+    SELECT p.event_type,
+           CAST(t.total AS BIGINT) AS n_events,
+           round(lo + (p.bin + ({HIST_Q} * t.total - (c.cum - c.cnt)) / c.cnt)
+                      * ((hi - lo) / {HIST_BINS}.0), 6) AS p95_hist
+    FROM pick p
+    JOIN cum c ON c.event_type = p.event_type AND c.bin = p.bin
+    JOIN tot t ON t.event_type = p.event_type
+    CROSS JOIN rng
+    ORDER BY p.event_type
+    """,
+)
+def agg_histogram_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram percentile — the rollup-able
+    percentile pattern: per-(type, day) bin counts are built with
+    map-side combine off one scan, then MERGED upward by summing (the
+    same mergeability as the HLL sketch rollup, but the estimate is a
+    deterministic function of the histogram, so this query is
+    hash-exact against the oracle, not bound-checked).  The p95 is
+    interpolated inside the first bin whose cumulative count crosses
+    q*total.
+
+    Why at 100 TB: percentiles over history normally need a full
+    re-sort per query; a histogram table keyed (day, type, bin) is a
+    few KB per day, merges by addition to any rollup level, and the
+    final interpolation touches ~128 rows per group.  Bin range comes
+    from a one-row min/max broadcast (at scale: from table stats)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.to_date("ts").alias("__day"),
+    )
+    rng = e.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    binned = e.crossJoin(F.broadcast(rng)).withColumn(
+        "bin",
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / width).cast("int"),
+            F.lit(HIST_BINS - 1),
+        ),
+    )
+    # daily sketch level (what a rollup table would persist) ...
+    daily = binned.groupBy("event_type", "__day", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # ... merged upward by ADDITION — the mergeability demonstration
+    merged = daily.groupBy("event_type", "bin").agg(F.sum("cnt").alias("cnt"))
+    cum = merged.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    tot = merged.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    crossing = (
+        cum.join(tot, "event_type")
+        .filter(F.col("cum") >= HIST_Q * F.col("total"))
+        .groupBy("event_type")
+        .agg(F.min_by(F.struct("bin", "cnt", "cum"), F.col("bin")).alias("__p"))
+        .select("event_type", "__p.bin", "__p.cnt", "__p.cum")
+    )
+    return (
+        crossing.join(tot, "event_type")
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.col("total").alias("n_events"),
+            F.round(
+                F.col("lo")
+                + (
+                    F.col("bin")
+                    + (HIST_Q * F.col("total") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                )
+                * ((F.col("hi") - F.col("lo")) / HIST_BINS),
+                6,
+            ).alias("p95_hist"),
+        )
+        .orderBy("event_type")
+    )
