@@ -2070,3 +2070,66 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_copies")
     )
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH {_VQ},
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round({_SQL_COS} * 1000000) / 1000000 DESC, vec_id) AS rank
+        FROM q CROSS JOIN v WHERE vec_id <> query_id
+      ) WHERE rank <= {ANN_K}
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round({_SQL_COS} * 1000000) / 1000000 DESC, vec_id) AS rank
+        FROM q JOIN v ON v.label = q.qlabel AND v.vec_id <> q.query_id
+      ) WHERE rank <= {ANN_K}
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / {ANN_K}, 6) AS recall_at_k
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k instrumentation for the IVF index: per query vector, the
+    fraction of the EXACT cosine top-k that the bucketed (IVF) search
+    returned.  The acceptance metric every approximate index ships
+    with — here computed in-engine by joining the two result sets.
+
+    Why at 100 TB: ground truth is only ever computed for a SAMPLED
+    query set (here: the ≤8-vector query panel, broadcast twice); the
+    corpus-side work is one brute-force scan for the sample plus the
+    IVF probe — never all-pairs.  Run on a sample per index rebuild,
+    the report decides nprobe/centroid-count retuning."""
+    e = t(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < ANN_QUERY_MAX_ID
+    exact = S.cosine_topk(e, "vec_id", "embedding", pred, ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.cosine_topk_ivf(e, "vec_id", "embedding", "label", pred, ANN_K).select(
+        F.col("query_id").alias("__aq"), F.col("neighbor_id").alias("__an")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("__aq"))
+            & (F.col("neighbor_id") == F.col("__an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("__an").alias("n_hits"),
+            F.round(F.count("__an") / ANN_K, 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
