@@ -13,17 +13,17 @@ Codec coverage is tiered:
 
 - **Real, always available**: formats decoded with stdlib + numpy —
   PPM (P6) and BMP (24-bit uncompressed) images, PNG (8/16-bit
-  gray/gray-alpha/RGB/RGBA + 8-bit palette, non-interlaced: stdlib
-  zlib inflate + all five byte-wise unfilters at the correct
-  bytes-per-pixel distance), baseline-sequential JPEG (operators/jpeg.py: canonical
+  gray/gray-alpha/RGB/RGBA + 8-bit palette, including 8-bit Adam7
+  interlace: stdlib zlib inflate + all five byte-wise unfilters at
+  the correct bytes-per-pixel distance), baseline-sequential JPEG (operators/jpeg.py: canonical
   Huffman decode from the file's DHT tables, 4:4:4/4:2:2/4:2:0
   sampling, restart markers, matrix IDCT), WAV (PCM) audio via the
   stdlib ``wave`` module. These run and are tested in any
   environment, including this container.
 - **Real, gated**: progressive JPEG and the remaining PNG exotica
-  (interlaced, sub-byte depths) decode via Pillow where installed
-  (import-try seam); absent Pillow the honest ``NotImplementedError``
-  stands.
+  (sub-byte depths, 16-bit interlaced) decode via Pillow where
+  installed (import-try seam); absent Pillow the honest
+  ``NotImplementedError`` stands.
 - **Synthetic** (``fake=True``): the engine's deterministic payload
   format, for fixtures whose bytes must derive from an id.
 
@@ -215,6 +215,12 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: IHDR color type → channel count (palette intentionally unsupported)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+#: Adam7 interlace pass grid: (x-origin, y-origin, x-step, y-step)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
 
 def make_jpeg_image(seed: bytes, width: int = 16, height: int = 16, gray: bool = False) -> bytes:
     """A REAL baseline JPEG (4:4:4, file-carried Huffman tables) with
@@ -299,7 +305,8 @@ def make_png_image(
 
 def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
     """Native PNG decode (stdlib zlib + numpy): 8/16-bit gray /
-    gray+alpha / RGB / RGBA plus 8-bit palette (PLTE), non-interlaced,
+    gray+alpha / RGB / RGBA plus 8-bit palette (PLTE), non-interlaced
+    or 8-bit Adam7 interlaced,
     all five filter types (byte-wise, left-neighbor distance =
     bytes-per-pixel per the spec — 2 for 16-bit gray etc.).  The Sub /
     Average / Paeth unfilters are inherently sequential per row
@@ -335,12 +342,8 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
         elif typ == b"IEND":
             break
     palette = colortype == 3
-    supported = (
-        interlace == 0
-        and (
-            (depth == 8 and (colortype in _PNG_CHANNELS or palette))
-            or (depth == 16 and colortype in _PNG_CHANNELS)
-        )
+    supported = (depth == 8 and (colortype in _PNG_CHANNELS or palette)) or (
+        depth == 16 and colortype in _PNG_CHANNELS and interlace == 0
     )
     if not supported:
         raise NotImplementedError(
@@ -350,38 +353,64 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
     channels = 1 if palette else _PNG_CHANNELS[colortype]
     bpp = channels * (depth // 8)  # filter left-neighbor distance is BYTES
     raw = zlib.decompress(idat)
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline payload size mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    p = 0
-    for r in range(h):
-        f = raw[p]
-        row = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
-        p += 1 + stride
-        if f == 0:
-            pass
-        elif f == 2:  # Up — vectorizable (depends only on prior row)
-            row = (row + prev) % 256
-        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential per byte
-            for i in range(stride):
-                a = int(row[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) // 2
-                else:
-                    pp = a + b - c
-                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                row[i] = (row[i] + pred) % 256
-        else:
-            raise ValueError(f"unknown PNG filter type {f}")
-        out[r] = row.astype(np.uint8)
-        prev = row
+
+    def unfilter(height: int, stride: int, p: int) -> tuple[np.ndarray, int]:
+        """Reconstruct one filtered sub-image (T.81 §6 filters) starting
+        at byte ``p`` of the inflated stream; returns (rows, next p)."""
+        sub = np.empty((height, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for r in range(height):
+            f = raw[p]
+            row = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+            p += 1 + stride
+            if f == 0:
+                pass
+            elif f == 2:  # Up — vectorizable (depends only on prior row)
+                row = (row + prev) % 256
+            elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential per byte
+                for i in range(stride):
+                    a = int(row[i - bpp]) if i >= bpp else 0
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    else:
+                        pp = a + b - c
+                        pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    row[i] = (row[i] + pred) % 256
+            else:
+                raise ValueError(f"unknown PNG filter type {f}")
+            sub[r] = row.astype(np.uint8)
+            prev = row
+        return sub, p
+
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG scanline payload size mismatch")
+        out, _ = unfilter(h, stride, 0)
+    else:
+        # Adam7: 7 independently-filtered sub-images scattered onto the
+        # full grid at (x0 + i*dx, y0 + r*dy); empty passes carry no
+        # scanlines at all (spec: zero-width/height passes are skipped)
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, p = unfilter(ph, pw * bpp, p)
+            for r in range(ph):
+                y = y0 + r * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    out[y, x * bpp : (x + 1) * bpp] = sub[r, i * bpp : (i + 1) * bpp]
+        if p != len(raw):
+            raise ValueError("PNG interlaced payload size mismatch")
     if palette:
         if not plte:
             raise ValueError("palette PNG without PLTE chunk")
@@ -410,10 +439,10 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, float]:
 def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
     """fake=False dispatch: sniff the magic — PPM/BMP decode with
     stdlib+numpy everywhere; PNG decodes natively for the common shapes
-    (8/16-bit and palette, non-interlaced) and baseline JPEG decodes
-    natively (operators/jpeg.py); Pillow, when installed, is the
-    fallback for the exotic variants (progressive JPEG, interlaced or
-    sub-byte-depth PNG)."""
+    (8/16-bit, palette, 8-bit Adam7 interlace) and baseline JPEG
+    decodes natively (operators/jpeg.py); Pillow, when installed, is
+    the fallback for the exotic variants (progressive JPEG,
+    sub-byte-depth or 16-bit-interlaced PNG)."""
     if buf.startswith(b"P6"):
         return _decode_ppm(buf)
     if buf.startswith(b"BM"):

@@ -385,7 +385,7 @@ def test_decode_png_channel_variants():
 
 
 def test_decode_png_rejects_exotic_variants():
-    """Interlaced / sub-byte-depth PNGs raise the documented
+    """Sub-byte depths and 16-bit+interlaced PNGs raise the documented
     NotImplementedError from the native path (Pillow, where installed,
     is the fallback)."""
     import pytest
@@ -393,13 +393,57 @@ def test_decode_png_rejects_exotic_variants():
     # IHDR data starts at offset 16 (8 sig + 4 len + 4 type)
     ihdr_off = 16
     buf = bytearray(M.make_png_image(b"x", 4, 4))
-    buf[ihdr_off + 12] = 1  # interlace byte: Adam7
+    buf[ihdr_off + 8] = 16  # depth 16 ...
+    buf[ihdr_off + 12] = 1  # ... AND Adam7: the unsupported combo
     with pytest.raises(NotImplementedError):
         M._decode_png(bytes(buf))
     buf = bytearray(M.make_png_image(b"x", 4, 4))
     buf[ihdr_off + 8] = 4  # bit depth 8 -> 4 (sub-byte packing)
     with pytest.raises(NotImplementedError):
         M._decode_png(bytes(buf))
+
+
+def test_decode_png_adam7_interlaced():
+    """8-bit Adam7 interlaced PNG: seven independently-filtered passes
+    scattered onto the full grid.  Built by hand from the spec's pass
+    grid; one pass uses the Up filter to exercise within-pass
+    unfiltering."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = 9, 5  # odd dims: every pass has ragged edges
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.uint8)
+    raw = b""
+    for pi, (x0, y0, dx, dy) in enumerate(M._ADAM7_PASSES):
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        rows = []
+        for r in range(ph):
+            y = y0 + r * dy
+            row = np.concatenate([img[y, x0 + i * dx] for i in range(pw)]).astype(int)
+            rows.append(row)
+        # last pass: Up filter on non-first rows, others filter 0
+        for r, row in enumerate(rows):
+            if pi == len(M._ADAM7_PASSES) - 1 and r > 0:
+                filt = (row - rows[r - 1]) % 256
+                raw += bytes([2]) + bytes(filt.astype(np.uint8))
+            else:
+                raw += bytes([0]) + bytes(row.astype(np.uint8))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # RGB, Adam7
+    buf = (
+        M._PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, c, mean = M._decode_png(buf)
+    assert (got_w, got_h, c) == (w, h, 3)
+    assert abs(mean - float(img.mean())) < 1e-9
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
