@@ -2,7 +2,8 @@
 
 Closes the last compressed-codec gap in the multimodal decode path
 (`operators/multimodal.py`): PPM/BMP/PNG already decode natively; this
-module adds ITU T.81 *baseline sequential* JPEG:
+module adds ITU T.81 JPEG — *baseline sequential* (SOF0/1) and
+*progressive* (SOF2):
 
 - ``decode_baseline_jpeg``: SOI/APPn/DQT/SOF0/DHT/DRI/SOS parsing,
   canonical Huffman entropy decode (tables read from the file's DHT
@@ -20,7 +21,11 @@ module adds ITU T.81 *baseline sequential* JPEG:
   JPEG carries its Huffman tables in the DHT segment, so a conforming
   decoder needs no out-of-band table knowledge; choosing fixed-length
   tables trades compression (irrelevant for fixtures) for an encoder
-  with no frequency pass.
+  with no frequency pass.  ``encode_progressive_jpeg`` emits an SOF2
+  stream whose scan script exercises every progressive feature and
+  whose decoded pixels are IDENTICAL to the baseline encoding of the
+  same image (same quantized coefficients) — the cross-check the
+  tests assert.
 
 Reference parity: the reference pipeline treats payloads as opaque
 ``byte[]`` and delegates typing to a pluggable deserializer
@@ -68,9 +73,14 @@ _QT_CHROMA = np.full((8, 8), 12, dtype=np.uint16)
 #: 0..11 as 4-bit codes (12 of 16 — all-ones unused).  AC: the 162
 #: baseline run/size symbols as 8-bit codes (162 of 256).
 _DC_SYMBOLS = list(range(12))
-_AC_SYMBOLS = [0x00, 0xF0] + [
-    (run << 4) | size for run in range(16) for size in range(1, 11)
-]
+_AC_SYMBOLS = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    # progressive-only EOBRUN codes (r<<4)|0, r=1..14 — unused by the
+    # baseline scan but carried in the same table so both encoders
+    # share one DHT layout (a Huffman table may hold unused symbols)
+    + [(r << 4) for r in range(1, 15)]
+)
 
 
 def _canonical_codes(symbols: list[int], length: int) -> dict[int, tuple[int, int]]:
@@ -342,9 +352,16 @@ def encode_baseline_jpeg(arr: np.ndarray) -> bytes:
 
 
 def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
-    """Decode baseline-sequential JPEG to HxW (gray) or HxWx3 (RGB)
-    uint8.  Raises NotImplementedError for progressive/extended frames
-    so callers can fall back to an optional full codec."""
+    """Decode JPEG to HxW (gray) or HxWx3 (RGB) uint8.
+
+    Handles baseline sequential (SOF0/1) and PROGRESSIVE (SOF2) frames:
+    every scan — interleaved or single-component, DC or AC spectral
+    band, first pass or successive-approximation refinement — is
+    accumulated into per-component coefficient buffers; dequant + IDCT
+    run once at EOI.  (The name predates progressive support and is
+    kept for API stability.)  Hierarchical/lossless/12-bit frames raise
+    NotImplementedError so callers can fall back to an optional full
+    codec."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -352,7 +369,9 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], _HuffTable] = {}
     frame = None
     restart_interval = 0
-    while pos < len(buf):
+    coefs = None
+    pred = None
+    while pos < len(buf) - 1:
         if buf[pos] != 0xFF:
             pos += 1
             continue
@@ -389,7 +408,7 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
                 huffval = list(payload[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _HuffTable(bits, huffval)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, fh, fw, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -397,87 +416,219 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {
+                "h": fh,
+                "w": fw,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (SOF marker 0x{marker:02x})"
+                f"unsupported JPEG frame type (SOF marker 0x{marker:02x})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if coefs is None:
+                coefs, pred = _alloc_coefs(frame)
             ns = payload[0]
             scan = []
             for c in range(ns):
                 cid, tabs = payload[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cid)
-                scan.append((comp, tabs >> 4, tabs & 0xF))
-            data_start = pos + 2 + length
-            return _decode_scan(
-                buf, data_start, frame, scan, qtables, htables, restart_interval
+                ci = next(
+                    i for i, x in enumerate(frame["comps"]) if x["id"] == cid
+                )
+                scan.append((ci, tabs >> 4, tabs & 0xF))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0xF
+            if not frame["progressive"]:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_sos(
+                buf, pos + 2 + length, frame, scan, ss, se, ah, al,
+                htables, restart_interval, coefs, pred,
             )
+            continue
         pos += 2 + length
-    raise ValueError("no scan data found")
+    if coefs is None:
+        raise ValueError("no scan data found")
+    return _reconstruct(frame, coefs, qtables)
 
 
-def _decode_scan(buf, pos, frame, scan, qtables, htables, restart_interval):
-    fh, fw = frame["h"], frame["w"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
+def _frame_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     if hmax > 2 or vmax > 2:
         raise NotImplementedError("sampling factors above 2 unsupported")
-    mcux = -(-fw // (8 * hmax))
-    mcuy = -(-fh // (8 * vmax))
-    planes = []
-    for comp, _, _ in scan:
-        planes.append(
-            np.zeros((mcuy * comp["v"] * 8, mcux * comp["h"] * 8), dtype=np.float64)
-        )
-    br = _BitReader(buf, pos)
-    pred = [0] * len(scan)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_restart()
-                pred = [0] * len(scan)
-            for ci, (comp, dc_id, ac_id) in enumerate(scan):
-                dc_tab = htables[(0, dc_id)]
-                ac_tab = htables[(1, ac_id)]
-                qt = qtables[comp["tq"]]
-                for v in range(comp["v"]):
-                    for hblk in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        s = dc_tab.decode(br)
-                        diff = _extend(br.receive(s), s) if s else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = ac_tab.decode(br)
-                            if rs == 0x00:  # EOB
-                                break
-                            run, size = rs >> 4, rs & 0xF
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            zz[k] = _extend(br.receive(size), size)
-                            k += 1
-                        coef = np.zeros((8, 8))
-                        coef[_ZIG_ROWS, _ZIG_COLS] = zz
-                        block = _DCT.T @ (coef * qt) @ _DCT + 128.0
-                        y0 = (my * comp["v"] + v) * 8
-                        x0 = (mx * comp["h"] + hblk) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
 
-    # upsample to full resolution, crop
+
+def _alloc_coefs(frame):
+    """Per-component coefficient buffers (block grid padded to the MCU
+    grid) in zigzag order, plus DC predictors."""
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    coefs = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in frame["comps"]
+    ]
+    return coefs, [0] * len(frame["comps"])
+
+
+def _comp_block_dims(frame, comp):
+    """ACTUAL block grid of one component (non-interleaved scans cover
+    this, not the MCU-padded grid)."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    sw = -(-frame["w"] * comp["h"] // hmax)
+    sh = -(-frame["h"] * comp["v"] // vmax)
+    return -(-sw // 8), -(-sh // 8)
+
+
+def _decode_sos(buf, pos, frame, scan, ss, se, ah, al, htables, dri, coefs, pred):
+    """Decode one scan's entropy data into the coefficient buffers;
+    returns the buffer position of the next marker."""
+    br = _BitReader(buf, pos)
+    state = {"eobrun": 0}
+
+    def block(ci, dc_id, ac_id, by, bx):
+        _decode_block(
+            br, coefs[ci][by, bx], ss, se, ah, al,
+            htables.get((0, dc_id)), htables.get((1, ac_id)),
+            pred, ci, state,
+        )
+
+    if len(scan) > 1:  # interleaved (MCU order)
+        _, _, mcux, mcuy = _frame_geometry(frame)
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and unit and unit % dri == 0:
+                    br.sync_restart()
+                    for ci, _, _ in scan:
+                        pred[ci] = 0
+                    state["eobrun"] = 0
+                for ci, dc_id, ac_id in scan:
+                    comp = frame["comps"][ci]
+                    for v in range(comp["v"]):
+                        for hb in range(comp["h"]):
+                            block(ci, dc_id, ac_id, my * comp["v"] + v, mx * comp["h"] + hb)
+                unit += 1
+    else:  # single component: raster over ITS block grid
+        ci, dc_id, ac_id = scan[0]
+        bw, bh = _comp_block_dims(frame, frame["comps"][ci])
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and unit and unit % dri == 0:
+                    br.sync_restart()
+                    pred[ci] = 0
+                    state["eobrun"] = 0
+                block(ci, dc_id, ac_id, by, bx)
+                unit += 1
+
+    # advance to the next marker (skip stuffed 0xFF00 and padding)
+    p = br.pos
+    while p < len(buf) - 1 and not (buf[p] == 0xFF and buf[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _decode_block(br, zz, ss, se, ah, al, dc_tab, ac_tab, pred, ci, state):
+    """Decode one block's contribution for one scan into ``zz`` (zigzag
+    int64 view).  Covers all four progressive scan kinds; baseline is
+    the (ss=0, se=63, ah=0, al=0) special case of the first-pass path."""
+    if ah == 0:
+        k = ss
+        if ss == 0:  # DC first pass (or baseline DC)
+            s = dc_tab.decode(br)
+            diff = _extend(br.receive(s), s) if s else 0
+            pred[ci] += diff
+            zz[0] = pred[ci] << al
+            k = 1
+        if k > se:
+            return
+        if state["eobrun"] > 0:  # band of this block is entirely zero
+            state["eobrun"] -= 1
+            return
+        while k <= se:
+            rs = ac_tab.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1 + (br.receive(r) if r else 0)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index out of range")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+    else:  # refinement (successive approximation)
+        if ss == 0:  # DC refinement: one raw bit
+            if br.receive(1):
+                zz[0] |= 1 << al
+            return
+        p1, m1 = 1 << al, -(1 << al)
+
+        def refine_nonzero(k):
+            # correction bit for an already-significant coefficient
+            if br.receive(1) and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = ac_tab.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r < 15:  # EOB: current block included in the run
+                        state["eobrun"] = (1 << r) - 1 + (br.receive(r) if r else 0)
+                        break
+                    # ZRL: advance past 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("invalid refinement size")
+                    newval = p1 if br.receive(1) else m1
+                # advance over r zero-history slots, refining nonzeros
+                while k <= se:
+                    if zz[k] != 0:
+                        refine_nonzero(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        else:
+            state["eobrun"] -= 1
+        # EOB (or eobrun) path: refine remaining nonzeros through the band
+        while k <= se:
+            if zz[k] != 0:
+                refine_nonzero(k)
+            k += 1
+
+
+def _reconstruct(frame, coefs, qtables):
+    fh, fw = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
     full = []
-    for (comp, _, _), plane in zip(scan, planes):
+    for comp, cbuf in zip(frame["comps"], coefs):
+        qt = qtables[comp["tq"]]
+        bh_, bw_ = cbuf.shape[0], cbuf.shape[1]
+        plane = np.empty((bh_ * 8, bw_ * 8), dtype=np.float64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                coef = np.zeros((8, 8))
+                coef[_ZIG_ROWS, _ZIG_COLS] = cbuf[by, bx].astype(np.float64)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ (coef * qt) @ _DCT + 128.0
+                )
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
@@ -487,3 +638,236 @@ def _decode_scan(buf, pos, frame, scan, qtables, htables, restart_interval):
     if len(full) == 3:
         return _ycbcr_to_rgb(full[0], full[1], full[2])
     raise NotImplementedError(f"{len(full)}-component JPEG unsupported")
+
+
+# --- progressive encoder ---------------------------------------------------
+
+
+def _quantized_blocks(arr: np.ndarray):
+    """(planes' quantized zigzag blocks, h, w, gray) shared by both
+    encoders: 4:4:4, flat tables, edge-replicate padding."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    planes = (
+        [arr.astype(np.float64)]
+        if gray
+        else [c for c in np.moveaxis(_rgb_to_ycbcr(arr), -1, 0)]
+    )
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if ph != h or pw != w:
+        planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+    out = []
+    for ci, plane in enumerate(planes):
+        qt = (_QT_LUMA if ci == 0 else _QT_CHROMA).astype(np.float64)
+        blocks = np.empty((ph // 8, pw // 8, 64), dtype=np.int64)
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                coef = _DCT @ (plane[by : by + 8, bx : bx + 8] - 128.0) @ _DCT.T
+                blocks[by // 8, bx // 8] = np.round(coef / qt).astype(np.int64)[
+                    _ZIG_ROWS, _ZIG_COLS
+                ]
+        out.append(blocks)
+    return out, h, w, gray
+
+
+def encode_progressive_jpeg(arr: np.ndarray) -> bytes:
+    """Encode uint8 HxW / HxWx3 to PROGRESSIVE JPEG (SOF2) with a scan
+    script exercising every progressive feature: an interleaved DC
+    first pass at Al=1, a DC successive-approximation refinement, per-
+    component AC spectral bands (1-5, 6-63) at Al=1, and per-component
+    AC refinement scans (Ah=1 -> Al=0).  Coefficients, quant tables and
+    Huffman tables are identical to :func:`encode_baseline_jpeg`, so
+    decoding this stream reconstructs PIXEL-IDENTICAL output to the
+    baseline encoding of the same image — the cross-check the tests
+    assert."""
+    if arr.dtype != np.uint8:
+        raise ValueError("uint8 input required")
+    blocks, h, w, gray = _quantized_blocks(arr)
+    ncomp = 1 if gray else 3
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    zz_luma = bytes(int(_QT_LUMA[r, c]) for r, c in _ZIGZAG)
+    out += seg(0xDB, b"\x00" + zz_luma)
+    if not gray:
+        zz_chroma = bytes(int(_QT_CHROMA[r, c]) for r, c in _ZIGZAG)
+        out += seg(0xDB, b"\x01" + zz_chroma)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, _dht_payload(0, 0, _DC_SYMBOLS, 4))
+    out += seg(0xC4, _dht_payload(1, 0, _AC_SYMBOLS, 8))
+    if not gray:
+        out += seg(0xC4, _dht_payload(0, 1, _DC_SYMBOLS, 4))
+        out += seg(0xC4, _dht_payload(1, 1, _AC_SYMBOLS, 8))
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            tid = min(cid - 1, 1)
+            p += bytes([cid, (tid << 4) | tid])
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    bh, bw_ = blocks[0].shape[0], blocks[0].shape[1]
+
+    # scan 1: interleaved DC first pass, Al=1
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    bwr = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(ncomp):
+                v = int(blocks[ci][by, bx, 0]) >> 1  # arithmetic shift
+                diff = v - pred[ci]
+                pred[ci] = v
+                s, extra = _magnitude(diff) if diff else (0, 0)
+                code, n = _DC_CODES[s]
+                bwr.write(code, n)
+                if s:
+                    bwr.write(extra, s)
+    bwr.flush()
+    out += bwr.out
+
+    # scan 2: interleaved DC refinement, Ah=1 -> Al=0 (raw bits)
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    bwr = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(ncomp):
+                bwr.write(int(blocks[ci][by, bx, 0]) & 1, 1)
+    bwr.flush()
+    out += bwr.out
+
+    # scans 3..: per-component AC spectral bands, first pass Al=1.
+    # EOB runs ACCUMULATE across consecutive all-zero-band blocks and
+    # flush as a single EOBRUN code — the multi-block EOB path a real
+    # progressive encoder emits on flat regions.
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            out += sos_header([ci + 1], ss, se, 0, 1)
+            bwr = _BitWriter()
+            eobrun = 0
+            for by in range(bh):
+                for bx in range(bw_):
+                    eobrun = _encode_ac_first(
+                        bwr, blocks[ci][by, bx], ss, se, 1, eobrun
+                    )
+            _flush_eobrun(bwr, eobrun)
+            bwr.flush()
+            out += bwr.out
+
+    # final scans: per-component AC refinement Ah=1 -> Al=0
+    for ci in range(ncomp):
+        out += sos_header([ci + 1], 1, 63, 1, 0)
+        bwr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_):
+                _encode_ac_refine(bwr, blocks[ci][by, bx], 1, 63, 0)
+        bwr.flush()
+        out += bwr.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _flush_eobrun(bwr: _BitWriter, eobrun: int) -> None:
+    """Emit a pending EOB run: code (r<<4)|0 with r appended bits,
+    covering (1<<r) + bits blocks (T.81 G.1.2.2)."""
+    while eobrun > 0:
+        r = min(eobrun.bit_length() - 1, 14)
+        chunk = min(eobrun, (2 << r) - 1)
+        code, n = _AC_CODES[r << 4]
+        bwr.write(code, n)
+        if r:
+            bwr.write(chunk - (1 << r), r)
+        eobrun -= chunk
+
+
+def _encode_ac_first(bwr: _BitWriter, zz, ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC first-pass scan for one block: run/size over magnitudes
+    truncated to ``>> al`` (toward zero).  All-zero bands extend the
+    caller's EOB run; any emitted coefficient flushes it first.
+    Returns the updated run."""
+    run = 0
+    emitted_any = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (abs(v) >> al) * (1 if v >= 0 else -1)
+        if t == 0:
+            run += 1
+            continue
+        if not emitted_any and eobrun:
+            _flush_eobrun(bwr, eobrun)
+            eobrun = 0
+        while run > 15:
+            code, n = _AC_CODES[0xF0]
+            bwr.write(code, n)
+            run -= 16
+        s, extra = _magnitude(t)
+        code, n = _AC_CODES[(run << 4) | s]
+        bwr.write(code, n)
+        bwr.write(extra, s)
+        run = 0
+        emitted_any = True
+    if emitted_any:
+        if run > 0:
+            code, n = _AC_CODES[0x00]  # EOB closes this block only
+            bwr.write(code, n)
+        return eobrun
+    return eobrun + 1  # whole band zero: extend the run
+
+
+def _encode_ac_refine(bwr: _BitWriter, zz, ss: int, se: int, al: int) -> None:
+    """AC successive-approximation refinement (T.81 G.1.2.3), emitted
+    by SIMULATING the decoder's advance so correction bits land exactly
+    where each code's advance will read them: a ZRL's attached bits
+    cover only the already-significant coefficients inside ITS 16
+    currently-zero-slot span (not the whole run), a run/1 code carries
+    the sign then the span's correction bits, and the closing EOB
+    carries the bits for the band's remaining nonzeros."""
+
+    def t(j: int) -> int:
+        return abs(int(zz[j])) >> al
+
+    def bit(j: int) -> int:
+        return t(j) & 1
+
+    k = ss
+    while k <= se:
+        nk = next((j for j in range(k, se + 1) if t(j) == 1), None)
+        if nk is None:
+            # EOB: decoder refines every remaining nonzero in the band
+            code, n = _AC_CODES[0x00]
+            bwr.write(code, n)
+            for j in range(k, se + 1):
+                if t(j) > 1:
+                    bwr.write(bit(j), 1)
+            return
+        run = sum(1 for j in range(k, nk) if t(j) == 0)
+        while run > 15:
+            # ZRL: advance over exactly 16 currently-zero slots,
+            # refining the already-significant coefficients passed
+            code, n = _AC_CODES[0xF0]
+            bwr.write(code, n)
+            rr = 15
+            kk = k
+            while True:
+                if t(kk) > 1:
+                    bwr.write(bit(kk), 1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                kk += 1
+            k = kk + 1
+            run -= 16
+        code, n = _AC_CODES[(run << 4) | 1]
+        bwr.write(code, n)
+        bwr.write(1 if int(zz[nk]) > 0 else 0, 1)
+        for j in range(k, nk):
+            if t(j) > 1:
+                bwr.write(bit(j), 1)
+        k = nk + 1

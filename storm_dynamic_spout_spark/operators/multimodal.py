@@ -17,12 +17,13 @@ Codec coverage is tiered:
   interlace: stdlib zlib inflate + all five byte-wise unfilters at
   the correct bytes-per-pixel distance), baseline-sequential JPEG (operators/jpeg.py: canonical
   Huffman decode from the file's DHT tables, 4:4:4/4:2:2/4:2:0
-  sampling, restart markers, matrix IDCT), WAV (PCM) audio via the
-  stdlib ``wave`` module. These run and are tested in any
+  sampling, restart markers, matrix IDCT — and PROGRESSIVE (SOF2)
+  frames via per-component coefficient accumulation), WAV (PCM) audio
+  via the stdlib ``wave`` module. These run and are tested in any
   environment, including this container.
-- **Real, gated**: progressive JPEG and the remaining PNG exotica
-  (sub-byte depths, 16-bit interlaced) decode via Pillow where
-  installed (import-try seam); absent Pillow the honest
+- **Real, gated**: the residual exotica — hierarchical/lossless/
+  12-bit JPEG, sub-byte-depth or 16-bit-interlaced PNG — decode via
+  Pillow where installed (import-try seam); absent Pillow the honest
   ``NotImplementedError`` stands.
 - **Synthetic** (``fake=True``): the engine's deterministic payload
   format, for fixtures whose bytes must derive from an id.
@@ -425,10 +426,10 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
 
 
 def _decode_jpeg(buf: bytes) -> tuple[int, int, int, float]:
-    """Native baseline JPEG decode (operators/jpeg.py — pure numpy,
-    canonical Huffman tables read from the file's own DHT segments).
-    Progressive/extended frames raise NotImplementedError and fall
-    through to Pillow when present."""
+    """Native JPEG decode (operators/jpeg.py — pure numpy, canonical
+    Huffman tables read from the file's own DHT segments), baseline
+    AND progressive.  Hierarchical/lossless/12-bit frames raise
+    NotImplementedError and fall through to Pillow when present."""
     from storm_dynamic_spout_spark.operators.jpeg import decode_baseline_jpeg
 
     arr = decode_baseline_jpeg(buf)
@@ -439,10 +440,11 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, float]:
 def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
     """fake=False dispatch: sniff the magic — PPM/BMP decode with
     stdlib+numpy everywhere; PNG decodes natively for the common shapes
-    (8/16-bit, palette, 8-bit Adam7 interlace) and baseline JPEG
-    decodes natively (operators/jpeg.py); Pillow, when installed, is
-    the fallback for the exotic variants (progressive JPEG,
-    sub-byte-depth or 16-bit-interlaced PNG)."""
+    (8/16-bit, palette, 8-bit Adam7 interlace) and JPEG — baseline
+    and progressive — decodes natively (operators/jpeg.py); Pillow,
+    when installed, is the fallback for the residual exotica
+    (lossless/12-bit JPEG, sub-byte-depth or 16-bit-interlaced
+    PNG)."""
     if buf.startswith(b"P6"):
         return _decode_ppm(buf)
     if buf.startswith(b"BM"):

@@ -47,15 +47,15 @@ def test_grayscale_roundtrip():
     assert float(np.abs(dec.astype(int) - g.astype(int)).mean()) < 4.0
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_lossless():
     with pytest.raises(ValueError):
         decode_baseline_jpeg(b"not a jpeg at all")
-    # craft a minimal progressive-frame header: SOI + SOF2
-    sof2 = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC2, 11) + struct.pack(
+    # craft a minimal lossless-frame header: SOI + SOF3 (out of scope)
+    sof3 = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC3, 11) + struct.pack(
         ">BHHB", 8, 8, 8, 1
     ) + bytes([1, 0x11, 0])
     with pytest.raises(NotImplementedError):
-        decode_baseline_jpeg(sof2)
+        decode_baseline_jpeg(sof3)
 
 
 def _encode_420(arr: np.ndarray, restart_interval: int = 0) -> bytes:
@@ -286,3 +286,76 @@ def test_real_frame_sample_spark(spark):
         for r in frames:
             assert r["width"] == 16 and r["height"] == 16
             assert 0.0 < r["mean_intensity"] < 255.0
+
+
+# --- progressive (SOF2) ----------------------------------------------------
+
+
+def _cross_check(img):
+    from storm_dynamic_spout_spark.operators.jpeg import encode_progressive_jpeg
+
+    base = decode_baseline_jpeg(encode_baseline_jpeg(img))
+    prog = decode_baseline_jpeg(encode_progressive_jpeg(img))
+    assert np.array_equal(base, prog), "progressive decode diverged from baseline"
+
+
+def test_progressive_pixel_identical_to_baseline():
+    """The progressive scan script (DC SA first+refine, AC spectral
+    bands, AC refinement) transmits exactly the same quantized
+    coefficients as the baseline encoder, so decoding must reconstruct
+    PIXEL-IDENTICAL output — a stronger check than bounded error."""
+    rng = np.random.default_rng(5)
+    for shape in [(16, 24, 3), (17, 23, 3), (32, 32, 3)]:
+        _cross_check(rng.integers(0, 256, shape, dtype=np.uint8).astype(np.uint8))
+
+
+def test_progressive_grayscale():
+    rng = np.random.default_rng(6)
+    _cross_check(rng.integers(0, 256, (9, 11), dtype=np.uint8).astype(np.uint8))
+
+
+def test_progressive_eobrun_multi_block():
+    """Flat regions produce all-zero AC bands across many consecutive
+    blocks; the encoder accumulates them into multi-block EOBRUN codes,
+    exercising the decoder's run-skip path mid-scan and at scan end."""
+    rng = np.random.default_rng(7)
+    _cross_check(np.full((48, 64, 3), 77, dtype=np.uint8))
+    mix = np.full((24, 64, 3), 10, dtype=np.uint8)
+    mix[:, 32:] = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    _cross_check(mix.astype(np.uint8))
+
+
+def test_progressive_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        gray=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, gray, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        _cross_check(rng.integers(0, 256, shape, dtype=np.uint8).astype(np.uint8))
+
+    check()
+
+
+def test_progressive_through_spark_decode(spark):
+    """Progressive payloads decode natively through the mapInPandas
+    image path (no Pillow fallback needed)."""
+    from storm_dynamic_spout_spark.operators.jpeg import encode_progressive_jpeg
+    from storm_dynamic_spout_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, encode_progressive_jpeg(img))], ["doc_id", "content"]
+    )
+    row = decode_image(df, "doc_id").collect()[0]
+    assert row["width"] == 16 and row["height"] == 16 and row["n_channels"] == 3
+    expected = decode_baseline_jpeg(encode_baseline_jpeg(img))
+    assert abs(row["mean_intensity"] - float(expected.mean())) < 1e-9
