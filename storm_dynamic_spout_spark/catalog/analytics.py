@@ -405,3 +405,69 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+PATH_LEN = 5
+TOP_PATHS = 10
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY {_TS}, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {PATH_LEN} GROUP BY user_id
+    ),
+    counted AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+             row_number() OVER (ORDER BY count(*) DESC, path) AS prank
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_users, CAST(prank AS BIGINT) AS prank
+    FROM counted WHERE prank <= {TOP_PATHS}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis: each user's first 5 events (by time,
+    event_id tie-break) joined into a path string, then the 10 most
+    common paths — the onboarding-funnel discovery query.
+
+    Why at 100 TB: the per-user window is partitioned by user_id (no
+    global sort); WindowGroupLimit prunes past rank 5 before the
+    string_agg; path cardinality after aggregation is tiny (bounded by
+    |event_types|^5 but Zipf-concentrated in practice), so the final
+    top-k is a TakeOrdered over an already-small set."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    ranked = e.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("rn") <= PATH_LEN)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    ranked_paths = counted.withColumn(
+        "prank",
+        F.row_number().over(Window.orderBy(F.desc("n_users"), "path")).cast("long"),
+    )
+    return ranked_paths.filter(F.col("prank") <= TOP_PATHS).select(
+        "path", "n_users", "prank"
+    )
