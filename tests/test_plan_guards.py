@@ -336,3 +336,29 @@ def test_token_budget_prefix_sum_is_bucket_parallel(spark, sf_dir):
     assert "windowspecdefinition(__b" in first_window
     assert "Exchange hashpartitioning(__b" in plan
     assert plan.count("SinglePartition") <= 2
+
+
+def test_top_paths_prunes_window_and_stays_keyed(spark, sf_dir):
+    """Per-user first-5 selection must plan as WindowGroupLimit (rows
+    past rank 5 pruned before the path aggregation), with no cartesian
+    anywhere."""
+    plan = _plan(spark, sf_dir, "events_top_paths")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_joins_results_never_cartesian(spark, sf_dir):
+    """The recall join matches (query_id, neighbor_id) keys; the only
+    nested-loop is the declared broadcast of the tiny query panel."""
+    plan = _plan(spark, sf_dir, "ann_recall_report")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_histogram_rollup_merges_map_side(spark, sf_dir):
+    """Daily histograms must partial-aggregate before their shuffle;
+    the only single-partition / nested-loop pieces are the one-row
+    min-max range broadcasts."""
+    plan = _plan(spark, sf_dir, "agg_histogram_percentile_rollup")
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
