@@ -12,9 +12,9 @@ after.
 Codec coverage is tiered:
 
 - **Real, always available**: formats decoded with stdlib + numpy —
-  PPM (P6) and BMP (24-bit uncompressed) images, PNG (8/16-bit
-  gray/gray-alpha/RGB/RGBA + 8-bit palette, including 8-bit Adam7
-  interlace: stdlib zlib inflate + all five byte-wise unfilters at
+  PPM (P6) and BMP (24-bit uncompressed) images, PNG (1/2/4/8/16-bit
+  gray, 8/16-bit gray-alpha/RGB/RGBA, sub-byte + 8-bit palette,
+  8-bit Adam7 interlace: stdlib zlib inflate + all five byte-wise unfilters at
   the correct bytes-per-pixel distance), baseline-sequential JPEG (operators/jpeg.py: canonical
   Huffman decode from the file's DHT tables, 4:4:4/4:2:2/4:2:0
   sampling, restart markers, matrix IDCT — and PROGRESSIVE (SOF2)
@@ -22,7 +22,7 @@ Codec coverage is tiered:
   via the stdlib ``wave`` module. These run and are tested in any
   environment, including this container.
 - **Real, gated**: the residual exotica — hierarchical/lossless/
-  12-bit JPEG, sub-byte-depth or 16-bit-interlaced PNG — decode via
+  12-bit JPEG, interlaced sub-byte/16-bit PNG — decode via
   Pillow where installed (import-try seam); absent Pillow the honest
   ``NotImplementedError`` stands.
 - **Synthetic** (``fake=True``): the engine's deterministic payload
@@ -305,9 +305,9 @@ def make_png_image(
 
 
 def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
-    """Native PNG decode (stdlib zlib + numpy): 8/16-bit gray /
-    gray+alpha / RGB / RGBA plus 8-bit palette (PLTE), non-interlaced
-    or 8-bit Adam7 interlaced,
+    """Native PNG decode (stdlib zlib + numpy): 1/2/4/8/16-bit gray,
+    8/16-bit gray+alpha / RGB / RGBA, sub-byte or 8-bit palette
+    (PLTE), non-interlaced or 8-bit Adam7 interlaced,
     all five filter types (byte-wise, left-neighbor distance =
     bytes-per-pixel per the spec — 2 for 16-bit gray etc.).  The Sub /
     Average / Paeth unfilters are inherently sequential per row
@@ -343,8 +343,11 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
         elif typ == b"IEND":
             break
     palette = colortype == 3
-    supported = (depth == 8 and (colortype in _PNG_CHANNELS or palette)) or (
-        depth == 16 and colortype in _PNG_CHANNELS and interlace == 0
+    supported = (
+        (depth == 8 and (colortype in _PNG_CHANNELS or palette))
+        or (depth == 16 and colortype in _PNG_CHANNELS and interlace == 0)
+        # sub-byte depths: single-channel only per spec (gray/palette)
+        or (depth in (1, 2, 4) and colortype in (0, 3) and interlace == 0)
     )
     if not supported:
         raise NotImplementedError(
@@ -352,7 +355,8 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
             f"colortype={colortype}, interlace={interlace})"
         )
     channels = 1 if palette else _PNG_CHANNELS[colortype]
-    bpp = channels * (depth // 8)  # filter left-neighbor distance is BYTES
+    # filter left-neighbor distance is BYTES (1 for sub-byte depths)
+    bpp = max(channels * depth // 8, 1)
     raw = zlib.decompress(idat)
 
     def unfilter(height: int, stride: int, p: int) -> tuple[np.ndarray, int]:
@@ -389,10 +393,16 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
         return sub, p
 
     if interlace == 0:
-        stride = w * bpp
+        stride = -(-w * channels * depth // 8)  # sub-byte rows pad to bytes
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG scanline payload size mismatch")
         out, _ = unfilter(h, stride, 0)
+        if depth < 8:
+            # unpack MSB-first sub-byte samples (gray or palette indices)
+            spb = 8 // depth
+            idx = np.arange(w)
+            shift = ((spb - 1 - (idx % spb)) * depth).astype(np.uint8)
+            out = (out[:, idx // spb] >> shift) & ((1 << depth) - 1)
     else:
         # Adam7: 7 independently-filtered sub-images scattered onto the
         # full grid at (x0 + i*dx, y0 + r*dy); empty passes carry no
@@ -422,6 +432,10 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
         vals = out.reshape(-1).view(np.uint8)
         u16 = (vals[0::2].astype(np.float64) * 256 + vals[1::2]) / 257.0
         return w, h, channels, float(u16.mean()) if u16.size else 0.0
+    if depth < 8:
+        # gray sub-byte: report on the 0-255 scale (255/(2^d - 1))
+        scale = 255.0 / ((1 << depth) - 1)
+        return w, h, 1, float(out.mean() * scale) if out.size else 0.0
     return w, h, channels, float(out.mean()) if out.size else 0.0
 
 

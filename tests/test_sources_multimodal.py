@@ -516,3 +516,77 @@ def test_decode_png_16bit_gray_with_sub_filter():
     assert (got_w, got_h, c) == (w, h, 1)
     exp = sum(v / 257.0 for r in vals for v in r) / 6
     assert abs(mean - exp) < 1e-9
+
+
+def test_decode_png_sub_byte_gray():
+    """1-bit and 4-bit grayscale PNGs: MSB-first bit unpacking, row
+    padding bits dropped, values scaled to the 0-255 range."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # 1-bit 10x2 checkerboard: rows pad to 2 bytes
+    w, h = 10, 2
+    row0 = 0b1010101010
+    row1 = 0b0101010101
+    raw = b""
+    for r in (row0, row1):
+        packed = r << 6  # left-justify 10 bits in 16
+        raw += bytes([0]) + struct.pack(">H", packed)
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    buf = (
+        M._PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, c, mean = M._decode_png(buf)
+    assert (got_w, got_h, c) == (w, h, 1)
+    assert abs(mean - 127.5) < 1e-9  # half ones at 255, half zeros
+
+    # 4-bit gray 3x1 with Sub filter (bpp=1 on packed bytes)
+    w, h = 3, 1
+    vals = [1, 5, 12]
+    packed = bytes([vals[0] << 4 | vals[1], vals[2] << 4])
+    filt = bytearray(packed)
+    filt[1] = (filt[1] - packed[0]) % 256
+    raw = bytes([1]) + bytes(filt)
+    ihdr = struct.pack(">IIBBBBB", w, h, 4, 0, 0, 0, 0)
+    buf = (
+        M._PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, c, mean = M._decode_png(buf)
+    assert (got_w, got_h, c) == (w, h, 1)
+    exp = sum(v * 255.0 / 15 for v in vals) / 3
+    assert abs(mean - exp) < 1e-9
+
+
+def test_decode_png_sub_byte_palette():
+    """2-bit palette PNG: indices unpack then map through PLTE."""
+    import struct
+    import zlib
+
+    w, h = 5, 1
+    palette = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idxs = [0, 1, 2, 3, 1]
+    packed = bytes(
+        [idxs[0] << 6 | idxs[1] << 4 | idxs[2] << 2 | idxs[3], idxs[4] << 6]
+    )
+    raw = bytes([0]) + packed
+    ihdr = struct.pack(">IIBBBBB", w, h, 2, 3, 0, 0, 0)
+    buf = (
+        M._PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, c, mean = M._decode_png(buf)
+    assert (got_w, got_h, c) == (w, h, 3)
+    # colors: black, red, green, blue, red -> sum of components / 15
+    exp = (0 + 255 + 255 + 255 + 255) / 15
+    assert abs(mean - exp) < 1e-9
