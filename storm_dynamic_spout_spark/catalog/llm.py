@@ -2133,3 +2133,46 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+#: Epochs per language tier — "repeat high-quality sources more often"
+#: (the Pile/LLaMA-style epoch weighting table).
+EPOCHS = {"en": 1, "de": 2, "es": 3, "fr": 2}
+
+
+def _epochs_case() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{lg}' THEN {n}" for lg, n in sorted(EPOCHS.items())
+    )
+    return f"CASE {branches} ELSE 1 END"
+
+
+@query(
+    "corpus_epoch_upsampling",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(u.epoch AS BIGINT) AS epoch
+    FROM documents, UNNEST(range(1, {_epochs_case()} + 1)) AS u(epoch)
+    """,
+)
+def corpus_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch upsampling: materialize each document once per configured
+    epoch for its language tier (en x1, de x2, es x3, fr x2) with an
+    epoch index — the "repeat under-represented / high-quality sources
+    N times" step of a training-data recipe, made explicit and
+    deterministic instead of sampling with replacement.
+
+    Why at 100 TB: ``explode(sequence(1, n))`` is a NARROW
+    transformation — no shuffle, rows fan out in place on their source
+    partitions; downstream, the epoch column feeds
+    ``training_export_shuffle`` so repeats land in different shards.
+    (In practice the explode is fused into the export scan; nothing is
+    materialized twice on disk until shard write.)"""
+    d = t(spark, sf_dir, "documents")
+    n = F.lit(1)
+    for lg, cnt in sorted(EPOCHS.items()):
+        n = F.when(F.col("lang") == lg, F.lit(cnt)).otherwise(n)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), n)).alias("__e"),
+    ).select("doc_id", "lang", F.col("__e").cast("long").alias("epoch"))
