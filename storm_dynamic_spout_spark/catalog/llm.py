@@ -2176,3 +2176,76 @@ def corpus_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.sequence(F.lit(1), n)).alias("__e"),
     ).select("doc_id", "lang", F.col("__e").cast("long").alias("epoch"))
+
+
+@query(
+    "corpus_merge_scd2",
+    oracle="""
+    WITH tgt AS (
+      SELECT doc_id, lang, md5(text) AS text_md5,
+             CAST(1 AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+      FROM documents
+    ),
+    src AS (
+      SELECT doc_id, lang, md5(text || ' [rev2]') AS text_md5
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, md5('recrawl: ' || text) AS text_md5
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    j AS (
+      SELECT t.doc_id AS t_id, s.doc_id AS s_id,
+             t.lang AS t_lang, s.lang AS s_lang,
+             t.text_md5 AS t_md5, s.text_md5 AS s_md5,
+             t.valid_from,
+             (t.lang IS DISTINCT FROM s.lang
+              OR t.text_md5 IS DISTINCT FROM s.text_md5) AS changed
+      FROM tgt t FULL OUTER JOIN src s ON t.doc_id = s.doc_id
+    )
+    SELECT t_id AS doc_id, t_lang AS lang, t_md5 AS text_md5,
+           valid_from, CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+    FROM j WHERE t_id IS NOT NULL AND (s_id IS NULL OR NOT changed)
+    UNION ALL
+    SELECT t_id, t_lang, t_md5, valid_from, CAST(2 AS BIGINT), false
+    FROM j WHERE t_id IS NOT NULL AND s_id IS NOT NULL AND changed
+    UNION ALL
+    SELECT s_id, s_lang, s_md5, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true
+    FROM j WHERE s_id IS NOT NULL AND (t_id IS NULL OR changed)
+    """,
+)
+def corpus_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 corpus refresh (operators/merge.py merge_scd2): the same
+    re-crawl batch as corpus_merge_upsert, but HISTORY-TRACKING —
+    revised documents close their old version (valid_to = batch 2) and
+    open a new one; new documents open at batch 2; untouched documents
+    stay open from batch 1.  Point-in-time reads become a filter
+    (valid_from <= b AND (valid_to IS NULL OR valid_to > b)).
+
+    Why at 100 TB: only the CURRENT slice joins the batch (history
+    rows pass through without shuffling), change detection is
+    null-safe column comparison (idempotent under re-delivered
+    snapshots), and the whole merge is one key shuffle — the plan
+    Delta/Iceberg execute under SCD-2 MERGE before file rewrite."""
+    from storm_dynamic_spout_spark.operators.merge import merge_scd2
+
+    docs = t(spark, sf_dir, "documents")
+    target = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.lit(1).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.col("text"), F.lit(" [rev2]"))).alias("text_md5"),
+    )
+    inserts = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.md5(F.concat(F.lit("recrawl: "), F.col("text"))).alias("text_md5"),
+    )
+    return merge_scd2(target, updates.unionByName(inserts), ["doc_id"], batch_id=2)

@@ -81,3 +81,74 @@ def test_merge_matches_pure_python_reference(spark, target_rows, source_rows):
     ref = {r[0]: r for r in target_rows}
     ref.update({r[0]: r for r in source_rows})
     assert got == sorted(ref.values())
+
+
+# --- SCD-2 ------------------------------------------------------------------
+
+from storm_dynamic_spout_spark.operators.merge import merge_scd2
+
+
+def _scd2_target(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, v string, valid_from long, valid_to long, is_current boolean"
+    )
+
+
+def test_scd2_changed_row_closes_and_reopens(spark):
+    target = _scd2_target(spark, [(1, "old", 1, None, True)])
+    source = spark.createDataFrame([(1, "new")], "id long, v string")
+    out = sorted(tuple(r) for r in merge_scd2(target, source, ["id"], 2).collect())
+    assert out == [(1, "new", 2, None, True), (1, "old", 1, 2, False)]
+
+
+def test_scd2_identical_snapshot_is_noop(spark):
+    """Re-delivering the same snapshot creates NO new versions — the
+    idempotency that makes SCD-2 safe under at-least-once upstreams."""
+    target = _scd2_target(spark, [(1, "same", 1, None, True)])
+    source = spark.createDataFrame([(1, "same")], "id long, v string")
+    out = [tuple(r) for r in merge_scd2(target, source, ["id"], 2).collect()]
+    assert out == [(1, "same", 1, None, True)]
+
+
+def test_scd2_history_rows_pass_through_untouched(spark):
+    target = _scd2_target(
+        spark,
+        [(1, "v1", 1, 2, False), (1, "v2", 2, None, True)],
+    )
+    source = spark.createDataFrame([(1, "v3")], "id long, v string")
+    out = sorted(tuple(r) for r in merge_scd2(target, source, ["id"], 3).collect())
+    assert out == [
+        (1, "v1", 1, 2, False),   # history untouched
+        (1, "v2", 2, 3, False),   # current closed
+        (1, "v3", 3, None, True), # new version opened
+    ]
+
+
+def test_scd2_insert_and_target_only(spark):
+    target = _scd2_target(spark, [(1, "keep", 1, None, True)])
+    source = spark.createDataFrame([(2, "brand-new")], "id long, v string")
+    out = sorted(tuple(r) for r in merge_scd2(target, source, ["id"], 2).collect())
+    assert out == [(1, "keep", 1, None, True), (2, "brand-new", 2, None, True)]
+
+
+def test_scd2_null_safe_change_detection(spark):
+    """NULL -> value and value -> NULL both count as changes; NULL ->
+    NULL does not (eqNullSafe, not =)."""
+    target = _scd2_target(
+        spark, [(1, None, 1, None, True), (2, "x", 1, None, True), (3, None, 1, None, True)]
+    )
+    source = spark.createDataFrame(
+        [(1, "now-set"), (2, None), (3, None)], "id long, v string"
+    )
+    out = [tuple(r) for r in merge_scd2(target, source, ["id"], 2).collect()]
+    assert (1, "now-set", 2, None, True) in out and (1, None, 1, 2, False) in out
+    assert (2, None, 2, None, True) in out and (2, "x", 1, 2, False) in out
+    assert (3, None, 1, None, True) in out  # NULL == NULL: no-op
+    assert len(out) == 5
+
+
+def test_scd2_schema_contract(spark):
+    target = _scd2_target(spark, [])
+    bad = spark.createDataFrame([], "id long, other string")
+    with pytest.raises(ValueError, match="merge_scd2 requires target columns"):
+        merge_scd2(target, bad, ["id"], 2)
