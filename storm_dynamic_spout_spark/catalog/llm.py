@@ -2249,3 +2249,57 @@ def corpus_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("recrawl: "), F.col("text"))).alias("text_md5"),
     )
     return merge_scd2(target, updates.unionByName(inserts), ["doc_id"], batch_id=2)
+
+
+@query(
+    "corpus_time_travel",
+    oracle=f"""
+    WITH scd2 AS ({{scd2}}),
+    batches AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) AS b(batch))
+    SELECT batch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           CAST(count(DISTINCT text_md5) AS BIGINT) AS n_versions
+    FROM batches JOIN scd2
+      ON valid_from <= batch AND (valid_to IS NULL OR valid_to > batch)
+    GROUP BY batch ORDER BY batch
+    """,
+)
+def corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reads over the SCD-2 corpus: reconstruct the
+    corpus AS OF batch 1 (pre-recrawl) and batch 2 (post) from one
+    history table with a validity-interval predicate — time travel
+    without table copies.
+
+    Why at 100 TB: the AS-OF predicate is a pushable row filter
+    (partition the history table by valid_from range and most batches
+    prune entirely); no snapshot materialization, no join against a
+    snapshot manifest — the SCD-2 intervals ARE the index."""
+    scd2 = corpus_merge_scd2(spark, sf_dir)
+    batches = spark.range(1, 3).select(F.col("id").alias("batch"))
+    asof = scd2.join(
+        F.broadcast(batches),
+        (F.col("valid_from") <= F.col("batch"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("batch"))),
+    )
+    return (
+        asof.groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.countDistinct("text_md5").alias("n_versions"),
+        )
+        .orderBy("batch")
+    )
+
+
+# inject the SCD-2 oracle as a subquery (it is itself a WITH chain)
+from storm_dynamic_spout_spark.catalog.registry import ORACLES as _OR  # noqa: E402
+
+_OR["corpus_time_travel"] = _OR["corpus_time_travel"].replace(
+    "{scd2}", _OR["corpus_merge_scd2"]
+)
