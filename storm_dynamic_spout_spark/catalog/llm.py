@@ -2303,3 +2303,50 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES as _OR  # noqa: E
 _OR["corpus_time_travel"] = _OR["corpus_time_travel"].replace(
     "{scd2}", _OR["corpus_merge_scd2"]
 )
+
+
+SAMPLE_PER_GROUP_K = 20
+
+
+@query(
+    "sample_per_group",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(md5('grp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {SAMPLE_PER_GROUP_K}
+    """,
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota sampling: exactly k documents per language,
+    chosen by deterministic hash rank — the "inspect 20 random docs
+    from every source" QA sample, reproducible across runs and
+    engines (no rand(), no approximate sampleBy fractions).
+
+    Why at 100 TB: partitions by group and ranks only within groups —
+    Spark plans WindowGroupLimit, so rows past rank k are dropped at
+    the sort, never materialized; one shuffle on the group key."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("grp:"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("lang").orderBy(h, "doc_id")),
+        )
+        .filter(F.col("__rn") <= SAMPLE_PER_GROUP_K)
+        .select("doc_id", "lang")
+    )
