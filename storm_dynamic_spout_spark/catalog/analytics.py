@@ -471,3 +471,52 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_paths.filter(F.col("prank") <= TOP_PATHS).select(
         "path", "n_users", "prank"
     )
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, {_TS} AS ts,
+             max(CASE WHEN event_type = 'click' THEN {_TS} END)
+               OVER (PARTITION BY user_id ORDER BY {_TS}, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_click_ts
+      FROM events
+    )
+    SELECT event_id, user_id, last_click_ts,
+           CAST(date_diff('second', last_click_ts, ts) AS BIGINT) AS gap_seconds
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is attributed
+    to the user's most recent preceding click (running conditional max
+    over a user-partitioned window) with the click→purchase gap — the
+    marketing-attribution shape.
+
+    Why at 100 TB: one shuffle on user_id, one ordered window pass; no
+    self-join of purchases against clicks (the naive formulation is a
+    range join that explodes on active users)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        e.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "last_click_ts",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+            ).cast("long").alias("gap_seconds"),
+        )
+    )
