@@ -520,3 +520,120 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("gap_seconds"),
         )
     )
+
+
+@query(
+    "events_interpolate",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day,
+             lo FROM span
+    ),
+    observed AS (
+      -- deterministic thinning: keep every 3rd day as the "sensor sample"
+      SELECT d.event_type, d.day, d.n
+      FROM daily d JOIN span s ON true
+      WHERE date_diff('day', s.lo, d.day) % 3 = 0
+    ),
+    grid AS (
+      SELECT t.event_type, d.day, d.lo, o.n
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN days d
+      LEFT JOIN observed o ON o.event_type = t.event_type AND o.day = d.day
+    ),
+    walls AS (
+      SELECT event_type, day, n,
+             last_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS prev_day,
+             last_value(n IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS prev_n,
+             first_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day,
+             first_value(n IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_n
+      FROM grid
+    )
+    SELECT event_type, day,
+           round(CASE
+             WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+             WHEN prev_n IS NOT NULL AND next_n IS NOT NULL THEN
+               prev_n + (next_n - prev_n)
+                 * CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                 / CAST(date_diff('day', prev_day, next_day) AS DOUBLE)
+             ELSE CAST(coalesce(prev_n, next_n) AS DOUBLE)
+           END, 6) AS n_interp,
+           (n IS NOT NULL) AS observed
+    FROM walls
+    """,
+)
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation: thin the daily per-type counts
+    to every 3rd day (the deterministic "sensor sample"), then rebuild
+    the dense series — observed days pass through, interior gaps
+    interpolate linearly between the bracketing observations, edges
+    extend the nearest observation.  The standard telemetry/feature
+    backfill shape.
+
+    Why at 100 TB: two ignore-null window passes over the per-type
+    series (forward for the previous wall, backward for the next) —
+    one shuffle on the series key, no self-join of every gap against
+    every observation (the naive as-of formulation)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = span.select(F.explode(F.sequence("lo", "hi")).alias("day"), "lo")
+    observed = (
+        daily.crossJoin(F.broadcast(span.select("lo")))
+        .filter(F.datediff("day", "lo") % 3 == 0)
+        .select("event_type", "day", "n")
+    )
+    types = daily.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(days)).join(
+        F.broadcast(observed), ["event_type", "day"], "left"
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_obs = F.when(F.col("n").isNotNull(), F.col("day"))
+    walls = (
+        grid.withColumn("prev_day", F.last(day_if_obs, ignorenulls=True).over(fwd))
+        .withColumn("prev_n", F.last("n", ignorenulls=True).over(fwd))
+        .withColumn("next_day", F.first(day_if_obs, ignorenulls=True).over(bwd))
+        .withColumn("next_n", F.first("n", ignorenulls=True).over(bwd))
+    )
+    interp = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(
+            F.col("prev_n").isNotNull() & F.col("next_n").isNotNull(),
+            F.col("prev_n")
+            + (F.col("next_n") - F.col("prev_n"))
+            * F.datediff("day", "prev_day").cast("double")
+            / F.datediff("next_day", "prev_day").cast("double"),
+        )
+        .otherwise(F.coalesce("prev_n", "next_n").cast("double"))
+    )
+    return walls.select(
+        "event_type",
+        "day",
+        F.round(interp, 6).alias("n_interp"),
+        F.col("n").isNotNull().alias("observed"),
+    )
