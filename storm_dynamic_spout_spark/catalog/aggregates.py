@@ -606,3 +606,46 @@ def agg_histogram_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT lang, source AS modal_source, n_docs FROM (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY count(*) DESC, source) AS rn
+      FROM documents GROUP BY lang, source
+    ) WHERE rn = 1 ORDER BY lang
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group: the modal source per
+    language, ties broken lexicographically.  Two-level aggregation —
+    (lang, source) counts collapse map-side, then a per-lang argmax
+    via max_by over an ordering struct (count DESC, source ASC encoded
+    as (count, negated-source ordering) — max_by keeps it one
+    partial-aggregable pass instead of a window sort).
+
+    At 100 TB the first aggregate does the data reduction; the argmax
+    runs over |lang|x|source| rows."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # max_by ordering: maximize count, then minimize source lexically —
+    # invert the string ordering by negating each byte is fragile, so
+    # use min_by on (negated count, source) instead: minimal (-n, source)
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.min_by(
+                F.struct(F.col("source"), F.col("n_docs")),
+                F.struct((-F.col("n_docs")).alias("neg"), F.col("source")),
+            ).alias("__m")
+        )
+        .select(
+            "lang",
+            F.col("__m.source").alias("modal_source"),
+            F.col("__m.n_docs").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
