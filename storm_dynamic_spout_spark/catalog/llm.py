@@ -2350,3 +2350,43 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= SAMPLE_PER_GROUP_K)
         .select("doc_id", "lang")
     )
+
+
+def _semantic_cluster_oracle_sql() -> str:
+    psql = _srp_lsh_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({psql})),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT v.vec_id, COALESCE(comp.cluster_id, v.vec_id) AS cluster_id
+    FROM embeddings v LEFT JOIN comp USING (vec_id)
+    ORDER BY v.vec_id
+    """
+
+
+@query("dedup_semantic_clusters", oracle=_semantic_cluster_oracle_sql())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: connected components over the
+    label-free SRP-LSH embedding near-dup pairs — the closing step of
+    embedding-space dedup, mirroring dedup_cluster_assignment's role
+    for token-space MinHash.  Every vector gets the minimum vec_id
+    reachable through cosine-similar pairs; singletons keep their own
+    id; corpus-level semantic dedup keeps vec_id == cluster_id.
+
+    Why at 100 TB: pair generation is the SRP band equi-join (never
+    all-pairs); the component labeling is the same bounded-round
+    min-label propagation / large-small-star machinery as the token
+    pipeline (operators/dedup.py connected_components), oracle-checked
+    against a recursive-CTE transitive closure."""
+    v = t(spark, sf_dir, "embeddings")
+    pairs = S.srp_band_pairs(
+        v, "vec_id", "embedding", EMBED_COS_THRESHOLD,
+        dim=SRP_DIM, n_planes=SRP_PLANES, band_bits=SRP_BAND_BITS,
+    )
+    return D.connected_components(pairs, v, "vec_id").orderBy("vec_id")
