@@ -2390,3 +2390,77 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=SRP_DIM, n_planes=SRP_PLANES, band_bits=SRP_BAND_BITS,
     )
     return D.connected_components(pairs, v, "vec_id").orderBy("vec_id")
+
+
+def _dedup_funnel_oracle_sql() -> str:
+    psql = _minhash_pairs_sql()
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({psql})),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    assign AS (
+      SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) AS cid
+      FROM documents d LEFT JOIN comp USING (doc_id)
+    ),
+    stages AS (
+      SELECT '1_raw' AS stage, count(*) AS n_docs FROM documents
+      UNION ALL
+      SELECT '2_exact', count(DISTINCT md5({_SQL_NORM_TEXT})) FROM documents
+      UNION ALL
+      SELECT '3_near', count(*) FROM assign WHERE doc_id = cid
+    )
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           round(CAST(n_docs AS DOUBLE)
+                 / (SELECT n_docs FROM stages WHERE stage = '1_raw'), 4)
+             AS frac_of_raw
+    FROM stages ORDER BY stage
+    """
+
+
+@query("corpus_dedup_funnel", oracle=_dedup_funnel_oracle_sql())
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline funnel: surviving document counts after each
+    stage — raw corpus, exact-dup collapse (distinct content
+    fingerprints), near-dup collapse (MinHash-LSH connected-component
+    representatives) — with each stage's fraction of raw.  The single
+    number a data lead asks for ("how much does dedup shrink us?") and
+    the regression canary for the whole pipeline's selectivity.
+
+    Why at 100 TB: each stage is the already-scale-shaped operator
+    (fingerprint groupBy; rep-collapsed LSH band join + bounded-round
+    CC); the funnel adds only three one-row aggregates over their
+    outputs."""
+    d = t(spark, sf_dir, "documents")
+    raw = d.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit("1_raw").alias("stage"), "n_docs"
+    )
+    exact = (
+        d.select(X.content_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("2_exact").alias("stage"), "n_docs")
+    )
+    pairs = D.minhash_near_dups(d, "doc_id", "text", NEAR_DUP_JACCARD)
+    cc = D.connected_components(pairs, d, "doc_id")
+    near = (
+        cc.filter(F.col("doc_id") == F.col("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("3_near").alias("stage"), "n_docs")
+    )
+    stages = raw.unionByName(exact).unionByName(near)
+    raw_n = raw.select(F.col("n_docs").alias("__raw"))
+    return (
+        stages.crossJoin(F.broadcast(raw_n))
+        .select(
+            "stage",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__raw"), 4).alias("frac_of_raw"),
+        )
+        .orderBy("stage")
+    )
