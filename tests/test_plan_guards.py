@@ -362,3 +362,28 @@ def test_histogram_rollup_merges_map_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_histogram_percentile_rollup")
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+
+
+def test_attribution_single_user_window_no_self_join(spark, sf_dir):
+    """Attribution must be ONE user-partitioned window pass — no
+    purchase-against-click join of any kind."""
+    plan = _plan(spark, sf_dir, "events_attribution")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2  # window shuffle (+AQE read)
+
+
+def test_interpolate_windows_partition_by_series_key(spark, sf_dir):
+    """Both wall windows partition by event_type — no global-order
+    window over the whole grid."""
+    plan = _plan(spark, sf_dir, "events_interpolate")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "event_type" in line
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_clusters_and_funnel_never_cartesian(spark, sf_dir):
+    for name in ("dedup_semantic_clusters", "corpus_dedup_funnel"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
