@@ -152,3 +152,29 @@ def test_scd2_schema_contract(spark):
     bad = spark.createDataFrame([], "id long, other string")
     with pytest.raises(ValueError, match="merge_scd2 requires target columns"):
         merge_scd2(target, bad, ["id"], 2)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target_rows=_row_lists, source_rows=_row_lists)
+def test_scd2_reapplying_same_snapshot_is_idempotent(spark, target_rows, source_rows):
+    """PROPERTY: for any initial data and any snapshot, applying the
+    snapshot a second time (at a later batch) changes nothing — the
+    at-least-once safety of SCD-2 ingestion."""
+    tgt = spark.createDataFrame(
+        [(r[0], r[1], r[2], 1, None, True) for r in target_rows],
+        "id long, a long, b long, valid_from long, valid_to long, is_current boolean",
+    )
+    src = spark.createDataFrame(source_rows, "id long, a long, b long")
+    once = merge_scd2(tgt, src, ["id"], 2)
+    twice = merge_scd2(once, src, ["id"], 3)
+
+    def canon(df):
+        return sorted(
+            (tuple((x is None, x) for x in r) for r in df.collect()),
+        )
+
+    assert canon(once) == canon(twice)
