@@ -637,3 +637,52 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("n_interp"),
         F.col("n").isNotNull().alias("observed"),
     )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST({_TS} AS DATE) AS day FROM events)
+    SELECT 'dau' AS granularity, CAST(day AS VARCHAR) AS bucket,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e GROUP BY day
+    UNION ALL
+    SELECT 'wau', CAST(date_trunc('week', day) AS VARCHAR),
+           CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM e GROUP BY date_trunc('week', day)
+    UNION ALL
+    SELECT 'mau', CAST(date_trunc('month', day) AS VARCHAR),
+           CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM e GROUP BY date_trunc('month', day)
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: distinct active users per day, ISO week, and
+    month in one result — THE product-health metric family.
+
+    Why at 100 TB: one events scan feeds three distinct-aggregations
+    whose grouping keys nest (day ⊂ week ⊂ month), so each re-reads
+    the same shuffled (bucket, user) partials; with the HLL sketch
+    rollup (agg_hll_sketch_rollup) the week/month levels become
+    sketch merges of the daily level and the raw scan happens once
+    ever — this exact query is why that rollup exists."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+
+    def level(label: str, bucket: F.Column) -> DataFrame:
+        return (
+            e.groupBy(bucket.alias("__b"))
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .select(
+                F.lit(label).alias("granularity"),
+                F.col("__b").cast("string").alias("bucket"),
+                "n_users",
+            )
+        )
+
+    return (
+        level("dau", F.col("day"))
+        .unionByName(level("wau", F.date_trunc("week", "day").cast("date")))
+        .unionByName(level("mau", F.date_trunc("month", "day").cast("date")))
+    )

@@ -473,3 +473,74 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+#: Staleness bound sized to DISCRIMINATE on the fixtures: orders span
+#: 1992-1998 and events sit in 2024, so ~26.3 years keeps matches to
+#: late-epoch orders and nulls the early ones (365 days would null
+#: everything and test nothing).
+ASOF_TOLERANCE_DAYS = 9600
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           CASE WHEN max(o.o_orderdate)
+                     >= CAST(e.ts AS TIMESTAMP) - INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+                THEN max(o.o_orderdate) END AS last_order_date
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND: the nearest earlier order,
+    but only if it is within the staleness bound — otherwise NULL.
+    Real as-of joins carry a tolerance (pandas merge_asof's
+    ``tolerance``, kdb's windowed aj): a quote from years ago must not
+    price today's trade.
+
+    Why at 100 TB: identical plan to join_asof — union + ONE per-key
+    time-ordered window, no row explosion — the tolerance is a pure
+    post-window column comparison, free at any scale."""
+    e = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit(None).cast("timestamp").alias("od"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("o_orderdate").alias("od"),
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last = F.max("od").over(w)
+    return (
+        e.unionByName(o)
+        .withColumn("__last", last)
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(
+                F.col("__last")
+                >= F.col("ts") - F.expr(f"INTERVAL {ASOF_TOLERANCE_DAYS} DAY"),
+                F.col("__last"),
+            ).alias("last_order_date"),
+        )
+    )
