@@ -36,6 +36,11 @@ MARKERS = {
     "cartesian_products": "CartesianProduct",
     "python_nodes": "Python",
     "file_scans": "FileScan",
+    # a WindowGroupLimit disappearing = top-k rows materializing past the
+    # sort again; a ReusedExchange disappearing = a shared subplan being
+    # recomputed — both silent de-optimizations worth diffing
+    "window_group_limits": "WindowGroupLimit",
+    "reused_exchanges": "ReusedExchange",
 }
 
 
