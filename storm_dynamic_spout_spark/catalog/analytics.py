@@ -686,3 +686,46 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(level("wau", F.date_trunc("week", "day").cast("date")))
         .unionByName(level("mau", F.date_trunc("month", "day").cast("date")))
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle=f"""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST({_TS} AS DATE) AS day FROM events
+    ),
+    firsts AS (SELECT user_id, min(day) AS first_day FROM activity GROUP BY user_id)
+    SELECT day,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY day ORDER BY day
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, active users split into NEW (first
+    ever activity that day) vs RETURNING — the standard top-of-funnel
+    growth report.
+
+    Why at 100 TB: one distinct-activity aggregate, the per-user
+    first-day broadcast back over it (the first-day table is |users|
+    rows of two narrow columns — and at scale it is an incrementally
+    maintained dimension, not recomputed), one final day rollup."""
+    e = t(spark, sf_dir, "events")
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).cast("long").alias("n_returning"),
+            F.count(F.lit(1)).alias("n_active"),
+        )
+        .orderBy("day")
+    )
