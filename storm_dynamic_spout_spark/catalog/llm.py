@@ -2464,3 +2464,55 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@query(
+    "text_lang_id_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS labeled_lang, {_sql_lang_case()} AS predicted_lang
+      FROM documents
+    ),
+    cells AS (
+      SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT labeled_lang, sum(n_docs) AS total FROM cells GROUP BY 1
+    )
+    SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+           round(CAST(c.n_docs AS DOUBLE) / t.total, 4) AS frac_of_label
+    FROM cells c JOIN totals t USING (labeled_lang)
+    ORDER BY c.labeled_lang, c.predicted_lang
+    """,
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the language-ID heuristic: the
+    (labeled, predicted) confusion matrix with per-label fractions —
+    per-language recall sits on the diagonal, the off-diagonal cells
+    say WHERE the stopword heuristic confuses languages (and 'und'
+    rows say where it abstains).  The eval every in-pipeline
+    classifier needs before its output gates data.
+
+    Why at 100 TB: the per-doc prediction is pure row-local expression
+    work fused into the scan; the matrix aggregate is |langs|² rows
+    with map-side combine."""
+    d = t(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = cells.groupBy("labeled_lang").agg(F.sum("n_docs").alias("__t"))
+    return (
+        cells.join(totals, "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__t"), 4).alias("frac_of_label"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
