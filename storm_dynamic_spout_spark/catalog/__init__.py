@@ -19,7 +19,7 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #: Registration order doubles as the driver's sampling order: its
 #: correctness sweep checks the FIRST ~50 registered queries.  The
 #: union of CORRECTNESS_r1..r4 covers all 136 queries registered through
-#: round 4 (round 5 adds 37 more, placed inside the window below);
+#: round 4 (round 5 adds 39 more, placed inside the window below);
 #: round 5 re-composes the window as a staleness rotation:
 #:   slots 1–7   — must-recheck: queries whose most recent driver row
 #:                 is red (embedding_quantize r4 harness crash,
@@ -30,7 +30,7 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 their last driver check (dedup_cluster_assignment
 #:                 — star-method refactor; stream_continuous_rollup —
 #:                 atomic-commit + ok-rows rework).
-#:   slots 8–44  — the 37 queries ADDED in round 5 (never driver-
+#:   slots 8–46  — the 39 queries ADDED in round 5 (never driver-
 #:                 checked): SRP-LSH pairs, salted join, SCD-1 merge +
 #:                 changelog, quantile gate, CSV/JSON/ORC round-trips,
 #:                 containment dedup, ANN hard negatives, stratified
@@ -45,8 +45,9 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 time-series linear interpolation, per-group mode,
 #:                 semantic CC clusters, dedup funnel report,
 #:                 DAU/WAU/MAU, tolerance as-of join, growth accounting,
-#:                 lang-ID confusion matrix.
-#:   slots 45–50 — queries whose ONLY driver evidence is round 1 (the
+#:                 lang-ID confusion matrix, per-source quality report,
+#:                 embedding drift monitor.
+#:   slots 47–50 — queries whose ONLY driver evidence is round 1 (the
 #:                 most stale cohort), alphabetical; the ~17 that spill
 #:                 past slot 50 sit immediately after and lead round 6.
 #:   remainder   — r3 cohort, then r4 cohort: freshest checks last.
@@ -59,7 +60,7 @@ _PRIORITY = [
     "stream_continuous_rollup",
     "embedding_normalize",
     "events_sessionize",
-    # --- slots 8–44: new in round 5, never driver-checked ---
+    # --- slots 8–46: new in round 5, never driver-checked ---
     "embedding_lsh_pairs",
     "join_skew_salted",
     "corpus_merge_upsert",
@@ -97,7 +98,9 @@ _PRIORITY = [
     "join_asof_tolerance",
     "events_growth_accounting",
     "text_lang_id_confusion",
-    # --- slots 45+: last driver-checked in round 1 ---
+    "corpus_quality_by_source",
+    "embedding_drift",
+    # --- slots 47+: last driver-checked in round 1 ---
     "agg_approx_count_distinct",
     "agg_arg_min_max",
     "agg_conditional",

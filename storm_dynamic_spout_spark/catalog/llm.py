@@ -2516,3 +2516,108 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+@query(
+    "corpus_quality_by_source",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             {_SQL_QUALITY.format(punct=X.sql_punct_ratio('text'), stop=X.sql_stopword_ratio('text', X.QUALITY_STOPWORDS))} AS q
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(q), 6) AS mean_quality,
+           round(quantile_cont(q, 0.5), 6) AS p50_quality,
+           round(quantile_cont(q, 0.1), 6) AS p10_quality
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality report: doc counts, mean, median, and P10 of
+    the composite quality score per source — the "which sources should
+    the mixture downweight" table that sits in front of every
+    re-weighting decision (sample_mixture / EPOCHS / token budget).
+
+    Why at 100 TB: the score is row-local expression work fused into
+    the scan; the exact interpolated percentiles group per source
+    (bounded sort per group) — swap `approx_percentile` in at scale
+    for the same plan shape with sketch merges."""
+    d = t(spark, sf_dir, "documents")
+    q = X.quality_score(F.col("text"))
+    return (
+        d.select("source", q.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+            F.round(F.percentile("q", 0.5), 6).alias("p50_quality"),
+            F.round(F.percentile("q", 0.1), 6).alias("p10_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_drift",
+    oracle="""
+    WITH split AS (
+      SELECT label, vec_id,
+             CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, half, t.i AS dim, avg(v[t.i]) AS mu
+      FROM split, UNNEST(range(1, 65)) AS t(i)
+      GROUP BY label, half, t.i
+    ),
+    cents AS (
+      SELECT a.label, a.dim, a.mu AS mu_a, b.mu AS mu_b
+      FROM dims a JOIN dims b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 'a' AND b.half = 'b'
+    )
+    SELECT label,
+           round(sqrt(sum((mu_a - mu_b) * (mu_a - mu_b))), 6) AS drift_l2
+    FROM cents GROUP BY label ORDER BY label
+    """,
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift: per cluster label, the L2 distance
+    between the centroid of one half of the corpus (even vec_ids — the
+    "reference window") and the other half (odd — the "current
+    window").  The ML-ops monitor that catches an embedding model or
+    upstream-distribution change before it silently degrades every
+    ANN/dedup threshold downstream.
+
+    Why at 100 TB: per-dimension means are a map-side-combined
+    aggregate over (label, half, dim) — the exploded rows never
+    shuffle at full width (64 doubles collapse to one per group), and
+    the final distance touches |labels| x 64 rows.  The reference
+    window's centroids would be a persisted table in production, not
+    recomputed."""
+    e = t(spark, sf_dir, "embeddings")
+    split = e.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
+    )
+    dims = split.groupBy("label", "half", "dim0").agg(F.avg("x").alias("mu"))
+    a = dims.filter(F.col("half") == "a").select(
+        "label", "dim0", F.col("mu").alias("mu_a")
+    )
+    b = dims.filter(F.col("half") == "b").select(
+        F.col("label").alias("__l"), F.col("dim0").alias("__d"), F.col("mu").alias("mu_b")
+    )
+    return (
+        a.join(b, (a.label == b.__l) & (a.dim0 == b.__d))
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("mu_a") - F.col("mu_b")) ** 2)), 6
+            ).alias("drift_l2")
+        )
+        .orderBy("label")
+    )
