@@ -2621,3 +2621,62 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _method_agreement_oracle_sql() -> str:
+    mh = _minhash_pairs_sql()
+    ng = _ngram_pairs_sql()
+    return f"""
+    WITH mh AS (SELECT id_a, id_b FROM ({mh})),
+    ng AS (SELECT id_a, id_b FROM ({ng})),
+    u AS (
+      SELECT coalesce(mh.id_a, ng.id_a) AS id_a,
+             coalesce(mh.id_b, ng.id_b) AS id_b,
+             (mh.id_a IS NOT NULL) AS in_mh,
+             (ng.id_a IS NOT NULL) AS in_ng
+      FROM mh FULL OUTER JOIN ng
+        ON mh.id_a = ng.id_a AND mh.id_b = ng.id_b
+    )
+    SELECT CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+           CAST(sum(CASE WHEN in_ng THEN 1 ELSE 0 END) AS BIGINT) AS n_ngram,
+           CAST(sum(CASE WHEN in_mh AND in_ng THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           round(CAST(sum(CASE WHEN in_mh AND in_ng THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS pair_jaccard
+    FROM u
+    """
+
+
+@query("dedup_method_agreement", oracle=_method_agreement_oracle_sql())
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method agreement between the two token-space near-dup detectors:
+    the MinHash-LSH pair set vs the character-3-gram Jaccard pair set —
+    overlap counts and pair-level Jaccard.  The meta-evaluation that
+    justifies (or retires) a detector: high agreement means the
+    cheaper method suffices; systematic one-sided pairs show what each
+    signal uniquely catches (word-level vs sub-word edits).
+
+    Why at 100 TB: both pair sets are the already-scale-shaped
+    pipelines; the agreement is one full-outer join on the pair key
+    plus a one-row aggregate — run on the same sampled shard used for
+    threshold tuning, not the full corpus."""
+    d = t(spark, sf_dir, "documents")
+    mh = D.minhash_near_dups(d, "doc_id", "text", NEAR_DUP_JACCARD).select(
+        "id_a", "id_b", F.lit(True).alias("__mh")
+    )
+    ng = D.ngram_jaccard_pairs(d, "doc_id", "text", 3, NGRAM_JACCARD).select(
+        F.col("id_a").alias("__na"), F.col("id_b").alias("__nb"),
+        F.lit(True).alias("__ng"),
+    )
+    u = mh.join(
+        ng, (mh.id_a == ng.__na) & (mh.id_b == ng.__nb), "full_outer"
+    )
+    in_mh = F.col("__mh").isNotNull()
+    in_ng = F.col("__ng").isNotNull()
+    return u.agg(
+        F.sum(in_mh.cast("long")).alias("n_minhash"),
+        F.sum(in_ng.cast("long")).alias("n_ngram"),
+        F.sum((in_mh & in_ng).cast("long")).alias("n_both"),
+        F.round(
+            F.sum((in_mh & in_ng).cast("long")) / F.count(F.lit(1)), 4
+        ).alias("pair_jaccard"),
+    )
