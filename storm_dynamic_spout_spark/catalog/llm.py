@@ -2680,3 +2680,85 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((in_mh & in_ng).cast("long")) / F.count(F.lit(1)), 4
         ).alias("pair_jaccard"),
     )
+
+
+def _training_manifest_oracle_sql() -> str:
+    psql = _minhash_pairs_sql()
+    sw = X.sql_stopword_ratio("text", X.QUALITY_STOPWORDS)
+    ntok = f"len({_TOKS})"
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({psql})),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    survivors AS (
+      SELECT d.* FROM documents d LEFT JOIN comp USING (doc_id)
+      WHERE COALESCE(comp.cluster_id, d.doc_id) = d.doc_id
+    ),
+    grams AS (SELECT doc_id, UNNEST({_SQL_GRAMS}) AS g FROM documents),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM grams JOIN eval_grams USING (g)
+      WHERE doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({ntok}) AS BIGINT) AS n_tokens
+    FROM survivors s
+    WHERE s.doc_id % {EVAL_MOD} <> 0
+      AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND {ntok.replace('text', 's.text')} >= {QF_MIN_TOKENS}
+      AND {sw.replace('text', 's.text')} BETWEEN {QF_MIN_STOPWORD} AND {QF_MAX_STOPWORD}
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@query("corpus_training_manifest", oracle=_training_manifest_oracle_sql())
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composition: the entire pre-training data recipe as
+    ONE declarative query — per language, the doc and token counts of
+    the final training manifest after (1) near-dup collapse to
+    connected-component representatives, (2) holdout exclusion and
+    8-gram decontamination against it, (3) the quality gate (token
+    floor + stopword band).  What actually ships to tokenization.
+
+    Why at 100 TB: every stage is the already-scale-shaped operator
+    (rep-collapsed LSH + bounded CC; broadcast eval-gram join;
+    row-local gates fused into the scan) composed by anti-join /
+    filter — Catalyst plans the whole recipe as one DAG, so nothing is
+    materialized between stages unless the optimizer chooses to."""
+    from storm_dynamic_spout_spark.operators import corpus as C
+
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(d, "doc_id", "text", NEAR_DUP_JACCARD)
+    cc = D.connected_components(pairs, d, "doc_id")
+    survivors = d.join(
+        cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
+        "doc_id",
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    contaminated = C.contamination(
+        d.filter(~is_eval), d.filter(is_eval), ngram=CONTAM_NGRAM
+    ).select("doc_id")
+    ntok = F.size(F.split("text", r"\s+"))
+    sw = X.stopword_ratio(F.col("text"))
+    return (
+        survivors.filter(~is_eval)
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(
+            (ntok >= QF_MIN_TOKENS)
+            & (sw >= QF_MIN_STOPWORD)
+            & (sw <= QF_MAX_STOPWORD)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ntok).cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
