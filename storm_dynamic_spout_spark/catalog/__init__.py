@@ -19,7 +19,7 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #: Registration order doubles as the driver's sampling order: its
 #: correctness sweep checks the FIRST ~50 registered queries.  The
 #: union of CORRECTNESS_r1..r4 covers all 136 queries registered through
-#: round 4 (round 5 adds 41 more, placed inside the window below);
+#: round 4 (round 5 adds 43 more, placed inside the window below);
 #: round 5 re-composes the window as a staleness rotation:
 #:   slots 1–7   — must-recheck: queries whose most recent driver row
 #:                 is red (embedding_quantize r4 harness crash,
@@ -30,7 +30,7 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 their last driver check (dedup_cluster_assignment
 #:                 — star-method refactor; stream_continuous_rollup —
 #:                 atomic-commit + ok-rows rework).
-#:   slots 8–48  — the 41 queries ADDED in round 5 (never driver-
+#:   slots 8–50  — the 43 queries ADDED in round 5 (never driver-
 #:                 checked): SRP-LSH pairs, salted join, SCD-1 merge +
 #:                 changelog, quantile gate, CSV/JSON/ORC round-trips,
 #:                 containment dedup, ANN hard negatives, stratified
@@ -47,8 +47,9 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 DAU/WAU/MAU, tolerance as-of join, growth accounting,
 #:                 lang-ID confusion matrix, per-source quality report,
 #:                 embedding drift monitor, dedup method agreement,
-#:                 the end-to-end training-manifest capstone.
-#:   slots 49–50 — queries whose ONLY driver evidence is round 1 (the
+#:                 the end-to-end training-manifest capstone,
+#:                 activity heatmap, RFM segmentation.
+#:   slots 51+  — queries whose ONLY driver evidence is round 1 (the
 #:                 most stale cohort), alphabetical; the ~17 that spill
 #:                 past slot 50 sit immediately after and lead round 6.
 #:   remainder   — r3 cohort, then r4 cohort: freshest checks last.
@@ -61,7 +62,7 @@ _PRIORITY = [
     "stream_continuous_rollup",
     "embedding_normalize",
     "events_sessionize",
-    # --- slots 8–48: new in round 5, never driver-checked ---
+    # --- slots 8–50: new in round 5, never driver-checked ---
     "embedding_lsh_pairs",
     "join_skew_salted",
     "corpus_merge_upsert",
@@ -103,7 +104,9 @@ _PRIORITY = [
     "embedding_drift",
     "dedup_method_agreement",
     "corpus_training_manifest",
-    # --- slots 49+: last driver-checked in round 1 ---
+    "events_heatmap",
+    "orders_rfm",
+    # --- slots 51+: last driver-checked in round 1 ---
     "agg_approx_count_distinct",
     "agg_arg_min_max",
     "agg_conditional",

@@ -729,3 +729,109 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_heatmap",
+    oracle=f"""
+    SELECT CAST(isodow({_TS}) AS BIGINT) AS day_of_week,
+           CAST(hour({_TS}) AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event and distinct-user counts per (ISO
+    day-of-week, hour-of-day) cell — the capacity-planning /
+    anomaly-baseline grid every ops dashboard starts with.  One scan,
+    one shuffle onto at most 168 cells (map-side combine does nearly
+    all the reduction)."""
+    e = t(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday; ISO wants 1=Monday
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    return (
+        e.groupBy(
+            iso_dow.cast("long").alias("day_of_week"),
+            F.hour("ts").cast("long").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day_of_week", "hour_of_day")
+    )
+
+
+RFM_BUCKETS = 4
+
+
+@query(
+    "orders_rfm",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate),
+                  (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, round(monetary, 2) AS monetary,
+           CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_score,
+           CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+           CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+    FROM per_cust
+    """,
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer — days since last order
+    (recency vs the corpus max date), order count (frequency), total
+    spend (monetary) — each quartile-scored with deterministic
+    tie-breaks.  The classic CRM segmentation; quartile 1 on every
+    axis = the best customers.
+
+    Why at 100 TB: one orders aggregate to |customers| rows, the
+    global max date as a one-row broadcast, then three ntile windows
+    over the (already reduced) customer table — the windows sort
+    |customers|, not |orders|, and at extreme scale the quartile CUTS
+    come from approx_percentile instead of a global sort (same
+    output contract)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("__mx"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("__mon"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff("__mx", "__last").cast("long").alias("recency_days"),
+            "frequency",
+            F.col("__mon").alias("monetary"),
+        )
+    )
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
