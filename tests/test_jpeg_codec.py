@@ -359,3 +359,15 @@ def test_progressive_through_spark_decode(spark):
     assert row["width"] == 16 and row["height"] == 16 and row["n_channels"] == 3
     expected = decode_baseline_jpeg(encode_baseline_jpeg(img))
     assert abs(row["mean_intensity"] - float(expected.mean())) < 1e-9
+
+
+def test_decoder_skips_appn_and_comment_segments():
+    """Real-world files carry APP0/JFIF, APPn (EXIF), and COM segments
+    the encoder never emits — the marker walk must skip them without
+    affecting the decode."""
+    img = _smooth_image(16, 16)
+    buf = encode_baseline_jpeg(img)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    injected = buf[:2] + app0 + com + buf[2:]
+    assert np.array_equal(decode_baseline_jpeg(injected), decode_baseline_jpeg(buf))

@@ -387,3 +387,11 @@ def test_semantic_clusters_and_funnel_never_cartesian(spark, sf_dir):
     for name in ("dedup_semantic_clusters", "corpus_dedup_funnel"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_mode_aggregate_is_two_phase_no_window(spark, sf_dir):
+    """agg_mode must stay a partial-aggregable min_by argmax — a window
+    formulation would single-reduce each group's full value list."""
+    plan = _plan(spark, sf_dir, "agg_mode")
+    assert "Window" not in plan
+    assert "partial_min_by" in plan or "partial" in plan.lower()
