@@ -371,3 +371,35 @@ def test_decoder_skips_appn_and_comment_segments():
     com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
     injected = buf[:2] + app0 + com + buf[2:]
     assert np.array_equal(decode_baseline_jpeg(injected), decode_baseline_jpeg(buf))
+
+
+def test_property_avi_container_roundtrip():
+    """Hypothesis: any (dims, frame count, fps) MJPEG/AVI round-trips
+    through the container with exact meta and decodable frames."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        make_mjpeg_avi,
+        parse_mjpeg_avi,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        n=st.integers(1, 6),
+        fps=st.integers(1, 30),
+        seed=st.integers(0, 255),
+    )
+    def check(w, h, n, fps, seed):
+        buf = make_mjpeg_avi(bytes([seed]), w, h, n, fps=fps)
+        meta, frames = parse_mjpeg_avi(buf)
+        assert meta["n_frames"] == n and meta["width"] == w and meta["height"] == h
+        assert meta["usec_per_frame"] == 1_000_000 // fps
+        assert len(frames) == n
+        for f in frames:
+            arr = decode_baseline_jpeg(f)
+            assert arr.shape == (h, w, 3)
+
+    check()
