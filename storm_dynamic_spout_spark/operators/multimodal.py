@@ -659,8 +659,9 @@ def make_wav_audio(seed: bytes, sample_rate: int = 16000, n_samples: int = 256) 
 
 def _decode_wav(buf: bytes) -> tuple[int, int, float]:
     """Real WAV (PCM) decode via the stdlib ``wave`` module + numpy —
-    no external codec required. Returns (sample_rate, n_frames, rms of
-    the int16 samples normalized to [-1, 1])."""
+    no external codec required; 8/16/24-bit sample widths.  Returns
+    (sample_rate, n_frames, rms of the samples normalized to
+    [-1, 1])."""
     import io
     import wave
 
@@ -675,6 +676,12 @@ def _decode_wav(buf: bytes) -> tuple[int, int, float]:
         samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:
         samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 3:
+        # 24-bit PCM: 3-byte little-endian signed, sign-extended to i32
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        samples = v.astype(np.float64) / float(1 << 23)
     else:
         raise ValueError(f"unsupported WAV sample width: {width}")
     rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0

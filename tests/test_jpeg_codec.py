@@ -403,3 +403,26 @@ def test_property_avi_container_roundtrip():
             assert arr.shape == (h, w, 3)
 
     check()
+
+
+def test_wav_24bit_decode():
+    """24-bit PCM WAV decodes natively: 3-byte little-endian signed
+    samples, sign-extended, normalized to [-1, 1]."""
+    import io
+    import struct as _struct
+    import wave
+
+    from storm_dynamic_spout_spark.operators.multimodal import _decode_wav
+
+    vals = [0, 1 << 22, -(1 << 22), (1 << 23) - 1, -(1 << 23)]
+    frames = b"".join(_struct.pack("<i", v)[:3] for v in vals)
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(frames)
+    rate, n, rms = _decode_wav(bio.getvalue())
+    assert rate == 8000 and n == len(vals)
+    exp = (sum((v / float(1 << 23)) ** 2 for v in vals) / len(vals)) ** 0.5
+    assert abs(rms - exp) < 1e-12
