@@ -157,12 +157,14 @@ def make_ppm_image(seed: bytes, width: int = 8, height: int = 8) -> bytes:
 
 
 def _decode_ppm(buf: bytes) -> tuple[int, int, int, float]:
-    """Pure-numpy decode of binary PPM (P6, maxval<=255): header is
-    ASCII tokens (whitespace/comment separated), pixels are raw RGB."""
+    """Pure-numpy decode of binary netpbm (P6 RGB / P5 grayscale,
+    maxval<=255): header is ASCII tokens (whitespace/comment
+    separated), pixels are raw bytes."""
     import numpy as np
 
-    if not buf.startswith(b"P6"):
-        raise ValueError("not a P6 PPM payload")
+    if buf[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a P5/P6 netpbm payload")
+    channels = 3 if buf[:2] == b"P6" else 1
     # tokenize the header: magic, width, height, maxval; '#' starts a
     # comment running to end-of-line (netpbm spec)
     tokens: list[bytes] = []
@@ -181,9 +183,9 @@ def _decode_ppm(buf: bytes) -> tuple[int, int, int, float]:
             i = j
     w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
     if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
-    pixels = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i + 1)
-    return w, h, 3, float(pixels.mean()) if pixels.size else 0.0
+        raise ValueError("16-bit netpbm not supported")
+    pixels = np.frombuffer(buf, dtype=np.uint8, count=w * h * channels, offset=i + 1)
+    return w, h, channels, float(pixels.mean()) if pixels.size else 0.0
 
 
 def _decode_bmp(buf: bytes) -> tuple[int, int, int, float]:
@@ -459,7 +461,7 @@ def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
     when installed, is the fallback for the residual exotica
     (lossless/12-bit JPEG, sub-byte-depth or 16-bit-interlaced
     PNG)."""
-    if buf.startswith(b"P6"):
+    if buf[:2] in (b"P6", b"P5"):
         return _decode_ppm(buf)
     if buf.startswith(b"BM"):
         return _decode_bmp(buf)

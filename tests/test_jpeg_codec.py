@@ -426,3 +426,31 @@ def test_wav_24bit_decode():
     assert rate == 8000 and n == len(vals)
     exp = (sum((v / float(1 << 23)) ** 2 for v in vals) / len(vals)) ** 0.5
     assert abs(rms - exp) < 1e-12
+
+
+def test_pgm_p5_and_stereo_wav_decode():
+    """P5 grayscale netpbm decodes natively; stereo 16-bit WAV decodes
+    with rms over the interleaved samples."""
+    import io
+    import wave
+
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        _decode_ppm,
+        _decode_wav,
+    )
+
+    pgm = b"P5\n4 2\n255\n" + bytes(range(8))
+    w, h, c, mean = _decode_ppm(pgm)
+    assert (w, h, c) == (4, 2, 1)
+    assert abs(mean - 3.5) < 1e-9
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(struct.pack("<4h", 16384, -16384, 0, 32767))
+    rate, n, rms = _decode_wav(bio.getvalue())
+    assert rate == 16000 and n == 2  # 2 stereo frames
+    exp = ((0.5**2 + 0.5**2 + 0 + (32767 / 32768) ** 2) / 4) ** 0.5
+    assert abs(rms - exp) < 1e-9
