@@ -215,7 +215,7 @@ def _decode_bmp(buf: bytes) -> tuple[int, int, int, float]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-#: IHDR color type → channel count (palette intentionally unsupported)
+#: IHDR color type → channel count (palette [3] handled via PLTE lookup)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 #: Adam7 interlace pass grid: (x-origin, y-origin, x-step, y-step)

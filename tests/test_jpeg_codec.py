@@ -454,3 +454,20 @@ def test_pgm_p5_and_stereo_wav_decode():
     assert rate == 16000 and n == 2  # 2 stereo frames
     exp = ((0.5**2 + 0.5**2 + 0 + (32767 / 32768) ** 2) / 4) ** 0.5
     assert abs(rms - exp) < 1e-9
+
+
+def test_bmp_32bit_decode():
+    """32-bit (BGRA) uncompressed BMP decodes natively; rows are
+    4-byte aligned already at 32bpp."""
+    from storm_dynamic_spout_spark.operators.multimodal import _decode_bmp
+
+    w, h = 3, 2
+    px = bytes(range(w * h * 4))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(px), 0, 0, 0, 0)
+    )
+    got_w, got_h, c, mean = _decode_bmp(header + px)
+    assert (got_w, got_h, c) == (w, h, 4)
+    assert abs(mean - (sum(range(24)) / 24)) < 1e-9
