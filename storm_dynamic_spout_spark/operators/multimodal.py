@@ -12,14 +12,16 @@ after.
 Codec coverage is tiered:
 
 - **Real, always available**: formats decoded with stdlib + numpy —
-  PPM (P6) and BMP (24-bit uncompressed) images, PNG (1/2/4/8/16-bit
+  netpbm (P6 RGB / P5 gray) and BMP (24/32-bit uncompressed) images,
+  PNG (1/2/4/8/16-bit
   gray, 8/16-bit gray-alpha/RGB/RGBA, sub-byte + 8-bit palette,
   8-bit Adam7 interlace: stdlib zlib inflate + all five byte-wise unfilters at
   the correct bytes-per-pixel distance), baseline-sequential JPEG (operators/jpeg.py: canonical
   Huffman decode from the file's DHT tables, 4:4:4/4:2:2/4:2:0
   sampling, restart markers, matrix IDCT — and PROGRESSIVE (SOF2)
   frames via per-component coefficient accumulation), WAV (PCM) audio
-  via the stdlib ``wave`` module. These run and are tested in any
+  via the stdlib ``wave`` module (8/16/24-bit, mono or interleaved
+  multi-channel). These run and are tested in any
   environment, including this container.
 - **Real, gated**: the residual exotica — hierarchical/lossless/
   12-bit JPEG, interlaced sub-byte/16-bit PNG — decode via
