@@ -168,3 +168,24 @@ def test_make_recorder_prometheus(tmp_path):
     assert type(pr) is PrometheusTextRecorder
     with pytest.raises(ValueError):
         make_recorder(EngineConfig({"metrics.recorder": "prometheus"}))
+
+
+def test_run_query_cli_list_and_suggestions(capsys, monkeypatch):
+    """tools/run_query.py --list enumerates the registry without a
+    Spark session; unknown names exit with did-you-mean suggestions."""
+    import sys
+
+    import pytest as _pytest
+
+    from tools import run_query
+
+    monkeypatch.setattr(sys, "argv", ["run_query.py", "--list"])
+    run_query.main()
+    names = capsys.readouterr().out.split()
+    from storm_dynamic_spout_spark.queries import QUERIES
+
+    assert set(names) == set(QUERIES)
+
+    monkeypatch.setattr(sys, "argv", ["run_query.py", "tpch_q99"])
+    with _pytest.raises(SystemExit, match="did you mean"):
+        run_query.main()
