@@ -435,7 +435,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s.s_nationkey,
            CAST(count(*) AS BIGINT) AS n_items,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_nationkey
     ORDER BY s.s_nationkey

@@ -46,7 +46,7 @@ def _roundtrip(
     oracle="""
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_customers,
-           sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
            min(c_custkey) AS min_key, max(c_custkey) AS max_key
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -82,7 +82,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_nationkey,
            CAST(count(*) AS BIGINT) AS n_suppliers,
-           sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS acctbal_cents
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
     FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
     """,
 )

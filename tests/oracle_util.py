@@ -62,6 +62,24 @@ def compare_spark_duck(spark_df, duck_con, sql: str) -> None:
         "pandas canonical sort crashes on list cells — CSV-join arrays "
         "(array_join / array_to_string) in both engines instead"
     )
+    # Reject HUGEINT oracle columns: DuckDB sum(BIGINT) returns HUGEINT
+    # (int128), which the driver's canonicalizer hashes differently from
+    # Spark's BIGINT even when every value is identical (the r5
+    # join_skew_salted / source_csv_roundtrip / source_json_roundtrip
+    # reds).  Python int comparison below would silently pass, so check
+    # the declared types, not the values.  Fix: wrap the aggregate in
+    # CAST(... AS BIGINT) on the oracle side.
+    try:
+        odesc = duck_con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:  # DESCRIBE can choke on exotic statements; skip
+        odesc = []
+    huge = [name for name, typ, *_ in odesc if "HUGEINT" in str(typ).upper()]
+    assert not huge, (
+        f"driver-unhashable HUGEINT oracle columns {huge}: DuckDB "
+        "sum(BIGINT/INT) widens to int128, which hash-mismatches Spark's "
+        "BIGINT in the driver canonicalizer — wrap the aggregate in "
+        "CAST(... AS BIGINT) in the oracle SQL"
+    )
     sp_cols = [c.lower() for c in spark_df.columns]
     sp_rows = [tuple(r) for r in spark_df.collect()]
     res = duck_con.execute(sql)
