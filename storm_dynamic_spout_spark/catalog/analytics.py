@@ -769,37 +769,56 @@ RFM_BUCKETS = 4
 
 @query(
     "orders_rfm",
-    oracle=f"""
+    oracle="""
     WITH per_cust AS (
       SELECT o_custkey,
              CAST(date_diff('day', max(o_orderdate),
                   (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
              CAST(count(*) AS BIGINT) AS frequency,
-             sum(o_totalprice) AS monetary
+             round(sum(o_totalprice), 2) AS monetary
       FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r25,
+             quantile_cont(recency_days, 0.50) AS r50,
+             quantile_cont(recency_days, 0.75) AS r75,
+             quantile_cont(frequency, 0.25) AS f25,
+             quantile_cont(frequency, 0.50) AS f50,
+             quantile_cont(frequency, 0.75) AS f75,
+             quantile_cont(monetary, 0.25) AS m25,
+             quantile_cont(monetary, 0.50) AS m50,
+             quantile_cont(monetary, 0.75) AS m75
+      FROM per_cust
     )
-    SELECT o_custkey, recency_days, frequency, round(monetary, 2) AS monetary,
-           CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_score,
-           CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
-           CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
-    FROM per_cust
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(1 + CAST(recency_days > r25 AS INT)
+                  + CAST(recency_days > r50 AS INT)
+                  + CAST(recency_days > r75 AS INT) AS BIGINT) AS r_score,
+           CAST(1 + CAST(frequency < f75 AS INT)
+                  + CAST(frequency < f50 AS INT)
+                  + CAST(frequency < f25 AS INT) AS BIGINT) AS f_score,
+           CAST(1 + CAST(monetary < m75 AS INT)
+                  + CAST(monetary < m50 AS INT)
+                  + CAST(monetary < m25 AS INT) AS BIGINT) AS m_score
+    FROM per_cust, cuts
     """,
 )
 def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per customer — days since last order
     (recency vs the corpus max date), order count (frequency), total
-    spend (monetary) — each quartile-scored with deterministic
-    tie-breaks.  The classic CRM segmentation; quartile 1 on every
-    axis = the best customers.
+    spend (monetary) — each scored 1..4 against the corpus quartile
+    CUT VALUES (score 1 on every axis = the best customers; equal
+    values always get equal scores).
 
     Why at 100 TB: one orders aggregate to |customers| rows, the
-    global max date as a one-row broadcast, then three ntile windows
-    over the (already reduced) customer table — the windows sort
-    |customers|, not |orders|, and at extreme scale the quartile CUTS
-    come from approx_percentile instead of a global sort (same
-    output contract)."""
-    from pyspark.sql import Window
-
+    global max date and the nine quartile cuts each a one-row
+    broadcast, scoring is a CASE expression — ZERO global sorts (the
+    former ntile form moved the whole customer table through three
+    single-partition windows).  Exact ``percentile`` keeps the DuckDB
+    quantile_cont oracle bit-identical on the fixture; at extreme
+    scale swap in ``approx_percentile`` — same plan shape.  Monetary
+    is rounded to cents BEFORE the cuts so both engines score
+    identical doubles."""
     o = t(spark, sf_dir, "orders")
     max_date = o.agg(F.max("o_orderdate").alias("__mx"))
     per_cust = (
@@ -814,24 +833,37 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.datediff("__mx", "__last").cast("long").alias("recency_days"),
             "frequency",
-            F.col("__mon").alias("monetary"),
+            F.round("__mon", 2).alias("monetary"),
         )
     )
-    return per_cust.select(
+    cuts = per_cust.agg(
+        *[
+            F.percentile(col, F.lit(p)).alias(f"{al}{int(p * 100)}")
+            for col, al in (("recency_days", "r"), ("frequency", "f"), ("monetary", "m"))
+            for p in (0.25, 0.50, 0.75)
+        ]
+    )
+
+    def _score(col: str, cuts_prefix: str, ascending_better: bool) -> F.Column:
+        op = (lambda c, q: F.col(c) > F.col(q)) if ascending_better else (
+            lambda c, q: F.col(c) < F.col(q)
+        )
+        qs = (
+            [f"{cuts_prefix}25", f"{cuts_prefix}50", f"{cuts_prefix}75"]
+            if ascending_better
+            else [f"{cuts_prefix}75", f"{cuts_prefix}50", f"{cuts_prefix}25"]
+        )
+        s = F.lit(1)
+        for q in qs:
+            s = s + op(col, q).cast("int")
+        return s.cast("long")
+
+    return per_cust.crossJoin(F.broadcast(cuts)).select(
         "o_custkey",
         "recency_days",
         "frequency",
-        F.round("monetary", 2).alias("monetary"),
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-        .cast("long")
-        .alias("m_score"),
+        "monetary",
+        _score("recency_days", "r", True).alias("r_score"),
+        _score("frequency", "f", False).alias("f_score"),
+        _score("monetary", "m", False).alias("m_score"),
     )

@@ -678,19 +678,20 @@ def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequencies: explode tokens → count occurrences +
     document frequency → top-50 (tie-break lexicographic). The
     vocabulary-building scan; partial aggregation makes the shuffle
-    |vocab|-sized, not |tokens|-sized."""
-    from pyspark.sql.window import Window as W
-
+    |vocab|-sized, not |tokens|-sized, and the top-k is
+    ``orderBy().limit()`` → TakeOrderedAndProject (per-partition heap
+    top-k merged on the driver) — at web-corpus vocabulary sizes a
+    global row_number sort would move the entire distinct-term table
+    to one partition."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
     counts = toks.groupBy("term").agg(
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    rn = F.row_number().over(W.orderBy(F.desc("n_occurrences"), "term"))
     return (
-        counts.withColumn("__rn", rn)
-        .filter(F.col("__rn") <= TOP_TERMS)
+        counts.orderBy(F.desc("n_occurrences"), "term")
+        .limit(TOP_TERMS)
         .select("term", "n_occurrences", "n_docs")
     )
 

@@ -395,3 +395,25 @@ def test_mode_aggregate_is_two_phase_no_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_mode")
     assert "Window" not in plan
     assert "partial_min_by" in plan or "partial" in plan.lower()
+
+
+def test_term_freq_is_topk_not_global_window(spark, sf_dir):
+    """text_term_freq's top-50 must plan as TakeOrderedAndProject
+    (per-partition heap + driver merge) — the r5-flagged unpartitioned
+    row_number moved the ENTIRE distinct-term table to one partition,
+    a scale-killer at web-corpus vocabulary sizes."""
+    plan = _plan(spark, sf_dir, "text_term_freq")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_rfm_scores_without_global_sorts(spark, sf_dir):
+    """orders_rfm must score against broadcast quartile cut values — the
+    r5-flagged triple unpartitioned ntile moved all customers through
+    three single-partition windows.  Zero Sort/Window nodes; the cuts
+    and max-date rows arrive via broadcast."""
+    plan = _plan(spark, sf_dir, "orders_rfm")
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
