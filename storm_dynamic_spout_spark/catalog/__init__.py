@@ -6,6 +6,7 @@ from storm_dynamic_spout_spark.catalog import (  # noqa: F401
     filters,
     joins,
     llm,
+    multimodal,
     scalars,
     setops,
     sources_io,
@@ -18,95 +19,45 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 
 #: Registration order doubles as the driver's sampling order: its
 #: correctness sweep checks the FIRST ~50 registered queries.  The
-#: union of CORRECTNESS_r1..r4 covers all 136 queries registered through
-#: round 4 (round 5 adds 43 more, placed inside the window below);
-#: round 5 re-composes the window as a staleness rotation:
-#:   slots 1–7   — must-recheck: queries whose most recent driver row
-#:                 is red (embedding_quantize r4 harness crash,
-#:                 agg_stats r1 float ULPs — both since fixed), the
-#:                 verdict's named canaries (scalar_map,
-#:                 events_sessionize, embedding_normalize), and the
-#:                 two queries whose implementation changed after
-#:                 their last driver check (dedup_cluster_assignment
-#:                 — star-method refactor; stream_continuous_rollup —
-#:                 atomic-commit + ok-rows rework).
-#:   slots 8–50  — the 43 queries ADDED in round 5 (never driver-
-#:                 checked): SRP-LSH pairs, salted join, SCD-1 merge +
-#:                 changelog, quantile gate, CSV/JSON/ORC round-trips,
-#:                 containment dedup, ANN hard negatives, stratified
-#:                 split, streaming ANN index, 3-sigma event anomaly
-#:                 flags, ntile bucketing, ANALYZE-style column stats,
-#:                 weighted A-ES sampling, keep-best dedup, bigram-LM
-#:                 scoring, HLL sketch rollup, token-budget selection,
-#:                 dup-cluster histogram, histogram-percentile rollup,
-#:                 IVF recall@k report, top-paths journey analysis,
-#:                 epoch upsampling, SCD-2 merge + time travel,
-#:                 per-group quota sampling, last-touch attribution,
-#:                 time-series linear interpolation, per-group mode,
-#:                 semantic CC clusters, dedup funnel report,
-#:                 DAU/WAU/MAU, tolerance as-of join, growth accounting,
-#:                 lang-ID confusion matrix, per-source quality report,
-#:                 embedding drift monitor, dedup method agreement,
-#:                 the end-to-end training-manifest capstone,
-#:                 activity heatmap, RFM segmentation.
-#:   slots 51+  — queries whose ONLY driver evidence is round 1 (the
-#:                 most stale cohort), alphabetical; the ~17 that spill
-#:                 past slot 50 sit immediately after and lead round 6.
-#:   remainder   — r3 cohort, then r4 cohort: freshest checks last.
+#: union of CORRECTNESS_r1..r5 covers all 179 queries registered
+#: through round 5; round 6 re-composes the window per the r5 verdict:
+#:   slots 1-3   — the three r5 REDS (HUGEINT oracle trap, now fixed:
+#:                 outer CAST(... AS BIGINT) added).
+#:   slots 4-7   — queries whose implementation changed after their
+#:                 most recent driver row: the MinHash pair
+#:                 (r5 tokenize-once + rep-collapse rework, last
+#:                 driver-checked r1) and the two r6 replans
+#:                 (text_term_freq TakeOrdered top-k, orders_rfm
+#:                 broadcast quartile cuts).
+#:   slots 8-9   — NEW in round 6: the multimodal decode rows (real
+#:                 PNG / WAV decode vs keystream closed-form oracles).
+#:   slots 10-14 — the historical red->green canary set (kept in every
+#:                 window per the r5 verdict's canary discipline).
+#:   slots 15-50 — the round-1-stale cohort (most recent driver row is
+#:                 r1), alphabetical; 7 of the simplest P-family
+#:                 filter/projection queries spill past slot 50 and
+#:                 lead round 7 (mutation-tested, lowest entropy).
+#:   remainder   — r3 cohort, then r4/r5 cohorts: freshest checks last.
 _PRIORITY = [
-    # --- slots 1–7: must-recheck ---
+    # --- slots 1-3: round-5 reds, oracle fixed this round ---
+    "join_skew_salted",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    # --- slots 4-7: edited after their last driver row ---
+    "dedup_minhash_pairs",
+    "dedup_minhash_signature",
+    "text_term_freq",
+    "orders_rfm",
+    # --- slots 8-9: new in round 6 ---
+    "multimodal_image_stats",
+    "multimodal_audio_stats",
+    # --- slots 10-14: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
-    "dedup_cluster_assignment",
-    "stream_continuous_rollup",
-    "embedding_normalize",
     "events_sessionize",
-    # --- slots 8–50: new in round 5, never driver-checked ---
-    "embedding_lsh_pairs",
-    "join_skew_salted",
-    "corpus_merge_upsert",
-    "text_quality_gate_quantile",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "dedup_containment",
-    "ann_hard_negatives",
-    "corpus_stratified_split",
-    "stream_ann_index",
-    "events_anomaly",
-    "window_ntile",
-    "table_column_stats",
-    "corpus_merge_changelog",
-    "sample_weighted",
-    "dedup_keep_best",
-    "text_bigram_logprob",
-    "agg_hll_sketch_rollup",
-    "corpus_token_budget",
-    "dedup_cluster_histogram",
-    "agg_histogram_percentile_rollup",
-    "ann_recall_report",
-    "events_top_paths",
-    "corpus_epoch_upsampling",
-    "corpus_merge_scd2",
-    "corpus_time_travel",
-    "sample_per_group",
-    "events_attribution",
-    "events_interpolate",
-    "agg_mode",
-    "dedup_semantic_clusters",
-    "corpus_dedup_funnel",
-    "events_dau_wau_mau",
-    "join_asof_tolerance",
-    "events_growth_accounting",
-    "text_lang_id_confusion",
-    "corpus_quality_by_source",
-    "embedding_drift",
-    "dedup_method_agreement",
-    "corpus_training_manifest",
-    "events_heatmap",
-    "orders_rfm",
-    # --- slots 51+: last driver-checked in round 1 ---
+    "embedding_normalize",
+    # --- slots 15-50: round-1-stale cohort ---
     "agg_approx_count_distinct",
     "agg_arg_min_max",
     "agg_conditional",
@@ -121,17 +72,10 @@ _PRIORITY = [
     "agg_string_concat",
     "ann_topk_bruteforce",
     "dedup_by_key",
-    "dedup_minhash_pairs",
-    "dedup_minhash_signature",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "deserialize_project",
     "embedding_near_pairs",
-    "filter_chain",
-    "filter_key",
-    "filter_negated",
-    "filter_offset_bound",
     "join_anti",
     "join_asof",
     "join_cross",
@@ -144,54 +88,20 @@ _PRIORITY = [
     "join_semi",
     "join_stream_static",
     "join_theta",
-    "project_expressions",
     "q1_pricing_summary",
     "sideline_window",
-    "sql_exists_subquery",
     "text_fingerprint",
     "text_lang_id",
     "text_quality",
     "text_stats",
-    # --- remainder: last checked round 3, then round 4 ---
-    "orderby_limit",
-    "scalar_array",
-    "scalar_conditional",
-    "scalar_date",
-    "scalar_json",
-    "scalar_json_schema",
-    "scalar_math",
-    "scalar_null_handling",
-    "scalar_regex",
-    "scalar_string_distance",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_distinct",
-    "setop_union_evolved",
-    "sort_multi_key",
-    "stream_dedup_within_window",
-    "stream_hopping_window",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "window_distribution",
-    "window_first_last",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_running",
+    # --- slots 51+: r1-stale spill (leads round 7) ---
+    "deserialize_project",
+    "filter_chain",
+    "filter_key",
+    "filter_negated",
+    "filter_offset_bound",
+    "project_expressions",
+    "sql_exists_subquery",
 ]
 
 

@@ -1,0 +1,217 @@
+"""Multimodal decode queries — the driver-oracle rows for the REAL
+image/audio codecs (operators/multimodal.py, operators/jpeg.py).
+
+The r5 verdict's gap: the codecs were verified by 40 unit tests but
+never by the DuckDB correctness gate, because binary columns are not
+driver-hashable.  These queries close it with integer aggregates whose
+expected values come from the fixture generators' CLOSED FORM — PNG
+and WAV are lossless, so the decoded pixels/samples are exactly the
+sha256 keystream the generator wrote, and the oracle is a literal
+VALUES table computed from hashlib alone, never touching the decoder
+under test.  A wrong unfilter branch, a mis-parsed chunk, a byte-order
+slip — any of them changes pixel_sum/sq_sum and reds the row.
+
+Reference parity: storm-dynamic-spout has no multimodal surface; this
+family is part of the training-data-pipeline extension (brief §"beyond
+the reference").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from storm_dynamic_spout_spark.catalog.registry import query, t
+
+# ---------------------------------------------------------------------------
+# Image: 24 PNGs covering gray / gray+alpha / RGB / RGBA and (via the
+# generator's row-cycling) all five PNG filter types.
+# ---------------------------------------------------------------------------
+
+N_IMAGES = 24
+
+
+def _image_params(doc_id: int) -> tuple[bytes, int, int, int]:
+    """(seed, width, height, channels) for one fixture image — shared
+    by the Spark payload generator and the oracle's closed form."""
+    w = 8 + (doc_id % 3) * 4
+    h = 8 + ((doc_id // 3) % 2) * 4
+    c = (doc_id % 4) + 1
+    return f"img-{doc_id}".encode(), w, h, c
+
+
+def _keystream_sum(seed: bytes, tag: bytes, need: int) -> int:
+    """Sum of the first ``need`` bytes of the generator keystream —
+    the exact pixel/sample sum a correct lossless decode recovers."""
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(seed + tag + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    return sum(out[:need])
+
+
+def _image_oracle_values() -> str:
+    from storm_dynamic_spout_spark.operators.multimodal import make_png_image
+
+    rows = []
+    for d in range(N_IMAGES):
+        seed, w, h, c = _image_params(d)
+        pixel_sum = _keystream_sum(seed, b"png", w * h * c)
+        sha = hashlib.sha256(make_png_image(seed, w, h, c)).hexdigest()
+        rows.append(f"({d}, {w}, {h}, {c}, {pixel_sum}, '{sha}')")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "multimodal_image_stats",
+    oracle=f"""
+    SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+           CAST(v.width AS BIGINT) AS width,
+           CAST(v.height AS BIGINT) AS height,
+           CAST(v.n_channels AS BIGINT) AS n_channels,
+           CAST(v.pixel_sum AS BIGINT) AS pixel_sum,
+           v.content_sha AS content_sha
+    FROM (VALUES
+      {_image_oracle_values()}
+    ) AS v(doc_id, width, height, n_channels, pixel_sum, content_sha)
+    JOIN documents d ON v.doc_id = d.doc_id
+    """,
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode under the correctness gate: generate one
+    deterministic PNG per document (gray/gray+alpha/RGB/RGBA, all five
+    filter types via the generator's row cycling), run it through the
+    shipped ``decode_image(fake=False)`` mapInPandas operator, and
+    reduce to integers — decoded dimensions plus the exact pixel sum
+    (``mean × w × h × c`` rounds back losslessly).  The oracle is the
+    generator's closed form (sha256 keystream sums, hashlib only), so
+    Spark's zlib-inflate + unfilter + reshape path is verified against
+    values that never touched the decoder.  Arrow-batched Python on a
+    24-row input: the declared multimodal surface, not a relational
+    hot path."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        decode_image,
+        make_png_image,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < N_IMAGES)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: make_png_image(*_image_params(int(i))))
+
+    decoded = decode_image(
+        d.select("doc_id").withColumn("content", _payload("doc_id")), fake=False
+    )
+    return decoded.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.round(
+            F.col("mean_intensity")
+            * F.col("width")
+            * F.col("height")
+            * F.col("n_channels")
+        )
+        .cast("long")
+        .alias("pixel_sum"),
+        "content_sha",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio: 16 PCM16 WAVs with varied rates and lengths.
+# ---------------------------------------------------------------------------
+
+N_CLIPS = 16
+
+
+def _audio_params(doc_id: int) -> tuple[bytes, int, int]:
+    """(seed, sample_rate, n_samples) for one fixture clip."""
+    rate = (8000, 16000, 22050, 44100)[doc_id % 4]
+    n = 128 + (doc_id % 3) * 64
+    return f"wav-{doc_id}".encode(), rate, n
+
+
+def _audio_sq_sum(seed: bytes, n_samples: int) -> int:
+    """Exact sum of squared int16 samples from the WAV keystream."""
+    need = n_samples * 2
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(seed + b"wav" + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    total = 0
+    for i in range(n_samples):
+        v = int.from_bytes(out[2 * i : 2 * i + 2], "little", signed=True)
+        total += v * v
+    return total
+
+
+def _audio_oracle_values() -> str:
+    from storm_dynamic_spout_spark.operators.multimodal import make_wav_audio
+
+    rows = []
+    for d in range(N_CLIPS):
+        seed, rate, n = _audio_params(d)
+        sq = _audio_sq_sum(seed, n)
+        sha = hashlib.sha256(make_wav_audio(seed, rate, n)).hexdigest()
+        rows.append(f"({d}, {rate}, {n}, {sq}, '{sha}')")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle=f"""
+    SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+           CAST(v.sample_rate AS BIGINT) AS sample_rate,
+           CAST(v.n_frames AS BIGINT) AS n_frames,
+           CAST(v.sq_sum AS BIGINT) AS sq_sum,
+           v.content_sha AS content_sha
+    FROM (VALUES
+      {_audio_oracle_values()}
+    ) AS v(doc_id, sample_rate, n_frames, sq_sum, content_sha)
+    JOIN documents d ON v.doc_id = d.doc_id
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV (PCM16) decode under the correctness gate: stdlib-wave
+    fixtures at four sample rates, decoded by the shipped
+    ``decode_audio(fake=False)`` operator, reduced to integers — frame
+    count from duration×rate and the exact sum of squared samples
+    recovered from the reported RMS (``rms² × n × 32768²`` rounds back
+    losslessly; max ≈ 2.7e11 ≪ 2⁵³).  Oracle = keystream closed form,
+    hashlib only."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        decode_audio,
+        make_wav_audio,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < N_CLIPS)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: make_wav_audio(*_audio_params(int(i))))
+
+    decoded = decode_audio(
+        d.select("doc_id").withColumn("content", _payload("doc_id")), fake=False
+    )
+    return decoded.select(
+        "doc_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.round(F.col("duration_s") * F.col("sample_rate")).cast("long").alias("n_frames"),
+        F.round(
+            F.col("rms") * F.col("rms")
+            * F.round(F.col("duration_s") * F.col("sample_rate"))
+            * F.lit(32768.0) * F.lit(32768.0)
+        )
+        .cast("long")
+        .alias("sq_sum"),
+        "content_sha",
+    )

@@ -11,9 +11,11 @@ module adds ITU T.81 JPEG — *baseline sequential* (SOF0/1) and
   decode), interleaved MCUs with sampling factors up to 2x2 (4:4:4,
   4:2:2, 4:2:0), restart markers, dequant + inverse DCT (separable
   orthonormal matrix form), nearest-neighbour chroma upsample, JFIF
-  YCbCr→RGB.  Progressive (SOF2) and 12-bit inputs raise
+  YCbCr→RGB.  Progressive (SOF2) decodes NATIVELY too (spectral
+  selection + successive approximation, DC and AC refinement scans);
+  only hierarchical/lossless/12-bit frames raise
   ``NotImplementedError`` — the multimodal dispatch falls back to
-  Pillow when present.
+  Pillow for those when present.
 - ``encode_baseline_jpeg``: the fixture-side encoder.  4:4:4, flat
   quantization tables, and *fixed-length canonical Huffman tables*
   (12 DC symbols at 4 bits, 162 AC symbols at 8 bits — valid
@@ -140,8 +142,12 @@ class _BitReader:
             self._acc = (self._acc << 8) | 0xFF
             self._nbits += 8
             return
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -181,8 +187,13 @@ class _BitReader:
             self.marker = None
             return
         # marker not seen yet: it must be next in the stream
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+        while (
+            self.pos + 1 < len(self.data)
+            and (self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00)
+        ):
             self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG stream")
         if 0xD0 <= self.data[self.pos + 1] <= 0xD7:
             self.pos += 2
         else:

@@ -364,8 +364,9 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
     raw = zlib.decompress(idat)
 
     def unfilter(height: int, stride: int, p: int) -> tuple[np.ndarray, int]:
-        """Reconstruct one filtered sub-image (T.81 §6 filters) starting
-        at byte ``p`` of the inflated stream; returns (rows, next p)."""
+        """Reconstruct one filtered sub-image (PNG spec ISO/IEC 15948
+        §9 filter types) starting at byte ``p`` of the inflated
+        stream; returns (rows, next p)."""
         sub = np.empty((height, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.int32)
         for r in range(height):
@@ -484,10 +485,10 @@ def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
     if HAS_PIL:
         return _decode_payload_pil(buf)
     raise NotImplementedError(
-        "unrecognized image payload; PPM/BMP/PNG/baseline-JPEG decode "
-        "natively — install Pillow for progressive JPEG and exotic PNG "
-        "variants, or pass fake=True for the deterministic synthetic "
-        "decoder"
+        "unrecognized image payload; PPM/BMP/PNG and JPEG (baseline AND "
+        "progressive) decode natively — install Pillow for "
+        "hierarchical/lossless/12-bit JPEG and exotic PNG variants, or "
+        "pass fake=True for the deterministic synthetic decoder"
     )
 
 

