@@ -38,6 +38,8 @@ HEADLINE = [
     "ann_topk_ivf",  # bucketed similarity search
     "text_stats",  # corpus volumetrics
     "stream_session_window",  # event-time sessionization
+    "text_term_freq",  # vocabulary top-k (r6 replan: TakeOrdered, no global sort)
+    "orders_rfm",  # RFM quartile scoring (r6 replan: broadcast cuts, no ntile sorts)
 ]
 
 
@@ -174,10 +176,16 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # the round-1..4 series totals exactly these 17 queries; round 5
-    # added dedup_minhash_pairs to the headline, so the comparable
-    # series number is reported alongside the full total
+    # added dedup_minhash_pairs and round 6 the two replanned queries,
+    # so the comparable series number is reported alongside the full
+    # total
     anchor_17 = round(
-        sum(v for k, v in timings.items() if k != "dedup_minhash_pairs"), 4
+        sum(
+            v
+            for k, v in timings.items()
+            if k not in ("dedup_minhash_pairs", "text_term_freq", "orders_rfm")
+        ),
+        4,
     )
     print(
         json.dumps(

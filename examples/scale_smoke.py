@@ -257,6 +257,67 @@ def token_budget_prefix_sum(t):
     )
 
 
+def term_freq_topk(t):
+    """Vocabulary top-k (catalog text_term_freq shape, r6 replan):
+    explode -> |vocab|-keyed partial agg -> orderBy().limit() which
+    plans TakeOrderedAndProject (per-partition heap + driver merge).
+    The r5-flagged unpartitioned row_number would have moved the whole
+    distinct-term table to one partition — at Nx the vocabulary is Nx
+    (per-copy token suffixes), so THAT plan would blow up here."""
+    d = t("documents")
+    toks = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+    counts = toks.groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), "term").limit(50)
+
+
+def rfm_value_cuts(t):
+    """RFM scoring via broadcast quartile cuts (catalog orders_rfm
+    shape, r6 replan): one orders aggregate to |customers| rows, nine
+    exact-percentile cuts as a one-row broadcast, CASE scoring — zero
+    global sorts.  The replaced triple-ntile form sorted all customers
+    on a single partition three times; at Nx customers that cost is Nx
+    on one core, while this shape stays embarrassingly parallel."""
+    o = t("orders")
+    max_date = o.agg(F.max("o_orderdate").alias("__mx"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("__mon"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff("__mx", "__last").cast("long").alias("recency_days"),
+            "frequency",
+            F.round("__mon", 2).alias("monetary"),
+        )
+    )
+    cuts = per_cust.agg(
+        *[
+            F.percentile(col, F.lit(p)).alias(f"{al}{int(p * 100)}")
+            for col, al in (("recency_days", "r"), ("frequency", "f"), ("monetary", "m"))
+            for p in (0.25, 0.50, 0.75)
+        ]
+    )
+    score = (
+        F.lit(1)
+        + (F.col("recency_days") > F.col("r25")).cast("int")
+        + (F.col("recency_days") > F.col("r50")).cast("int")
+        + (F.col("recency_days") > F.col("r75")).cast("int")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(cuts))
+        .select("o_custkey", score.alias("r_score"))
+        .groupBy("r_score")
+        .agg(F.count(F.lit(1)))
+    )
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -269,6 +330,8 @@ QUERIES = [
     ("weighted_sample", weighted_sample),
     ("keep_best", keep_best),
     ("token_budget", token_budget_prefix_sum),
+    ("term_freq_topk", term_freq_topk),
+    ("rfm_value_cuts", rfm_value_cuts),
 ]
 
 

@@ -29,14 +29,15 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 driver-checked r1) and the two r6 replans
 #:                 (text_term_freq TakeOrdered top-k, orders_rfm
 #:                 broadcast quartile cuts).
-#:   slots 8-9   — NEW in round 6: the multimodal decode rows (real
-#:                 PNG / WAV decode vs keystream closed-form oracles).
-#:   slots 10-14 — the historical red->green canary set (kept in every
+#:   slots 8-12  — NEW in round 6: the multimodal decode rows (real
+#:                 PNG / WAV / MJPEG-AVI decode vs keystream
+#:                 closed-form oracles), PII redaction, URL dedup.
+#:   slots 13-17 — the historical red->green canary set (kept in every
 #:                 window per the r5 verdict's canary discipline).
-#:   slots 15-50 — the round-1-stale cohort (most recent driver row is
-#:                 r1), alphabetical; 7 of the simplest P-family
-#:                 filter/projection queries spill past slot 50 and
-#:                 lead round 7 (mutation-tested, lowest entropy).
+#:   slots 18-50 — the round-1-stale cohort (most recent driver row is
+#:                 r1), alphabetical; the 10 simplest (P-family
+#:                 filters/projections, trivial aggs/joins) spill past
+#:                 slot 50 and lead round 7 (mutation-tested).
 #:   remainder   — r3 cohort, then r4/r5 cohorts: freshest checks last.
 _PRIORITY = [
     # --- slots 1-3: round-5 reds, oracle fixed this round ---
@@ -48,23 +49,24 @@ _PRIORITY = [
     "dedup_minhash_signature",
     "text_term_freq",
     "orders_rfm",
-    # --- slots 8-9: new in round 6 ---
+    # --- slots 8-12: new in round 6 ---
     "multimodal_image_stats",
     "multimodal_audio_stats",
-    # --- slots 10-14: canaries ---
+    "multimodal_video_stats",
+    "text_pii_redact",
+    "corpus_url_dedup",
+    # --- slots 13-17: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 15-50: round-1-stale cohort ---
+    # --- slots 18-50: round-1-stale cohort ---
     "agg_approx_count_distinct",
     "agg_arg_min_max",
     "agg_conditional",
     "agg_corr_covar",
-    "agg_count_distinct",
     "agg_cube",
-    "agg_distinct",
     "agg_grouping_sets",
     "agg_percentile",
     "agg_pivot",
@@ -80,7 +82,6 @@ _PRIORITY = [
     "join_asof",
     "join_cross",
     "join_full_outer",
-    "join_inner",
     "join_left",
     "join_null_safe",
     "join_range",
@@ -95,6 +96,9 @@ _PRIORITY = [
     "text_quality",
     "text_stats",
     # --- slots 51+: r1-stale spill (leads round 7) ---
+    "agg_count_distinct",
+    "agg_distinct",
+    "join_inner",
     "deserialize_project",
     "filter_chain",
     "filter_key",

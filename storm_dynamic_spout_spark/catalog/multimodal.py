@@ -215,3 +215,105 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sq_sum"),
         "content_sha",
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: MJPEG-in-AVI container parse + evenly-spaced frame sampling.
+# ---------------------------------------------------------------------------
+
+N_VIDEOS = 6
+FRAMES_PER_VIDEO = 4
+_VID_W, _VID_H = 16, 16
+
+
+def _video_params(doc_id: int) -> tuple[bytes, int]:
+    """(seed, n_frames) for one fixture clip — 6/8/10 frames."""
+    return f"vid-{doc_id}".encode(), 6 + (doc_id % 3) * 2
+
+
+def _video_frame_jpeg(seed: bytes, index: int) -> bytes:
+    """The exact JPEG bytes make_mjpeg_avi stores for one frame —
+    rebuilt WITHOUT the container writer or parser, so the oracle
+    checks the RIFF walk against independently-derived payloads."""
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.jpeg import encode_baseline_jpeg
+
+    n = _VID_W * _VID_H * 3
+    raw = b""
+    counter = 0
+    while len(raw) < n:
+        raw += hashlib.sha256(
+            seed + b"avi" + index.to_bytes(4, "little") + counter.to_bytes(4, "little")
+        ).digest()
+        counter += 1
+    arr = np.frombuffer(raw[:n], dtype=np.uint8).reshape(_VID_H, _VID_W, 3)
+    return encode_baseline_jpeg(arr)
+
+
+def _video_oracle_values() -> str:
+    rows = []
+    for d in range(N_VIDEOS):
+        seed, n_frames = _video_params(d)
+        take = min(FRAMES_PER_VIDEO, n_frames)
+        picks = [
+            round(i * (n_frames - 1) / max(take - 1, 1)) for i in range(take)
+        ]  # same arithmetic as frame_sample_real, incl. Python rounding
+        for fi in picks:
+            sha = hashlib.sha256(_video_frame_jpeg(seed, fi)).hexdigest()
+            rows.append(f"({d}, {fi}, {_VID_W}, {_VID_H}, '{sha}')")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "multimodal_video_stats",
+    oracle=f"""
+    SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+           CAST(v.frame_index AS BIGINT) AS frame_index,
+           CAST(v.width AS BIGINT) AS width,
+           CAST(v.height AS BIGINT) AS height,
+           v.frame_sha AS frame_sha
+    FROM (VALUES
+      {_video_oracle_values()}
+    ) AS v(doc_id, frame_index, width, height, frame_sha)
+    JOIN documents d ON v.doc_id = d.doc_id
+    """,
+)
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path under the correctness gate: MJPEG-in-AVI
+    fixtures (variable frame counts), run through the shipped
+    ``frame_sample_real`` operator — RIFF/AVI container walk, evenly-
+    spaced frame picks, native baseline-JPEG decode of each pick — and
+    reduced to integers + the extracted frame payload sha.  The oracle
+    rebuilds each expected frame's JPEG bytes directly from the
+    keystream + encoder, never touching the container writer OR
+    parser, so a mis-walked chunk list, off-by-one frame offset, or
+    wrong pick spacing reds the row; decoded width/height prove the
+    frame actually decoded.  1:N mapInPandas explosion on a 6-row
+    input — the declared Arrow surface."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        frame_sample_real,
+        make_mjpeg_avi,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < N_VIDEOS)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids: pd.Series) -> pd.Series:
+        def make(i):
+            seed, n_frames = _video_params(int(i))
+            return make_mjpeg_avi(seed, _VID_W, _VID_H, n_frames)
+
+        return ids.map(make)
+
+    sampled = frame_sample_real(
+        d.select("doc_id").withColumn("content", _payload("doc_id")),
+        n_frames=FRAMES_PER_VIDEO,
+    )
+    return sampled.select(
+        "doc_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "frame_sha",
+    )

@@ -70,6 +70,7 @@ def test_inventory_global_invariants():
         # JVM-side)
         "multimodal_image_stats",
         "multimodal_audio_stats",
+        "multimodal_video_stats",
     }
     python = {n for n, c in inv.items() if c["python_nodes"] > 0}
     assert python <= allowed_python, (
