@@ -24,9 +24,9 @@ Codec coverage is tiered:
   multi-channel). These run and are tested in any
   environment, including this container.
 - **Real, gated**: the residual exotica — hierarchical/lossless/
-  12-bit JPEG, interlaced sub-byte/16-bit PNG — decode via
-  Pillow where installed (import-try seam); absent Pillow the honest
-  ``NotImplementedError`` stands.
+  12-bit JPEG frames (PNG now decodes natively for every valid
+  variant) — decode via Pillow where installed (import-try seam);
+  absent Pillow the honest ``NotImplementedError`` stands.
 - **Synthetic** (``fake=True``): the engine's deterministic payload
   format, for fixtures whose bytes must derive from an id.
 
@@ -311,9 +311,11 @@ def make_png_image(
 def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
     """Native PNG decode (stdlib zlib + numpy): 1/2/4/8/16-bit gray,
     8/16-bit gray+alpha / RGB / RGBA, sub-byte or 8-bit palette
-    (PLTE), non-interlaced or 8-bit Adam7 interlaced,
-    all five filter types (byte-wise, left-neighbor distance =
-    bytes-per-pixel per the spec — 2 for 16-bit gray etc.).  The Sub /
+    (PLTE), non-interlaced or Adam7 interlaced at EVERY supported
+    depth (sub-byte passes unpack per-pass with per-pass byte
+    padding), all five filter types (byte-wise, left-neighbor
+    distance = bytes-per-pixel per the spec — 2 for 16-bit gray
+    etc.).  The Sub /
     Average / Paeth unfilters are inherently sequential per row
     (each byte depends on the reconstructed left neighbor), so they run
     as a per-byte loop — fine for thumbnail-scale fixtures; large-image
@@ -349,9 +351,9 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
     palette = colortype == 3
     supported = (
         (depth == 8 and (colortype in _PNG_CHANNELS or palette))
-        or (depth == 16 and colortype in _PNG_CHANNELS and interlace == 0)
+        or (depth == 16 and colortype in _PNG_CHANNELS)
         # sub-byte depths: single-channel only per spec (gray/palette)
-        or (depth in (1, 2, 4) and colortype in (0, 3) and interlace == 0)
+        or (depth in (1, 2, 4) and colortype in (0, 3))
     )
     if not supported:
         raise NotImplementedError(
@@ -408,7 +410,7 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
             idx = np.arange(w)
             shift = ((spb - 1 - (idx % spb)) * depth).astype(np.uint8)
             out = (out[:, idx // spb] >> shift) & ((1 << depth) - 1)
-    else:
+    elif depth >= 8:
         # Adam7: 7 independently-filtered sub-images scattered onto the
         # full grid at (x0 + i*dx, y0 + r*dy); empty passes carry no
         # scanlines at all (spec: zero-width/height passes are skipped)
@@ -425,6 +427,30 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
                 for i in range(pw):
                     x = x0 + i * dx
                     out[y, x * bpp : (x + 1) * bpp] = sub[r, i * bpp : (i + 1) * bpp]
+        if p != len(raw):
+            raise ValueError("PNG interlaced payload size mismatch")
+    else:
+        # Adam7 at sub-byte depth: each pass packs ITS OWN scanlines
+        # MSB-first with per-pass byte padding, so unpack per pass and
+        # scatter sample VALUES (gray level or palette index) — the
+        # result is the same (h, w) value matrix as the non-interlaced
+        # sub-byte path below.
+        spb = 8 // depth
+        mask = (1 << depth) - 1
+        out = np.zeros((h, w), dtype=np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride = -(-pw * depth // 8)
+            sub, p = unfilter(ph, stride, p)
+            idx = np.arange(pw)
+            shift = ((spb - 1 - (idx % spb)) * depth).astype(np.uint8)
+            vals = (sub[:, idx // spb] >> shift) & mask
+            for r in range(ph):
+                out[y0 + r * dy, x0 : x0 + (pw - 1) * dx + 1 : dx] = vals[r]
         if p != len(raw):
             raise ValueError("PNG interlaced payload size mismatch")
     if palette:
@@ -458,12 +484,12 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, float]:
 
 def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
     """fake=False dispatch: sniff the magic — PPM/BMP decode with
-    stdlib+numpy everywhere; PNG decodes natively for the common shapes
-    (8/16-bit, palette, 8-bit Adam7 interlace) and JPEG — baseline
-    and progressive — decodes natively (operators/jpeg.py); Pillow,
-    when installed, is the fallback for the residual exotica
-    (lossless/12-bit JPEG, sub-byte-depth or 16-bit-interlaced
-    PNG)."""
+    stdlib+numpy everywhere; PNG decodes natively for every valid
+    depth x colortype x interlace combination (1/2/4/8/16-bit,
+    palette, Adam7 at all depths) and JPEG — baseline and
+    progressive — decodes natively (operators/jpeg.py); Pillow, when
+    installed, is the fallback for the residual JPEG exotica
+    (hierarchical/lossless/12-bit frames)."""
     if buf[:2] in (b"P6", b"P5"):
         return _decode_ppm(buf)
     if buf.startswith(b"BM"):
@@ -485,10 +511,10 @@ def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
     if HAS_PIL:
         return _decode_payload_pil(buf)
     raise NotImplementedError(
-        "unrecognized image payload; PPM/BMP/PNG and JPEG (baseline AND "
-        "progressive) decode natively — install Pillow for "
-        "hierarchical/lossless/12-bit JPEG and exotic PNG variants, or "
-        "pass fake=True for the deterministic synthetic decoder"
+        "unrecognized image payload; PPM/BMP/PNG (all valid variants) "
+        "and JPEG (baseline AND progressive) decode natively — install "
+        "Pillow for hierarchical/lossless/12-bit JPEG, or pass "
+        "fake=True for the deterministic synthetic decoder"
     )
 
 

@@ -384,23 +384,101 @@ def test_decode_png_channel_variants():
         assert abs(mean - np.frombuffer(bytes(out[:need]), np.uint8).mean()) < 1e-9
 
 
-def test_decode_png_rejects_exotic_variants():
-    """Sub-byte depths and 16-bit+interlaced PNGs raise the documented
-    NotImplementedError from the native path (Pillow, where installed,
-    is the fallback)."""
+def test_decode_png_rejects_invalid_variants():
+    """Spec-invalid depth x colortype combos (e.g. 2-bit RGB) raise the
+    documented NotImplementedError; every VALID combination — including
+    sub-byte and 16-bit Adam7 — now decodes natively (see the
+    interlaced tests below)."""
     import pytest
 
     # IHDR data starts at offset 16 (8 sig + 4 len + 4 type)
     ihdr_off = 16
     buf = bytearray(M.make_png_image(b"x", 4, 4))
-    buf[ihdr_off + 8] = 16  # depth 16 ...
-    buf[ihdr_off + 12] = 1  # ... AND Adam7: the unsupported combo
+    buf[ihdr_off + 8] = 2  # depth 2 with colortype 2 (RGB): invalid per spec
     with pytest.raises(NotImplementedError):
         M._decode_png(bytes(buf))
-    buf = bytearray(M.make_png_image(b"x", 4, 4))
-    buf[ihdr_off + 8] = 4  # bit depth 8 -> 4 (sub-byte packing)
-    with pytest.raises(NotImplementedError):
-        M._decode_png(bytes(buf))
+
+
+def test_decode_png_sub_byte_adam7_interlaced():
+    """2-bit gray Adam7: each pass packs its own scanlines MSB-first
+    with per-pass byte padding; one pass uses the Up filter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = 9, 5
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 4, (h, w), dtype=np.uint8)  # 2-bit values
+    depth, spb = 2, 4
+    raw = b""
+    for pi, (x0, y0, dx, dy) in enumerate(M._ADAM7_PASSES):
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        stride = -(-pw * depth // 8)
+        rows = []
+        for r in range(ph):
+            y = y0 + r * dy
+            packed = bytearray(stride)
+            for i in range(pw):
+                v = int(img[y, x0 + i * dx])
+                packed[i // spb] |= v << ((spb - 1 - (i % spb)) * depth)
+            rows.append(bytes(packed))
+        for r, row in enumerate(rows):
+            if pi == len(M._ADAM7_PASSES) - 1 and r > 0:
+                filt = bytes((b - a) % 256 for b, a in zip(row, rows[r - 1]))
+                raw += bytes([2]) + filt
+            else:
+                raw += bytes([0]) + row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)
+    buf = (
+        M._PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, c, mean = M._decode_png(buf)
+    assert (got_w, got_h, c) == (w, h, 1)
+    exp = float(img.astype(np.float64).mean() * (255.0 / 3))
+    assert abs(mean - exp) < 1e-9
+
+
+def test_decode_png_16bit_adam7_interlaced():
+    """16-bit grayscale Adam7: 2-byte big-endian samples scattered per
+    pass; mean reported on the 0-255 scale (/257)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = 5, 3
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    raw = b""
+    for x0, y0, dx, dy in M._ADAM7_PASSES:
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        for r in range(ph):
+            y = y0 + r * dy
+            row = b"".join(
+                struct.pack(">H", int(img[y, x0 + i * dx])) for i in range(pw)
+            )
+            raw += bytes([0]) + row
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1)
+    buf = (
+        M._PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, c, mean = M._decode_png(buf)
+    assert (got_w, got_h, c) == (w, h, 1)
+    exp = float((img.astype(np.float64) / 257.0).mean())
+    assert abs(mean - exp) < 1e-9
 
 
 def test_decode_png_adam7_interlaced():
