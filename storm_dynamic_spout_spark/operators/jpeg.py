@@ -12,10 +12,16 @@ module adds ITU T.81 JPEG — *baseline sequential* (SOF0/1) and
   4:2:2, 4:2:0), restart markers, dequant + inverse DCT (separable
   orthonormal matrix form), nearest-neighbour chroma upsample, JFIF
   YCbCr→RGB.  Progressive (SOF2) decodes NATIVELY too (spectral
-  selection + successive approximation, DC and AC refinement scans);
-  only hierarchical/lossless/12-bit frames raise
+  selection + successive approximation, DC and AC refinement scans),
+  as do LOSSLESS (SOF3: predictors 1-7, point transform, 2-16-bit
+  precision, bit-exact) and 12-bit DCT grayscale (level shift 2048,
+  uint16 output); only hierarchical/differential frames, arithmetic
+  coding, 12-bit DCT color, and subsampled lossless raise
   ``NotImplementedError`` — the multimodal dispatch falls back to
   Pillow for those when present.
+- ``encode_lossless_jpeg``: SOF3 fixture encoder (canonical 5-bit
+  Huffman over categories 0-16); decode recovers the input
+  bit-exactly.
 - ``encode_baseline_jpeg``: the fixture-side encoder.  4:4:4, flat
   quantization tables, and *fixed-length canonical Huffman tables*
   (12 DC symbols at 4 bits, 162 AC symbols at 8 bits — valid
@@ -419,10 +425,14 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
                 huffval = list(payload[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _HuffTable(bits, huffval)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 (DCT), SOF3 lossless
             precision, fh, fw, ncomp = struct.unpack(">BHHB", payload[:6])
-            if precision != 8:
-                raise NotImplementedError("only 8-bit JPEG supported")
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise ValueError(f"invalid lossless precision {precision}")
+            elif precision not in (8, 12):
+                raise NotImplementedError("DCT JPEG precision must be 8 or 12")
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
@@ -431,9 +441,13 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
                 "h": fh,
                 "w": fw,
                 "comps": comps,
+                "precision": precision,
                 "progressive": marker == 0xC2,
+                "lossless": lossless,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            if lossless and any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                raise NotImplementedError("subsampled lossless JPEG unsupported")
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG frame type (SOF marker 0x{marker:02x})"
             )
@@ -442,8 +456,6 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            if coefs is None:
-                coefs, pred = _alloc_coefs(frame)
             ns = payload[0]
             scan = []
             for c in range(ns):
@@ -454,6 +466,21 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
                 scan.append((ci, tabs >> 4, tabs & 0xF))
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0xF
+            if frame["lossless"]:
+                # lossless scan header reuse: Ss = predictor selector,
+                # Al = point transform (T.81 H.1)
+                if coefs is None:
+                    coefs = [
+                        np.zeros((frame["h"], frame["w"]), dtype=np.int64)
+                        for _ in frame["comps"]
+                    ]
+                pos = _decode_sos_lossless(
+                    buf, pos + 2 + length, frame, scan, ss, al,
+                    htables, restart_interval, coefs,
+                )
+                continue
+            if coefs is None:
+                coefs, pred = _alloc_coefs(frame)
             if not frame["progressive"]:
                 ss, se, ah, al = 0, 63, 0, 0
             pos = _decode_sos(
@@ -464,6 +491,8 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
         pos += 2 + length
     if coefs is None:
         raise ValueError("no scan data found")
+    if frame["lossless"]:
+        return _reconstruct_lossless(frame, coefs)
     return _reconstruct(frame, coefs, qtables)
 
 
@@ -627,6 +656,9 @@ def _decode_block(br, zz, ss, se, ah, al, dc_tab, ac_tab, pred, ci, state):
 
 def _reconstruct(frame, coefs, qtables):
     fh, fw = frame["h"], frame["w"]
+    precision = frame.get("precision", 8)
+    shift = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     hmax, vmax, _, _ = _frame_geometry(frame)
     full = []
     for comp, cbuf in zip(frame["comps"], coefs):
@@ -638,17 +670,188 @@ def _reconstruct(frame, coefs, qtables):
                 coef = np.zeros((8, 8))
                 coef[_ZIG_ROWS, _ZIG_COLS] = cbuf[by, bx].astype(np.float64)
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _DCT.T @ (coef * qt) @ _DCT + 128.0
+                    _DCT.T @ (coef * qt) @ _DCT + shift
                 )
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         full.append(plane[:fh, :fw])
+    dtype = np.uint8 if precision == 8 else np.uint16
     if len(full) == 1:
-        return np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.clip(full[0], 0, maxv).astype(dtype)
     if len(full) == 3:
+        if precision != 8:
+            raise NotImplementedError("12-bit color JPEG unsupported (gray only)")
         return _ycbcr_to_rgb(full[0], full[1], full[2])
     raise NotImplementedError(f"{len(full)}-component JPEG unsupported")
+
+
+# --- lossless (SOF3) -------------------------------------------------------
+
+#: lossless predictors, T.81 H.1.2.1: Px from Ra (left), Rb (above),
+#: Rc (above-left)
+def _predict(ra: int, rb: int, rc: int, sel: int) -> int:
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"invalid lossless predictor {sel}")
+
+
+def _lossless_px(samples, y: int, x: int, sel: int, default: int) -> int:
+    """Prediction for sample (y, x) per T.81 H.1.2.2: the first sample
+    uses the default 2^(P-Pt-1); the rest of the first row predicts
+    from Ra; the first column predicts from Rb; elsewhere the selected
+    predictor runs on the reconstructed neighborhood."""
+    if y == 0:
+        return default if x == 0 else int(samples[0, x - 1])
+    if x == 0:
+        return int(samples[y - 1, 0])
+    return _predict(
+        int(samples[y, x - 1]),
+        int(samples[y - 1, x]),
+        int(samples[y - 1, x - 1]),
+        sel,
+    )
+
+
+def _decode_sos_lossless(buf, pos, frame, scan, sel, pt, htables, dri, samples):
+    """Decode one lossless scan: Huffman category + extend bits give
+    the prediction difference; reconstruction is (Px + diff) mod 2^16.
+    Interleaved (1x1 sampling: one sample per component per MCU) and
+    single-component scans share the raster walk.  A restart interval
+    resets the predictor to the scan-start default for the next sample
+    of every scan component (T.81 H.2.2)."""
+    frame["pt"] = pt
+    precision = frame["precision"]
+    default = 1 << (precision - pt - 1)
+    br = _BitReader(buf, pos)
+    h, w = frame["h"], frame["w"]
+    reset = [False] * len(frame["comps"])
+
+    def one(ci, dc_id, y, x):
+        tab = htables.get((0, dc_id))
+        s = tab.decode(br)
+        if s == 16:  # T.81 H.1.2.3: SSSS=16 means diff = 32768, no bits
+            diff = 32768
+        else:
+            diff = _extend(br.receive(s), s) if s else 0
+        px = default if reset[ci] else _lossless_px(samples[ci], y, x, sel, default)
+        reset[ci] = False
+        samples[ci][y, x] = (px + diff) & 0xFFFF
+
+    unit = 0
+    if len(scan) > 1:
+        for y in range(h):
+            for x in range(w):
+                if dri and unit and unit % dri == 0:
+                    br.sync_restart()
+                    for ci in range(len(reset)):
+                        reset[ci] = True
+                for ci, dc_id, _ in scan:
+                    one(ci, dc_id, y, x)
+                unit += 1
+    else:
+        ci, dc_id, _ = scan[0]
+        for y in range(h):
+            for x in range(w):
+                if dri and unit and unit % dri == 0:
+                    br.sync_restart()
+                    reset[ci] = True
+                one(ci, dc_id, y, x)
+                unit += 1
+
+    p = br.pos
+    while p < len(buf) - 1 and not (buf[p] == 0xFF and buf[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _reconstruct_lossless(frame, samples):
+    """Assemble decoded lossless planes: apply the point transform
+    (sample << Pt) and stack components as stored — lossless JPEG
+    defines no color transform, so 3-component output is plain RGB."""
+    pt = frame.get("pt", 0)
+    precision = frame["precision"]
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    planes = [(s << pt).astype(dtype) for s in samples]
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) == 3:
+        return np.stack(planes, axis=-1)
+    raise NotImplementedError(f"{len(planes)}-component lossless JPEG unsupported")
+
+
+#: lossless encoder Huffman table: categories 0..16 as canonical
+#: 5-bit codes (17 of 32 — valid incomplete prefix code)
+_LL_SYMBOLS = list(range(17))
+_LL_CODES = _canonical_codes(_LL_SYMBOLS, 5)
+
+
+def encode_lossless_jpeg(
+    arr: np.ndarray, predictor: int = 1, point_transform: int = 0,
+    precision: int | None = None,
+) -> bytes:
+    """Encode HxW (gray) or HxWx3 (RGB, stored untransformed) to
+    LOSSLESS JPEG (SOF3): predictor 1-7, optional point transform,
+    2-16-bit precision (default: 8 for uint8 input, 16 for uint16).
+    Decoding with :func:`decode_baseline_jpeg` recovers
+    ``(arr >> Pt) << Pt`` exactly — bit-exact for Pt=0."""
+    gray = arr.ndim == 2
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    h, w = arr.shape[:2]
+    planes = [arr] if gray else [arr[..., i] for i in range(3)]
+    model = [(p.astype(np.int64) >> point_transform) for p in planes]
+    default = 1 << (precision - point_transform - 1)
+
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for m in model:
+                px = _lossless_px(m, y, x, predictor, default)
+                diff = (int(m[y, x]) - px) & 0xFFFF
+                if diff >= 32768 and diff != 32768:
+                    diff -= 65536  # back to signed [-32767, 32767]
+                if diff == 32768:
+                    code, nbits = _LL_CODES[16]
+                    bw.write(code, nbits)
+                    continue
+                s = abs(diff).bit_length()
+                code, nbits = _LL_CODES[s]
+                bw.write(code, nbits)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    ncomp = 1 if gray else 3
+    out = b"\xff\xd8"
+    out += seg(0xC4, _dht_payload(0, 0, _LL_SYMBOLS, 5))
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += seg(0xC3, sof)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, point_transform])
+    out += seg(0xDA, sos)
+    out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return out
 
 
 # --- progressive encoder ---------------------------------------------------

@@ -18,15 +18,17 @@ Codec coverage is tiered:
   8-bit Adam7 interlace: stdlib zlib inflate + all five byte-wise unfilters at
   the correct bytes-per-pixel distance), baseline-sequential JPEG (operators/jpeg.py: canonical
   Huffman decode from the file's DHT tables, 4:4:4/4:2:2/4:2:0
-  sampling, restart markers, matrix IDCT — and PROGRESSIVE (SOF2)
-  frames via per-component coefficient accumulation), WAV (PCM) audio
+  sampling, restart markers, matrix IDCT — PROGRESSIVE (SOF2)
+  frames via per-component coefficient accumulation, LOSSLESS (SOF3,
+  bit-exact, predictors 1-7) and 12-bit DCT grayscale), WAV (PCM) audio
   via the stdlib ``wave`` module (8/16/24-bit, mono or interleaved
   multi-channel). These run and are tested in any
   environment, including this container.
-- **Real, gated**: the residual exotica — hierarchical/lossless/
-  12-bit JPEG frames (PNG now decodes natively for every valid
-  variant) — decode via Pillow where installed (import-try seam);
-  absent Pillow the honest ``NotImplementedError`` stands.
+- **Real, gated**: the residual exotica — hierarchical/differential
+  JPEG frames, arithmetic coding, 12-bit DCT color (PNG and lossless
+  JPEG now decode natively for every valid variant) — decode via
+  Pillow where installed (import-try seam); absent Pillow the honest
+  ``NotImplementedError`` stands.
 - **Synthetic** (``fake=True``): the engine's deterministic payload
   format, for fixtures whose bytes must derive from an id.
 
@@ -472,9 +474,11 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
 
 def _decode_jpeg(buf: bytes) -> tuple[int, int, int, float]:
     """Native JPEG decode (operators/jpeg.py — pure numpy, canonical
-    Huffman tables read from the file's own DHT segments), baseline
-    AND progressive.  Hierarchical/lossless/12-bit frames raise
-    NotImplementedError and fall through to Pillow when present."""
+    Huffman tables read from the file's own DHT segments): baseline,
+    progressive, LOSSLESS (SOF3, bit-exact), and 12-bit DCT gray
+    (uint16, mean on the native 0-4095 scale).  Only
+    hierarchical/differential frames fall through to Pillow when
+    present."""
     from storm_dynamic_spout_spark.operators.jpeg import decode_baseline_jpeg
 
     arr = decode_baseline_jpeg(buf)
@@ -489,7 +493,8 @@ def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
     palette, Adam7 at all depths) and JPEG — baseline and
     progressive — decodes natively (operators/jpeg.py); Pillow, when
     installed, is the fallback for the residual JPEG exotica
-    (hierarchical/lossless/12-bit frames)."""
+    (hierarchical/differential frames, arithmetic coding, 12-bit DCT
+    color)."""
     if buf[:2] in (b"P6", b"P5"):
         return _decode_ppm(buf)
     if buf.startswith(b"BM"):
@@ -513,7 +518,7 @@ def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
     raise NotImplementedError(
         "unrecognized image payload; PPM/BMP/PNG (all valid variants) "
         "and JPEG (baseline AND progressive) decode natively — install "
-        "Pillow for hierarchical/lossless/12-bit JPEG, or pass "
+        "Pillow for hierarchical/arithmetic JPEG frames, or pass "
         "fake=True for the deterministic synthetic decoder"
     )
 

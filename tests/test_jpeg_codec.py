@@ -47,13 +47,14 @@ def test_grayscale_roundtrip():
     assert float(np.abs(dec.astype(int) - g.astype(int)).mean()) < 4.0
 
 
-def test_rejects_non_jpeg_and_lossless():
+def test_rejects_non_jpeg_and_subsampled_lossless():
     with pytest.raises(ValueError):
         decode_baseline_jpeg(b"not a jpeg at all")
-    # craft a minimal lossless-frame header: SOI + SOF3 (out of scope)
+    # SOF3 decodes natively since round 6, but SUBSAMPLED lossless
+    # (sampling factors != 1x1) remains the documented seam
     sof3 = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC3, 11) + struct.pack(
         ">BHHB", 8, 8, 8, 1
-    ) + bytes([1, 0x11, 0])
+    ) + bytes([1, 0x22, 0])
     with pytest.raises(NotImplementedError):
         decode_baseline_jpeg(sof3)
 
@@ -492,3 +493,118 @@ def test_truncated_restart_stream_raises_valueerror():
     buf = _encode_420(img, restart_interval=2)
     with pytest.raises((ValueError, NotImplementedError)):
         decode_baseline_jpeg(buf[: len(buf) * 2 // 3])
+
+
+# --- lossless (SOF3) and 12-bit --------------------------------------------
+
+from storm_dynamic_spout_spark.operators.jpeg import encode_lossless_jpeg
+
+
+def test_lossless_roundtrip_all_predictors_exact():
+    """SOF3 lossless: every predictor 1-7 recovers gray uint8 input
+    bit-exactly."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (13, 9), dtype=np.uint8)
+    for pred in range(1, 8):
+        dec = decode_baseline_jpeg(encode_lossless_jpeg(img, predictor=pred))
+        assert np.array_equal(dec, img), f"predictor {pred}"
+
+
+def test_lossless_rgb_and_16bit_exact():
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, (7, 11, 3), dtype=np.uint8)
+    assert np.array_equal(decode_baseline_jpeg(encode_lossless_jpeg(rgb, predictor=4)), rgb)
+    img16 = rng.integers(0, 65536, (6, 5), dtype=np.uint16)
+    dec = decode_baseline_jpeg(encode_lossless_jpeg(img16))
+    assert dec.dtype == np.uint16 and np.array_equal(dec, img16)
+
+
+def test_lossless_point_transform():
+    """Pt drops low bits before prediction; decode returns
+    (x >> Pt) << Pt exactly (T.81 point transform semantics)."""
+    rng = np.random.default_rng(2)
+    img12 = rng.integers(0, 4096, (6, 7), dtype=np.uint16)
+    dec = decode_baseline_jpeg(
+        encode_lossless_jpeg(img12, predictor=7, point_transform=2, precision=12)
+    )
+    assert np.array_equal(dec, (img12 >> 2) << 2)
+
+
+def _encode12_gray(arr):
+    """Test-side 12-bit baseline gray encoder: flat qt=32 keeps every
+    Huffman category inside the shipped fixed-length tables (DC diff
+    <= 8*2047/32 -> category <= 10)."""
+    import struct as _struct
+
+    h, w = arr.shape
+    qt = np.full((8, 8), 32.0)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = np.pad(arr.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")
+    bw = J._BitWriter()
+    pred = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            coef = J._DCT @ (plane[by : by + 8, bx : bx + 8] - 2048.0) @ J._DCT.T
+            zz = np.round(coef / qt).astype(np.int64)[J._ZIG_ROWS, J._ZIG_COLS]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s, bits = J._magnitude(diff)
+            c, n = J._DC_CODES[s]
+            bw.write(c, n)
+            if s:
+                bw.write(bits, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, n = J._AC_CODES[0xF0]
+                    bw.write(c, n)
+                    run -= 16
+                s, bits = J._magnitude(v)
+                c, n = J._AC_CODES[(run << 4) | s]
+                bw.write(c, n)
+                bw.write(bits, s)
+                run = 0
+            if run:
+                c, n = J._AC_CODES[0x00]
+                bw.write(c, n)
+    bw.flush()
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + _struct.pack(">H", len(p) + 2) + p
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes(np.full(64, 32, np.uint8)))
+    out += seg(0xC4, J._dht_payload(0, 0, J._DC_SYMBOLS, 4))
+    out += seg(0xC4, J._dht_payload(1, 0, J._AC_SYMBOLS, 8))
+    out += seg(0xC0, _struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bytes(bw.out) + b"\xff\xd9"
+    return out
+
+
+def test_decode_12bit_baseline_gray():
+    """12-bit DCT baseline (precision=12, level shift 2048): decodes
+    to uint16 with error bounded by the flat-32 quantization."""
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 4096, (16, 16)).astype(np.float64)
+    img = np.round((base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3)
+    dec = decode_baseline_jpeg(_encode12_gray(img))
+    assert dec.dtype == np.uint16 and dec.shape == (16, 16)
+    assert np.abs(dec.astype(float) - img).max() < 400
+
+
+def test_hierarchical_frames_still_rejected():
+    """Differential/hierarchical SOF markers stay NotImplementedError
+    (the honest remaining seam)."""
+    img = np.zeros((8, 8), np.uint8)
+    buf = bytearray(encode_baseline_jpeg(img))
+    # find the SOF0 marker and rewrite it to SOF5 (differential sequential)
+    i = buf.find(b"\xff\xc0")
+    assert i > 0
+    buf[i + 1] = 0xC5
+    with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(bytes(buf))
