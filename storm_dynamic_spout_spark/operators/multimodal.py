@@ -13,10 +13,11 @@ Codec coverage is tiered:
 
 - **Real, always available**: formats decoded with stdlib + numpy —
   netpbm (P6 RGB / P5 gray) and BMP (24/32-bit uncompressed) images,
-  PNG (1/2/4/8/16-bit
-  gray, 8/16-bit gray-alpha/RGB/RGBA, sub-byte + 8-bit palette,
-  8-bit Adam7 interlace: stdlib zlib inflate + all five byte-wise unfilters at
-  the correct bytes-per-pixel distance), baseline-sequential JPEG (operators/jpeg.py: canonical
+  PNG (every valid depth x
+  colortype x interlace combination — 1/2/4/8/16-bit gray, 8/16-bit
+  gray-alpha/RGB/RGBA, sub-byte + 8-bit palette, Adam7 at ALL depths
+  incl. sub-byte and 16-bit: stdlib zlib inflate + all five byte-wise
+  unfilters at the correct bytes-per-pixel distance), baseline-sequential JPEG (operators/jpeg.py: canonical
   Huffman decode from the file's DHT tables, 4:4:4/4:2:2/4:2:0
   sampling, restart markers, matrix IDCT — PROGRESSIVE (SOF2)
   frames via per-component coefficient accumulation, LOSSLESS (SOF3,

@@ -608,3 +608,24 @@ def test_hierarchical_frames_still_rejected():
     buf[i + 1] = 0xC5
     with pytest.raises(NotImplementedError):
         decode_baseline_jpeg(bytes(buf))
+
+
+def test_lossless_roundtrip_property():
+    """Hypothesis fuzz: any uint8 image, any predictor, any point
+    transform <= 3 round-trips to (x >> Pt) << Pt exactly."""
+    from hypothesis import given, settings, strategies as st
+    from hypothesis.extra import numpy as hnp
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        arr=hnp.arrays(np.uint8, st.tuples(st.integers(1, 12), st.integers(1, 12))),
+        pred=st.integers(1, 7),
+        pt=st.integers(0, 3),
+    )
+    def check(arr, pred, pt):
+        dec = decode_baseline_jpeg(
+            encode_lossless_jpeg(arr, predictor=pred, point_transform=pt)
+        )
+        assert np.array_equal(dec, (arr >> pt) << pt)
+
+    check()
