@@ -25,6 +25,7 @@ def kafka_options(
     bootstrap_servers: str,
     subscribe: str | list[str] | None = None,
     assign: dict[str, list[int]] | None = None,
+    subscribe_pattern: str | None = None,
     starting_offsets: str | dict[str, dict[int, int]] = "earliest",
     ending_offsets: str | dict[str, dict[int, int]] | None = None,
     fail_on_data_loss: bool = False,
@@ -35,9 +36,12 @@ def kafka_options(
     (``kafka/KafkaConsumerConfig.java:103-175``), unit-testable without
     a broker or a SparkSession.
 
-    - ``subscribe`` (topic or topic list, comma-joined) XOR ``assign``
-      (``{topic: [partitions]}`` → the source's assign JSON) — exactly
-      one must be given, like the consumer's subscribe path.
+    - exactly ONE of ``subscribe`` (topic or topic list, comma-joined),
+      ``assign`` (``{topic: [partitions]}`` → the source's assign
+      JSON), or ``subscribe_pattern`` (Java regex → the source's
+      ``subscribePattern``; the consumer's wildcard-subscription mode
+      for dynamically-created topics) — like the consumer's subscribe
+      path.
     - offset dicts ``{topic: {partition: offset}}`` render to the
       source's ``startingOffsets``/``endingOffsets`` JSON (the
       ``ConsumerState`` per-partition map, ``consumer/ConsumerState
@@ -48,8 +52,10 @@ def kafka_options(
     """
     import json
 
-    if (subscribe is None) == (assign is None):
-        raise ValueError("exactly one of subscribe/assign is required")
+    if sum(x is not None for x in (subscribe, assign, subscribe_pattern)) != 1:
+        raise ValueError(
+            "exactly one of subscribe/assign/subscribe_pattern is required"
+        )
 
     def _offsets_json(v: str | dict[str, dict[int, int]]) -> str:
         if isinstance(v, str):
@@ -70,6 +76,8 @@ def kafka_options(
         opts["subscribe"] = (
             subscribe if isinstance(subscribe, str) else ",".join(subscribe)
         )
+    elif subscribe_pattern is not None:
+        opts["subscribePattern"] = subscribe_pattern
     else:
         opts["assign"] = json.dumps(
             {t: sorted(int(p) for p in ps) for t, ps in assign.items()},

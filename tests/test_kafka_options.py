@@ -84,3 +84,24 @@ def test_missing_kafka_connector_gets_actionable_error(spark):
             spark, "kafka",
             **{"kafka.bootstrap.servers": "localhost:9092", "subscribe": "t"},
         )
+
+
+def test_subscribe_pattern_mode():
+    from storm_dynamic_spout_spark.sources.registry import kafka_options
+
+    opts = kafka_options("b:9092", subscribe_pattern=r"events-.*")
+    assert opts["subscribePattern"] == r"events-.*"
+    assert "subscribe" not in opts and "assign" not in opts
+
+
+def test_subscribe_modes_mutually_exclusive():
+    import pytest
+
+    from storm_dynamic_spout_spark.sources.registry import kafka_options
+
+    with pytest.raises(ValueError):
+        kafka_options("b:9092")
+    with pytest.raises(ValueError):
+        kafka_options("b:9092", subscribe="t", subscribe_pattern="t.*")
+    with pytest.raises(ValueError):
+        kafka_options("b:9092", assign={"t": [0]}, subscribe_pattern="t.*")
