@@ -2766,79 +2766,9 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PII scan/redaction + URL canonicalization — the compliance and
-# web-crawl-normalization steps of a pre-training data pipeline.
+# URL canonicalization — the crawl-frontier normalization step.
+# (PII redaction already lives above: text_pii_scrub.)
 # ---------------------------------------------------------------------------
-
-#: dialect-portable patterns (identical semantics in Java regex and
-#: DuckDB's RE2): ASCII classes, bounded quantifiers, \b word edges.
-PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-
-
-@query(
-    "text_pii_redact",
-    oracle=f"""
-    WITH enriched AS (
-      SELECT doc_id,
-             text
-               || CASE WHEN doc_id % 3 > 0
-                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                       ELSE '' END
-               || CASE WHEN doc_id % 2 = 0
-                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-                            || '.0.' || CAST(doc_id % 100 AS VARCHAR)
-                       ELSE '' END AS text2
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(length(regexp_extract_all(text2, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
-           CAST(length(regexp_extract_all(text2, '{PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
-           CAST(length(regexp_replace(regexp_replace(text2, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
-                                      '{PII_IPV4_RE}', '[IP]', 'g')) AS BIGINT) AS redacted_len,
-           md5(regexp_replace(regexp_replace(text2, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
-                              '{PII_IPV4_RE}', '[IP]', 'g')) AS redacted_md5
-    FROM enriched
-    """,
-)
-def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scan + redaction: count email / IPv4 occurrences per
-    document and emit the md5 of the fully-redacted text (the hash
-    pins regexp_replace semantics byte-for-byte across engines).  The
-    word-salad fixture has no organic PII, so each document gets a
-    deterministic doc_id-derived email (2 of 3 docs) and IPv4 (every
-    other doc) appended IN-QUERY on both sides — the operator under
-    test is the scan/redact expression chain, which is pure JVM
-    codegen (regexp_count/regexp_replace), no Python.  At 100 TB this
-    is a narrow map-only pass: no shuffle at all."""
-    d = t(spark, sf_dir, "documents")
-    text2 = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 3 > 0,
-            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 2 == 0,
-            F.concat(
-                F.lit(" from 10."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit(".0."),
-                (F.col("doc_id") % 100).cast("string"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    redacted = F.regexp_replace(
-        F.regexp_replace(text2, PII_EMAIL_RE, "[EMAIL]"), PII_IPV4_RE, "[IP]"
-    )
-    return d.select(
-        "doc_id",
-        F.regexp_count(text2, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(text2, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
-        F.length(redacted).cast("long").alias("redacted_len"),
-        F.md5(redacted.cast("binary")).alias("redacted_md5"),
-    )
-
 
 URL_PAGES = 40
 
