@@ -29,10 +29,11 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 driver-checked r1) and the two r6 replans
 #:                 (text_term_freq TakeOrdered top-k, orders_rfm
 #:                 broadcast quartile cuts).
-#:   slots 8-11  — NEW in round 6: the multimodal decode rows (real
+#:   slots 8-12  — NEW in round 6: the multimodal decode rows (real
 #:                 PNG / WAV / MJPEG-AVI decode vs keystream
-#:                 closed-form oracles) and crawl-frontier URL dedup.
-#:   slots 12-16 — the historical red->green canary set (kept in every
+#:                 closed-form oracles), crawl-frontier URL dedup, and
+#:                 the join-key skew diagnostic.
+#:   slots 13-17 — the historical red->green canary set (kept in every
 #:                 window per the r5 verdict's canary discipline).
 #:   slots 18-50 — the round-1-stale cohort (most recent driver row is
 #:                 r1), alphabetical; the 10 simplest (P-family
@@ -54,6 +55,7 @@ _PRIORITY = [
     "multimodal_audio_stats",
     "multimodal_video_stats",
     "corpus_url_dedup",
+    "table_skew_report",
     # --- slots 13-17: canaries ---
     "embedding_quantize",
     "agg_stats",
@@ -94,8 +96,8 @@ _PRIORITY = [
     "text_lang_id",
     "text_quality",
     "text_stats",
-    "agg_count_distinct",
     # --- slots 51+: r1-stale spill (leads round 7) ---
+    "agg_count_distinct",
     "agg_distinct",
     "join_inner",
     "deserialize_project",

@@ -649,3 +649,51 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "table_skew_report",
+    oracle="""
+    WITH s AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_suppkey),
+         p AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_partkey),
+         o AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey)
+    SELECT 'l_orderkey' AS key_col, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_rows, round(avg(c), 4) AS avg_rows,
+           round(max(c) / avg(c), 4) AS skew_ratio
+    FROM o
+    UNION ALL
+    SELECT 'l_partkey', CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT),
+           round(avg(c), 4), round(max(c) / avg(c), 4) FROM p
+    UNION ALL
+    SELECT 'l_suppkey', CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT),
+           round(avg(c), 4), round(max(c) / avg(c), 4) FROM s
+    ORDER BY key_col
+    """,
+)
+def table_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the table you read BEFORE choosing a
+    mitigation (AQE skew join vs explicit salting, operators/skew.py):
+    per candidate join key, the distinct-key count, the hottest key's
+    row count, the mean rows per key, and the max/mean skew ratio.  A
+    ratio near 1 = uniform; 100+ = a straggler-making hot key.
+
+    Why at 100 TB: each key is one two-phase count aggregate (map-side
+    partial, |keys|-sized shuffle) reduced to a single stats row — the
+    same shape ANALYZE uses; nothing here scales with row count beyond
+    the first partial pass."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def stats(col: str) -> DataFrame:
+        per_key = li.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return per_key.agg(
+            F.lit(col).alias("key_col"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_rows"),
+            F.round(F.avg("c"), 4).alias("avg_rows"),
+            F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+        )
+
+    out = stats("l_orderkey")
+    for c in ("l_partkey", "l_suppkey"):
+        out = out.unionByName(stats(c))
+    return out.orderBy("key_col")

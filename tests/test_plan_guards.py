@@ -417,3 +417,13 @@ def test_rfm_scores_without_global_sorts(spark, sf_dir):
     assert "Sort" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_skew_report_is_partial_aggregates_only(spark, sf_dir):
+    """table_skew_report must stay three independent two-phase count
+    aggregates (map-side partials, |keys|-sized shuffles) — no joins,
+    no windows, no cartesian."""
+    plan = _plan(spark, sf_dir, "table_skew_report")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
