@@ -818,7 +818,11 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont oracle bit-identical on the fixture; at extreme
     scale swap in ``approx_percentile`` — same plan shape.  Monetary
     is rounded to cents BEFORE the cuts so both engines score
-    identical doubles."""
+    identical doubles.  The per-customer aggregate appears twice in
+    the initial plan (cuts pass + scoring pass); AQE stage reuse
+    dedupes the identical shuffle subtree at runtime (post-execution
+    plan shows ReusedExchange), and at 100 TB you would persist
+    per_cust explicitly."""
     o = t(spark, sf_dir, "orders")
     max_date = o.agg(F.max("o_orderdate").alias("__mx"))
     per_cust = (
