@@ -189,3 +189,21 @@ def test_run_query_cli_list_and_suggestions(capsys, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["run_query.py", "tpch_q99"])
     with _pytest.raises(SystemExit, match="did you mean"):
         run_query.main()
+
+
+def test_sweep_and_plan_audit_cli_help(capsys, monkeypatch):
+    """tools/sweep.py and tools/plan_audit.py parse --help without a
+    Spark session (arg surface pinned; the real runs are manual
+    verification loops, not CI fixtures)."""
+    import sys
+
+    import pytest as _pytest
+
+    from tools import sweep
+
+    monkeypatch.setattr(sys, "argv", ["sweep.py", "--help"])
+    with _pytest.raises(SystemExit) as e:
+        sweep.main()
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "--sf-dir" in out and "--only" in out
