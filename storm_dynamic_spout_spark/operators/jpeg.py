@@ -365,6 +365,28 @@ def encode_baseline_jpeg(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def frame_precision(buf: bytes) -> int:
+    """Sample precision (bits) from the first SOF segment — a cheap
+    header scan for callers that need the output scale without a full
+    decode (e.g. normalizing >8-bit means to the 0-255 range)."""
+    pos = 2
+    while pos < len(buf) - 3:
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        length = struct.unpack(">H", buf[pos + 2 : pos + 4])[0]
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return buf[pos + 4]
+        pos += 2 + length
+    raise ValueError("no SOF segment found")
+
+
 # --- decoder ---------------------------------------------------------------
 
 

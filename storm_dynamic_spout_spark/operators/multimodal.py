@@ -476,15 +476,23 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
 def _decode_jpeg(buf: bytes) -> tuple[int, int, int, float]:
     """Native JPEG decode (operators/jpeg.py — pure numpy, canonical
     Huffman tables read from the file's own DHT segments): baseline,
-    progressive, LOSSLESS (SOF3, bit-exact), and 12-bit DCT gray
-    (uint16, mean on the native 0-4095 scale).  Only
-    hierarchical/differential frames fall through to Pillow when
-    present."""
-    from storm_dynamic_spout_spark.operators.jpeg import decode_baseline_jpeg
+    progressive, LOSSLESS (SOF3, bit-exact), and 12-bit DCT gray.
+    Mean intensity reports on the 0-255 scale regardless of sample
+    precision (>8-bit frames scale by 255/(2^P - 1), matching the
+    16-bit-PNG convention).  Only hierarchical/differential frames
+    fall through to Pillow when present."""
+    from storm_dynamic_spout_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        frame_precision,
+    )
 
     arr = decode_baseline_jpeg(buf)
     channels = 1 if arr.ndim == 2 else arr.shape[2]
-    return arr.shape[1], arr.shape[0], channels, float(arr.mean())
+    mean = float(arr.mean())
+    p = frame_precision(buf)
+    if p > 8:
+        mean *= 255.0 / ((1 << p) - 1)
+    return arr.shape[1], arr.shape[0], channels, mean
 
 
 def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
