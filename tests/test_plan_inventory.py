@@ -76,6 +76,22 @@ def test_inventory_global_invariants():
     assert python <= allowed_python, (
         f"Python nodes on unexpected plans: {sorted(python - allowed_python)}"
     )
+    # single-partition (unpartitioned) windows move the whole input to
+    # one task — the r5 verdict's scale-killer class, extinct since r6
+    # outside two audited tiny/bounded cases:
+    #  - events_top_paths: WindowGroupLimit prunes to top-k per
+    #    partition first and the rank is part of the output contract
+    #  - corpus_token_budget: a <=20-row bucket-offset prefix sum over
+    #    a post-aggregation table
+    allowed_global_window = {
+        "events_top_paths",
+        "corpus_token_budget",
+    }
+    gw = {n for n, c in inv.items() if c.get("unpartitioned_windows", 0) > 0}
+    assert gw <= allowed_global_window, (
+        f"unpartitioned windows on unexpected plans: "
+        f"{sorted(gw - allowed_global_window)}"
+    )
 
 
 @pytest.mark.parametrize("family_prefix,max_exchanges", [("scalar_", 2)])

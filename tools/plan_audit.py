@@ -27,7 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 #: global windows that are deliberate and bounded (see module docstring)
-KNOWN_BENIGN = {"events_top_paths", "corpus_token_budget", "corpus_training_manifest"}
+KNOWN_BENIGN = {"events_top_paths", "corpus_token_budget"}
 
 
 def main() -> int:
@@ -45,12 +45,20 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"{name} ERROR: {e!r}"[:160])
             continue
+        if name in KNOWN_BENIGN:
+            continue
         for line in s.splitlines():
             if "windowspecdefinition(" not in line:
                 continue
-            first_arg = line.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
-            if (" ASC" in first_arg or " DESC" in first_arg) and name not in KNOWN_BENIGN:
-                offenders.append((name, line.strip()[:140]))
+            # check EVERY window in the plan — composite queries carry
+            # several, and only auditing the first misses later ones
+            for frag in line.split("windowspecdefinition(")[1:]:
+                first_arg = frag.split(",", 1)[0]
+                if " ASC" in first_arg or " DESC" in first_arg:
+                    offenders.append((name, line.strip()[:140]))
+                    break
+            else:
+                continue
             break
     for n, line in offenders:
         print(f"GLOBAL-WINDOW {n}: {line}")

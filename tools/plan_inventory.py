@@ -50,9 +50,23 @@ MARKERS = {
 }
 
 
+def _unpartitioned_windows(s: str) -> int:
+    """Count windowspecdefinition(...) whose FIRST argument is an
+    ordering spec (carries ASC/DESC) — i.e. no partition keys, so the
+    whole input moves to one partition.  The r5 verdict's scale-killer
+    class (text_term_freq, orders_rfm); keeping this in the inventory
+    makes any regression a CI diff, not a manual-audit find."""
+    n = 0
+    for frag in s.split("windowspecdefinition(")[1:]:
+        first_arg = frag.split(",", 1)[0]
+        if " ASC" in first_arg or " DESC" in first_arg:
+            n += 1
+    return n
+
+
 def plan_counts(df) -> dict[str, int]:
     s = df._jdf.queryExecution().executedPlan().toString()
-    return {
+    out = {
         key: (
             sum(s.count(m) for m in marker)
             if isinstance(marker, tuple)
@@ -60,6 +74,8 @@ def plan_counts(df) -> dict[str, int]:
         )
         for key, marker in MARKERS.items()
     }
+    out["unpartitioned_windows"] = _unpartitioned_windows(s)
+    return out
 
 
 def main() -> None:
