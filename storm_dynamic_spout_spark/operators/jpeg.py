@@ -14,9 +14,10 @@ module adds ITU T.81 JPEG — *baseline sequential* (SOF0/1) and
   YCbCr→RGB.  Progressive (SOF2) decodes NATIVELY too (spectral
   selection + successive approximation, DC and AC refinement scans),
   as do LOSSLESS (SOF3: predictors 1-7, point transform, 2-16-bit
-  precision, bit-exact) and 12-bit DCT grayscale (level shift 2048,
-  uint16 output); only hierarchical/differential frames, arithmetic
-  coding, 12-bit DCT color, and subsampled lossless raise
+  precision, bit-exact) and 12-bit DCT gray AND color (level shift
+  2048, precision-parametric YCbCr, uint16 output); only
+  hierarchical/differential frames, arithmetic coding, and
+  subsampled lossless raise
   ``NotImplementedError`` — the multimodal dispatch falls back to
   Pillow for those when present.
 - ``encode_lossless_jpeg``: SOF3 fixture encoder (canonical 5-bit
@@ -260,13 +261,21 @@ def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
-    cb = cb - 128.0
-    cr = cr - 128.0
+def _ycbcr_to_rgb(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, precision: int = 8
+) -> np.ndarray:
+    """JFIF inverse color transform, precision-parametric: chroma
+    centers at 2^(P-1) and output clips to [0, 2^P - 1] (uint8 for
+    8-bit, uint16 for 12-bit)."""
+    center = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    cb = cb - center
+    cr = cr - center
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    dtype = np.uint8 if precision == 8 else np.uint16
+    return np.clip(np.stack([r, g, b], axis=-1), 0, maxv).astype(dtype)
 
 
 def encode_baseline_jpeg(arr: np.ndarray) -> bytes:
@@ -702,9 +711,7 @@ def _reconstruct(frame, coefs, qtables):
     if len(full) == 1:
         return np.clip(full[0], 0, maxv).astype(dtype)
     if len(full) == 3:
-        if precision != 8:
-            raise NotImplementedError("12-bit color JPEG unsupported (gray only)")
-        return _ycbcr_to_rgb(full[0], full[1], full[2])
+        return _ycbcr_to_rgb(full[0], full[1], full[2], precision)
     raise NotImplementedError(f"{len(full)}-component JPEG unsupported")
 
 

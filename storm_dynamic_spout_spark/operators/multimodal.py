@@ -21,14 +21,14 @@ Codec coverage is tiered:
   Huffman decode from the file's DHT tables, 4:4:4/4:2:2/4:2:0
   sampling, restart markers, matrix IDCT — PROGRESSIVE (SOF2)
   frames via per-component coefficient accumulation, LOSSLESS (SOF3,
-  bit-exact, predictors 1-7) and 12-bit DCT grayscale), WAV (PCM) audio
+  bit-exact, predictors 1-7) and 12-bit DCT gray + color), WAV (PCM) audio
   via the stdlib ``wave`` module (8/16/24-bit, mono or interleaved
   multi-channel). These run and are tested in any
   environment, including this container.
 - **Real, gated**: the residual exotica — hierarchical/differential
-  JPEG frames, arithmetic coding, 12-bit DCT color (PNG and lossless
-  JPEG now decode natively for every valid variant) — decode via
-  Pillow where installed (import-try seam); absent Pillow the honest
+  JPEG frames and arithmetic coding (PNG, lossless JPEG, and 12-bit
+  DCT now decode natively) — decode via Pillow where installed
+  (import-try seam); absent Pillow the honest
   ``NotImplementedError`` stands.
 - **Synthetic** (``fake=True``): the engine's deterministic payload
   format, for fixtures whose bytes must derive from an id.
@@ -476,7 +476,7 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
 def _decode_jpeg(buf: bytes) -> tuple[int, int, int, float]:
     """Native JPEG decode (operators/jpeg.py — pure numpy, canonical
     Huffman tables read from the file's own DHT segments): baseline,
-    progressive, LOSSLESS (SOF3, bit-exact), and 12-bit DCT gray.
+    progressive, LOSSLESS (SOF3, bit-exact), and 12-bit DCT.
     Mean intensity reports on the 0-255 scale regardless of sample
     precision (>8-bit frames scale by 255/(2^P - 1), matching the
     16-bit-PNG convention).  Only hierarchical/differential frames
@@ -502,8 +502,7 @@ def _decode_payload_real(buf: bytes) -> tuple[int, int, int, float]:
     palette, Adam7 at all depths) and JPEG — baseline and
     progressive — decodes natively (operators/jpeg.py); Pillow, when
     installed, is the fallback for the residual JPEG exotica
-    (hierarchical/differential frames, arithmetic coding, 12-bit DCT
-    color)."""
+    (hierarchical/differential frames, arithmetic coding)."""
     if buf[:2] in (b"P6", b"P5"):
         return _decode_ppm(buf)
     if buf.startswith(b"BM"):

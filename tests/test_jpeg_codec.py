@@ -629,3 +629,80 @@ def test_lossless_roundtrip_property():
         assert np.array_equal(dec, (arr >> pt) << pt)
 
     check()
+
+
+def test_decode_12bit_baseline_color():
+    """12-bit DCT color (4:4:4): precision-parametric YCbCr inverse
+    (chroma centered at 2048, clip to 4095, uint16 out)."""
+    import struct as _struct
+
+    def rgb_to_ycbcr12(arr):
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 2048.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 2048.0
+        return [y, cb, cr]
+
+    def encode12_color(arr):
+        h, w = arr.shape[:2]
+        qt = np.full((8, 8), 32.0)
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [
+            np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            for p in rgb_to_ycbcr12(arr)
+        ]
+        bw = J._BitWriter()
+        pred = [0, 0, 0]
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci, plane in enumerate(planes):
+                    coef = J._DCT @ (plane[by : by + 8, bx : bx + 8] - 2048.0) @ J._DCT.T
+                    zz = np.round(coef / qt).astype(np.int64)[J._ZIG_ROWS, J._ZIG_COLS]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    s_, bits = J._magnitude(diff)
+                    c, n = J._DC_CODES[s_]
+                    bw.write(c, n)
+                    if s_:
+                        bw.write(bits, s_)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, n = J._AC_CODES[0xF0]
+                            bw.write(c, n)
+                            run -= 16
+                        s_, bits = J._magnitude(v)
+                        c, n = J._AC_CODES[(run << 4) | s_]
+                        bw.write(c, n)
+                        bw.write(bits, s_)
+                        run = 0
+                    if run:
+                        c, n = J._AC_CODES[0x00]
+                        bw.write(c, n)
+        bw.flush()
+
+        def seg(m, p):
+            return bytes([0xFF, m]) + _struct.pack(">H", len(p) + 2) + p
+
+        out = b"\xff\xd8"
+        out += seg(0xDB, bytes([0]) + bytes(np.full(64, 32, np.uint8)))
+        out += seg(0xC4, J._dht_payload(0, 0, J._DC_SYMBOLS, 4))
+        out += seg(0xC4, J._dht_payload(1, 0, J._AC_SYMBOLS, 8))
+        sof = _struct.pack(">BHHB", 12, h, w, 3) + bytes(
+            [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+        )
+        out += seg(0xC0, sof)
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        out += bytes(bw.out) + b"\xff\xd9"
+        return out
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 4096, (16, 16, 3)).astype(np.float64)
+    img = np.round((base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3)
+    dec = decode_baseline_jpeg(encode12_color(img))
+    assert dec.dtype == np.uint16 and dec.shape == (16, 16, 3)
+    assert np.abs(dec.astype(float) - img).max() < 600
