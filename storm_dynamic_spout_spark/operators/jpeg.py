@@ -829,13 +829,16 @@ _LL_CODES = _canonical_codes(_LL_SYMBOLS, 5)
 
 def encode_lossless_jpeg(
     arr: np.ndarray, predictor: int = 1, point_transform: int = 0,
-    precision: int | None = None,
+    precision: int | None = None, restart_interval: int = 0,
 ) -> bytes:
     """Encode HxW (gray) or HxWx3 (RGB, stored untransformed) to
     LOSSLESS JPEG (SOF3): predictor 1-7, optional point transform,
-    2-16-bit precision (default: 8 for uint8 input, 16 for uint16).
-    Decoding with :func:`decode_baseline_jpeg` recovers
-    ``(arr >> Pt) << Pt`` exactly — bit-exact for Pt=0."""
+    2-16-bit precision (default: 8 for uint8 input, 16 for uint16),
+    optional restart markers every ``restart_interval`` MCUs (one
+    sample per component at 1x1 sampling; prediction resets to the
+    scan-start default after each RSTn, T.81 H.2.2).  Decoding with
+    :func:`decode_baseline_jpeg` recovers ``(arr >> Pt) << Pt``
+    exactly — bit-exact for Pt=0."""
     gray = arr.ndim == 2
     if precision is None:
         precision = 8 if arr.dtype == np.uint8 else 16
@@ -844,11 +847,23 @@ def encode_lossless_jpeg(
     model = [(p.astype(np.int64) >> point_transform) for p in planes]
     default = 1 << (precision - point_transform - 1)
 
+    entropy = bytearray()
     bw = _BitWriter()
+    reset = [False] * len(model)
+    unit = 0
+    rst = 0
     for y in range(h):
         for x in range(w):
-            for m in model:
-                px = _lossless_px(m, y, x, predictor, default)
+            if restart_interval and unit and unit % restart_interval == 0:
+                bw.flush()
+                entropy += bw.out
+                entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                bw = _BitWriter()
+                reset = [True] * len(model)
+            for ci, m in enumerate(model):
+                px = default if reset[ci] else _lossless_px(m, y, x, predictor, default)
+                reset[ci] = False
                 diff = (int(m[y, x]) - px) & 0xFFFF
                 if diff >= 32768 and diff != 32768:
                     diff -= 65536  # back to signed [-32767, 32767]
@@ -861,7 +876,9 @@ def encode_lossless_jpeg(
                 bw.write(code, nbits)
                 if s:
                     bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            unit += 1
     bw.flush()
+    entropy += bw.out
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -873,12 +890,14 @@ def encode_lossless_jpeg(
     for c in range(ncomp):
         sof += bytes([c + 1, 0x11, 0])
     out += seg(0xC3, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00])
     sos += bytes([predictor, 0, point_transform])
     out += seg(0xDA, sos)
-    out += bytes(bw.out)
+    out += bytes(entropy)
     out += b"\xff\xd9"
     return out
 

@@ -706,3 +706,20 @@ def test_decode_12bit_baseline_color():
     dec = decode_baseline_jpeg(encode12_color(img))
     assert dec.dtype == np.uint16 and dec.shape == (16, 16, 3)
     assert np.abs(dec.astype(float) - img).max() < 600
+
+
+def test_lossless_restart_markers_roundtrip_exact():
+    """Lossless DRI path: predictors reset to the scan-start default
+    after each RSTn (T.81 H.2.2) — byte stream changes, pixels don't."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (11, 7), dtype=np.uint8)
+    for ri in (1, 3, 5):
+        dec = decode_baseline_jpeg(
+            encode_lossless_jpeg(img, predictor=4, restart_interval=ri)
+        )
+        assert np.array_equal(dec, img), f"restart_interval {ri}"
+    rgb = rng.integers(0, 256, (9, 5, 3), dtype=np.uint8)
+    dec = decode_baseline_jpeg(
+        encode_lossless_jpeg(rgb, predictor=7, restart_interval=2)
+    )
+    assert np.array_equal(dec, rgb)
