@@ -737,13 +737,18 @@ def _predict(ra: int, rb: int, rc: int, sel: int) -> int:
     raise ValueError(f"invalid lossless predictor {sel}")
 
 
-def _lossless_px(samples, y: int, x: int, sel: int, default: int) -> int:
-    """Prediction for sample (y, x) per T.81 H.1.2.2: the first sample
-    uses the default 2^(P-Pt-1); the rest of the first row predicts
-    from Ra; the first column predicts from Rb; elsewhere the selected
-    predictor runs on the reconstructed neighborhood."""
-    if y == 0:
-        return default if x == 0 else int(samples[0, x - 1])
+def _lossless_px(
+    samples, y: int, x: int, sel: int, default: int, ry: int = 0, rx: int = 0
+) -> int:
+    """Prediction for sample (y, x) per T.81 H.1.2.2/H.2.2, treating
+    the restart-interval origin (ry, rx) — scan start or the first
+    sample after the latest RSTn — as a new scan start: the origin
+    sample uses the default 2^(P-Pt-1); the remainder of the origin
+    line predicts from Ra only (1-D predictor, no references to
+    pre-restart samples on that line); subsequent lines predict Rb in
+    column 0 and run the selected predictor elsewhere."""
+    if y == ry:
+        return default if x == rx else int(samples[y, x - 1])
     if x == 0:
         return int(samples[y - 1, 0])
     return _predict(
@@ -758,25 +763,27 @@ def _decode_sos_lossless(buf, pos, frame, scan, sel, pt, htables, dri, samples):
     """Decode one lossless scan: Huffman category + extend bits give
     the prediction difference; reconstruction is (Px + diff) mod 2^16.
     Interleaved (1x1 sampling: one sample per component per MCU) and
-    single-component scans share the raster walk.  A restart interval
-    resets the predictor to the scan-start default for the next sample
-    of every scan component (T.81 H.2.2)."""
+    single-component scans share the raster walk.  After each RSTn the
+    predictor restarts as at scan start (T.81 H.1.2.2/H.2.2): the next
+    sample uses the default, the rest of that line uses the 1-D Ra
+    predictor, and 2-D prediction resumes on the following line."""
     frame["pt"] = pt
     precision = frame["precision"]
     default = 1 << (precision - pt - 1)
     br = _BitReader(buf, pos)
     h, w = frame["h"], frame["w"]
-    reset = [False] * len(frame["comps"])
+    origin = (0, 0)  # restart-interval origin, shared by all scan comps
 
     def one(ci, dc_id, y, x):
         tab = htables.get((0, dc_id))
+        if tab is None:
+            raise ValueError(f"undefined DC table {dc_id}")
         s = tab.decode(br)
         if s == 16:  # T.81 H.1.2.3: SSSS=16 means diff = 32768, no bits
             diff = 32768
         else:
             diff = _extend(br.receive(s), s) if s else 0
-        px = default if reset[ci] else _lossless_px(samples[ci], y, x, sel, default)
-        reset[ci] = False
+        px = _lossless_px(samples[ci], y, x, sel, default, origin[0], origin[1])
         samples[ci][y, x] = (px + diff) & 0xFFFF
 
     unit = 0
@@ -785,8 +792,7 @@ def _decode_sos_lossless(buf, pos, frame, scan, sel, pt, htables, dri, samples):
             for x in range(w):
                 if dri and unit and unit % dri == 0:
                     br.sync_restart()
-                    for ci in range(len(reset)):
-                        reset[ci] = True
+                    origin = (y, x)
                 for ci, dc_id, _ in scan:
                     one(ci, dc_id, y, x)
                 unit += 1
@@ -796,7 +802,7 @@ def _decode_sos_lossless(buf, pos, frame, scan, sel, pt, htables, dri, samples):
             for x in range(w):
                 if dri and unit and unit % dri == 0:
                     br.sync_restart()
-                    reset[ci] = True
+                    origin = (y, x)
                 one(ci, dc_id, y, x)
                 unit += 1
 
@@ -835,10 +841,11 @@ def encode_lossless_jpeg(
     LOSSLESS JPEG (SOF3): predictor 1-7, optional point transform,
     2-16-bit precision (default: 8 for uint8 input, 16 for uint16),
     optional restart markers every ``restart_interval`` MCUs (one
-    sample per component at 1x1 sampling; prediction resets to the
-    scan-start default after each RSTn, T.81 H.2.2).  Decoding with
-    :func:`decode_baseline_jpeg` recovers ``(arr >> Pt) << Pt``
-    exactly — bit-exact for Pt=0."""
+    sample per component at 1x1 sampling; after each RSTn prediction
+    restarts as at scan start — default for the first sample, 1-D Ra
+    for the rest of that line, 2-D from the next line, T.81
+    H.1.2.2/H.2.2).  Decoding with :func:`decode_baseline_jpeg`
+    recovers ``(arr >> Pt) << Pt`` exactly — bit-exact for Pt=0."""
     gray = arr.ndim == 2
     if precision is None:
         precision = 8 if arr.dtype == np.uint8 else 16
@@ -849,7 +856,7 @@ def encode_lossless_jpeg(
 
     entropy = bytearray()
     bw = _BitWriter()
-    reset = [False] * len(model)
+    origin = (0, 0)
     unit = 0
     rst = 0
     for y in range(h):
@@ -860,10 +867,9 @@ def encode_lossless_jpeg(
                 entropy += bytes([0xFF, 0xD0 + (rst % 8)])
                 rst += 1
                 bw = _BitWriter()
-                reset = [True] * len(model)
+                origin = (y, x)
             for ci, m in enumerate(model):
-                px = default if reset[ci] else _lossless_px(m, y, x, predictor, default)
-                reset[ci] = False
+                px = _lossless_px(m, y, x, predictor, default, origin[0], origin[1])
                 diff = (int(m[y, x]) - px) & 0xFFFF
                 if diff >= 32768 and diff != 32768:
                     diff -= 65536  # back to signed [-32767, 32767]

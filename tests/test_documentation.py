@@ -207,3 +207,29 @@ def test_sweep_and_plan_audit_cli_help(capsys, monkeypatch):
     assert e.value.code == 0
     out = capsys.readouterr().out
     assert "--sf-dir" in out and "--only" in out
+
+
+def test_plan_audit_exits_nonzero_on_build_error(spark, capsys, monkeypatch):
+    """A query that cannot even be planned must fail the audit (exit 1),
+    not print ERROR and exit 0 (r6 advice item)."""
+    import storm_dynamic_spout_spark.engine as emod
+    import storm_dynamic_spout_spark.queries as qmod
+    from tools import plan_audit
+
+    def boom(s, d):
+        raise RuntimeError("cannot plan")
+
+    class _NoStop:
+        """Hand the audit the shared session but swallow its stop()."""
+
+        def __getattr__(self, name):
+            return getattr(spark, name)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(qmod, "QUERIES", {"broken_query": boom})
+    monkeypatch.setattr(emod, "build_session", lambda cfg: _NoStop())
+    assert plan_audit.main() == 1
+    out = capsys.readouterr().out
+    assert "broken_query ERROR" in out and "build errors: 1" in out

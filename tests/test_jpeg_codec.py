@@ -723,3 +723,67 @@ def test_lossless_restart_markers_roundtrip_exact():
         encode_lossless_jpeg(rgb, predictor=7, restart_interval=2)
     )
     assert np.array_equal(dec, rgb)
+
+
+def _entropy_segments(stream: bytes) -> list[bytes]:
+    """Entropy-coded bytes of a single-scan stream, split at RSTn."""
+    sos = stream.find(b"\xff\xda")
+    assert sos >= 0
+    ln = struct.unpack(">H", stream[sos + 2 : sos + 4])[0]
+    body = stream[sos + 2 + ln : stream.rfind(b"\xff\xd9")]
+    segs, cur, i = [], bytearray(), 0
+    while i < len(body):
+        if body[i] == 0xFF and i + 1 < len(body) and 0xD0 <= body[i + 1] <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            cur.append(body[i])
+            i += 1
+    segs.append(bytes(cur))
+    return segs
+
+
+def test_lossless_restart_interval_encodes_as_independent_scan():
+    """T.81 H.1.2.2/H.2.2 conformance: with DRI = one full sample line,
+    every restart interval's entropy bytes must be IDENTICAL to the
+    independent lossless encoding of that line alone (restart restarts
+    prediction as at scan start: default, then 1-D Ra).  This fails
+    under the old next-sample-only reset convention for predictors 2-7,
+    which kept referencing pre-restart rows."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    for predictor in (2, 4, 6, 7):
+        full = encode_lossless_jpeg(img, predictor=predictor, restart_interval=6)
+        segs = _entropy_segments(full)
+        assert len(segs) == 5
+        for y in range(5):
+            solo = encode_lossless_jpeg(img[y : y + 1], predictor=predictor)
+            assert segs[y] == _entropy_segments(solo)[0], (predictor, y)
+        # and the stream still round-trips bit-exactly
+        assert np.array_equal(decode_baseline_jpeg(full), img), predictor
+
+
+def test_lossless_mid_line_restart_uses_ra_for_rest_of_line():
+    """A restart mid-line starts a new 'first line': the remainder of
+    the origin line predicts from Ra only, with no reference to the row
+    above (pre-restart samples)."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (3, 8), dtype=np.uint8)
+    for ri in (3, 5, 7):
+        enc = encode_lossless_jpeg(img, predictor=5, restart_interval=ri)
+        assert np.array_equal(decode_baseline_jpeg(enc), img), ri
+
+
+def test_lossless_undefined_dc_table_raises_value_error():
+    """A lossless scan referencing an undefined DC Huffman table must
+    raise ValueError (the multimodal dispatch's documented contract),
+    not AttributeError from a None table lookup."""
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    enc = bytearray(encode_lossless_jpeg(img))
+    sos = enc.find(b"\xff\xda")
+    # SOS payload: len(2) ncomp(1) then per-comp (id, Td<<4|Ta)
+    assert enc[sos + 4] == 1 and enc[sos + 6] == 0x00
+    enc[sos + 6] = 0x10  # point at DC table 1, which is never defined
+    with pytest.raises(ValueError, match="undefined DC table 1"):
+        decode_baseline_jpeg(bytes(enc))

@@ -39,11 +39,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     offenders: list[tuple[str, str]] = []
+    errors: list[str] = []
     for name, fn in QUERIES.items():
         try:
             s = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001
             print(f"{name} ERROR: {e!r}"[:160])
+            errors.append(name)
             continue
         if name in KNOWN_BENIGN:
             continue
@@ -62,9 +64,13 @@ def main() -> int:
             break
     for n, line in offenders:
         print(f"GLOBAL-WINDOW {n}: {line}")
-    print(f"audited {len(QUERIES)} queries; offenders: {len(offenders)}")
+    print(
+        f"audited {len(QUERIES)} queries; offenders: {len(offenders)};"
+        f" build errors: {len(errors)}"
+    )
     spark.stop()
-    return 1 if offenders else 0
+    # a query that cannot even be planned must fail the audit too
+    return 1 if offenders or errors else 0
 
 
 if __name__ == "__main__":
