@@ -41,72 +41,75 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 slot 50 and lead round 7 (mutation-tested).
 #:   remainder   — r3 cohort, then r4/r5 cohorts: freshest checks last.
 _PRIORITY = [
-    # --- slots 1-3: round-5 reds, oracle fixed this round ---
-    "join_skew_salted",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    # --- slots 4-7: edited after their last driver row ---
-    "dedup_minhash_pairs",
-    "dedup_minhash_signature",
-    "text_term_freq",
-    "orders_rfm",
-    # --- slots 8-12: new in round 6 ---
-    "multimodal_image_stats",
-    "multimodal_audio_stats",
-    "multimodal_video_stats",
-    "corpus_url_dedup",
-    "table_skew_report",
-    # --- slots 13-17: canaries ---
-    "embedding_quantize",
-    "agg_stats",
-    "scalar_map",
-    "events_sessionize",
-    "embedding_normalize",
-    # --- slots 18-50: round-1-stale cohort ---
-    "agg_approx_count_distinct",
-    "agg_arg_min_max",
-    "agg_conditional",
-    "agg_corr_covar",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_string_concat",
-    "ann_topk_bruteforce",
-    "dedup_by_key",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "embedding_near_pairs",
-    "join_anti",
-    "join_asof",
-    "join_cross",
-    "join_full_outer",
-    "join_left",
-    "join_null_safe",
-    "join_range",
-    "join_right",
-    "join_semi",
-    "join_stream_static",
-    "join_theta",
-    "q1_pricing_summary",
-    "sideline_window",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_stats",
-    # --- slots 51+: r1-stale spill (leads round 7) ---
+    # --- slots 1-10: the r6 spill — last driver row is ROUND 1 ---
     "agg_count_distinct",
     "agg_distinct",
-    "join_inner",
     "deserialize_project",
     "filter_chain",
     "filter_key",
     "filter_negated",
     "filter_offset_bound",
+    "join_inner",
     "project_expressions",
     "sql_exists_subquery",
+    # --- slots 11-16: new in round 7 (never driver-checked) ---
+    "corpus_soft_dedup_weights",
+    "text_boilerplate_ngrams",
+    "orders_market_basket",
+    "embedding_pq_codes",
+    "multimodal_image_phash_pairs",
+    "ann_topk_pq",
+    # --- slots 17-18: decode-path dependencies edited this round
+    # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
+    "multimodal_image_stats",
+    "multimodal_video_stats",
+    # --- slots 19-23: canaries ---
+    "embedding_quantize",
+    "agg_stats",
+    "scalar_map",
+    "events_sessionize",
+    "embedding_normalize",
+    # --- slots 24-50: round-3-stale cohort (non-tpch first) ---
+    "orderby_limit",
+    "scalar_array",
+    "scalar_conditional",
+    "scalar_date",
+    "scalar_json",
+    "scalar_json_schema",
+    "scalar_math",
+    "scalar_null_handling",
+    "scalar_regex",
+    "scalar_string_distance",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_distinct",
+    "setop_union_evolved",
+    "sort_multi_key",
+    "stream_dedup_within_window",
+    "stream_hopping_window",
+    "window_distribution",
+    "window_first_last",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_running",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    # --- slots 51+: r3-stale spill (leads round 8) ---
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
 ]
 
 

@@ -871,3 +871,86 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _score("frequency", "f", False).alias("f_score"),
         _score("monetary", "m", False).alias("m_score"),
     )
+
+
+BASKET_TOP = 50
+
+
+@query(
+    "orders_market_basket",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT part_a, part_b, n_orders FROM pairs
+      ORDER BY n_orders DESC, part_a, part_b LIMIT {BASKET_TOP}
+    ),
+    marg AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM items GROUP BY 1
+    )
+    SELECT t.part_a, t.part_b, t.n_orders,
+           round(t.n_orders * 1.0 / tot.n, 6) AS support,
+           round((t.n_orders * 1.0 * tot.n) / (ma.n_part * 1.0 * mb.n_part), 6)
+             AS lift
+    FROM top t
+    CROSS JOIN tot
+    JOIN marg ma ON ma.l_partkey = t.part_a
+    JOIN marg mb ON mb.l_partkey = t.part_b
+    ORDER BY t.n_orders DESC, t.part_a, t.part_b
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-50 part pairs bought
+    together in one order, with support and lift — the
+    frequent-itemset / recommender seed query.
+
+    Why at 100 TB: the pair generation is a self-equi-join on
+    l_orderkey with a bounded fan-out (TPC-H orders hold ≤ 7 distinct
+    parts, so the quadratic blow-up is ≤ C(7,2) = 21 rows per order —
+    never all-pairs across parts); partial aggregation shrinks the
+    pair shuffle to |distinct pairs|.  The top-k is
+    ``orderBy().limit()`` → TakeOrderedAndProject, and support/lift
+    marginals join AFTER the cut: the 50-row side broadcasts into the
+    |parts|-sized marginal table, so no shuffle is keyed on the full
+    pair set twice.  Ties at the count threshold break
+    deterministically on (part_a, part_b)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    tot = li.select(F.countDistinct("l_orderkey").cast("long").alias("__tot"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    top = pairs.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(BASKET_TOP)
+    marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_part"))
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("__na"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("__nb"))
+    enriched = ma.join(F.broadcast(top.crossJoin(tot)), "part_a")
+    enriched = mb.join(F.broadcast(enriched), "part_b")
+    return enriched.select(
+        "part_a",
+        "part_b",
+        "n_orders",
+        F.round(F.col("n_orders") * 1.0 / F.col("__tot"), 6).alias("support"),
+        F.round(
+            (F.col("n_orders") * 1.0 * F.col("__tot"))
+            / (F.col("__na") * 1.0 * F.col("__nb")),
+            6,
+        ).alias("lift"),
+    ).orderBy(F.desc("n_orders"), "part_a", "part_b")

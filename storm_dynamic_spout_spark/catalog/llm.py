@@ -2835,3 +2835,283 @@ def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+@query(
+    "corpus_soft_dedup_weights",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5({_SQL_NORM_TEXT}) AS fingerprint,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_copies
+      FROM fp GROUP BY 1
+    )
+    SELECT f.doc_id, f.fingerprint, c.n_copies,
+           round(1.0 / c.n_copies, 6) AS weight,
+           round(f.n_tokens * 1.0 / c.n_copies, 6) AS effective_tokens
+    FROM fp f JOIN c USING (fingerprint)
+    ORDER BY f.doc_id
+    """,
+)
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (operators/dedup.py soft_dedup_weights): every
+    doc keeps a row, down-weighted by its exact-dup cluster size so a
+    training epoch sees each distinct content an expected once —
+    the reweighting alternative to hard-dropping duplicates, plus the
+    per-doc effective token contribution the token-budget planner
+    consumes.  One fingerprint-keyed exchange (window over the groupBy
+    key, no join back); see the operator docstring for the 100 TB
+    story."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(F.split("text", r"\s+")).cast("long").alias("__nt")
+    )
+    sw = D.soft_dedup_weights(d, "doc_id", "text")
+    return sw.select(
+        "doc_id",
+        "fingerprint",
+        "n_copies",
+        F.round("weight", 6).alias("weight"),
+        F.round(F.col("__nt") * 1.0 / F.col("n_copies"), 6).alias("effective_tokens"),
+    ).orderBy("doc_id")
+
+
+#: boilerplate n-gram detector: window size and the document-frequency
+#: fraction above which a gram counts as boilerplate (shared with the
+#: oracle SQL)
+BOILER_GRAM = 4
+BOILER_MIN_FRAC = 0.02
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               text || ' please subscribe to ' || source || ' newsletter today',
+               '\\s+') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(tk[i:i+{BOILER_GRAM - 1}], ' ') AS gram
+      FROM base, UNNEST(range(1, len(tk) - {BOILER_GRAM - 2})) AS u(i)
+    ),
+    gd AS (
+      SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM grams GROUP BY 1
+    ),
+    pg AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+      FROM grams GROUP BY 1, 2
+    ),
+    th AS (
+      SELECT CAST(ceil(count(*) * {BOILER_MIN_FRAC}) AS BIGINT) AS min_docs
+      FROM documents
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.n) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN g.nd >= th.min_docs THEN p.n ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           round(sum(CASE WHEN g.nd >= th.min_docs THEN p.n ELSE 0 END) * 1.0
+                 / sum(p.n), 6) AS boiler_frac
+    FROM pg p JOIN gd g USING (gram) CROSS JOIN th
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-phrase detection, the CCNet/RefinedWeb cleaning
+    stage: token 4-grams that appear in ≥ 2% of documents are
+    boilerplate (nav bars, footers, subscribe prompts), and each doc
+    reports how much of it is boilerplate.  The fixture derives a
+    per-source footer in-query (like corpus_url_dedup derives URLs) so
+    the detector has real repeated phrases to find: pure per-source
+    footer grams land in ~5% of docs and cross the gate; random-text
+    grams and small exact-dup clusters stay under it.
+
+    Why at 100 TB: gram explosion is |tokens|-sized but immediately
+    reduced twice (per-(doc,gram) counts, then gram document
+    frequencies); the only wide exchange is keyed on the gram hash
+    between two PRE-AGGREGATED sides, and the doc-count threshold is a
+    one-row broadcast.  No Python anywhere — slice/transform/explode
+    are all codegen'd array expressions."""
+    d = t(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" please subscribe to "),
+        F.col("source"),
+        F.lit(" newsletter today"),
+    )
+    tk = d.select("doc_id", F.split(footer, r"\s+").alias("__tk"))
+    idx = F.sequence(F.lit(1), F.size("__tk") - (BOILER_GRAM - 1))
+    grams = tk.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice("__tk", i, BOILER_GRAM), " ")
+            )
+        ).alias("gram"),
+    )
+    gram_docs = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").cast("long").alias("__nd")
+    )
+    per_doc = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    threshold = d.select(
+        F.ceil(F.count(F.lit(1)) * BOILER_MIN_FRAC).cast("long").alias("__min_docs")
+    )
+    boiler_n = F.when(F.col("__nd") >= F.col("__min_docs"), F.col("__n")).otherwise(
+        F.lit(0)
+    )
+    return (
+        per_doc.join(gram_docs, "gram")
+        .crossJoin(F.broadcast(threshold))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__n").cast("long").alias("n_grams"),
+            F.sum(boiler_n).cast("long").alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac", F.round(F.col("n_boiler") * 1.0 / F.col("n_grams"), 6)
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pq_ctes() -> str:
+    """Shared PQ oracle CTEs (v / cent / scored / best / codes):
+    explicit LEFT-ASSOCIATIVE squared-L2 sums (matching Spark's
+    sequential F.aggregate fold bit-for-bit), the same micro-unit
+    rounding, and (distance, cid) argmin."""
+    from storm_dynamic_spout_spark.operators.similarity import PQ_K, PQ_M
+
+    sub = 64 // PQ_M
+    dists = []
+    for ms in range(PQ_M):
+        terms = " + ".join(
+            f"(ve[{ms * sub + i}] - ce[{ms * sub + i}])"
+            f" * (ve[{ms * sub + i}] - ce[{ms * sub + i}])"
+            for i in range(1, sub + 1)
+        )
+        dists.append(f"CAST(round(({terms}) * 1e6) AS BIGINT) AS d{ms}")
+    ranks = ",\n             ".join(
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{ms}, cid) AS r{ms}"
+        for ms in range(PQ_M)
+    )
+    codes = ",\n             ".join(
+        f"CAST(max(CASE WHEN r{ms} = 1 THEN cid END) AS BIGINT) AS code_{ms}"
+        for ms in range(PQ_M)
+    )
+    err = " + ".join(f"min(d{ms})" for ms in range(PQ_M))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, ve AS ce FROM v WHERE vec_id < {PQ_K}),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             {",".join(chr(10) + "             " + d for d in dists)}
+      FROM v CROSS JOIN cent c
+    ),
+    best AS (
+      SELECT vec_id, cid, {", ".join(f"d{ms}" for ms in range(PQ_M))},
+             {ranks}
+      FROM scored
+    ),
+    codes AS (
+      SELECT vec_id,
+             {codes},
+             CAST({err} AS BIGINT) AS err_micro
+      FROM best GROUP BY vec_id
+    )"""
+
+
+def _pq_oracle_sql() -> str:
+    return _pq_ctes() + "\n    SELECT * FROM codes ORDER BY vec_id\n    "
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle_sql())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/similarity.py pq_assign):
+    4 subspaces x 8 centroids over the 64-dim embeddings — each vector
+    compresses to 4 small codes + an integer quantization error.  The
+    deterministic fixture codebook is the first 8 vectors' subvectors;
+    production swaps in trained centroids with the same plan.  The
+    codebook broadcasts and map-side partial aggregation collapses the
+    8-way candidate fan-out before the only exchange, so corpus
+    vectors never shuffle — see the operator docstring."""
+    return S.pq_assign(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64
+    ).orderBy("vec_id")
+
+
+def _pq_adc_oracle_sql() -> str:
+    """ADC oracle on top of the shared PQ CTEs: per-query distance
+    tables are the `scored` rows of the query vectors themselves, and
+    the approximate distance is the m-way table lookup on each corpus
+    vector's code."""
+    from storm_dynamic_spout_spark.operators.similarity import PQ_K, PQ_M
+
+    joins = "\n      ".join(
+        f"JOIN dt t{ms} ON t{ms}.query_id = q.query_id"
+        f" AND t{ms}.cid = k.code_{ms}"
+        for ms in range(PQ_M)
+    )
+    approx = " + ".join(f"t{ms}.d{ms}" for ms in range(PQ_M))
+    return (
+        _pq_ctes()
+        + f""",
+    dt AS (
+      SELECT vec_id AS query_id, cid,
+             {", ".join(f"d{ms}" for ms in range(PQ_M))}
+      FROM scored WHERE vec_id < {PQ_K}
+    ),
+    q AS (SELECT DISTINCT query_id FROM dt),
+    adc AS (
+      SELECT q.query_id, k.vec_id AS neighbor_id,
+             CAST({approx} AS BIGINT) AS approx_d2_micro
+      FROM codes k CROSS JOIN q
+      {joins}
+      WHERE k.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_d2_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_d2_micro, neighbor_id)
+               AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, approx_d2_micro, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {ANN_K}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+@query("ann_topk_pq", oracle=_pq_adc_oracle_sql())
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/similarity.py
+    pq_topk_adc) — the search half of the product-quantization path:
+    queries (the codebook seed vectors, vec_id < 8) precompute integer
+    distance tables to every subcentroid; each corpus vector's
+    approximate distance is 4 table lookups on its compact code, never
+    float math against raw vectors.  Tables broadcast; the per-query
+    top-5 is WindowGroupLimit-pruned; ranking on (integer distance,
+    neighbor id) is exact given the codes — see the operator docstring
+    for the 100 TB story."""
+    from storm_dynamic_spout_spark.operators.similarity import PQ_K
+
+    return S.pq_topk_adc(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        dim=64,
+        query_pred=F.col("vec_id") < PQ_K,
+        k=ANN_K,
+    ).orderBy("query_id", "rank")

@@ -317,3 +317,121 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("long").alias("height"),
         "frame_sha",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup image pairs: 24 base PNGs + 12 brightness-
+# shifted LOSSLESS-JPEG variants (cross-codec dedup: same content, a
+# different container, must still pair up).
+# ---------------------------------------------------------------------------
+
+PHASH_SHIFT = 16  # variant brightness offset (clamped at 255)
+
+
+def _phash_variant_docs() -> list[int]:
+    """Base doc_ids that get a +PHASH_SHIFT variant (id + 100):
+    lossless JPEG carries 1- or 3-channel images, so gray (c=1) and
+    RGB (c=3) fixtures qualify."""
+    return [d for d in range(N_IMAGES) if d % 4 in (0, 2)]
+
+
+def _phash_pixels(img_id: int):
+    """CLOSED-FORM pixels for fixture image ``img_id`` — hashlib
+    keystream only, never a codec: base ids reproduce the PNG
+    generator's pixel bytes; variant ids (>= 100) add the brightness
+    shift the variant encoder bakes in."""
+    import numpy as np
+
+    seed, w, h, c = _image_params(img_id % 100)
+    need = w * h * c
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(seed + b"png" + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    arr = np.frombuffer(bytes(out[:need]), np.uint8).reshape(h, w, c)
+    if c == 1:
+        arr = arr[:, :, 0]
+    if img_id >= 100:
+        arr = np.clip(arr.astype(np.int64) + PHASH_SHIFT, 0, 255).astype(np.uint8)
+    return arr
+
+
+def _phash_oracle_values() -> str:
+    from storm_dynamic_spout_spark.operators.multimodal import phash64
+
+    ids = list(range(N_IMAGES)) + [100 + d for d in _phash_variant_docs()]
+    return ",\n      ".join(f"({i}, {phash64(_phash_pixels(i))})" for i in ids)
+
+
+@query(
+    "multimodal_image_phash_pairs",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(v.img_id AS BIGINT) AS img_id, CAST(v.phash AS BIGINT) AS phash
+      FROM (VALUES
+      {{values}}
+      ) AS v(img_id, phash)
+      JOIN documents d ON d.doc_id = v.img_id % 100
+    ),
+    b AS (
+      SELECT img_id, phash, u.i AS band,
+             (phash >> (CAST(u.i AS INTEGER) * 16)) & 65535 AS bv
+      FROM h, UNNEST(range(0, 4)) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.img_id AS id_a, a.phash AS pa,
+                      x.img_id AS id_b, x.phash AS pb
+      FROM b a JOIN b x ON a.band = x.band AND a.bv = x.bv
+                       AND a.img_id < x.img_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= 10
+    ORDER BY id_a, id_b
+    """.replace("{values}", _phash_oracle_values()),
+)
+def multimodal_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection over the REAL decode
+    path — the multimodal twin of simhash text dedup: 24 fixture PNGs
+    plus 12 brightness-shifted LOSSLESS-JPEG variants (same content,
+    different codec AND different exposure) run through the native
+    decoders, hash to 63-bit DCT pHashes (operators/multimodal.py
+    phash64), and pair up via the banded-hamming LSH join
+    (phash_near_pairs).  The oracle recomputes every pHash from the
+    keystream CLOSED FORM (hashlib + numpy, no codec) and replays the
+    identical band/verify logic in SQL, so a decode bug in either
+    container format reds the row.
+
+    Why at 100 TB: decode+hash is the only Python stage (Arrow-batched,
+    narrow); banding, the candidate equi-join and the hamming verify
+    are JVM bit arithmetic keyed on 16-bit band values — never
+    all-pairs.  Standard LSH recall: pairs at hamming ≤ 3 are
+    guaranteed a clean band; beyond that recall decays geometrically
+    (both engines compute the same candidate set, so the gate is
+    exact)."""
+    from storm_dynamic_spout_spark.operators.jpeg import encode_lossless_jpeg
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        make_png_image,
+        phash_images,
+        phash_near_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < N_IMAGES).select("doc_id")
+    variants = d.filter(F.col("doc_id").isin(_phash_variant_docs())).select(
+        (F.col("doc_id") + 100).alias("doc_id")
+    )
+    ids = base.unionByName(variants)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(s: pd.Series) -> pd.Series:
+        def mk(i: int) -> bytes:
+            i = int(i)
+            if i < 100:
+                return make_png_image(*_image_params(i))
+            return encode_lossless_jpeg(_phash_pixels(i))
+
+        return s.map(mk)
+
+    hashed = phash_images(ids.withColumn("content", _payload("doc_id")))
+    return phash_near_pairs(hashed).orderBy("id_a", "id_b")

@@ -675,3 +675,26 @@ def containment_pairs(
         (F.col("__i") / F.col("__nb")).alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Soft deduplication: keep every copy of a duplicated document but
+    down-weight it by its exact-dup cluster size (weight = 1/n_copies),
+    so each distinct content contributes an expected ONE copy per
+    training epoch — the loss-reweighting alternative to dropping
+    duplicates (reference has no analog; training-pipeline extension).
+
+    One shuffle on the 32-byte fingerprint: the cluster count comes
+    from a window partitioned by the same key a groupBy would use, so
+    the rows and their counts co-locate in a single exchange — no
+    second self-join to fan the counts back out.  At 100 TB the
+    exchange is fingerprint-keyed like exact_dedup's and AQE handles
+    viral-content skew the same way."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.withColumn("fingerprint", content_fingerprint(F.col(text_col)))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("weight", F.lit(1.0) / F.col("n_copies"))
+    )

@@ -311,8 +311,16 @@ def make_png_image(
     )
 
 
-def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
-    """Native PNG decode (stdlib zlib + numpy): 1/2/4/8/16-bit gray,
+def _png_value_matrix(
+    buf: bytes,
+) -> tuple[int, int, int, int, bool, bytes, "object"]:
+    """Native PNG decode core returning the reconstructed VALUE matrix
+    before any reduction — ``(w, h, channels, depth, palette, plte,
+    out)`` where ``out`` is the unfiltered (h, w*bpp) byte matrix
+    (depth >= 8) or the (h, w) sample-value matrix (sub-byte depths).
+    Shared by the stats wrapper (:func:`_decode_png`) and the
+    pixel-level API (:func:`png_pixels`) the perceptual-hash operator
+    consumes: 1/2/4/8/16-bit gray,
     8/16-bit gray+alpha / RGB / RGBA, sub-byte or 8-bit palette
     (PLTE), non-interlaced or Adam7 interlaced at EVERY supported
     depth (sub-byte passes unpack per-pass with per-pass byte
@@ -456,6 +464,15 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
                 out[y0 + r * dy, x0 : x0 + (pw - 1) * dx + 1 : dx] = vals[r]
         if p != len(raw):
             raise ValueError("PNG interlaced payload size mismatch")
+    return w, h, channels, depth, palette, plte, out
+
+
+def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
+    """PNG stats (w, h, channels, mean intensity on the 0-255 scale)
+    from the decoded value matrix."""
+    import numpy as np
+
+    w, h, channels, depth, palette, plte, out = _png_value_matrix(buf)
     if palette:
         if not plte:
             raise ValueError("palette PNG without PLTE chunk")
@@ -471,6 +488,30 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
         scale = 255.0 / ((1 << depth) - 1)
         return w, h, 1, float(out.mean() * scale) if out.size else 0.0
     return w, h, channels, float(out.mean()) if out.size else 0.0
+
+
+def png_pixels(buf: bytes):
+    """Decoded PNG pixel array: (h, w) for single-channel, (h, w, c)
+    otherwise; uint8 for depth <= 8 (sub-byte gray levels rescaled to
+    0-255), uint16 for 16-bit.  Palette images expand to RGB."""
+    import numpy as np
+
+    w, h, channels, depth, palette, plte, out = _png_value_matrix(buf)
+    if palette:
+        if not plte:
+            raise ValueError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[out.reshape(-1)].reshape(h, w, 3)
+    if depth == 16:
+        vals = out.reshape(-1).view(np.uint8)
+        u16 = vals[0::2].astype(np.uint16) * 256 + vals[1::2]
+        arr = u16.reshape(h, w, channels)
+        return arr[:, :, 0] if channels == 1 else arr
+    if depth < 8:
+        scale = 255 // ((1 << depth) - 1)  # exact for 1/2/4-bit
+        return (out * scale).astype(np.uint8)
+    arr = out.reshape(h, w, channels)
+    return arr[:, :, 0] if channels == 1 else arr
 
 
 def _decode_jpeg(buf: bytes) -> tuple[int, int, int, float]:
@@ -926,3 +967,140 @@ def frame_sample_real(df: DataFrame, n_frames: int, id_col: str = "doc_id") -> D
             )
 
     return df.select(id_col, "content").mapInPandas(_sample, REAL_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash) + banded hamming near-dup join
+# ---------------------------------------------------------------------------
+
+#: pHash LSH parameters: the 63-bit hash splits into 4 x 16-bit bands
+#: (the top band carries 15 significant bits); a candidate pair must
+#: collide on at least one band.  Standard LSH recall tradeoff: a pair
+#: at hamming h can evade every band once h > bands - 1, with evasion
+#: probability shrinking geometrically — raise PHASH_BANDS for higher
+#: recall at more candidate cost.
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_MAX_HAMMING = 10
+
+
+def image_pixels(buf: bytes):
+    """Pixel-level decode dispatch for the perceptual-hash path: PNG
+    via the native value-matrix core, JPEG (baseline / progressive /
+    lossless) via operators/jpeg.py.  Formats without a pixel-level
+    API here (PPM/BMP feed the stats path only) raise ValueError."""
+    if buf.startswith(_PNG_SIG):
+        return png_pixels(buf)
+    if buf.startswith(b"\xff\xd8"):
+        from storm_dynamic_spout_spark.operators.jpeg import decode_baseline_jpeg
+
+        return decode_baseline_jpeg(buf)
+    raise ValueError("phash decode supports PNG and JPEG payloads")
+
+
+def phash64(pixels) -> int:
+    """63-bit DCT perceptual hash of a decoded pixel array, fully
+    deterministic: integer luma (ITU-R 601 weights, floor division),
+    8x8 nearest-neighbor downsample by integer indexing, orthonormal
+    float64 DCT-II, then bit i = 1 iff AC coefficient i exceeds the
+    median of the 63 AC coefficients.  Uniform brightness shifts only
+    move the DC coefficient, so near-identical content lands within a
+    few bits regardless of exposure."""
+    import numpy as np
+
+    arr = np.asarray(pixels)
+    if arr.ndim == 3:
+        a = arr.astype(np.int64)
+        if arr.shape[2] >= 3:
+            luma = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+        else:
+            luma = a[..., 0]
+    else:
+        luma = arr.astype(np.int64)
+    h, w = luma.shape
+    ys = [(y * h) // 8 for y in range(8)]
+    xs = [(x * w) // 8 for x in range(8)]
+    ds = luma[np.ix_(ys, xs)].astype(np.float64)
+    k = np.arange(8)
+    dct = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 16.0) * np.sqrt(2.0 / 8)
+    dct[0] /= np.sqrt(2.0)
+    coef = dct @ ds @ dct.T
+    ac = coef.reshape(-1)[1:]
+    med = float(np.median(ac))
+    bits = 0
+    for i, v in enumerate(ac):
+        if float(v) > med:
+            bits |= 1 << i
+    return bits
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def phash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) → (id, 63-bit perceptual hash) via Arrow-batched
+    mapInPandas over the REAL pixel decoders — the only Python stage of
+    the image near-dup pipeline; everything downstream (banding, the
+    candidate join, hamming verify) is JVM bit arithmetic.  Narrow
+    transformation: partitioning preserved; repartition before this
+    stage to spread decode work."""
+
+    def _hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "phash": [phash64(image_pixels(b)) for b in pdf["content"]],
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(_hash_batches, PHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes: explode each
+    hash into its LSH bands, equi-join on (band index, band value) for
+    candidates, verify with bit_count(xor) ≤ max_hamming — the same
+    banded-hamming shape as simhash text dedup, so the pair join never
+    goes all-pairs (candidates only where 16 consecutive bits agree
+    exactly).  All JVM bit ops; one exchange keyed on the band value."""
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftrightunsigned(F.col("phash"), b * PHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    keyed = hashed.select(F.col(id_col), "phash", F.explode(bands).alias("__band"))
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("phash").alias("__pa"), "__band"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("phash").alias("__pb"), "__band"
+    )
+    return (
+        a.join(b, "__band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__pa", "__pb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

