@@ -273,6 +273,81 @@ def term_freq_topk(t):
     return counts.orderBy(F.desc("n_occurrences"), "term").limit(50)
 
 
+def basket_pairs(t):
+    """Market-basket pair join (catalog orders_market_basket shape):
+    self-equi-join on l_orderkey with bounded per-order fan-out
+    (≤ C(7,2) pairs per order), partial-agg'd pair counts, then a
+    TakeOrderedAndProject top-50.  Key-shifted copies keep orders
+    disjoint, so pair volume grows linearly with the data — a
+    quadratic cross-part blow-up would show immediately."""
+    li = t("lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pa", "pb")
+        .limit(50)
+    )
+
+
+def boiler_grams(t):
+    """Boilerplate 4-gram detector (catalog text_boilerplate_ngrams
+    shape): |tokens|-sized gram explosion immediately reduced by two
+    aggregates; the only wide exchange joins two PRE-AGGREGATED sides
+    on the gram key; the doc-count threshold is a one-row broadcast.
+    Copy-salted tokens keep cross-copy grams distinct."""
+    d = t("documents")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" please subscribe to "),
+        F.col("source"),
+        F.lit(" newsletter today"),
+    )
+    tk = d.select("doc_id", F.split(footer, r"\s+").alias("tk"))
+    idx = F.sequence(F.lit(1), F.size("tk") - 3)
+    grams = tk.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice("tk", i, 4), " "))
+        ).alias("gram"),
+    )
+    gd = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    pg = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    th = d.select(F.ceil(F.count(F.lit(1)) * 0.02).cast("long").alias("min_docs"))
+    boiler = F.when(F.col("nd") >= F.col("min_docs"), F.col("n")).otherwise(F.lit(0))
+    return (
+        pg.join(gd, "gram")
+        .crossJoin(F.broadcast(th))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_grams"), F.sum(boiler).alias("n_boiler"))
+    )
+
+
+def pq_adc(t):
+    """PQ ADC search (catalog ann_topk_pq shape): the codebook and the
+    per-query distance tables stay fixed-size broadcasts while the
+    corpus of codes scales; per-query top-k is WindowGroupLimit-pruned.
+    Queries pin to the copy-0 seed vectors, so query count is constant
+    and the scan cost is the linear part."""
+    from storm_dynamic_spout_spark.operators.similarity import pq_topk_adc
+
+    return pq_topk_adc(
+        t("embeddings"),
+        "vec_id",
+        "embedding",
+        dim=64,
+        query_pred=F.col("vec_id") < 8,
+        k=5,
+    )
+
+
 def rfm_value_cuts(t):
     """RFM scoring via broadcast quartile cuts (catalog orders_rfm
     shape, r6 replan): one orders aggregate to |customers| rows, nine
@@ -332,6 +407,9 @@ QUERIES = [
     ("token_budget", token_budget_prefix_sum),
     ("term_freq_topk", term_freq_topk),
     ("rfm_value_cuts", rfm_value_cuts),
+    ("basket_pairs", basket_pairs),
+    ("boiler_grams", boiler_grams),
+    ("pq_adc", pq_adc),
 ]
 
 
