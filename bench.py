@@ -40,6 +40,9 @@ HEADLINE = [
     "stream_session_window",  # event-time sessionization
     "text_term_freq",  # vocabulary top-k (r6 replan: TakeOrdered, no global sort)
     "orders_rfm",  # RFM quartile scoring (r6 replan: broadcast cuts, no ntile sorts)
+    "orders_market_basket",  # r7: bounded pair self-join + post-cut marginals
+    "text_boilerplate_ngrams",  # r7: gram explosion + pre-aggregated gram join
+    "ann_topk_pq",  # r7: PQ ADC search — broadcast tables + code lookups
 ]
 
 
@@ -176,14 +179,22 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # the round-1..4 series totals exactly these 17 queries; round 5
-    # added dedup_minhash_pairs and round 6 the two replanned queries,
-    # so the comparable series number is reported alongside the full
-    # total
+    # added dedup_minhash_pairs, round 6 the two replanned queries, and
+    # round 7 the basket/boilerplate/PQ trio, so the comparable series
+    # number is reported alongside the full total
     anchor_17 = round(
         sum(
             v
             for k, v in timings.items()
-            if k not in ("dedup_minhash_pairs", "text_term_freq", "orders_rfm")
+            if k
+            not in (
+                "dedup_minhash_pairs",
+                "text_term_freq",
+                "orders_rfm",
+                "orders_market_basket",
+                "text_boilerplate_ngrams",
+                "ann_topk_pq",
+            )
         ),
         4,
     )

@@ -274,23 +274,30 @@ def term_freq_topk(t):
 
 
 def basket_pairs(t):
-    """Market-basket pair join (catalog orders_market_basket shape):
-    self-equi-join on l_orderkey with bounded per-order fan-out
-    (≤ C(7,2) pairs per order), partial-agg'd pair counts, then a
-    TakeOrderedAndProject top-50.  Key-shifted copies keep orders
-    disjoint, so pair volume grows linearly with the data — a
-    quadratic cross-part blow-up would show immediately."""
-    li = t("lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    """Market-basket pair expansion (catalog orders_market_basket
+    shape): ONE exchange builds per-order sorted part sets, pairs
+    expand as an array expression with bounded per-order fan-out
+    (≤ C(7,2) pairs per order — no two-sided self-join shuffle),
+    partial-agg'd pair counts, then a TakeOrderedAndProject top-50.
+    Key-shifted copies keep orders disjoint, so pair volume grows
+    linearly with the data — a quadratic cross-part blow-up would
+    show immediately."""
+    li = t("lineitem").select("l_orderkey", "l_partkey")
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice("parts", i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        items.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p.pa", "p.pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "pa", "pb")
         .limit(50)

@@ -52,24 +52,25 @@ _PRIORITY = [
     "join_inner",
     "project_expressions",
     "sql_exists_subquery",
-    # --- slots 11-16: new in round 7 (never driver-checked) ---
+    # --- slots 11-17: new in round 7 (never driver-checked) ---
     "corpus_soft_dedup_weights",
     "text_boilerplate_ngrams",
     "orders_market_basket",
     "embedding_pq_codes",
     "multimodal_image_phash_pairs",
     "ann_topk_pq",
-    # --- slots 17-18: decode-path dependencies edited this round
+    "sql_recursive_hierarchy",
+    # --- slots 18-19: decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",
     "multimodal_video_stats",
-    # --- slots 19-23: canaries ---
+    # --- slots 20-24: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 24-50: round-3-stale cohort (non-tpch first) ---
+    # --- slots 25-50: round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",
@@ -96,8 +97,8 @@ _PRIORITY = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
-    "tpch_q7",
     # --- slots 51+: r3-stale spill (leads round 8) ---
+    "tpch_q7",
     "tpch_q8",
     "tpch_q9",
     "tpch_q10",

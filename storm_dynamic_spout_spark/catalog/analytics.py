@@ -911,34 +911,47 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     together in one order, with support and lift — the
     frequent-itemset / recommender seed query.
 
-    Why at 100 TB: the pair generation is a self-equi-join on
-    l_orderkey with a bounded fan-out (TPC-H orders hold ≤ 7 distinct
-    parts, so the quadratic blow-up is ≤ C(7,2) = 21 rows per order —
-    never all-pairs across parts); partial aggregation shrinks the
-    pair shuffle to |distinct pairs|.  The top-k is
-    ``orderBy().limit()`` → TakeOrderedAndProject, and support/lift
-    marginals join AFTER the cut: the 50-row side broadcasts into the
-    |parts|-sized marginal table, so no shuffle is keyed on the full
-    pair set twice.  Ties at the count threshold break
-    deterministically on (part_a, part_b)."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    tot = li.select(F.countDistinct("l_orderkey").cast("long").alias("__tot"))
-    a = li.alias("a")
-    b = li.alias("b")
+    Why at 100 TB: ONE exchange keyed on l_orderkey builds the
+    per-order sorted part set; pairs expand as an array expression
+    with a bounded fan-out (TPC-H orders hold ≤ 7 distinct parts, so
+    the quadratic blow-up is ≤ C(7,2) = 21 rows per order — never
+    all-pairs across parts, and never a two-sided self-join shuffle);
+    partial aggregation shrinks the pair shuffle to |distinct pairs|.
+    The part marginals and the order count derive from the same
+    per-order aggregate (recomputed per branch in this lazy plan —
+    persist/localCheckpoint the per-order sets in production to share
+    the exchange across the three consumers).  The top-k is
+    ``orderBy().limit()`` →
+    TakeOrderedAndProject, and support/lift marginals join AFTER the
+    cut: the 50-row side broadcasts into the |parts|-sized marginal
+    table, so no shuffle is keyed on the full pair set twice.  Ties at
+    the count threshold break deterministically on (part_a, part_b)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__parts")
+    )
+    tot = items.select(F.count(F.lit(1)).cast("long").alias("__tot"))
+    pair_arr = F.flatten(
+        F.transform(
+            "__parts",
+            lambda x, i: F.transform(
+                F.slice("__parts", i + 2, F.size("__parts")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        items.select(F.explode(pair_arr).alias("__p"))
+        .select("__p.part_a", "__p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
     top = pairs.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(BASKET_TOP)
-    marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_part"))
+    marg = (
+        items.select(F.explode("__parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_part"))
+    )
     ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("__na"))
     mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("__nb"))
     enriched = ma.join(F.broadcast(top.crossJoin(tot)), "part_a")

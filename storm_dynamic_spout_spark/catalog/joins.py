@@ -544,3 +544,51 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("last_order_date"),
         )
     )
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS leaf, c_custkey AS node, 0 AS depth
+      FROM customer
+      UNION ALL
+      SELECT leaf, node // 10, depth + 1 FROM walk WHERE node > 0
+    )
+    SELECT leaf AS c_custkey,
+           CAST(max(depth) AS BIGINT) AS depth_to_root,
+           CAST(sum(node) AS BIGINT) AS path_sum
+    FROM walk GROUP BY leaf ORDER BY leaf
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the engine's SQL entry point (Spark 4
+    ``WITH RECURSIVE`` — the UnionLoop iterative plan): walk a derived
+    parent hierarchy (parent = custkey DIV 10, the decimal-digit tree,
+    derived in-query like corpus_url_dedup's URLs) from every customer
+    to the root, reporting depth and the path checksum.  DuckDB runs
+    the same recursion with its ``//`` integer division.
+
+    Why at 100 TB: recursion depth is log10(|customers|) (~12 for 1e12
+    keys) — each iteration is a narrow map over the frontier, and the
+    frontier SHRINKS as paths hit the root; the only shuffle is the
+    final per-leaf aggregate.  Unbounded-depth graph walks belong to
+    the localCheckpoint CC operator (operators/dedup.py) — this is the
+    bounded-hierarchy shape (org charts, category trees, BOM levels)."""
+    from storm_dynamic_spout_spark.engine import register_tables
+
+    register_tables(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS leaf, c_custkey AS node, 0 AS depth
+          FROM customer
+          UNION ALL
+          SELECT leaf, node DIV 10, depth + 1 FROM walk WHERE node > 0
+        )
+        SELECT leaf AS c_custkey,
+               CAST(max(depth) AS BIGINT) AS depth_to_root,
+               CAST(sum(node) AS BIGINT) AS path_sum
+        FROM walk GROUP BY leaf ORDER BY leaf
+        """
+    )
