@@ -52,7 +52,7 @@ _PRIORITY = [
     "join_inner",
     "project_expressions",
     "sql_exists_subquery",
-    # --- slots 11-17: new in round 7 (never driver-checked) ---
+    # --- slots 11-19: new in round 7 (never driver-checked) ---
     "corpus_soft_dedup_weights",
     "text_boilerplate_ngrams",
     "orders_market_basket",
@@ -60,17 +60,19 @@ _PRIORITY = [
     "multimodal_image_phash_pairs",
     "ann_topk_pq",
     "sql_recursive_hierarchy",
-    # --- slots 18-19: decode-path dependencies edited this round
+    "table_bucketed_join",
+    "multimodal_audio_fingerprint_pairs",
+    # --- slots 20-21: decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",
     "multimodal_video_stats",
-    # --- slots 20-24: canaries ---
+    # --- slots 22-26: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 25-50: round-3-stale cohort (non-tpch first) ---
+    # --- slots 27-50: round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",
@@ -95,9 +97,9 @@ _PRIORITY = [
     "window_running",
     "tpch_q2",
     "tpch_q3",
+    # --- slots 51+: r3-stale spill (leads round 8) ---
     "tpch_q5",
     "tpch_q6",
-    # --- slots 51+: r3-stale spill (leads round 8) ---
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",

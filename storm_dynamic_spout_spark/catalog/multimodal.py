@@ -435,3 +435,117 @@ def multimodal_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hashed = phash_images(ids.withColumn("content", _payload("doc_id")))
     return phash_near_pairs(hashed).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup pairs: 16 base WAVs + 16 gain-halved
+# variants (same recording at lower amplitude must still pair up).
+# ---------------------------------------------------------------------------
+
+
+def _audio_samples(clip_id: int):
+    """CLOSED-FORM int16 samples for fixture clip ``clip_id`` —
+    hashlib keystream only, never the WAV decoder; variant ids
+    (>= 100) apply the gain-halving (floor division) the variant
+    encoder bakes in."""
+    import numpy as np
+
+    seed, _rate, n = _audio_params(clip_id % 100)
+    need = n * 2
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(seed + b"wav" + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    x = np.frombuffer(bytes(out[:need]), dtype="<i2").astype(np.int32)
+    if clip_id >= 100:
+        x = x // 2
+    return x
+
+
+def _audio_fp_oracle_values() -> str:
+    from storm_dynamic_spout_spark.operators.multimodal import audio_fingerprint63
+
+    ids = list(range(N_CLIPS)) + [100 + d for d in range(N_CLIPS)]
+    return ",\n      ".join(
+        f"({i}, {audio_fingerprint63(_audio_samples(i))})" for i in ids
+    )
+
+
+@query(
+    "multimodal_audio_fingerprint_pairs",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(v.clip_id AS BIGINT) AS clip_id, CAST(v.fp AS BIGINT) AS fp
+      FROM (VALUES
+      {{values}}
+      ) AS v(clip_id, fp)
+      JOIN documents d ON d.doc_id = v.clip_id % 100
+    ),
+    b AS (
+      SELECT clip_id, fp, u.i AS band,
+             (fp >> (CAST(u.i AS INTEGER) * 16)) & 65535 AS bv
+      FROM h, UNNEST(range(0, 4)) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.clip_id AS id_a, a.fp AS fa,
+                      x.clip_id AS id_b, x.fp AS fb
+      FROM b a JOIN b x ON a.band = x.band AND a.bv = x.bv
+                       AND a.clip_id < x.clip_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 10
+    ORDER BY id_a, id_b
+    """.replace("{values}", _audio_fp_oracle_values()),
+)
+def multimodal_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection over the REAL WAV decode path — the
+    audio twin of the image pHash pairs: 16 fixture clips plus 16
+    gain-halved variants (same recording, half the amplitude) decode
+    through the stdlib-wave path, fingerprint to 63-bit energy-delta
+    signatures (operators/multimodal.py audio_fingerprint63 — integer
+    domain end to end), and pair up via the SAME banded-hamming LSH
+    join the image path uses (phash_near_pairs, hash_col swap only).
+    The oracle recomputes every fingerprint from the keystream CLOSED
+    FORM and replays the band/verify logic in SQL.
+
+    Why at 100 TB: identical to the image path — decode+fingerprint is
+    the only Python stage (Arrow-batched, narrow); candidates come
+    from 16-bit band equi-joins in JVM bit arithmetic, never
+    all-pairs."""
+    import io
+    import wave
+
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        fingerprint_audio,
+        make_wav_audio,
+        phash_near_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < N_CLIPS).select("doc_id")
+    variants = d.filter(F.col("doc_id") < N_CLIPS).select(
+        (F.col("doc_id") + 100).alias("doc_id")
+    )
+    ids = base.unionByName(variants)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(s: pd.Series) -> pd.Series:
+        def mk(i: int) -> bytes:
+            i = int(i)
+            seed, rate, _n = _audio_params(i % 100)
+            if i < 100:
+                return make_wav_audio(seed, rate, _n)
+            x = _audio_samples(i).astype("<i2")
+            bio = io.BytesIO()
+            with wave.open(bio, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes(x.tobytes())
+            return bio.getvalue()
+
+        return s.map(mk)
+
+    fps = fingerprint_audio(ids.withColumn("content", _payload("doc_id")))
+    return phash_near_pairs(fps, hash_col="fingerprint").orderBy("id_a", "id_b")

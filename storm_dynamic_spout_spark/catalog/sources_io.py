@@ -133,3 +133,66 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+N_JOIN_BUCKETS = 8
+
+
+@query(
+    "table_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def table_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the 100 TB shuffle eliminator: both
+    fact tables are written ``bucketBy(N, join_key).sortBy(join_key)``
+    (Hive-compatible bucketing; data lands in a fresh tempdir like the
+    other side-effectful round-trip queries), and the sort-merge join
+    over the bucketed scans needs NO exchange on either side — each of
+    the N buckets joins its twin directly.  The oracle is the plain
+    parquet join, so green proves bucketed layout is value-lossless;
+    the plan guard (tests/test_bucketed_join.py) proves the exchange
+    elimination actually happened (the point of paying the bucketed
+    write once is that EVERY subsequent key-aligned join/aggregate
+    skips its shuffle).  The ``merge`` hint pins SMJ so the tiny
+    fixture doesn't broadcast away the demonstration."""
+    import tempfile
+    import uuid
+
+    tok = uuid.uuid4().hex[:10]
+    base = tempfile.mkdtemp(prefix="sdss-bkt-")
+    li_t, o_t = f"sdss_bkt_li_{tok}", f"sdss_bkt_o_{tok}"
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (
+        li.write.bucketBy(N_JOIN_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/li")
+        .mode("overwrite")
+        .saveAsTable(li_t)
+    )
+    (
+        o.write.bucketBy(N_JOIN_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/o")
+        .mode("overwrite")
+        .saveAsTable(o_t)
+    )
+    lb, ob = spark.table(li_t), spark.table(o_t)
+    joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

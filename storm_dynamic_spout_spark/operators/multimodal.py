@@ -742,11 +742,14 @@ def make_wav_audio(seed: bytes, sample_rate: int = 16000, n_samples: int = 256) 
     return bio.getvalue()
 
 
-def _decode_wav(buf: bytes) -> tuple[int, int, float]:
-    """Real WAV (PCM) decode via the stdlib ``wave`` module + numpy —
-    no external codec required; 8/16/24-bit sample widths.  Returns
-    (sample_rate, n_frames, rms of the samples normalized to
-    [-1, 1])."""
+def wav_samples(buf: bytes):
+    """Sample-level WAV (PCM) decode via the stdlib ``wave`` module +
+    numpy — (sample_rate, full_scale, n_frames, int samples): int16
+    range for 16-bit, uint8-centered for 8-bit, sign-extended int32
+    for 24-bit; multi-channel stays interleaved (samples = frames x
+    channels).  Shared by the stats wrapper (:func:`_decode_wav`) and
+    the audio fingerprint operator, which needs the exact integer
+    domain."""
     import io
     import wave
 
@@ -758,19 +761,32 @@ def _decode_wav(buf: bytes) -> tuple[int, int, float]:
         width = wf.getsampwidth()
         frames = wf.readframes(n)
     if width == 2:
-        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
-    elif width == 1:
-        samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-    elif width == 3:
+        return rate, 32768, n, np.frombuffer(frames, dtype="<i2").astype(np.int32)
+    if width == 1:
+        return (
+            rate,
+            128,
+            n,
+            np.frombuffer(frames, dtype=np.uint8).astype(np.int32) - 128,
+        )
+    if width == 3:
         # 24-bit PCM: 3-byte little-endian signed, sign-extended to i32
         b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
         v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
         v = np.where(v >= 1 << 23, v - (1 << 24), v)
-        samples = v.astype(np.float64) / float(1 << 23)
-    else:
-        raise ValueError(f"unsupported WAV sample width: {width}")
+        return rate, 1 << 23, n, v
+    raise ValueError(f"unsupported WAV sample width: {width}")
+
+
+def _decode_wav(buf: bytes) -> tuple[int, int, float]:
+    """WAV stats: (sample_rate, n_frames, rms of the samples
+    normalized to [-1, 1]) from the integer sample decode."""
+    import numpy as np
+
+    rate, full, n_frames, ints = wav_samples(buf)
+    samples = ints.astype(np.float64) / float(full)
     rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
-    return rate, n, rms
+    return rate, n_frames, rms
 
 
 def decode_audio(df: DataFrame, id_col: str = "doc_id", fake: bool = False) -> DataFrame:
@@ -1066,31 +1082,34 @@ def phash_near_pairs(
     hashed: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = PHASH_MAX_HAMMING,
+    hash_col: str = "phash",
 ) -> DataFrame:
     """Near-duplicate image pairs from perceptual hashes: explode each
     hash into its LSH bands, equi-join on (band index, band value) for
     candidates, verify with bit_count(xor) ≤ max_hamming — the same
     banded-hamming shape as simhash text dedup, so the pair join never
     goes all-pairs (candidates only where 16 consecutive bits agree
-    exactly).  All JVM bit ops; one exchange keyed on the band value."""
+    exactly).  All JVM bit ops; one exchange keyed on the band value.
+    Works for ANY 63-bit hash column (``hash_col``) — the audio
+    fingerprint reuses it unchanged."""
     mask = (1 << PHASH_BAND_BITS) - 1
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("b"),
-                F.shiftrightunsigned(F.col("phash"), b * PHASH_BAND_BITS)
+                F.shiftrightunsigned(F.col(hash_col), b * PHASH_BAND_BITS)
                 .bitwiseAND(F.lit(mask))
                 .alias("v"),
             )
             for b in range(PHASH_BANDS)
         ]
     )
-    keyed = hashed.select(F.col(id_col), "phash", F.explode(bands).alias("__band"))
+    keyed = hashed.select(F.col(id_col), hash_col, F.explode(bands).alias("__band"))
     a = keyed.select(
-        F.col(id_col).alias("id_a"), F.col("phash").alias("__pa"), "__band"
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("__pa"), "__band"
     )
     b = keyed.select(
-        F.col(id_col).alias("id_b"), F.col("phash").alias("__pb"), "__band"
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("__pb"), "__band"
     )
     return (
         a.join(b, "__band")
@@ -1104,3 +1123,49 @@ def phash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def audio_fingerprint63(samples) -> int:
+    """63-bit energy-delta audio fingerprint, fully deterministic in
+    the INTEGER domain: the first 128 samples split into 64 frames of
+    2; bit i = 1 iff frame i+1 has higher energy (sum of squared int
+    samples) than frame i.  Positive amplitude scaling preserves every
+    delta sign, so re-encoded / gain-adjusted copies of the same
+    recording land within a few bits (only rounding near equal-energy
+    frames can flip one)."""
+    import numpy as np
+
+    x = np.asarray(samples[:128], dtype=np.int64)
+    if x.size < 128:
+        x = np.pad(x, (0, 128 - x.size))
+    e = (x.reshape(64, 2) ** 2).sum(axis=1)
+    bits = 0
+    for i in range(63):
+        if int(e[i + 1]) > int(e[i]):
+            bits |= 1 << i
+    return bits
+
+
+def fingerprint_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) → (id, 63-bit audio fingerprint) via Arrow-batched
+    mapInPandas over the REAL WAV decoder — the audio twin of
+    phash_images; downstream banding/verify reuses phash_near_pairs
+    unchanged (hash_col='fingerprint')."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("fingerprint", T.LongType(), False),
+        ]
+    )
+
+    def _fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for buf in pdf["content"]:
+                _rate, _full, _n, ints = wav_samples(bytes(buf))
+                fps.append(audio_fingerprint63(ints))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "fingerprint": fps}
+            )
+
+    return df.select(id_col, "content").mapInPandas(_fp_batches, schema)

@@ -743,3 +743,48 @@ def test_phash_cross_codec_pair_survives_real_decoders(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] <= 10
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_audio_fingerprint_gain_invariant_and_pairs(spark):
+    """Energy-delta fingerprint: amplitude scaling preserves delta
+    signs (gain-halved copy pairs at small hamming through the REAL
+    WAV decode + banded join); different content stays far."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        audio_fingerprint63,
+        fingerprint_audio,
+        make_wav_audio,
+        phash_near_pairs,
+        wav_samples,
+    )
+
+    base = make_wav_audio(b"fp-test", 16000, 128)
+    _r, _f, _n, ints = wav_samples(base)
+    fp = audio_fingerprint63(ints)
+    assert 0 <= fp < (1 << 63)
+    # exact positive scaling: every delta sign identical
+    assert audio_fingerprint63(ints * 3) == fp
+    half = (ints // 2).astype("<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(half.tobytes())
+    other = make_wav_audio(b"unrelated", 16000, 128)
+    df = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(bio.getvalue())), (2, bytearray(other))],
+        "doc_id long, content binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(
+            fingerprint_audio(df), hash_col="fingerprint"
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 10
+    assert (0, 2) not in pairs and (1, 2) not in pairs
