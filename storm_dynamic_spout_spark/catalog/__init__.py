@@ -52,7 +52,7 @@ _PRIORITY = [
     "join_inner",
     "project_expressions",
     "sql_exists_subquery",
-    # --- slots 11-19: new in round 7 (never driver-checked) ---
+    # --- slots 11-20: new in round 7 (never driver-checked) ---
     "corpus_soft_dedup_weights",
     "text_boilerplate_ngrams",
     "orders_market_basket",
@@ -62,17 +62,18 @@ _PRIORITY = [
     "sql_recursive_hierarchy",
     "table_bucketed_join",
     "multimodal_audio_fingerprint_pairs",
-    # --- slots 20-21: decode-path dependencies edited this round
+    "multimodal_video_containment",
+    # --- slots 21-22: decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",
     "multimodal_video_stats",
-    # --- slots 22-26: canaries ---
+    # --- slots 23-27: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 27-50: round-3-stale cohort (non-tpch first) ---
+    # --- slots 28-50: round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",
@@ -96,8 +97,8 @@ _PRIORITY = [
     "window_range_frame",
     "window_running",
     "tpch_q2",
-    "tpch_q3",
     # --- slots 51+: r3-stale spill (leads round 8) ---
+    "tpch_q3",
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",

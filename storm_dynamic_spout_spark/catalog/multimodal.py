@@ -549,3 +549,132 @@ def multimodal_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> Data
 
     fps = fingerprint_audio(ids.withColumn("content", _payload("doc_id")))
     return phash_near_pairs(fps, hash_col="fingerprint").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Video containment dedup: base MJPEG-AVIs + trimmed variants (prefix
+# cut of the same footage) paired by shared frame fingerprints.
+# ---------------------------------------------------------------------------
+
+
+def _video_variant_frames(doc_id: int) -> int:
+    """Frame count of the trimmed variant: the first half (min 3) of
+    the base clip's frames — same (seed, index)-deterministic frame
+    bytes, shorter container."""
+    _seed, n = _video_params(doc_id)
+    return max(3, n // 2)
+
+
+def _video_fp_oracle_values() -> str:
+    """(video_id, frame_sha) per SAMPLED frame — the frame_sample_real
+    pick formula replayed over independently-rebuilt frame JPEGs
+    (keystream + encoder, bypassing the container writer/parser)."""
+    rows = []
+    for vid in list(range(N_VIDEOS)) + [100 + d for d in range(N_VIDEOS)]:
+        d = vid % 100
+        seed, n = _video_params(d)
+        if vid >= 100:
+            n = _video_variant_frames(d)
+        take = min(FRAMES_PER_VIDEO, n)
+        picks = [round(i * (n - 1) / max(take - 1, 1)) for i in range(take)]
+        for fi in picks:
+            sha = hashlib.sha256(_video_frame_jpeg(seed, fi)).hexdigest()
+            rows.append(f"({vid}, '{sha}')")
+    return ",\n      ".join(rows)
+
+
+VIDEO_CONTAIN_MIN = 0.5
+
+
+@query(
+    "multimodal_video_containment",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(v.vid AS BIGINT) AS vid, v.sha AS sha
+      FROM (VALUES
+      {{values}}
+      ) AS v(vid, sha)
+      JOIN documents d ON d.doc_id = v.vid % 100
+    ),
+    pairs AS (
+      SELECT a.vid AS id_a, b.vid AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM f a JOIN f b ON a.sha = b.sha AND a.vid < b.vid
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT vid, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1)
+    SELECT p.id_a, p.id_b, p.n_shared,
+           round(p.n_shared * 1.0 / least(sa.n, sb.n), 6) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.vid = p.id_a
+    JOIN sizes sb ON sb.vid = p.id_b
+    WHERE p.n_shared * 1.0 / least(sa.n, sb.n) >= {VIDEO_CONTAIN_MIN}
+    ORDER BY p.id_a, p.id_b
+    """.replace("{values}", _video_fp_oracle_values()),
+)
+def multimodal_video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection by shared frame fingerprints — the
+    trimmed-repost case: the fixture MJPEG-AVIs plus prefix-trimmed
+    variants run through the REAL container walk + frame sampler
+    (frame_sample_real), and videos sharing ≥ 50% of their sampled
+    frames (containment on the smaller side) pair up.  Frame identity
+    is the sha of the stored JPEG bytes — exact, no perceptual
+    tolerance needed for container-level dedup.  The oracle rebuilds
+    every sampled frame's bytes from the keystream + encoder
+    (bypassing the container writer AND parser) and replays the pick
+    formula, so a RIFF-walk or sampling bug reds the row.
+
+    Why at 100 TB: the pair join is an EQUI-join on the frame sha (a
+    64-hex key), never video×video; both sides are the post-sampling
+    (video, frame) table — |videos| × frames-per-video rows, shrunk
+    again by the pair aggregate.  Decode/sampling is the declared
+    Arrow surface (1:N mapInPandas explosion)."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        frame_sample_real,
+        make_mjpeg_avi,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < N_VIDEOS).select("doc_id")
+    variants = d.filter(F.col("doc_id") < N_VIDEOS).select(
+        (F.col("doc_id") + 100).alias("doc_id")
+    )
+    ids = base.unionByName(variants)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(s: pd.Series) -> pd.Series:
+        def mk(i: int) -> bytes:
+            i = int(i)
+            seed, n = _video_params(i % 100)
+            if i >= 100:
+                n = _video_variant_frames(i % 100)
+            return make_mjpeg_avi(seed, _VID_W, _VID_H, n)
+
+        return s.map(mk)
+
+    sampled = frame_sample_real(
+        ids.withColumn("content", _payload("doc_id")), n_frames=FRAMES_PER_VIDEO
+    ).select(F.col("doc_id").alias("vid"), "frame_sha")
+    a = sampled.select(F.col("vid").alias("id_a"), F.col("frame_sha").alias("__sha"))
+    b = sampled.select(F.col("vid").alias("id_b"), F.col("frame_sha").alias("__sha"))
+    pairs = (
+        a.join(b, "__sha")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sizes = sampled.groupBy("vid").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    sa = sizes.select(F.col("vid").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("vid").alias("id_b"), F.col("__n").alias("__nb"))
+    contain = F.col("n_shared") * 1.0 / F.least("__na", "__nb")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(contain >= VIDEO_CONTAIN_MIN)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(contain, 6).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -73,6 +73,7 @@ def test_inventory_global_invariants():
         "multimodal_video_stats",
         "multimodal_image_phash_pairs",
         "multimodal_audio_fingerprint_pairs",
+        "multimodal_video_containment",
     }
     python = {n for n, c in inv.items() if c["python_nodes"] > 0}
     assert python <= allowed_python, (
