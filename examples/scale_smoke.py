@@ -325,8 +325,8 @@ def boiler_grams(t):
             F.transform(idx, lambda i: F.array_join(F.slice("tk", i, 4), " "))
         ).alias("gram"),
     )
-    gd = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
     pg = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    gd = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     th = d.select(F.ceil(F.count(F.lit(1)) * 0.02).cast("long").alias("min_docs"))
     boiler = F.when(F.col("nd") >= F.col("min_docs"), F.col("n")).otherwise(F.lit(0))
     return (

@@ -2933,12 +2933,17 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer grams land in ~5% of docs and cross the gate; random-text
     grams and small exact-dup clusters stay under it.
 
-    Why at 100 TB: gram explosion is |tokens|-sized but immediately
-    reduced twice (per-(doc,gram) counts, then gram document
-    frequencies); the only wide exchange is keyed on the gram hash
-    between two PRE-AGGREGATED sides, and the doc-count threshold is a
-    one-row broadcast.  No Python anywhere — slice/transform/explode
-    are all codegen'd array expressions."""
+    Why at 100 TB: the |tokens|-sized gram explosion is immediately
+    reduced by per-(doc,gram) counts, and the gram document
+    frequencies derive from that aggregate as a CASCADED count (its
+    rows are distinct (doc, gram), so a row count per gram IS the
+    document frequency — no countDistinct expansion); the only wide
+    exchange is keyed on the gram between two PRE-AGGREGATED sides,
+    and the doc-count threshold is a one-row broadcast.  The lazy plan
+    re-evaluates the explode per consumer branch (persist the
+    per-(doc,gram) table in production to share it).  No Python
+    anywhere — slice/transform/explode are all codegen'd array
+    expressions."""
     d = t(spark, sf_dir, "documents")
     footer = F.concat(
         F.col("text"),
@@ -2956,11 +2961,13 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    gram_docs = grams.groupBy("gram").agg(
-        F.countDistinct("doc_id").cast("long").alias("__nd")
-    )
     per_doc = grams.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    # per_doc rows are distinct (doc, gram): row count per gram IS the
+    # document frequency — no second pass over the exploded grams
+    gram_docs = per_doc.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("__nd")
     )
     threshold = d.select(
         F.ceil(F.count(F.lit(1)) * BOILER_MIN_FRAC).cast("long").alias("__min_docs")
