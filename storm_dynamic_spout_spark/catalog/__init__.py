@@ -52,7 +52,7 @@ _PRIORITY = [
     "join_inner",
     "project_expressions",
     "sql_exists_subquery",
-    # --- slots 11-20: new in round 7 (never driver-checked) ---
+    # --- slots 11-21: new in round 7 (never driver-checked) ---
     "corpus_soft_dedup_weights",
     "text_boilerplate_ngrams",
     "orders_market_basket",
@@ -63,17 +63,18 @@ _PRIORITY = [
     "table_bucketed_join",
     "multimodal_audio_fingerprint_pairs",
     "multimodal_video_containment",
-    # --- slots 21-22: decode-path dependencies edited this round
+    "join_fuzzy_string",
+    # --- slots 22-23: decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",
     "multimodal_video_stats",
-    # --- slots 23-27: canaries ---
+    # --- slots 24-28: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 28-50: round-3-stale cohort (non-tpch first) ---
+    # --- slots 29-50: round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",
@@ -96,8 +97,8 @@ _PRIORITY = [
     "window_lag_lead",
     "window_range_frame",
     "window_running",
-    "tpch_q2",
     # --- slots 51+: r3-stale spill (leads round 8) ---
+    "tpch_q2",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",

@@ -173,3 +173,51 @@ def pii_counts(col: Column) -> tuple[Column, Column]:
         F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_PATTERN), F.lit(0))).cast("long"),
         F.size(F.regexp_extract_all(col, F.lit(PII_NUMBER_PATTERN), F.lit(0))).cast("long"),
     )
+
+
+def fuzzy_string_join(
+    dirty,
+    clean,
+    dirty_id: str,
+    dirty_name: str,
+    clean_id: str,
+    clean_name: str,
+    block_len: int = 3,
+    max_dist: int = 1,
+):
+    """Approximate string join for entity resolution: candidates must
+    share a ``block_len``-char prefix AND be within ``max_dist`` of
+    each other in length (both necessary conditions for edit distance
+    ≤ max_dist when the edit sits past the prefix), then the exact
+    Levenshtein verify runs only inside the blocks — the standard
+    blocked fuzzy-match, never all-pairs.
+
+    Why at 100 TB: the block key is an equi-join column, so candidates
+    co-locate in one hash exchange and the quadratic Levenshtein work
+    is bounded per block (pick block_len so blocks stay ~constant
+    size; longer prefixes trade recall on early typos for smaller
+    blocks).  Levenshtein is a JVM intrinsic — no Python."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    d = dirty.select(
+        F.col(dirty_id),
+        F.col(dirty_name),
+        F.substring(dirty_name, 1, block_len).alias("__blk"),
+        F.length(dirty_name).alias("__dl"),
+    )
+    c = clean.select(
+        F.col(clean_id),
+        F.col(clean_name),
+        F.substring(clean_name, 1, block_len).alias("__blk"),
+        F.length(clean_name).alias("__cl"),
+    )
+    return (
+        d.join(c, "__blk")
+        .filter(F.abs(F.col("__dl") - F.col("__cl")) <= max_dist)
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col(dirty_name), F.col(clean_name)).cast("long"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+        .select(dirty_id, clean_id, "edit_distance")
+    )

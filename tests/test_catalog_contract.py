@@ -67,11 +67,11 @@ def test_first_fifty_registrations_cover_the_stale():
         "multimodal_image_phash_pairs", "ann_topk_pq",
         "sql_recursive_hierarchy", "table_bucketed_join",
         "multimodal_audio_fingerprint_pairs",
-        "multimodal_video_containment",
+        "multimodal_video_containment", "join_fuzzy_string",
     }
-    assert new_r7 == set(order[10:20]), "round-7 additions must follow"
+    assert new_r7 == set(order[10:21]), "round-7 additions must follow"
     edited_deps = {"multimodal_image_stats", "multimodal_video_stats"}
-    assert edited_deps == set(order[20:22]), (
+    assert edited_deps == set(order[21:23]), (
         "decode-dependency rechecks must follow the new queries"
     )
     canaries = {
@@ -100,7 +100,7 @@ def test_first_fifty_registrations_cover_the_stale():
     # immediately after slot 50 so it leads round 8.
     r3_stale = {q for q, r in last_round.items() if r == 3}
     outside = r3_stale - first50
-    assert len(outside) <= 16, (
+    assert len(outside) <= 17, (
         f"round-3-stale queries too far outside window: {sorted(outside)}"
     )
     assert outside <= set(order[50 : 50 + len(outside)]), (
