@@ -75,6 +75,51 @@ def main() -> None:
         F.round("mean_intensity", 1).alias("mean"),
     ).orderBy("doc_id", "frame_index").show(truncate=False)
 
+    # --- near-dup detection across codecs and gain (round 7) ---------
+    from storm_dynamic_spout_spark.operators.jpeg import encode_lossless_jpeg
+
+    originals = [(i, M.make_png_image(bytes([i]), 12, 8, 3)) for i in range(4)]
+    # re-encodes of image 0 and 1: different container AND +16 exposure
+    variants = []
+    for i in (0, 1):
+        px = M.png_pixels(originals[i][1]).astype(np.int64)
+        shifted = np.clip(px + 16, 0, 255).astype(np.uint8)
+        variants.append((100 + i, encode_lossless_jpeg(shifted)))
+    imgs = spark.createDataFrame(
+        [(d, bytearray(b)) for d, b in originals + variants],
+        "doc_id long, content binary",
+    )
+    print("== image near-dups: PNG originals vs brightness-shifted "
+          "lossless-JPEG re-encodes (DCT pHash + banded hamming) ==")
+    M.phash_near_pairs(M.phash_images(imgs)).orderBy("id_a").show()
+
+    gain_halved = []
+    import io
+    import wave
+
+    for i in (0, 1):
+        _r, _fs, _n, ints = M.wav_samples(
+            M.make_wav_audio(bytes([i]), 8000, 400)
+        )
+        half = (ints // 2).astype("<i2")
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(half.tobytes())
+        gain_halved.append((100 + i, bio.getvalue()))
+    aud = spark.createDataFrame(
+        [(i, bytearray(M.make_wav_audio(bytes([i]), 8000, 400))) for i in range(4)]
+        + [(d, bytearray(b)) for d, b in gain_halved],
+        "doc_id long, content binary",
+    )
+    print("== audio near-dups: originals vs gain-halved re-encodes "
+          "(energy-delta fingerprint, same banded join) ==")
+    M.phash_near_pairs(
+        M.fingerprint_audio(aud), hash_col="fingerprint"
+    ).orderBy("id_a").show()
+
     spark.stop()
 
 
