@@ -52,7 +52,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
         )
     qs, osql = E.queries(), E.oracle_sql()
-    names = args.only or list(qs)
+    # accept both space- and comma-separated --only lists
+    only = [n for chunk in (args.only or []) for n in chunk.split(",") if n]
+    names = only or list(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 2
     bad: list[str] = []
     for name in names:
         t0 = time.time()
