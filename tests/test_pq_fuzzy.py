@@ -88,3 +88,73 @@ def test_fuzzy_join_always_recovers_self_match(spark):
     }
     for i in (1, 2, 3):
         assert got[(i, i)] == 1
+
+
+def test_pq_assign_matches_numpy_brute_force(spark, sf_dir):
+    """Hypothesis-free exhaustive cross-check: every vector's code in
+    every subspace equals the numpy argmin over the same integer
+    micro-unit distances with the same (distance, cid) tie-break."""
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_assign,
+    )
+
+    rows = sorted(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    cents = [vecs[i] for i in range(PQ_K)]
+    sub = 64 // PQ_M
+    got = {
+        r.vec_id: r
+        for r in pq_assign(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            "vec_id",
+            "embedding",
+            dim=64,
+        ).collect()
+    }
+    for vid, v in vecs.items():
+        err = 0
+        for m in range(PQ_M):
+            s = slice(m * sub, (m + 1) * sub)
+            dm = []
+            for cid in range(PQ_K):
+                d2 = 0.0
+                for a, b in zip(v[s], cents[cid][s]):
+                    d2 += (a - b) * (a - b)
+                dm.append((int(round(d2 * 1e6)), cid))
+            best = min(dm)
+            assert getattr(got[vid], f"code_{m}") == best[1], (vid, m)
+            err += best[0]
+        assert got[vid].err_micro == err, vid
+
+
+def test_phash_bands_guarantee_hamming_le_3_recall():
+    """Pigeonhole property of the 4x16-bit banding: ANY pair within
+    hamming 3 shares at least one untouched band — flipping up to 3
+    bits of random hashes must always leave a colliding band."""
+    import random
+
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+    )
+
+    rng = random.Random(123)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    for _ in range(500):
+        h = rng.getrandbits(63)
+        flipped = h
+        for pos in rng.sample(range(63), rng.randint(0, 3)):
+            flipped ^= 1 << pos
+        bands_equal = any(
+            (h >> (b * PHASH_BAND_BITS)) & mask
+            == (flipped >> (b * PHASH_BAND_BITS)) & mask
+            for b in range(PHASH_BANDS)
+        )
+        assert bands_equal
