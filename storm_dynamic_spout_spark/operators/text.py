@@ -197,8 +197,6 @@ def fuzzy_string_join(
     is bounded per block (pick block_len so blocks stay ~constant
     size; longer prefixes trade recall on early typos for smaller
     blocks).  Levenshtein is a JVM intrinsic — no Python."""
-    from pyspark.sql import DataFrame  # noqa: F401
-
     d = dirty.select(
         F.col(dirty_id),
         F.col(dirty_name),
