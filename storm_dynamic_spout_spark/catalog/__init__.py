@@ -52,7 +52,7 @@ _PRIORITY = [
     "join_inner",
     "project_expressions",
     "sql_exists_subquery",
-    # --- slots 11-21: new in round 7 (never driver-checked) ---
+    # --- slots 11-22: new in round 7 (never driver-checked) ---
     "corpus_soft_dedup_weights",
     "text_boilerplate_ngrams",
     "orders_market_basket",
@@ -64,17 +64,18 @@ _PRIORITY = [
     "multimodal_audio_fingerprint_pairs",
     "multimodal_video_containment",
     "join_fuzzy_string",
-    # --- slots 22-23: decode-path dependencies edited this round
+    "table_fk_integrity",
+    # --- slots 23-24: decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",
     "multimodal_video_stats",
-    # --- slots 24-28: canaries ---
+    # --- slots 25-29: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 29-50: round-3-stale cohort (non-tpch first) ---
+    # --- slots 30-50: round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",
@@ -96,8 +97,8 @@ _PRIORITY = [
     "window_first_last",
     "window_lag_lead",
     "window_range_frame",
-    "window_running",
     # --- slots 51+: r3-stale spill (leads round 8) ---
+    "window_running",
     "tpch_q2",
     "tpch_q3",
     "tpch_q5",

@@ -196,3 +196,72 @@ def table_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _fk_oracle(fk: str, child: str, ckey: str, parent: str, pkey: str, pwhere: str = "") -> str:
+    where = f" WHERE {pwhere}" if pwhere else ""
+    return f"""
+    SELECT '{fk}' AS fk,
+           CAST(count(*) AS BIGINT) AS n_child_keys,
+           CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan_keys,
+           round(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS orphan_fraction
+    FROM (SELECT DISTINCT {ckey} AS k FROM {child}) c
+    LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}{where}) p USING (k)
+    """
+
+
+@query(
+    "table_fk_integrity",
+    oracle=" UNION ALL ".join(
+        [
+            _fk_oracle("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            _fk_oracle("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+            _fk_oracle("lineitem.l_partkey -> part[p_size>10]", "lineitem", "l_partkey", "part", "p_partkey", "p_size > 10"),
+            _fk_oracle("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ]
+    )
+    + " ORDER BY fk",
+)
+def table_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report — the third leg of the
+    data-quality family (with table_column_stats and
+    table_skew_report): per declared FK, how many distinct child keys
+    exist and how many are ORPHANS (no matching parent).  The fourth
+    check references a FILTERED parent slice (p_size > 10) — the
+    SCD-current-slice coverage pattern — so the report exercises a
+    genuinely nonzero orphan path, not just all-zeros.
+
+    Why at 100 TB: each check reduces the child side to DISTINCT keys
+    FIRST (map-side combine to |keys|, never |rows|), then one
+    equi-join per FK against the parent key set; the four small report
+    rows union at the end.  This is the standard dbt-style
+    relationship test, expressed as one catalog query."""
+    checks = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey", None),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey", None),
+        ("lineitem.l_partkey -> part[p_size>10]", "lineitem", "l_partkey", "part", "p_partkey", F.col("p_size") > 10),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey", None),
+    ]
+    parts = []
+    for fk, child, ckey, parent, pkey, pred in checks:
+        c = t(spark, sf_dir, child).select(F.col(ckey).alias("k")).distinct()
+        p = t(spark, sf_dir, parent)
+        if pred is not None:
+            p = p.filter(pred)
+        p = p.select(F.col(pkey).alias("k"), F.lit(1).alias("__hit")).distinct()
+        joined = c.join(p, "k", "left")
+        orphan = F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+        parts.append(
+            joined.agg(
+                F.lit(fk).alias("fk"),
+                F.count(F.lit(1)).cast("long").alias("n_child_keys"),
+                orphan.cast("long").alias("n_orphan_keys"),
+                F.round(orphan * 1.0 / F.count(F.lit(1)), 6).alias("orphan_fraction"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("fk")

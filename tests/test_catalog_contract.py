@@ -68,10 +68,11 @@ def test_first_fifty_registrations_cover_the_stale():
         "sql_recursive_hierarchy", "table_bucketed_join",
         "multimodal_audio_fingerprint_pairs",
         "multimodal_video_containment", "join_fuzzy_string",
+        "table_fk_integrity",
     }
-    assert new_r7 == set(order[10:21]), "round-7 additions must follow"
+    assert new_r7 == set(order[10:22]), "round-7 additions must follow"
     edited_deps = {"multimodal_image_stats", "multimodal_video_stats"}
-    assert edited_deps == set(order[21:23]), (
+    assert edited_deps == set(order[22:24]), (
         "decode-dependency rechecks must follow the new queries"
     )
     canaries = {
@@ -100,7 +101,7 @@ def test_first_fifty_registrations_cover_the_stale():
     # immediately after slot 50 so it leads round 8.
     r3_stale = {q for q, r in last_round.items() if r == 3}
     outside = r3_stale - first50
-    assert len(outside) <= 17, (
+    assert len(outside) <= 18, (
         f"round-3-stale queries too far outside window: {sorted(outside)}"
     )
     assert outside <= set(order[50 : 50 + len(outside)]), (
