@@ -399,6 +399,29 @@ def frame_precision(buf: bytes) -> int:
 # --- decoder ---------------------------------------------------------------
 
 
+#: malformed-stream internals (truncated segments, dangling table ids,
+#: bit-reader overruns) normalize to the documented ValueError contract
+#: at the public boundary — see operators/multimodal.py codec_boundary
+#: and tests/test_decoder_error_contract.py.
+_JPEG_INTERNAL = (struct.error, IndexError, KeyError, AttributeError, OverflowError)
+
+
+def _jpeg_boundary(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (ValueError, NotImplementedError):
+            raise
+        except _JPEG_INTERNAL as e:
+            raise ValueError(f"corrupt JPEG payload: {type(e).__name__}: {e}") from e
+
+    return wrapped
+
+
+@_jpeg_boundary
 def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
     """Decode JPEG to HxW (gray) or HxWx3 (RGB) uint8.
 
@@ -492,8 +515,11 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tabs = payload[1 + 2 * c : 3 + 2 * c]
                 ci = next(
-                    i for i, x in enumerate(frame["comps"]) if x["id"] == cid
+                    (i for i, x in enumerate(frame["comps"]) if x["id"] == cid),
+                    None,
                 )
+                if ci is None:
+                    raise ValueError(f"SOS references unknown component id {cid}")
                 scan.append((ci, tabs >> 4, tabs & 0xF))
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0xF

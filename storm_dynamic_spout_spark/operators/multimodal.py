@@ -41,8 +41,11 @@ function.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import struct
+import wave
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -50,6 +53,47 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: internal exception types a codec parser can hit on malformed bytes
+#: (truncated headers, bad lengths, dangling table references); the
+#: boundary below converts every one of them into the DOCUMENTED
+#: ValueError contract the dispatch / Pillow-fallback seam catches —
+#: the r5 _BitReader IndexError and r6 None-Huffman-table
+#: AttributeError advice items were both instances of this class, and
+#: tests/test_decoder_error_contract.py fuzzes it closed.
+_CODEC_INTERNAL = (
+    struct.error,
+    IndexError,
+    KeyError,
+    AttributeError,
+    EOFError,
+    OverflowError,
+    RuntimeError,  # stdlib chunk/wave raise this on some truncations
+    zlib.error,
+    wave.Error,
+)
+
+
+def codec_boundary(fmt: str):
+    """Decorator: malformed-payload internals become ValueError;
+    ValueError/NotImplementedError (the documented contract) pass
+    through untouched."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            try:
+                return fn(*a, **kw)
+            except (ValueError, NotImplementedError):
+                raise
+            except _CODEC_INTERNAL as e:
+                raise ValueError(
+                    f"corrupt {fmt} payload: {type(e).__name__}: {e}"
+                ) from e
+
+        return wrapped
+
+    return deco
 
 #: Typed metadata carried next to every binary payload.
 IMAGE_META_SCHEMA = T.StructType(
@@ -124,6 +168,7 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+@codec_boundary("synthetic")
 def _decode_payload(buf: bytes) -> tuple[int, int, int, float]:
     """Decode the synthetic format (the fake=True path)."""
     magic, w, h, c = _HEADER.unpack_from(buf, 0)
@@ -161,6 +206,7 @@ def make_ppm_image(seed: bytes, width: int = 8, height: int = 8) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + bytes(out[:need])
 
 
+@codec_boundary("netpbm")
 def _decode_ppm(buf: bytes) -> tuple[int, int, int, float]:
     """Pure-numpy decode of binary netpbm (P6 RGB / P5 grayscale,
     maxval<=255): header is ASCII tokens (whitespace/comment
@@ -193,6 +239,7 @@ def _decode_ppm(buf: bytes) -> tuple[int, int, int, float]:
     return w, h, channels, float(pixels.mean()) if pixels.size else 0.0
 
 
+@codec_boundary("bmp")
 def _decode_bmp(buf: bytes) -> tuple[int, int, int, float]:
     """Pure-numpy decode of uncompressed 24/32-bit BMP (the Windows
     BITMAPINFOHEADER layout): rows are bottom-up and padded to 4 bytes,
@@ -467,6 +514,7 @@ def _png_value_matrix(
     return w, h, channels, depth, palette, plte, out
 
 
+@codec_boundary("png")
 def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
     """PNG stats (w, h, channels, mean intensity on the 0-255 scale)
     from the decoded value matrix."""
@@ -490,6 +538,7 @@ def _decode_png(buf: bytes) -> tuple[int, int, int, float]:
     return w, h, channels, float(out.mean()) if out.size else 0.0
 
 
+@codec_boundary("png")
 def png_pixels(buf: bytes):
     """Decoded PNG pixel array: (h, w) for single-channel, (h, w, c)
     otherwise; uint8 for depth <= 8 (sub-byte gray levels rescaled to
@@ -742,6 +791,7 @@ def make_wav_audio(seed: bytes, sample_rate: int = 16000, n_samples: int = 256) 
     return bio.getvalue()
 
 
+@codec_boundary("wav")
 def wav_samples(buf: bytes):
     """Sample-level WAV (PCM) decode via the stdlib ``wave`` module +
     numpy — (sample_rate, full_scale, n_frames, int samples): int16
@@ -899,6 +949,7 @@ def make_mjpeg_avi(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@codec_boundary("avi")
 def parse_mjpeg_avi(buf: bytes) -> tuple[dict, list[bytes]]:
     """Parse a RIFF/AVI container and return (header meta, JPEG frame
     payloads) — '00dc'/'00db' chunks inside the 'movi' list.  Container
