@@ -52,7 +52,7 @@ _PRIORITY = [
     "join_inner",
     "project_expressions",
     "sql_exists_subquery",
-    # --- slots 11-22: new in round 7 (never driver-checked) ---
+    # --- slots 11-25: new in round 7 (never driver-checked) ---
     "corpus_soft_dedup_weights",
     "text_boilerplate_ngrams",
     "orders_market_basket",
@@ -65,17 +65,20 @@ _PRIORITY = [
     "multimodal_video_containment",
     "join_fuzzy_string",
     "table_fk_integrity",
-    # --- slots 23-24: decode-path dependencies edited this round
+    "text_vocab_coverage",
+    "events_decayed_counts",
+    "table_k_anonymity",
+    # --- slots 26-27: decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",
     "multimodal_video_stats",
-    # --- slots 25-29: canaries ---
+    # --- slots 28-32: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 30-50: round-3-stale cohort (non-tpch first) ---
+    # --- slots 33-50: round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",
@@ -94,10 +97,10 @@ _PRIORITY = [
     "stream_dedup_within_window",
     "stream_hopping_window",
     "window_distribution",
+    # --- slots 51+: r3-stale spill (leads round 8) ---
     "window_first_last",
     "window_lag_lead",
     "window_range_frame",
-    # --- slots 51+: r3-stale spill (leads round 8) ---
     "window_running",
     "tpch_q2",
     "tpch_q3",

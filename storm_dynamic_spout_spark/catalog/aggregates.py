@@ -697,3 +697,42 @@ def table_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("l_partkey", "l_suppkey"):
         out = out.unionByName(stats(c))
     return out.orderBy("key_col")
+
+
+K_ANON = 5
+
+
+@query(
+    "table_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < {K_ANON} AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def table_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier pair: every equivalence class with its size and an
+    ``at_risk`` flag for classes smaller than k=5 — the privacy
+    pre-check a training-data pipeline runs before releasing
+    attribute-joined records (a class of 1 re-identifies the row).
+
+    Why at 100 TB: a single two-phase aggregate — map-side partial
+    counts collapse each scan partition to ≤ |classes| rows before the
+    |classes|-keyed shuffle; the flag is computed post-aggregate in
+    codegen.  Nothing scales with row count past the first pass."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") < K_ANON).alias("at_risk"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

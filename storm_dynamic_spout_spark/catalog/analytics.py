@@ -967,3 +967,54 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     ).orderBy(F.desc("n_orders"), "part_a", "part_b")
+
+
+DECAY_LAMBDA = 0.1  # per day
+
+
+@query(
+    "events_decayed_counts",
+    oracle=f"""
+    WITH ref AS (SELECT max(ts) AS ref_ts FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * exp(-{DECAY_LAMBDA} *
+                 (CAST(epoch_us(ref.ref_ts) - epoch_us({_TS}) AS DOUBLE)
+                  / 86400000000.0))), 6) AS decayed_value
+    FROM events, ref
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user —
+    ``sum(value · e^(−λ·age_days))`` anchored at the corpus max
+    timestamp, the standard recency-weighted counter behind trending /
+    engagement rankers.
+
+    Why at 100 TB: the anchor is a one-row ``max(ts)`` aggregate
+    broadcast over the scan; the decay weight is computed map-side in
+    whole-stage codegen (integer µs subtraction then one exp()), so
+    the only shuffle is the |users|-keyed partial+final sum.  Ages are
+    exact integer µs differences divided by a double constant — both
+    engines perform the identical IEEE division; only exp() is libm-
+    dependent, and the 1e-6 rounding absorbs its ulp (same discipline
+    as ``text_tfidf_top_term``'s ln())."""
+    e = t(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("__ref"))
+    # ts is TIMESTAMP_NTZ: timestampdiff is tz-agnostic (unix_micros
+    # would force a session-tz cast)
+    age_days = (
+        F.expr("timestampdiff(MICROSECOND, ts, __ref)").cast("double") / 86400000000.0
+    )
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.exp(F.lit(-DECAY_LAMBDA) * age_days)), 6
+            ).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -3122,3 +3122,72 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_pred=F.col("vec_id") < PQ_K,
         k=ANN_K,
     ).orderBy("query_id", "rank")
+
+
+VOCAB_K = 100
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH counts AS (
+      SELECT u.x AS term, count(*) AS c
+      FROM documents, UNNEST({_TOKS}) AS u(x)
+      GROUP BY u.x
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rn
+        FROM counts
+      ) WHERE rn <= {VOCAB_K}
+    ),
+    toks AS (
+      SELECT d.source, u.x AS term
+      FROM documents d, UNNEST({_TOKS}) AS u(x)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM toks LEFT JOIN vocab v USING (term)
+    GROUP BY source ORDER BY source
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + out-of-vocabulary audit — the tokenizer-prep
+    step of a training pipeline: take the top-``VOCAB_K`` corpus terms
+    by occurrence count (tie-break lexicographic, same discipline as
+    ``text_term_freq``), then report per source the token count, the
+    OOV occurrence count, and the OOV rate.  A source whose OOV rate
+    spikes is drifting away from the tokenizer's training distribution.
+
+    Why at 100 TB: the vocabulary is a two-phase count aggregate
+    (map-side partial → |vocab|-sized shuffle) closed by
+    ``orderBy().limit()`` → TakeOrderedAndProject, so the top-K never
+    sorts the full distinct-term table; the audit side then broadcasts
+    the K-row vocab against the token stream — no second shuffle of
+    the exploded tokens, the per-source rollup reduces map-side to
+    |sources| rows.  Reference parity: the per-source quality gates in
+    storm-dynamic-spout's filter chain (FilterChainStep docs) are this
+    shape — a small reference set applied streaming-side."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", r"\s+")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = (
+        counts.orderBy(F.desc("__c"), "term")
+        .limit(VOCAB_K)
+        .select("term", F.lit(True).alias("__in_vocab"))
+    )
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(F.sum(oov) / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,88 @@
+"""Fixture-independent invariants for the round-7 curation queries
+(vocab/OOV audit, decayed engagement, k-anonymity) — semantics the
+value-hash oracle can't state (internal consistency, conservation)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.catalog.aggregates import K_ANON
+from storm_dynamic_spout_spark.catalog.analytics import DECAY_LAMBDA
+from storm_dynamic_spout_spark.catalog.llm import VOCAB_K
+from storm_dynamic_spout_spark.engine import load_table
+from storm_dynamic_spout_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_vocab_coverage_internal_consistency(spark):
+    rows = QUERIES["text_vocab_coverage"](spark, SF).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert math.isclose(r.oov_rate, round(r.n_oov / r.n_tokens, 6), abs_tol=1e-9)
+    # conservation: per-source token counts sum to the corpus token count
+    docs = load_table(spark, SF, "documents")
+    n_corpus = docs.select(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("n")
+    ).collect()[0].n
+    assert sum(r.n_tokens for r in rows) == n_corpus
+
+
+def test_vocab_is_exactly_the_top_k_of_term_freq(spark):
+    """The vocabulary the OOV audit uses must be the same top-K set the
+    corpus term-frequency scan would produce (same tie-break)."""
+    docs = load_table(spark, SF, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = {
+        r.term
+        for r in counts.orderBy(F.desc("c"), "term").limit(VOCAB_K).collect()
+    }
+    toks = docs.select("source", F.explode(F.split("text", r"\s+")).alias("term"))
+    expected = (
+        toks.withColumn("oov", (~F.col("term").isin(vocab)).cast("long"))
+        .groupBy("source")
+        .agg(F.sum("oov").alias("n_oov"))
+    )
+    got = {r.source: r.n_oov for r in QUERIES["text_vocab_coverage"](spark, SF).collect()}
+    for r in expected.collect():
+        assert got[r.source] == r.n_oov, r.source
+
+
+def test_decayed_counts_bounds_and_coverage(spark):
+    events = load_table(spark, SF, "events")
+    per_user = {
+        r.user_id: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.abs("value")).alias("abs_sum"),
+            F.max("ts").alias("max_ts"),
+        )
+        .collect()
+    }
+    rows = QUERIES["events_decayed_counts"](spark, SF).collect()
+    assert {r.user_id for r in rows} == set(per_user)
+    for r in rows:
+        exp = per_user[r.user_id]
+        assert r.n_events == exp.n
+        # |Σ v·e^(−λ·age)| ≤ Σ|v| since 0 < e^(−λ·age) ≤ 1
+        assert abs(r.decayed_value) <= exp.abs_sum + 1e-6
+    assert DECAY_LAMBDA > 0
+
+
+def test_k_anonymity_partitions_the_table(spark):
+    rows = QUERIES["table_k_anonymity"](spark, SF).collect()
+    total = load_table(spark, SF, "customer").count()
+    assert sum(r.group_size for r in rows) == total
+    for r in rows:
+        assert r.at_risk == (r.group_size < K_ANON)
+    # the fixture must exercise BOTH branches or the flag is untested
+    assert any(r.at_risk for r in rows)
+    assert any(not r.at_risk for r in rows)
