@@ -52,7 +52,7 @@ _PRIORITY = [
     "join_inner",
     "project_expressions",
     "sql_exists_subquery",
-    # --- slots 11-25: new in round 7 (never driver-checked) ---
+    # --- slots 11-28: new in round 7 (never driver-checked) ---
     "corpus_soft_dedup_weights",
     "text_boilerplate_ngrams",
     "orders_market_basket",
@@ -68,17 +68,20 @@ _PRIORITY = [
     "text_vocab_coverage",
     "events_decayed_counts",
     "table_k_anonymity",
-    # --- slots 26-27: decode-path dependencies edited this round
+    "text_bm25_rank",
+    "graph_pagerank",
+    "table_partition_prune",
+    # --- slots 29-30: decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",
     "multimodal_video_stats",
-    # --- slots 28-32: canaries ---
+    # --- slots 31-35: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 33-50: round-3-stale cohort (non-tpch first) ---
+    # --- slots 36-50: round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",
@@ -94,10 +97,10 @@ _PRIORITY = [
     "setop_union_distinct",
     "setop_union_evolved",
     "sort_multi_key",
+    # --- slots 51+: r3-stale spill (leads round 8) ---
     "stream_dedup_within_window",
     "stream_hopping_window",
     "window_distribution",
-    # --- slots 51+: r3-stale spill (leads round 8) ---
     "window_first_last",
     "window_lag_lead",
     "window_range_frame",

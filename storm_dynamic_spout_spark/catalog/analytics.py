@@ -1018,3 +1018,85 @@ def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+PR_ITERATIONS = 3
+PR_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power-method CTE chain — same float choices as the
+    operator: edge weights are whole-number DOUBLEs (exact sums), the
+    teleport constant is the EXPRESSION (1 - 0.85) so both engines
+    compute the identical IEEE value, ranks round to 1e-6 only at the
+    end."""
+    step = """
+    r{i} AS (
+      SELECT nd.node,
+             (1 - {d})/nn.n + {d} * coalesce(s.s, 0.0) AS rank
+      FROM nodes nd CROSS JOIN n nn LEFT JOIN (
+        SELECT m.dst AS node, sum(r.rank * m.p) AS s
+        FROM norm m JOIN r{prev} r ON r.node = m.src
+        GROUP BY m.dst
+      ) s ON s.node = nd.node
+    )"""
+    chain = ",".join(
+        step.format(i=i, prev=i - 1, d=PR_DAMPING)
+        for i in range(1, PR_ITERATIONS + 1)
+    )
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY {_TS}, event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS o FROM edges GROUP BY src),
+    norm AS (
+      SELECT e.src, e.dst, e.w / o.o AS p FROM edges e JOIN outw o USING (src)
+    ),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, n nn),
+    {chain}
+    SELECT node, round(rank, 6) AS pr FROM r{PR_ITERATIONS} ORDER BY node
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (edges = the
+    ``events_transitions`` matrix, weights = transition counts): which
+    states attract probability mass after 3 power-method steps — the
+    link-graph centrality prior a crawl-corpus curation pipeline
+    attaches to domains.
+
+    Why at 100 TB: the edge build is one user-keyed window + a
+    |types|²-row aggregate; each power step in ``operators/graph.py
+    pagerank`` is a src-keyed join of the |V|-row rank vector against
+    the edge table plus a dst-keyed partial+final sum — linear in |E|
+    per step, never materializing anything driver-side (N itself is a
+    broadcast one-row aggregate).  Dangling-mass simplification
+    documented on the operator; the fixture graph is strongly
+    connected (every event type follows every other)."""
+    from storm_dynamic_spout_spark.operators.graph import pagerank
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(
+        edges, weight="w", iterations=PR_ITERATIONS, damping=PR_DAMPING
+    )
+    return ranks.select("node", F.round("rank", 6).alias("pr")).orderBy("node")

@@ -3191,3 +3191,105 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BM25_TERMS = ("spark", "merge", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{q}'" for q in BM25_TERMS)
+    return f"""
+    WITH dd AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dd
+    ),
+    tf AS (
+      SELECT doc_id, dl, u.x AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM dd, UNNEST(toks) AS u(x)
+      WHERE u.x IN ({terms})
+      GROUP BY doc_id, dl, u.x
+    ),
+    dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(count(*) AS BIGINT) AS n_query_terms,
+             sum(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                 * tf.tf * ({BM25_K1} + 1)
+                 / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl
+                    / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS score
+      FROM tf JOIN dfx USING (term) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_query_terms, round(score, 6) AS bm25 FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= {BM25_TOP}
+    """
+
+
+@query("text_bm25_rank", oracle=_bm25_oracle())
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones; the Lucene
+    default scorer) for a fixed query-term set — the retrieval
+    counterpart of ``text_tfidf_top_term``: idf·tf·(k1+1)/(tf +
+    k1·(1−b+b·dl/avgdl)) summed over query terms, top-20 docs.
+
+    Cross-engine float discipline: avgdl is the EXACT integer pair
+    (Σdl, N) divided once in doubles (never a running float mean);
+    ranking compares CAST(round(score·1e6) AS BIGINT) with a doc_id
+    tiebreak, so libm ln() ulp differences can't flip the order; the
+    reported score is rounded to the same 1e-6.
+
+    Why at 100 TB: the token explode is filtered to the query terms
+    BEFORE the (doc,term) aggregate — the shuffle carries only
+    matching postings, not the corpus; df and the (N, Σdl) stats are
+    broadcast one-row/|terms|-row aggregates; the top-k is
+    TakeOrderedAndProject, never a global sort."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("__toks")
+    )
+    dd = d.select("doc_id", "__toks", F.size("__toks").alias("__dl"))
+    stats = dd.agg(
+        F.count(F.lit(1)).alias("__n_docs"), F.sum("__dl").alias("__sum_dl")
+    )
+    tf = (
+        dd.select("doc_id", "__dl", F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    avgdl = F.col("__sum_dl").cast("double") / F.col("__n_docs")
+    idf = F.log(
+        1 + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    part = (
+        idf
+        * F.col("__tf")
+        * (BM25_K1 + 1)
+        / (F.col("__tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("__dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfx), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_query_terms"),
+            F.sum(part).alias("__score"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc(F.round(F.col("__score") * 1_000_000).cast("long")), "doc_id"
+        )
+        .limit(BM25_TOP)
+        .select("doc_id", "n_query_terms", F.round("__score", 6).alias("bm25"))
+    )

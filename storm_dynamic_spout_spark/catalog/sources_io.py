@@ -265,3 +265,52 @@ def table_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionByName(x)
     return out.orderBy("fk")
+
+
+PRUNE_LO, PRUNE_HI = "2024-01-05", "2024-01-11"
+
+
+@query(
+    "table_partition_prune",
+    oracle=f"""
+    SELECT CAST({{ts}} AS DATE) AS event_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE CAST({{ts}} AS DATE) BETWEEN DATE '{PRUNE_LO}' AND DATE '{PRUNE_HI}'
+    GROUP BY 1 ORDER BY 1
+    """.format(ts="CAST(ts AS TIMESTAMP)"),
+)
+def table_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + static partition pruning — the other
+    half of the layout story next to ``table_bucketed_join``: events
+    are written ``partitionBy(event_date)`` (30 date partitions in the
+    fixture), and the date-range read touches ONLY the 7 matching
+    directories — ``PartitionFilters`` in the scan, zero data files
+    opened outside the range (plan-guarded in
+    tests/test_partition_prune.py via ``inputFiles()``).  The oracle
+    aggregates the ORIGINAL unpartitioned parquet over the same range,
+    so green also proves the partitioned rewrite is value-lossless.
+
+    Why at 100 TB: date-partitioned event lakes are THE standard
+    layout; a reader that scans all of history for a week-long window
+    is the single most expensive mistake at this scale.  Pruning here
+    is directory-level — list 7 dirs, not 100 TB of footers."""
+    import tempfile
+
+    e = t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    path = tempfile.mkdtemp(prefix="sdss-prune-")
+    e.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            F.col("event_date").between(F.lit(PRUNE_LO), F.lit(PRUNE_HI))
+        )
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("event_date")
+    )

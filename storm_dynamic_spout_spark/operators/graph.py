@@ -1,0 +1,84 @@
+"""Iterative graph operators expressed as DataFrame loops.
+
+PageRank here is the fixed-iteration power method — each round is ONE
+``src``-keyed broadcast-or-shuffle join (ranks are |V|-sized, edges
+|E|-sized) plus a ``dst``-keyed partial+final sum, so an iteration
+costs the same as one aggregate over the edge table.  Unbounded
+convergence loops belong to the connected-components operator
+(operators/dedup.py, large/small-star); this one is the bounded-depth
+variant a scoring pipeline schedules (k iterations, deterministic
+cost).
+
+Reference parity: storm-dynamic-spout has no graph engine — this is
+part of the training-data toolkit layer (link-graph quality priors for
+crawl corpora à la Common Crawl harmonic/pagerank centrality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+    nodes: DataFrame | None = None,
+    checkpoint_every: int | None = 8,
+) -> DataFrame:
+    """Weighted PageRank after ``iterations`` power steps.
+
+    ``p_{k+1}(v) = (1−d)/N + d · Σ_{u→v} p_k(u) · w(u,v)/out(u)``
+
+    starting from the uniform vector ``1/N``.  Mass from dangling
+    nodes (no out-edges) is dropped, not redistributed — documented
+    simplification; the catalog fixture has none.
+
+    ``nodes`` (its first column is taken as the node id) defaults to
+    the distinct union of edge endpoints.  N is carried as
+    a broadcast one-row aggregate, never a driver-side collect, so the
+    same plan runs on a billion-node edge list.  ``checkpoint_every``
+    truncates lineage with ``localCheckpoint`` the way the CC operator
+    does — without it, k joins stack into one ever-deeper plan and
+    Catalyst re-analysis goes quadratic past ~20 rounds.
+
+    Returns ``(node, rank)`` with ``rank`` unrounded (callers round
+    for cross-engine comparison).
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("__src").alias("node"))
+            .union(e.select(F.col("__dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    out = e.groupBy("__src").agg(F.sum("__w").alias("__out"))
+    norm = e.join(out, "__src").select(
+        "__src", "__dst", (F.col("__w") / F.col("__out")).alias("__p")
+    )
+    nstats = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    base = nodes.crossJoin(F.broadcast(nstats))
+    ranks = base.select("node", (F.lit(1.0) / F.col("__n")).alias("rank"))
+    for i in range(iterations):
+        contrib = norm.join(
+            ranks.withColumnRenamed("node", "__src"), "__src"
+        ).select(F.col("__dst").alias("node"), (F.col("rank") * F.col("__p")).alias("__c"))
+        summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = base.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) / F.col("__n")
+                + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
