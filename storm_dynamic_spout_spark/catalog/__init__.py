@@ -52,7 +52,7 @@ _PRIORITY = [
     "join_inner",
     "project_expressions",
     "sql_exists_subquery",
-    # --- slots 11-28: new in round 7 (never driver-checked) ---
+    # --- slots 11-31: new in round 7 (never driver-checked) ---
     "corpus_soft_dedup_weights",
     "text_boilerplate_ngrams",
     "orders_market_basket",
@@ -71,17 +71,20 @@ _PRIORITY = [
     "text_bm25_rank",
     "graph_pagerank",
     "table_partition_prune",
-    # --- slots 29-30: decode-path dependencies edited this round
+    "events_winsorize",
+    "text_span_dedup",
+    "table_zorder_roundtrip",
+    # --- slots 32-33: decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",
     "multimodal_video_stats",
-    # --- slots 31-35: canaries ---
+    # --- slots 34-38: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 36-50: round-3-stale cohort (non-tpch first) ---
+    # --- slots 39-50: round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",
@@ -95,9 +98,9 @@ _PRIORITY = [
     "setop_except",
     "setop_intersect",
     "setop_union_distinct",
+    # --- slots 51+: r3-stale spill (leads round 8) ---
     "setop_union_evolved",
     "sort_multi_key",
-    # --- slots 51+: r3-stale spill (leads round 8) ---
     "stream_dedup_within_window",
     "stream_hopping_window",
     "window_distribution",

@@ -1100,3 +1100,69 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, weight="w", iterations=PR_ITERATIONS, damping=PR_DAMPING
     )
     return ranks.select("node", F.round("rank", 6).alias("pr")).orderBy("node")
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "events_winsorize",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, {WINSOR_LO}) AS lo,
+             quantile_cont(value, {WINSOR_HI}) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(min(c.lo), 6) AS p05,
+           round(min(c.hi), 6) AS p95,
+           CAST(sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           round(avg(e.value), 6) AS mean_raw,
+           round(avg(CASE WHEN e.value < c.lo THEN c.lo
+                          WHEN e.value > c.hi THEN c.hi
+                          ELSE e.value END), 6) AS mean_winsorized
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — clip values to the group's [p05, p95]
+    band and report the clip counts plus the mean before/after: the
+    outlier-robust preprocessing step for reward/quality signals
+    before they feed a sampler (a single 1e9 outlier otherwise owns
+    the mixture weights).
+
+    Why at 100 TB: the cuts are a |types|-row exact-percentile
+    aggregate broadcast back over the scan (same shape as
+    ``orders_rfm``'s quartile cuts — swap ``approx_percentile`` in at
+    extreme scale, identical plan); clipping is a codegen CASE, and
+    the closing rollup partial-aggregates map-side.  Exact
+    ``F.percentile`` interpolation matches DuckDB ``quantile_cont``
+    bit-for-bit on the fixture; means round to 1e-6 to absorb
+    summation-order ulp."""
+    e = t(spark, sf_dir, "events")
+    cuts = e.groupBy("event_type").agg(
+        F.percentile("value", WINSOR_LO).alias("__lo"),
+        F.percentile("value", WINSOR_HI).alias("__hi"),
+    )
+    v, lo, hi = F.col("value"), F.col("__lo"), F.col("__hi")
+    clipped = F.when(v < lo, lo).when(v > hi, hi).otherwise(v)
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("__lo"), 6).alias("p05"),
+            F.round(F.min("__hi"), 6).alias("p95"),
+            F.sum((v < lo).cast("long")).alias("n_clipped_lo"),
+            F.sum((v > hi).cast("long")).alias("n_clipped_hi"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )

@@ -3293,3 +3293,104 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOP)
         .select("doc_id", "n_query_terms", F.round("__score", 6).alias("bm25"))
     )
+
+
+SPAN_CHUNK = 10  # tokens per span
+
+
+def _span_dedup_oracle() -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id, t.p AS pos,
+             array_to_string(toks[(t.p * {SPAN_CHUNK} + 1):
+                                  (t.p * {SPAN_CHUNK} + {SPAN_CHUNK})], ' ')
+               AS chunk
+      FROM d, UNNEST(range(0, CAST(ceil(len(toks) / {SPAN_CHUNK}.0) AS BIGINT)))
+             AS t(p)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+      FROM chunks GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(chunk, ' ' ORDER BY pos)) AS dedup_md5
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_chunks,
+           coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           coalesce(k.dedup_md5, md5('')) AS dedup_md5
+    FROM per_doc p LEFT JOIN kept k USING (doc_id)
+    ORDER BY p.doc_id
+    """
+
+
+@query("text_span_dedup", oracle=_span_dedup_oracle())
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (the C4/"Deduplicating Training Data"
+    line-dedup, adapted to ``SPAN_CHUNK``-token spans since the
+    fixture has no newlines): cut every document into non-overlapping
+    token spans, keep corpus-wide only each span's FIRST occurrence
+    (ordered by doc_id then position), and rebuild the surviving text
+    per document — reported as kept-span count + md5 of the rebuilt
+    string so the driver row stays narrow.
+
+    Why at 100 TB: one span-keyed window (single shuffle — the
+    equivalent min-struct groupBy+join shape costs two) ranks
+    first-occurrences; at real scale the partition key would be
+    ``xxhash64(span)`` with the text carried alongside, so the
+    exchange moves 8-byte keys, not strings (same discipline as the
+    MinHash pipeline's token hashing).  The rebuild is a per-doc
+    aggregate over an array_sort — no second pass over the corpus."""
+    from pyspark.sql.window import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("__toks")
+    )
+    n_spans = F.ceil(F.size("__toks") / F.lit(SPAN_CHUNK)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice("__toks", i * SPAN_CHUNK + 1, SPAN_CHUNK)
+        ),
+    )
+    chunks = d.select("doc_id", F.posexplode(spans).alias("pos", "chunk"))
+    rn = F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "pos"))
+    ranked = chunks.withColumn("__rn", rn)
+    per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    kept = (
+        ranked.filter(F.col("__rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "chunk"))
+                        ),
+                        lambda s: s.chunk,
+                    ),
+                )
+            ).alias("__md5"),
+        )
+    )
+    return (
+        per_doc.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("__md5"), F.md5(F.lit(""))).alias("dedup_md5"),
+        )
+        .orderBy("doc_id")
+    )

