@@ -400,6 +400,108 @@ def rfm_value_cuts(t):
     )
 
 
+
+def vocab_oov(t):
+    """Vocab build + OOV audit (catalog text_vocab_coverage shape):
+    token counts partial-aggregate to |vocab| rows, the top-K is
+    TakeOrdered, and the audit side broadcasts the K-row vocab over the
+    token stream — the token explode shuffles ONLY into the per-source
+    rollup."""
+    d = t("documents")
+    toks = d.select("source", F.explode(F.split("text", r"\s+")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.orderBy(F.desc("c"), "term")
+        .limit(100)
+        .select("term", F.lit(True).alias("inv"))
+    )
+    oov = F.when(F.col("inv").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum(oov).alias("n_oov"))
+    )
+
+
+def bm25_postings(t):
+    """BM25 (catalog text_bm25_rank shape): postings are filtered to
+    the query terms BEFORE the (doc,term) aggregate — scan cost is the
+    linear part, the shuffle carries only matching postings; df and
+    corpus stats are broadcast one-row aggregates.  Copy-salted tokens
+    keep per-copy term stats distinct (only copy 0 matches — the scan,
+    not the match count, is what must scale)."""
+    d = t("documents").select("doc_id", F.split("text", r"\s+").alias("tk"))
+    dd = d.select("doc_id", "tk", F.size("tk").alias("dl"))
+    stats = dd.agg(F.count(F.lit(1)).alias("nd"), F.sum("dl").alias("sdl"))
+    tf = (
+        dd.select("doc_id", "dl", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin("spark", "merge", "window"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sdl").cast("double") / F.col("nd")
+    part = (
+        F.log(1 + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dfx), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(part).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+def span_dedup(t):
+    """Span-level exact dedup (catalog text_span_dedup shape): one
+    span-keyed window ranks corpus-wide first occurrences, then a
+    per-doc rebuild aggregate.  Copy-salted tokens make every copy's
+    spans distinct, so the span key space grows with the data — the
+    window shuffle is the scaling part."""
+    from pyspark.sql.window import Window as W
+
+    d = t("documents").select("doc_id", F.split("text", r"\s+").alias("tk"))
+    n = F.ceil(F.size("tk") / F.lit(10)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice("tk", i * 10 + 1, 10)),
+    )
+    chunks = d.select("doc_id", F.posexplode(spans).alias("pos", "chunk"))
+    rn = F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "pos"))
+    return (
+        chunks.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+def pagerank_iters(t):
+    """PageRank power steps (catalog graph_pagerank shape): the edge
+    build is a user-keyed window + tiny aggregate; each of the 3 steps
+    is a src join + dst aggregate over the |E|-row edge table.  Node
+    space is fixed (|event types|) while event volume scales — edge
+    WEIGHTS grow, row counts stay bounded, so the window is the
+    scaling part."""
+    from pyspark.sql.window import Window as W
+
+    from storm_dynamic_spout_spark.operators.graph import pagerank
+
+    e = t("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(edges, weight="w", iterations=3)
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -417,6 +519,10 @@ QUERIES = [
     ("basket_pairs", basket_pairs),
     ("boiler_grams", boiler_grams),
     ("pq_adc", pq_adc),
+    ("vocab_oov", vocab_oov),
+    ("bm25_postings", bm25_postings),
+    ("span_dedup", span_dedup),
+    ("pagerank_iters", pagerank_iters),
 ]
 
 
