@@ -52,7 +52,7 @@ _PRIORITY = [
     "join_inner",
     "project_expressions",
     "sql_exists_subquery",
-    # --- slots 11-31: new in round 7 (never driver-checked) ---
+    # --- slots 11-34: new in round 7 (never driver-checked) ---
     "corpus_soft_dedup_weights",
     "text_boilerplate_ngrams",
     "orders_market_basket",
@@ -74,17 +74,20 @@ _PRIORITY = [
     "events_winsorize",
     "text_span_dedup",
     "table_zorder_roundtrip",
-    # --- slots 32-33: decode-path dependencies edited this round
+    "join_interval_overlap",
+    "agg_unpivot",
+    "events_cumulative_users",
+    # --- slots 35-36: decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",
     "multimodal_video_stats",
-    # --- slots 34-38: canaries ---
+    # --- slots 37-41: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 39-50: round-3-stale cohort (non-tpch first) ---
+    # --- slots 42-50: round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",
@@ -95,10 +98,10 @@ _PRIORITY = [
     "scalar_null_handling",
     "scalar_regex",
     "scalar_string_distance",
+    # --- slots 51+: r3-stale spill (leads round 8) ---
     "setop_except",
     "setop_intersect",
     "setop_union_distinct",
-    # --- slots 51+: r3-stale spill (leads round 8) ---
     "setop_union_evolved",
     "sort_multi_key",
     "stream_dedup_within_window",

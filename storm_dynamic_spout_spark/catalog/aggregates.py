@@ -736,3 +736,44 @@ def table_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(avg(l_discount), 6) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value
+    FROM m UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
+    ORDER BY l_returnflag, metric
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — the inverse of ``agg_pivot``: the wide
+    per-returnflag metrics row becomes long (flag, metric, value)
+    triples via ``DataFrame.unpivot`` (Spark's native melt — a
+    zero-shuffle Expand projection, same operator rollup/cube use),
+    the shape metric stores and plotting layers ingest.
+
+    Why at 100 TB: unpivot multiplies ROWS map-side (|metrics|×) but
+    runs after the aggregate here, so it expands 3 rows to 9; on a raw
+    table it is still shuffle-free — the expansion never exchanges.
+    Values are rounded before the melt so both engines unify the
+    DOUBLE column identically."""
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return m.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "metric")

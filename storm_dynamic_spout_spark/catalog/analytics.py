@@ -1166,3 +1166,47 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_cumulative_users",
+    oracle=f"""
+    WITH first_day AS (
+      SELECT user_id, CAST(min({_TS}) AS DATE) AS d
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_new FROM first_day GROUP BY d
+    )
+    SELECT d AS day, n_new AS n_new_users,
+           CAST(sum(n_new) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_cumulative_users
+    FROM daily ORDER BY day
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users by day — the growth curve: each user
+    counted once on their FIRST active day, then a running total over
+    the daily new-user series.
+
+    Why at 100 TB: the user dedup is a |users|-keyed min aggregate and
+    the running sum executes over the POST-AGGREGATION daily table —
+    bounded by calendar days (30 fixture rows, ~thousands in
+    production), never by event or user count.  That bounded global
+    window is the same audited class as ``corpus_token_budget``'s
+    bucket-offset prefix sum (whitelisted in
+    tests/test_plan_inventory.py); the naive alternative — a global
+    ``count(DISTINCT user) OVER (ORDER BY day)`` across raw events —
+    is the scale-killer this plan avoids."""
+    e = t(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("day"))
+    daily = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("n_new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn(
+            "n_cumulative_users", F.sum("n_new_users").over(w).cast("long")
+        )
+        .select("day", "n_new_users", "n_cumulative_users")
+        .orderBy("day")
+    )

@@ -682,3 +682,73 @@ def join_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dirty_id")
     )
+
+
+OVERLAP_WINDOW_US = 2 * 3600 * 1_000_000  # 2-hour activity windows
+_EPOCH0 = "TIMESTAMP '2024-01-01 00:00:00'"
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id,
+             date_diff('microsecond', {_EPOCH0}, CAST(ts AS TIMESTAMP)) AS lo
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT date_diff('microsecond', {_EPOCH0}, CAST(ts AS TIMESTAMP)) AS lo
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT a.event_id, a.lo
+      FROM a JOIN b
+        ON a.lo <= b.lo + {OVERLAP_WINDOW_US}
+       AND b.lo <= a.lo + {OVERLAP_WINDOW_US}
+    )
+    SELECT CAST(lo // {86_400 * 1_000_000} AS BIGINT) AS click_day,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_clicks,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join — keyless, both sides large:
+    every click's 2-hour activity window matched to every overlapping
+    purchase window (closed-interval overlap), rolled up per click
+    day.  The co-occurrence shape behind attribution windows and
+    conflict detection.
+
+    ``operators/rangejoin.py interval_overlap_binned``: both sides
+    explode to covered bins (bin = window length ⇒ ≤3 bins each), the
+    join is an equi-join on bin id, and each pair is emitted ONLY in
+    the first shared bin — one row per overlapping pair with no
+    distinct/dedup shuffle.  Plan-guarded never a nested loop
+    (tests/test_interval_overlap.py).  Timestamps become exact integer
+    µs offsets from a fixture epoch (tz-agnostic ``timestampdiff`` on
+    NTZ), so binning arithmetic is integer-exact in both engines."""
+    from storm_dynamic_spout_spark.operators.rangejoin import interval_overlap_binned
+
+    e = t(spark, sf_dir, "events")
+    off = F.expr(f"timestampdiff(MICROSECOND, {_EPOCH0}, ts)")
+    a = e.filter(F.col("event_type") == "click").select(
+        "event_id", off.alias("a_lo"), (off + OVERLAP_WINDOW_US).alias("a_hi")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        off.alias("b_lo"), (off + OVERLAP_WINDOW_US).alias("b_hi")
+    )
+    pairs = interval_overlap_binned(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=float(OVERLAP_WINDOW_US)
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("a_lo") / F.lit(86_400 * 1_000_000))
+            .cast("long")
+            .alias("click_day")
+        )
+        .agg(
+            F.countDistinct("event_id").alias("n_clicks"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .orderBy("click_day")
+    )

@@ -63,3 +63,54 @@ def interval_join_binned(
         )
         .drop("__bin")
     )
+
+
+def interval_overlap_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Inner join of interval table ``left`` to every ``right`` interval
+    it OVERLAPS (closed intervals: ``l_lo <= r_hi AND r_lo <= l_hi``) —
+    the interval×interval counterpart of :func:`interval_join_binned`,
+    still never a nested loop.
+
+    Both sides explode to the bins they cover, the join is an equi-join
+    on the bin id, and duplicates are eliminated WITHOUT a distinct:
+    an overlapping pair shares every bin between
+    ``max(floor(l_lo/w), floor(r_lo/w))`` and the overlap's end, so the
+    pair is emitted only in that FIRST shared bin
+    (``__bin == greatest(floor(l_lo/w), floor(r_lo/w))``) — one row per
+    overlapping pair, no post-join dedup shuffle.  Output: all columns
+    of both inputs (names must not collide)."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    w = F.lit(float(bin_width))
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(F.floor(F.col(left_lo) / w), F.floor(F.col(left_hi) / w))
+        ),
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(F.floor(F.col(right_lo) / w), F.floor(F.col(right_hi) / w))
+        ),
+    )
+    first_shared = F.greatest(
+        F.floor(F.col(left_lo) / w), F.floor(F.col(right_lo) / w)
+    )
+    return (
+        lb.join(rb, "__bin")
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("__bin") == first_shared)
+        )
+        .drop("__bin")
+    )

@@ -72,6 +72,7 @@ def test_first_fifty_registrations_cover_the_stale():
         "events_decayed_counts", "table_k_anonymity",
         "text_bm25_rank", "graph_pagerank", "table_partition_prune",
         "events_winsorize", "text_span_dedup", "table_zorder_roundtrip",
+        "join_interval_overlap", "agg_unpivot", "events_cumulative_users",
     }
     assert new_r7 == set(order[10 : 10 + len(new_r7)]), (
         "round-7 additions must follow"
@@ -106,7 +107,7 @@ def test_first_fifty_registrations_cover_the_stale():
     # immediately after slot 50 so it leads round 8.
     r3_stale = {q for q, r in last_round.items() if r == 3}
     outside = r3_stale - first50
-    assert len(outside) <= 27, (
+    assert len(outside) <= 30, (
         f"round-3-stale queries too far outside window: {sorted(outside)}"
     )
     assert outside <= set(order[50 : 50 + len(outside)]), (

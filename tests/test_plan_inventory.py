@@ -86,9 +86,12 @@ def test_inventory_global_invariants():
     #    partition first and the rank is part of the output contract
     #  - corpus_token_budget: a <=20-row bucket-offset prefix sum over
     #    a post-aggregation table
+    #  - events_cumulative_users: a ≤|calendar days|-row running sum
+    #    over the post-aggregation daily new-user table
     allowed_global_window = {
         "events_top_paths",
         "corpus_token_budget",
+        "events_cumulative_users",
     }
     gw = {n for n, c in inv.items() if c.get("unpartitioned_windows", 0) > 0}
     assert gw <= allowed_global_window, (

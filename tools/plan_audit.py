@@ -27,7 +27,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 #: global windows that are deliberate and bounded (see module docstring)
-KNOWN_BENIGN = {"events_top_paths", "corpus_token_budget"}
+KNOWN_BENIGN = {
+    "events_top_paths",
+    "corpus_token_budget",
+    # ≤|calendar days|-row running sum over the post-aggregation daily
+    # new-user table (see tests/test_plan_inventory.py whitelist)
+    "events_cumulative_users",
+}
 
 
 def main() -> int:
