@@ -52,7 +52,7 @@ _PRIORITY = [
     "join_inner",
     "project_expressions",
     "sql_exists_subquery",
-    # --- slots 11-34: new in round 7 (never driver-checked) ---
+    # --- slots 11-35: new in round 7 (never driver-checked) ---
     "corpus_soft_dedup_weights",
     "text_boilerplate_ngrams",
     "orders_market_basket",
@@ -77,17 +77,18 @@ _PRIORITY = [
     "join_interval_overlap",
     "agg_unpivot",
     "events_cumulative_users",
-    # --- slots 35-36: decode-path dependencies edited this round
+    "multimodal_image_resize",
+    # --- slots 36-37: decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",
     "multimodal_video_stats",
-    # --- slots 37-41: canaries ---
+    # --- slots 38-42: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 42-50: round-3-stale cohort (non-tpch first) ---
+    # --- slots 43-50: round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",

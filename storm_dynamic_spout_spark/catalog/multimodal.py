@@ -678,3 +678,93 @@ def multimodal_video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image resize: nearest-neighbor resample through the REAL decoder,
+# verified against the keystream closed form + the SAME pure grid math.
+# ---------------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 6, 5
+
+
+def _resize_oracle_values() -> str:
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        resize_pixels_nearest,
+    )
+
+    rows = []
+    for d in range(N_IMAGES):
+        seed, w, h, c = _image_params(d)
+        need = w * h * c
+        out = bytearray()
+        counter = 0
+        while len(out) < need:
+            out += hashlib.sha256(
+                seed + b"png" + counter.to_bytes(4, "little")
+            ).digest()
+            counter += 1
+        arr = np.frombuffer(bytes(out[:need]), np.uint8).reshape(h, w, c)
+        if c == 1:
+            arr = arr[:, :, 0]  # png_pixels' single-channel convention
+        rz = resize_pixels_nearest(arr, RESIZE_W, RESIZE_H)
+        sha = hashlib.sha256(np.ascontiguousarray(rz).tobytes()).hexdigest()
+        rows.append(f"({d}, {c}, {int(rz.sum())}, '{sha}')")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "multimodal_image_resize",
+    oracle=f"""
+    SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+           CAST({RESIZE_W} AS BIGINT) AS out_width,
+           CAST({RESIZE_H} AS BIGINT) AS out_height,
+           CAST(v.n_channels AS BIGINT) AS n_channels,
+           CAST(v.resized_sum AS BIGINT) AS resized_sum,
+           v.resized_sha AS resized_sha
+    FROM (VALUES
+      {_resize_oracle_values()}
+    ) AS v(doc_id, n_channels, resized_sum, resized_sha)
+    JOIN documents d ON v.doc_id = d.doc_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the REAL pixel-level decoder
+    (``operators/multimodal.py resize_image_nearest``): every fixture
+    PNG is decoded (zlib inflate + all five unfilter branches),
+    nearest-neighbor-resampled to {RESIZE_W}×{RESIZE_H} with the pure
+    integer floor grid, and reduced to the resized pixel sum + sha256
+    of the resized raw bytes.  The oracle rebuilds the SAME grid over
+    the generator keystream (hashlib + the shared pure resize fn —
+    never the decoder), so a wrong gather order, axis swap, or
+    off-by-one in the index math can't cancel out.
+
+    The vision-pipeline preprocessing seam: Arrow-batched Python over
+    a 24-row fixture; at scale a narrow per-partition transformation
+    whose output is one short row per image."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        make_png_image,
+        resize_image_nearest,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < N_IMAGES)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: make_png_image(*_image_params(int(i))))
+
+    resized = resize_image_nearest(
+        d.select("doc_id").withColumn("content", _payload("doc_id")),
+        RESIZE_W,
+        RESIZE_H,
+    )
+    return resized.select(
+        "doc_id",
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "resized_sum",
+        "resized_sha",
+    )

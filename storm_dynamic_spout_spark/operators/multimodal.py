@@ -1220,3 +1220,83 @@ def fingerprint_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "content").mapInPandas(_fp_batches, schema)
+
+
+def nearest_resize_indices(src: int, out: int) -> list[int]:
+    """Source index per output position for nearest-neighbor
+    resampling — the floor mapping ``(i · src) // out``, pure integer
+    arithmetic so every engine/oracle picks identical pixels."""
+    if src <= 0 or out <= 0:
+        raise ValueError("resize dimensions must be positive")
+    return [(i * src) // out for i in range(out)]
+
+
+def resize_pixels_nearest(pixels, out_w: int, out_h: int):
+    """Nearest-neighbor resample of a decoded pixel array ((h, w) or
+    (h, w, c), any integer dtype): advanced-index the first two axes
+    with the floor grid.  Pure array math, shared verbatim by the
+    Spark operator and the fixture oracle's closed form."""
+    import numpy as np
+
+    arr = np.asarray(pixels)
+    ys = nearest_resize_indices(arr.shape[0], out_h)
+    xs = nearest_resize_indices(arr.shape[1], out_w)
+    return arr[np.ix_(ys, xs)]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("resized_sum", T.LongType(), False),
+        T.StructField("resized_sha", T.StringType(), False),
+    ]
+)
+
+
+def resize_image_nearest(
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """binary content → nearest-neighbor-resized pixel features via
+    Arrow-batched mapInPandas: decode at pixel level
+    (:func:`image_pixels` — PNG native, JPEG via operators/jpeg.py),
+    resample with the shared floor grid, reduce to the resized pixel
+    sum + sha256 of the resized raw bytes (row-major, native dtype).
+
+    Narrow transformation — partitioning preserved; the Python cost is
+    per-image decode+gather, the reduction leaves one narrow row per
+    image.  The preprocessing step of a vision training pipeline
+    (thumbnail / fixed-input-size normalization)."""
+    import numpy as np
+
+    def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf["content"]):
+                rz = resize_pixels_nearest(image_pixels(buf), out_w, out_h)
+                c = 1 if rz.ndim == 2 else int(rz.shape[2])
+                rows.append(
+                    (
+                        int(i),
+                        out_w,
+                        out_h,
+                        c,
+                        int(rz.sum()),
+                        hashlib.sha256(np.ascontiguousarray(rz).tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "out_width",
+                    "out_height",
+                    "n_channels",
+                    "resized_sum",
+                    "resized_sha",
+                ],
+            )
+
+    return df.select(id_col, "content").mapInPandas(_resize_batches, RESIZED_SCHEMA)

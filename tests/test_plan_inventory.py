@@ -74,6 +74,7 @@ def test_inventory_global_invariants():
         "multimodal_image_phash_pairs",
         "multimodal_audio_fingerprint_pairs",
         "multimodal_video_containment",
+        "multimodal_image_resize",
     }
     python = {n for n, c in inv.items() if c["python_nodes"] > 0}
     assert python <= allowed_python, (

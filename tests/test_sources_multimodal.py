@@ -788,3 +788,45 @@ def test_audio_fingerprint_gain_invariant_and_pairs(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] <= 10
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_resize_nearest_grid_and_operator(spark):
+    import hashlib
+
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        make_png_image,
+        nearest_resize_indices,
+        png_pixels,
+        resize_image_nearest,
+        resize_pixels_nearest,
+    )
+
+    # floor-grid properties: monotone, in-range, identity at same size
+    assert nearest_resize_indices(10, 5) == [0, 2, 4, 6, 8]
+    assert nearest_resize_indices(3, 6) == [0, 0, 1, 1, 2, 2]
+    assert nearest_resize_indices(7, 7) == list(range(7))
+    with pytest.raises(ValueError):
+        nearest_resize_indices(0, 4)
+
+    # pure resample: identity round-trip + gather correctness on a ramp
+    arr = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    assert (resize_pixels_nearest(arr, 6, 4) == arr).all()
+    down = resize_pixels_nearest(arr, 3, 2)
+    assert down.tolist() == [[0, 2, 4], [12, 14, 16]]
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert resize_pixels_nearest(rgb, 2, 2).shape == (2, 2, 3)
+
+    # operator through the REAL png decoder matches the pure path
+    payload = make_png_image(b"resize-op", 9, 7, 3)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "doc_id long, content binary"
+    )
+    row = resize_image_nearest(df, 4, 3).collect()[0]
+    expect = resize_pixels_nearest(png_pixels(payload), 4, 3)
+    assert (row.out_width, row.out_height, row.n_channels) == (4, 3, 3)
+    assert row.resized_sum == int(expect.sum())
+    assert row.resized_sha == hashlib.sha256(
+        np.ascontiguousarray(expect).tobytes()
+    ).hexdigest()
