@@ -78,7 +78,8 @@ _PRIORITY = [
     "agg_unpivot",
     "events_cumulative_users",
     "multimodal_image_resize",
-    # --- slots 36-37: decode-path dependencies edited this round
+    "join_bloom_prune",
+    # --- decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",
     "multimodal_video_stats",
