@@ -73,6 +73,7 @@ def test_first_fifty_registrations_cover_the_stale():
         "text_bm25_rank", "graph_pagerank", "table_partition_prune",
         "events_winsorize", "text_span_dedup", "table_zorder_roundtrip",
         "join_interval_overlap", "agg_unpivot", "events_cumulative_users",
+        "multimodal_image_resize", "join_bloom_prune",
     }
     assert new_r7 == set(order[10 : 10 + len(new_r7)]), (
         "round-7 additions must follow"
@@ -107,7 +108,9 @@ def test_first_fifty_registrations_cover_the_stale():
     # immediately after slot 50 so it leads round 8.
     r3_stale = {q for q, r in last_round.items() if r == 3}
     outside = r3_stale - first50
-    assert len(outside) <= 30, (
+    # every never-checked addition displaces one stale slot; 26 r7
+    # additions leave 32 of the r3 cohort as the round-8 overhang
+    assert len(outside) <= 32, (
         f"round-3-stale queries too far outside window: {sorted(outside)}"
     )
     assert outside <= set(order[50 : 50 + len(outside)]), (
