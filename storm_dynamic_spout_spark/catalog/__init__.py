@@ -79,6 +79,9 @@ _PRIORITY = [
     "events_cumulative_users",
     "multimodal_image_resize",
     "join_bloom_prune",
+    "dedup_setsim_prefix",
+    "join_spatial_grid",
+    "events_mad_outliers",
     # --- decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",

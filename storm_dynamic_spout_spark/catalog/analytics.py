@@ -1210,3 +1210,69 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_new_users", "n_cumulative_users")
         .orderBy("day")
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(min(d.med), 6) AS med,
+           round(min(a.mad), 6) AS mad,
+           CAST(sum(CASE WHEN round(d.dev * 1000000) >
+                              round(3 * a.mad * 1000000)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(max(round(d.dev * 1000000)) AS BIGINT) AS max_dev_micro
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier report via median absolute deviation:
+    a row is an outlier when |value − median| > 3·MAD — the
+    breakdown-resistant alternative to z-scores (one 1e9 spike shifts
+    a mean+stddev gate to uselessness but leaves median/MAD intact).
+
+    Why at 100 TB: two |types|-row exact-percentile aggregates (median
+    pass, then MAD over deviations), each broadcast back over the scan
+    — the ``events_winsorize`` cut-broadcast shape twice, because MAD
+    is inherently two-pass; swap ``approx_percentile`` at extreme
+    scale, identical plan.  The outlier predicate compares
+    integer micro-units (round(dev·1e6) vs round(3·MAD·1e6)) so no
+    float near-tie can flip a count across engines."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("__med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "__dev", F.abs(F.col("value") - F.col("__med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("__dev", 0.5).alias("__mad")
+    )
+    dev_i = F.round(F.col("__dev") * 1000000)
+    cut_i = F.round(F.lit(3) * F.col("__mad") * 1000000)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("__med"), 6).alias("med"),
+            F.round(F.min("__mad"), 6).alias("mad"),
+            F.sum((dev_i > cut_i).cast("long")).alias("n_outliers"),
+            F.max(dev_i).cast("long").alias("max_dev_micro"),
+        )
+        .orderBy("event_type")
+    )

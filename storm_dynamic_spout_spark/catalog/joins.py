@@ -797,3 +797,72 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+#: Spatial fixture geometry: md5-derived integer coordinates in a
+#: 100k × 100k micro-unit plane, neighbor radius 1000 (~350 pairs at
+#: sf0.01's 1.5k customers — dense enough to exercise corner cells).
+_SPATIAL_MOD = 100_000
+_SPATIAL_RADIUS = 1_000
+
+
+def _spatial_coord_sql(axis: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{axis}:' || CAST(c_custkey AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {_SPATIAL_MOD}"
+    )
+
+
+def _spatial_coord(axis: str):
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{axis}:"), F.col("c_custkey").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_SPATIAL_MOD),
+    )
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_spatial_coord_sql('x')} AS ux,
+             {_spatial_coord_sql('y')} AS uy
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.ux - b.ux) * (a.ux - b.ux)
+              + (a.uy - b.uy) * (a.uy - b.uy) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.ux - b.ux) * (a.ux - b.ux)
+        + (a.uy - b.uy) * (a.uy - b.uy) <= {_SPATIAL_RADIUS * _SPATIAL_RADIUS}
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-radius spatial self-join via grid-cell blocking
+    (operators/spatial.py): points join only their 3×3 cell
+    neighborhood, so the plan is an equi-join on cell ids — never the
+    all-pairs cross join the ORACLE deliberately uses (the brute force
+    is the independent ground truth; the grid must reproduce it
+    exactly).  Coordinates are md5-derived integer micro-units and the
+    predicate is integer dist² ≤ r², so there is no float near-tie.
+    """
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    return grid_neighbor_pairs(pts, "id", "ux", "uy", _SPATIAL_RADIUS)

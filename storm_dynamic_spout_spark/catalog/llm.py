@@ -334,6 +334,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Exact set-similarity join threshold — lower than the MinHash gate so
+#: prefixes are longer than one token and the filter is exercised.
+SETSIM_JACCARD = 0.8
+
+
+def _setsim_prefix_sql() -> str:
+    t_ = SETSIM_JACCARD
+    return f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS tk FROM documents),
+    sized AS (SELECT doc_id, tk, len(tk) AS n FROM tk),
+    ex AS (SELECT doc_id, n, UNNEST(tk) AS tok FROM sized),
+    freq AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+    ranked AS (
+      SELECT ex.doc_id, ex.n, ex.tok,
+             row_number() OVER (PARTITION BY ex.doc_id ORDER BY freq.c, ex.tok) AS rn
+      FROM ex JOIN freq USING (tok)
+    ),
+    prefix AS (SELECT doc_id, tok FROM ranked WHERE rn <= n - ceil({t_} * n) + 1),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE) /
+             CAST(x.n + y.n - len(list_intersect(x.tk, y.tk)) AS DOUBLE) AS jaccard
+      FROM cands JOIN sized x ON x.doc_id = id_a JOIN sized y ON y.doc_id = id_b
+      WHERE x.n >= {t_} * y.n AND y.n >= {t_} * x.n
+    )
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {t_}
+    """
+
+
+@query("dedup_setsim_prefix", oracle=_setsim_prefix_sql())
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold similarity self-join via prefix filtering
+    (PPJoin family) — the no-false-negative complement to MinHash LSH:
+    candidates share one of their rarest tokens under a global
+    (frequency, token) order, so join buckets stay small by
+    construction and every true pair is guaranteed found."""
+    return D.setsim_prefix_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", SETSIM_JACCARD
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

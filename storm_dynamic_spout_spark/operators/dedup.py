@@ -698,3 +698,85 @@ def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .withColumn("n_copies", F.count(F.lit(1)).over(w).cast("long"))
         .withColumn("weight", F.lit(1.0) / F.col("n_copies"))
     )
+
+
+def setsim_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering (the PPJoin family, Xiao et al., WWW'08) — the
+    no-false-negative complement to MinHash LSH: every pair with
+    token-set Jaccard ≥ ``threshold`` is returned, guaranteed.
+
+    Tokens are globally ordered by (frequency, token) ascending —
+    rarest first.  A document of n distinct tokens exposes only its
+    first ``n - ceil(t·n) + 1`` tokens under that order (its prefix):
+    two sets with J ≥ t must overlap in ≥ ceil(t·n) tokens, so they
+    cannot avoid sharing a prefix token.  Candidates therefore come
+    from an equi-join on prefix tokens, and because prefixes hold each
+    document's RAREST tokens the join buckets are intrinsically small —
+    the frequency order IS the skew defense (the viral stopword that
+    would explode a naive token join is never in anyone's prefix).
+    Exact Jaccard verification then drops the false positives.
+
+    Plan at 100 TB: token-frequency aggregate (vocab-sized, shuffle on
+    token) → per-doc window to pick the prefix (shuffle on doc id) →
+    prefix equi-join (shuffle on rare tokens) → size-pruned verify.
+    No all-pairs stage anywhere; no global sort (the frequency order is
+    consumed as a per-doc sort key, never as a global rank).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(distinct_tokens(F.col(text_col)), token_hash).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    exploded = toks.select("__id", "__n", F.explode("__toks").alias("__tok"))
+    freq = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
+    w = Window.partitionBy("__id").orderBy("__freq", "__tok")
+    prefix = (
+        exploded.join(freq, "__tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        )
+        .select("__id", "__tok")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "__tok")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    a = toks.select(
+        F.col("__id").alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("__na"),
+    )
+    b = toks.select(
+        F.col("__id").alias("id_b"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
+            & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
+        )
+        .withColumn("__inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / ((F.col("__na") + F.col("__nb")).cast("double") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
