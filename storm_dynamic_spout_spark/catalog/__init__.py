@@ -82,6 +82,10 @@ _PRIORITY = [
     "dedup_setsim_prefix",
     "join_spatial_grid",
     "events_mad_outliers",
+    "graph_triangle_count",
+    "orders_cohort_ltv",
+    "events_changepoint",
+    "parts_abc_pareto",
     # --- decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
     "multimodal_image_stats",

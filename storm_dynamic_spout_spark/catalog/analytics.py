@@ -1276,3 +1276,323 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100000 AS ux,
+             CAST(('0x' || substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100000 AS uy
+      FROM customer
+    ),
+    edges AS (
+      SELECT a.id AS a, b.id AS b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE (a.ux - b.ux) * (a.ux - b.ux)
+          + (a.uy - b.uy) * (a.uy - b.uy) <= 2250000
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting (node-iterator with ordered
+    edges) over the spatial proximity graph: every edge is stored once
+    as (a < b), so each triangle a<b<c is found exactly once by the
+    two-join wedge-close — no 6× overcount, no post-dedup.
+
+    Why at 100 TB: both joins are plain equi-joins on node ids (wedge
+    build on the shared middle node, then a closing edge lookup); the
+    standard refinement at web-graph scale is degree-ordered
+    direction (orient edges low-degree → high-degree before the wedge
+    join) which bounds wedge fan-out by the arboricity — same plan
+    shape, different orientation rule, so the fixture keeps the
+    simpler id order.  The ORACLE builds its edge set by brute-force
+    all-pairs; the Spark side goes through the grid-blocked spatial
+    join, so the oracle independently checks both the graph
+    derivation and the count."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", 1500).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(tri)
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    first AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey),
+    cohorts AS (
+      SELECT cohort_ym, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY cohort_ym
+    ),
+    per AS (
+      SELECT f.cohort_ym, o.ym - f.cohort_ym AS month_offset,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+             CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+      FROM o JOIN first f USING (o_custkey)
+      GROUP BY f.cohort_ym, month_offset
+    )
+    SELECT CAST(p.cohort_ym AS BIGINT) AS cohort_ym,
+           CAST(p.month_offset AS BIGINT) AS month_offset,
+           c.cohort_size, p.active_customers, p.revenue_cents,
+           CAST(sum(p.revenue_cents) OVER (
+             PARTITION BY p.cohort_ym ORDER BY p.month_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_revenue_cents
+    FROM per p JOIN cohorts c USING (cohort_ym)
+    ORDER BY cohort_ym, month_offset
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, revenue tracked per months-since-acquisition with the
+    running cumulative — the standard retention/LTV matrix every
+    growth team reads.
+
+    Why at 100 TB: the per-customer first-order aggregate and the fact
+    join share the o_custkey key (one shuffle each); the cumulative
+    window partitions by cohort month over an offsets-sized table
+    (months², tiny post-agg), and the cohort-size join is a broadcast.
+    Month arithmetic is pure integers (year·12+month), so no
+    engine-specific month-diff semantics are in play."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    cohorts = first.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    per = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("month_offset"))
+        .agg(
+            F.count_distinct("o_custkey").alias("active_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per.join(F.broadcast(cohorts), "cohort_ym")
+        .select(
+            F.col("cohort_ym").cast("long"),
+            F.col("month_offset").cast("long"),
+            "cohort_size",
+            "active_customers",
+            "revenue_cents",
+            F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+        )
+        .orderBy("cohort_ym", "month_offset")
+    )
+
+
+@query(
+    "events_changepoint",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS iv,
+             row_number() OVER w AS k,
+             sum(CAST(round(value * 100) AS BIGINT)) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) OVER
+               (PARTITION BY event_type) AS s_n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    d AS (
+      SELECT event_type, n, k,
+             abs(s_k * n - k * CAST(s_n AS BIGINT)) AS dk
+      FROM seq
+    )
+    SELECT event_type, n AS n_events,
+           CAST(k AS BIGINT) AS change_k,
+           CAST(dk AS BIGINT) AS max_d
+    FROM d
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type ORDER BY dk DESC, k ASC) = 1
+    ORDER BY event_type
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per series (offline CUSUM): the
+    split index k maximizing |S_k·n − k·S_n| — the integer-scaled form
+    of "where does the prefix mean depart most from the global mean",
+    which is the classic mean-shift changepoint statistic.
+
+    Why at 100 TB: one exchange per series (every window partitions by
+    event_type; the argmax is a WindowGroupLimit rank-1, so only one
+    row per series survives the final sort).  The statistic stays in
+    BIGINT (centi-units · counts) so there is no float near-tie at the
+    argmax; ties break to the earliest k deterministically.  At
+    extreme per-series lengths the same statistic computes from a
+    bucketed prefix-sum (the corpus_token_budget shape) instead of a
+    row window."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("iv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    seq = e.select(
+        "event_type",
+        F.row_number().over(w).alias("k"),
+        F.sum("iv")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("s_k"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("iv").over(wp).alias("s_n"),
+    )
+    d = seq.withColumn(
+        "dk", F.abs(F.col("s_k") * F.col("n") - F.col("k") * F.col("s_n"))
+    )
+    pick = Window.partitionBy("event_type").orderBy(F.desc("dk"), F.asc("k"))
+    return (
+        d.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("k").cast("long").alias("change_k"),
+            F.col("dk").cast("long").alias("max_d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "parts_abc_pareto",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM pr),
+    c AS (
+      SELECT cents,
+             CAST(sum(cents) OVER (
+               ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM pr
+    )
+    SELECT CASE WHEN 5 * cum <= 4 * t.tot THEN 'A'
+                WHEN 20 * cum <= 19 * t.tot THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM c, tot t
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = the head covering 80% of cumulative revenue, B to 95%,
+    C the tail — the 80/20 curve over a revenue-ranked dimension.
+
+    The oracle states the GLOBAL running sum (one ORDER BY over every
+    part); the Spark side decomposes it into the distributed prefix
+    sum that survives 100 TB (the ``corpus_token_budget`` shape):
+    log-scale revenue bands are a monotone pure function of the sort
+    key, so band order == global order; within-band running sums are
+    parallel windows; the ~40-row band-total prefix sum broadcasts
+    back as each band's offset.  Class cuts are integer comparisons
+    (5·cum ≤ 4·total, 20·cum ≤ 19·total) — no float share
+    thresholds."""
+    from pyspark.sql.window import Window
+
+    pr = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+        .withColumn("__b", F.floor(F.log10(F.col("cents") + 1) * 4).cast("int"))
+    )
+    within = F.sum("cents").over(
+        Window.partitionBy("__b")
+        .orderBy(F.desc("cents"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    band_totals = pr.groupBy("__b").agg(F.sum("cents").alias("__bt"))
+    offsets = band_totals.select(
+        "__b",
+        (
+            F.sum("__bt").over(
+                Window.orderBy(F.desc("__b")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("__bt")
+        ).alias("__off"),
+    )
+    total = pr.agg(F.sum("cents").alias("__tot"))
+    cum = F.col("__off") + F.col("__run")
+    cls = (
+        F.when(5 * cum <= 4 * F.col("__tot"), "A")
+        .when(20 * cum <= 19 * F.col("__tot"), "B")
+        .otherwise("C")
+    )
+    return (
+        pr.withColumn("__run", within)
+        .join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(total))
+        .withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("abc_class")
+    )

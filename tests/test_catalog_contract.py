@@ -75,6 +75,8 @@ def test_first_fifty_registrations_cover_the_stale():
         "join_interval_overlap", "agg_unpivot", "events_cumulative_users",
         "multimodal_image_resize", "join_bloom_prune",
         "dedup_setsim_prefix", "join_spatial_grid", "events_mad_outliers",
+        "graph_triangle_count", "orders_cohort_ltv", "events_changepoint",
+        "parts_abc_pareto",
     }
     assert new_r7 == set(order[10 : 10 + len(new_r7)]), (
         "round-7 additions must follow"
@@ -109,9 +111,9 @@ def test_first_fifty_registrations_cover_the_stale():
     # immediately after slot 50 so it leads round 8.
     r3_stale = {q for q, r in last_round.items() if r == 3}
     outside = r3_stale - first50
-    # every never-checked addition displaces one stale slot; 29 r7
-    # additions leave 35 of the r3 cohort as the round-8 overhang
-    assert len(outside) <= 35, (
+    # every never-checked addition displaces one stale slot; 33 r7
+    # additions leave 39 of the r3 cohort as the round-8 overhang
+    assert len(outside) <= 39, (
         f"round-3-stale queries too far outside window: {sorted(outside)}"
     )
     assert outside <= set(order[50 : 50 + len(outside)]), (

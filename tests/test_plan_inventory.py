@@ -89,10 +89,13 @@ def test_inventory_global_invariants():
     #    a post-aggregation table
     #  - events_cumulative_users: a ≤|calendar days|-row running sum
     #    over the post-aggregation daily new-user table
+    #  - parts_abc_pareto: a ~40-row log-band offset prefix sum (the
+    #    corpus_token_budget decomposition over revenue bands)
     allowed_global_window = {
         "events_top_paths",
         "corpus_token_budget",
         "events_cumulative_users",
+        "parts_abc_pareto",
     }
     gw = {n for n, c in inv.items() if c.get("unpartitioned_windows", 0) > 0}
     assert gw <= allowed_global_window, (

@@ -33,6 +33,9 @@ KNOWN_BENIGN = {
     # ≤|calendar days|-row running sum over the post-aggregation daily
     # new-user table (see tests/test_plan_inventory.py whitelist)
     "events_cumulative_users",
+    # ~40-row log-band offset prefix sum (the corpus_token_budget
+    # decomposition applied to revenue bands)
+    "parts_abc_pareto",
 }
 
 
