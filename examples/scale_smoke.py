@@ -502,6 +502,94 @@ def pagerank_iters(t):
     return pagerank(edges, weight="w", iterations=3)
 
 
+def setsim_prefix(t):
+    """Exact set-similarity join (catalog dedup_setsim_prefix shape):
+    per-copy token salting keeps cross-copy Jaccard at 0, so true
+    pairs grow 5x (per-copy dup structure), candidates with them —
+    the prefix equi-join must scale with output, not docs²."""
+    from storm_dynamic_spout_spark.operators.dedup import setsim_prefix_pairs
+
+    return setsim_prefix_pairs(t("documents"), "doc_id", "text", 0.8)
+
+
+def spatial_grid(t):
+    """Grid-blocked spatial join (catalog join_spatial_grid shape):
+    each key copy lives on its own x-shifted plane (copy i offset by
+    i·200k > plane width), so density — and therefore true pair count
+    per copy — is constant and the total output grows 5x, never
+    density²."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t("customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            _spatial_coord("x")
+            + (F.col("c_custkey") / F.lit(1_000_000_000)).cast("long")
+            * F.lit(200_000)
+        ).alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    return grid_neighbor_pairs(pts, "id", "ux", "uy", 1000)
+
+
+def bloom_prune(t):
+    """Bloom-prune semi-join (catalog join_bloom_prune shape): the
+    build side stays copy-0's nation-3 suppliers while the fact side
+    grows 5x — the regime the operator targets (bitmap constant,
+    map-side prune rate rises, surviving rows bounded)."""
+    from storm_dynamic_spout_spark.operators.bloom import bloom_prune_join
+
+    li = t("lineitem")
+    sup = t("supplier").where(F.col("s_nationkey") == 3)
+    return bloom_prune_join(li, sup, "l_suppkey", "s_suppkey")
+
+
+def abc_pareto_bands(t):
+    """Distributed Pareto prefix sum (catalog parts_abc_pareto shape):
+    5x parts through the log-band offset decomposition — the band
+    count stays ~40 while per-band windows take 5x rows."""
+    from pyspark.sql.window import Window as W
+
+    pr = (
+        t("lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+        .withColumn("__b", F.floor(F.log10(F.col("cents") + 1) * 4).cast("int"))
+    )
+    within = F.sum("cents").over(
+        W.partitionBy("__b")
+        .orderBy(F.desc("cents"), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = (
+        pr.groupBy("__b")
+        .agg(F.sum("cents").alias("__bt"))
+        .select(
+            "__b",
+            (
+                F.sum("__bt").over(
+                    W.orderBy(F.desc("__b")).rowsBetween(
+                        W.unboundedPreceding, W.currentRow
+                    )
+                )
+                - F.col("__bt")
+            ).alias("__off"),
+        )
+    )
+    return (
+        pr.withColumn("__run", within)
+        .join(F.broadcast(offsets), "__b")
+        .select("l_partkey", (F.col("__off") + F.col("__run")).alias("cum"))
+    )
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -523,6 +611,10 @@ QUERIES = [
     ("bm25_postings", bm25_postings),
     ("span_dedup", span_dedup),
     ("pagerank_iters", pagerank_iters),
+    ("setsim_prefix", setsim_prefix),
+    ("spatial_grid", spatial_grid),
+    ("bloom_prune", bloom_prune),
+    ("abc_pareto", abc_pareto_bands),
 ]
 
 
@@ -581,7 +673,10 @@ def main() -> None:
     print(f"scale smoke: {SF_DIR} at 1x vs {COPIES}x (keys shifted per copy)")
     import inspect
 
+    only = {s for s in os.environ.get("SCALE_ONLY", "").split(",") if s}
     for label, build in QUERIES:
+        if only and label not in only:
+            continue
         takes_scale = "scale" in inspect.signature(build).parameters
         times = {}
         for tag, loader, scale in (
