@@ -744,14 +744,39 @@ def setsim_prefix_pairs(
             F.col("__rn")
             <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
         )
-        .select("__id", "__tok")
+        .select("__id", "__tok", "__rn", "__n")
+    )
+    # Positional refinement (the "P" in PPJoin): a shared prefix token
+    # at positions (pa, pb) of the globally-sorted arrays bounds the
+    # overlap by min(n_a − pa, n_b − pb) + 1 — everything before the
+    # shared token on either side is provably outside the other set's
+    # tail.  J ≥ t needs overlap ≥ t·(n_a+n_b)/(1+t), so pairs whose
+    # best bound (max over shared tokens) misses it die on an integer
+    # compare before any array is touched.  The groupBy replaces the
+    # plain distinct() — same shuffle, strictly fewer verify rows.
+    bound = (
+        F.least(
+            F.col("a.__n") - F.col("a.__rn"), F.col("b.__n") - F.col("b.__rn")
+        )
+        + 1
     )
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "__tok")
         .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            bound.alias("__ub"),
+            (F.col("a.__n") + F.col("b.__n")).alias("__nsum"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("__ub").alias("__ub"), F.min("__nsum").alias("__nsum"))
+        .filter(
+            F.col("__ub")
+            >= F.lit(threshold) / (1 + threshold) * F.col("__nsum") - F.lit(1e-6)
+        )
+        .select("id_a", "id_b")
     )
     a = toks.select(
         F.col("__id").alias("id_a"),
