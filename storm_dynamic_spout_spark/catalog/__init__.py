@@ -86,17 +86,21 @@ _PRIORITY = [
     "orders_cohort_ltv",
     "events_changepoint",
     "parts_abc_pareto",
-    # --- decode-path dependencies edited this round
-    # (jpeg.py lossless restart rework, _decode_png pixel refactor) ---
-    "multimodal_image_stats",
-    "multimodal_video_stats",
-    # --- slots 38-42: canaries ---
+    "agg_weighted_median",
+    "corpus_dsir_importance",
+    # --- canaries (historical red->green set, always in-window) ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
     "embedding_normalize",
-    # --- slots 43-50: round-3-stale cohort (non-tpch first) ---
+    # --- slots 51-52: decode-path dependencies edited this round
+    # (jpeg.py lossless restart rework, _decode_png pixel refactor);
+    # displaced past slot 50 by the never-checked additions, so they
+    # LEAD the round-8 window ---
+    "multimodal_image_stats",
+    "multimodal_video_stats",
+    # --- round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",

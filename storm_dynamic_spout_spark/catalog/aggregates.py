@@ -777,3 +777,81 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("l_returnflag", "metric")
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, cents
+    ),
+    c AS (
+      SELECT l_returnflag, cents, w,
+             CAST(sum(w) OVER (
+               PARTITION BY l_returnflag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      FROM g
+    )
+    SELECT l_returnflag,
+           CAST(min(tot) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(min(CASE WHEN 10 * cum >= 9 * tot THEN cents END) AS BIGINT)
+             AS wp90_cents
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median / weighted p90 per group — the smallest value
+    whose cumulative weight reaches the quantile of total weight
+    (quantity-weighted price levels: what a *unit* pays, not what a
+    *line* pays).  Spark has no weighted percentile aggregate; this is
+    the exact distributed form.
+
+    Why at 100 TB: values collapse to (group, value) weight cells
+    FIRST (two-phase hash aggregate, map-side combine), so the windows
+    run over the distinct-value table partitioned by group — never a
+    global sort, never row-level data through a window.  Quantile
+    tests are integer comparisons (2·cum ≥ tot, 10·cum ≥ 9·tot) on
+    BIGINT weights; the closing min() picks the boundary value with no
+    rank tie-break needed."""
+    from pyspark.sql.window import Window
+
+    g = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("w"))
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wp).alias("tot"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.min("tot").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))
+            ).alias("wmedian_cents"),
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("cents"))
+            ).alias("wp90_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -3439,3 +3439,79 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, UNNEST({_TOKS}) AS w FROM documents
+    ),
+    alla AS (SELECT w, CAST(count(*) AS BIGINT) AS c_a FROM tk GROUP BY w),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM tk),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM alla),
+    tgt AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c_t FROM tk
+      WHERE source = 'src0' GROUP BY w
+    ),
+    nt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_t FROM tk WHERE source = 'src0'
+    ),
+    d AS (
+      SELECT tk.doc_id, tk.source,
+             avg(ln((COALESCE(tgt.c_t, 0) + 1.0) / (nt.n_t + v.v))
+               - ln((alla.c_a + 1.0) / (na.n_a + v.v))) AS lw
+      FROM tk JOIN alla USING (w) LEFT JOIN tgt USING (w)
+      CROSS JOIN na CROSS JOIN v CROSS JOIN nt
+      WHERE tk.source <> 'src0'
+      GROUP BY tk.doc_id, tk.source
+    )
+    SELECT doc_id, source, CAST(round(lw * 10000) AS BIGINT) AS lw_e4
+    FROM d ORDER BY lw_e4 DESC, doc_id LIMIT 50
+    """,
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., 2023 — Data Selection
+    via Importance Resampling, public method): score each candidate
+    document by the log importance ratio of a target-domain unigram LM
+    (here: the src0 slice) over the whole-corpus LM, add-one smoothed,
+    and keep the top-K — "find me more data that looks like my target
+    domain" as one Catalyst DAG, no external model.
+
+    Why at 100 TB: both LMs are vocab-sized count tables (map-side
+    combined aggregates) broadcast back over the exploded token
+    stream; the per-doc score is one more shuffle on doc_id; the
+    selection is TakeOrderedAndProject on an integer key (score in
+    1e-4 units — summation-order ulp cannot flip a rank, and boundary
+    ties break by doc_id deterministically)."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", "source", F.explode(X.tokens(F.col("text"))).alias("w"))
+    alla = tk.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
+    n_a = tk.agg(F.count(F.lit(1)).alias("n_a"))
+    v = alla.agg(F.count(F.lit(1)).alias("v"))
+    tgt = (
+        tk.filter(F.col("source") == "src0")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    n_t = tk.filter(F.col("source") == "src0").agg(F.count(F.lit(1)).alias("n_t"))
+    delta = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (F.col("n_t") + F.col("v"))
+    ) - F.log((F.col("c_a") + 1.0) / (F.col("n_a") + F.col("v")))
+    return (
+        tk.filter(F.col("source") != "src0")
+        .join(F.broadcast(alla), "w")
+        .join(F.broadcast(tgt), "w", "left")
+        .crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(n_t))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(delta).alias("lw"))
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("lw") * 10000).cast("long").alias("lw_e4"),
+        )
+        .orderBy(F.desc("lw_e4"), "doc_id")
+        .limit(50)
+    )

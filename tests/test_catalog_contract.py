@@ -76,14 +76,17 @@ def test_first_fifty_registrations_cover_the_stale():
         "multimodal_image_resize", "join_bloom_prune",
         "dedup_setsim_prefix", "join_spatial_grid", "events_mad_outliers",
         "graph_triangle_count", "orders_cohort_ltv", "events_changepoint",
-        "parts_abc_pareto",
+        "parts_abc_pareto", "agg_weighted_median", "corpus_dsir_importance",
     }
     assert new_r7 == set(order[10 : 10 + len(new_r7)]), (
         "round-7 additions must follow"
     )
+    # decode-path rechecks (r6-green rows, code edited r7) were
+    # displaced past slot 50 by the never-checked additions — they sit
+    # at 51-52 so they LEAD the round-8 window
     edited_deps = {"multimodal_image_stats", "multimodal_video_stats"}
-    assert edited_deps == set(order[10 + len(new_r7) : 12 + len(new_r7)]), (
-        "decode-dependency rechecks must follow the new queries"
+    assert edited_deps == set(order[50:52]), (
+        "decode-dependency rechecks must immediately follow the window"
     )
     canaries = {
         "embedding_quantize", "agg_stats", "scalar_map",
@@ -111,11 +114,11 @@ def test_first_fifty_registrations_cover_the_stale():
     # immediately after slot 50 so it leads round 8.
     r3_stale = {q for q, r in last_round.items() if r == 3}
     outside = r3_stale - first50
-    # every never-checked addition displaces one stale slot; 33 r7
-    # additions leave 39 of the r3 cohort as the round-8 overhang
-    assert len(outside) <= 39, (
+    # every never-checked addition displaces one stale slot; 35 r7
+    # additions leave 41 of the r3 cohort as the round-8 overhang
+    assert len(outside) <= 41, (
         f"round-3-stale queries too far outside window: {sorted(outside)}"
     )
-    assert outside <= set(order[50 : 50 + len(outside)]), (
+    assert outside <= set(order[52 : 52 + len(outside)]), (
         f"stale overhang not adjacent to window: {sorted(outside)}"
     )
