@@ -763,7 +763,14 @@ def setsim_prefix_pairs(
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "__tok")
-        .filter(F.col("a.__id") < F.col("b.__id"))
+        .filter(
+            (F.col("a.__id") < F.col("b.__id"))
+            # size-ratio prune INSIDE the join filter: J ≥ t needs
+            # min(n)/max(n) ≥ t, so mismatched-size pairs die before
+            # the pair-key shuffle into the groupBy, not after it
+            & (F.col("a.__n") >= F.lit(threshold) * F.col("b.__n"))
+            & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
+        )
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
