@@ -88,13 +88,18 @@ _PRIORITY = [
     "parts_abc_pareto",
     "agg_weighted_median",
     "corpus_dsir_importance",
-    # --- canaries (historical red->green set, always in-window) ---
+    "multimodal_audio_resample",
+    # --- canaries (historical red->green set; embedding_normalize —
+    # the one with the freshest double evidence, r4+r5 green, code
+    # untouched — yields its slot to the 36 never-checked additions
+    # and sits at 51 to lead round 8) ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
+    # --- slots 51-53: round-8 lead block ---
     "embedding_normalize",
-    # --- slots 51-52: decode-path dependencies edited this round
+    # --- decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor);
     # displaced past slot 50 by the never-checked additions, so they
     # LEAD the round-8 window ---

@@ -768,3 +768,70 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resized_sum",
         "resized_sha",
     )
+
+
+def _resample_oracle_values() -> str:
+    from storm_dynamic_spout_spark.operators.multimodal import halve_samples
+
+    rows = []
+    for d in range(N_CLIPS):
+        _seed, rate, _n = _audio_params(d)
+        res = halve_samples(_audio_samples(d))
+        sha = hashlib.sha256(res.astype("<i2").tobytes()).hexdigest()
+        rows.append(
+            f"({d}, {rate // 2}, {int(res.shape[0])}, {int(res.sum())}, "
+            f"{int((res * res).sum())}, '{sha}')"
+        )
+    return ",\n      ".join(rows)
+
+
+@query(
+    "multimodal_audio_resample",
+    oracle=f"""
+    SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+           CAST(v.out_rate AS BIGINT) AS out_rate,
+           CAST(v.n_out AS BIGINT) AS n_out,
+           CAST(v.res_sum AS BIGINT) AS res_sum,
+           CAST(v.res_sq_sum AS BIGINT) AS res_sq_sum,
+           v.res_sha AS res_sha
+    FROM (VALUES
+      {_resample_oracle_values()}
+    ) AS v(doc_id, out_rate, n_out, res_sum, res_sq_sum, res_sha)
+    JOIN documents d ON v.doc_id = d.doc_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2:1 audio resample through the REAL sample-level WAV decoder
+    (``operators/multimodal.py resample_audio_half``): every fixture
+    clip is decoded, decimated with floor-mean pair averaging, and
+    reduced to integer sample stats + sha256 of the int16-packed
+    resampled stream.  The oracle rebuilds the SAME decimation over
+    the generator keystream (hashlib + the shared pure
+    ``halve_samples`` — never the decoder), so a byte-order, framing,
+    or off-by-one error in the decode path can't cancel out.
+
+    The audio-pipeline preprocessing seam: Arrow-batched Python over a
+    16-row fixture; at scale a narrow per-partition transformation,
+    one short row per clip."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        make_wav_audio,
+        resample_audio_half,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < N_CLIPS)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: make_wav_audio(*_audio_params(int(i))))
+
+    res = resample_audio_half(
+        d.select("doc_id").withColumn("content", _payload("doc_id"))
+    )
+    return res.select(
+        "doc_id",
+        F.col("out_rate").cast("long").alias("out_rate"),
+        "n_out",
+        "res_sum",
+        "res_sq_sum",
+        "res_sha",
+    )

@@ -1300,3 +1300,75 @@ def resize_image_nearest(
             )
 
     return df.select(id_col, "content").mapInPandas(_resize_batches, RESIZED_SCHEMA)
+
+
+def halve_samples(samples):
+    """Pure decimate-by-2 with pair averaging (floor division) — the
+    shared resample math: operator (over decoded WAV samples) and
+    oracle (over the fixture keystream) both call THIS, the decoder
+    stays operator-side only.  int64 out; values stay in int16 range
+    (floor mean of two int16 is int16)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    n2 = (arr.shape[0] // 2) * 2
+    return arr[:n2].reshape(-1, 2).sum(axis=1) // 2
+
+
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("out_rate", T.IntegerType(), False),
+        T.StructField("n_out", T.LongType(), False),
+        T.StructField("res_sum", T.LongType(), False),
+        T.StructField("res_sq_sum", T.LongType(), False),
+        T.StructField("res_sha", T.StringType(), False),
+    ]
+)
+
+
+def resample_audio_half(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """binary WAV content → 2:1 decimated sample features via
+    Arrow-batched mapInPandas: sample-level decode
+    (:func:`wav_samples`), :func:`halve_samples` pair averaging,
+    reduced to sample count, sum, squared sum, and sha256 of the
+    int16-packed resampled stream.
+
+    Narrow transformation — partitioning preserved, one short row per
+    clip out; the audio-pipeline preprocessing step (sample-rate
+    normalization before feature extraction)."""
+    import numpy as np
+
+    def _resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf["content"]):
+                rate, _fs, _n, samples = wav_samples(buf)
+                res = halve_samples(samples)
+                rows.append(
+                    (
+                        int(i),
+                        rate // 2,
+                        int(res.shape[0]),
+                        int(res.sum()),
+                        int((res * res).sum()),
+                        hashlib.sha256(
+                            res.astype("<i2").tobytes()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "out_rate",
+                    "n_out",
+                    "res_sum",
+                    "res_sq_sum",
+                    "res_sha",
+                ],
+            )
+
+    return df.select(id_col, "content").mapInPandas(
+        _resample_batches, RESAMPLED_SCHEMA
+    )

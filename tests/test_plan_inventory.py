@@ -75,6 +75,7 @@ def test_inventory_global_invariants():
         "multimodal_audio_fingerprint_pairs",
         "multimodal_video_containment",
         "multimodal_image_resize",
+        "multimodal_audio_resample",
     }
     python = {n for n, c in inv.items() if c["python_nodes"] > 0}
     assert python <= allowed_python, (
