@@ -43,6 +43,8 @@ HEADLINE = [
     "orders_market_basket",  # r7: bounded pair self-join + post-cut marginals
     "text_boilerplate_ngrams",  # r7: gram explosion + pre-aggregated gram join
     "ann_topk_pq",  # r7: PQ ADC search — broadcast tables + code lookups
+    "join_bloom_prune",  # r7: split-block bloom pre-filter below the probe exchange
+    "join_spatial_grid",  # r7: 3x3 cell-blocked within-radius self-join
 ]
 
 
@@ -194,6 +196,8 @@ def main() -> None:
                 "orders_market_basket",
                 "text_boilerplate_ngrams",
                 "ann_topk_pq",
+                "join_bloom_prune",
+                "join_spatial_grid",
             )
         ),
         4,
