@@ -97,7 +97,8 @@ _PRIORITY = [
     "agg_stats",
     "scalar_map",
     "events_sessionize",
-    # --- slots 51-53: round-8 lead block ---
+    # --- slots 51-55: round-8 lead block (the 50-slot window was
+    # exactly full; everything here is FIRST in round 8) ---
     "embedding_normalize",
     # --- decode-path dependencies edited this round
     # (jpeg.py lossless restart rework, _decode_png pixel refactor);
@@ -105,6 +106,11 @@ _PRIORITY = [
     # LEAD the round-8 window ---
     "multimodal_image_stats",
     "multimodal_video_stats",
+    # --- the two post-window-freeze r7 additions: registered after the
+    # window filled, so their FIRST driver check is round 8 (local
+    # sweep green at sf0.01) ---
+    "events_rolling_7d",
+    "ann_topk_pq_rerank",
     # --- round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",

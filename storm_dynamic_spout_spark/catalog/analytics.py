@@ -1596,3 +1596,49 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "events_rolling_7d",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS cents_7d
+    FROM events
+    WINDOW w AS (
+      PARTITION BY event_type
+      ORDER BY epoch_us(ts)
+      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling metrics per series — a TIME-interval
+    RANGE frame (every row within 604 800 s before the current row's
+    timestamp), the moving-aggregate shape behind rate limits, rolling
+    DAU, and trailing-spend features.  RANGE (not ROWS) semantics make
+    same-timestamp ties deterministic: all peers enter the frame
+    together, so intra-tie order can't change any value.
+
+    Why at 100 TB: one exchange per series (window partitioned by
+    event_type, ordered by exact epoch microseconds — a numeric range frame Spark
+    evaluates with a sliding two-pointer over the sorted partition,
+    O(n) per partition, no per-row rescan); the value stays in integer
+    cents."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum(cents).over(w).alias("cents_7d"),
+    )

@@ -3103,11 +3103,11 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _pq_adc_oracle_sql() -> str:
-    """ADC oracle on top of the shared PQ CTEs: per-query distance
-    tables are the `scored` rows of the query vectors themselves, and
-    the approximate distance is the m-way table lookup on each corpus
-    vector's code."""
+def _pq_adc_ctes() -> str:
+    """Shared PQ + ADC CTEs through `ranked` (approx distance + rank):
+    per-query distance tables are the `scored` rows of the query
+    vectors themselves, and the approximate distance is the m-way
+    table lookup on each corpus vector's code."""
     from storm_dynamic_spout_spark.operators.similarity import PQ_K, PQ_M
 
     joins = "\n      ".join(
@@ -3138,7 +3138,14 @@ def _pq_adc_oracle_sql() -> str:
                                 ORDER BY approx_d2_micro, neighbor_id)
                AS rank
       FROM adc
+    )"""
     )
+
+
+def _pq_adc_oracle_sql() -> str:
+    return (
+        _pq_adc_ctes()
+        + f"""
     SELECT query_id, neighbor_id, approx_d2_micro, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {ANN_K}
     ORDER BY query_id, rank
@@ -3514,4 +3521,96 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lw_e4"), "doc_id")
         .limit(50)
+    )
+
+
+#: Two-stage search shortlist: ADC keeps this many candidates per
+#: query before the exact rerank cuts to ANN_K.
+PQ_RERANK_SHORTLIST = 20
+
+
+def _pq_rerank_oracle_sql() -> str:
+    return (
+        _pq_adc_ctes()
+        + f""",
+    short AS (
+      SELECT query_id, neighbor_id FROM ranked
+      WHERE rank <= {PQ_RERANK_SHORTLIST}
+    ),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(round(list_sum(list_transform(range(1, 65),
+               i -> (qv.ve[i] - nv.ve[i]) * (qv.ve[i] - nv.ve[i])
+             )) * 1e6) AS BIGINT) AS exact_d2_micro
+      FROM short s
+      JOIN v qv ON qv.vec_id = s.query_id
+      JOIN v nv ON nv.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, exact_d2_micro, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY exact_d2_micro, neighbor_id) AS rank
+      FROM ex
+    ) WHERE rank <= {ANN_K}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+@query("ann_topk_pq_rerank", oracle=_pq_rerank_oracle_sql())
+def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN search — the production PQ pattern: the compact
+    ADC scan shortlists {PQ_RERANK_SHORTLIST} candidates per query on
+    integer table-lookup distances (never touching raw vectors), then
+    ONLY the shortlist pays the exact 64-dim distance for the final
+    top-{ANN_K}.  At 100 TB the raw-vector reads drop from |corpus| to
+    queries×shortlist — the stage-2 join is a broadcast of the tiny
+    shortlist against the id-keyed vector table.
+
+    Ranking at both stages is (integer micro-distance, neighbor_id),
+    so no float near-tie can flip the shortlist boundary or the final
+    order."""
+    from pyspark.sql.window import Window
+
+    from storm_dynamic_spout_spark.operators.similarity import PQ_K
+
+    emb = t(spark, sf_dir, "embeddings")
+    short = S.pq_topk_adc(
+        emb,
+        "vec_id",
+        "embedding",
+        dim=64,
+        query_pred=F.col("vec_id") < PQ_K,
+        k=PQ_RERANK_SHORTLIST,
+    ).select("query_id", "neighbor_id")
+    v = emb.select(
+        F.col("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ve"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ne"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ex = (
+        short.join(
+            F.broadcast(
+                v.select(F.col("vec_id").alias("query_id"), F.col("ve").alias("qe"))
+            ),
+            "query_id",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("neighbor_id"), F.col("ve").alias("ne")),
+            "neighbor_id",
+        )
+        .withColumn("exact_d2_micro", F.round(d2 * 1e6).cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_d2_micro", "neighbor_id")
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "query_id", "neighbor_id", "exact_d2_micro", F.col("rank").cast("long").alias("rank")
+        )
+        .orderBy("query_id", "rank")
     )
