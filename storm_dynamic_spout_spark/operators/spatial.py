@@ -44,18 +44,25 @@ def grid_neighbor_pairs(
     cell key — no post-join dedup needed."""
     cell_x = F.floor(F.col(x_col) / radius)
     cell_y = F.floor(F.col(y_col) / radius)
+
+    def cell_key(cx, cy):
+        # collision-free (cx, cy) → bigint for |cell index| < 2^30
+        # (coordinates to ±2^30·radius, incl. negatives): a colliding
+        # encoding would let one pair meet on two cell keys and emit a
+        # duplicate row — uniqueness is a correctness property here,
+        # not a hygiene nicety
+        return (cx + F.lit(1 << 30)) * F.lit(1 << 31) + (cy + F.lit(1 << 30))
+
     home = points.select(
         F.col(id_col).alias("id_a"),
         F.col(x_col).alias("__xa"),
         F.col(y_col).alias("__ya"),
-        (cell_x * F.lit(1 << 21) + cell_y).alias("__cell"),
+        cell_key(cell_x, cell_y).alias("__cell"),
     )
     neighbor_cells = F.flatten(
         F.array(
             *[
-                F.array(
-                    (cell_x + dx) * F.lit(1 << 21) + (cell_y + dy)
-                )
+                F.array(cell_key(cell_x + dx, cell_y + dy))
                 for dx in (-1, 0, 1)
                 for dy in (-1, 0, 1)
             ]

@@ -56,3 +56,31 @@ def test_no_cartesian_in_plan(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_coordinates(spark):
+    """Cell indexing must stay correct for negative coordinates
+    (floor division, collision-free key packing): points straddling
+    the origin pair up exactly as brute force says."""
+    import itertools
+
+    pts = spark.createDataFrame(
+        [
+            (i, x, y)
+            for i, (x, y) in enumerate(
+                [(-1500, -1500), (-900, -900), (-100, 50), (40, -40), (800, 900), (2500, 2500)]
+            )
+        ],
+        "id long, ux long, uy long",
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist2)
+        for r in grid_neighbor_pairs(pts, "id", "ux", "uy", 1000).collect()
+    }
+    rows = [(0, -1500, -1500), (1, -900, -900), (2, -100, 50), (3, 40, -40), (4, 800, 900), (5, 2500, 2500)]
+    exp = set()
+    for (i, xa, ya), (j, xb, yb) in itertools.combinations(rows, 2):
+        d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+        if d2 <= 1000 * 1000:
+            exp.add((i, j, d2))
+    assert got == exp and len(exp) >= 2
