@@ -546,47 +546,15 @@ def bloom_prune(t):
 
 
 def abc_pareto_bands(t):
-    """Distributed Pareto prefix sum (catalog parts_abc_pareto shape):
-    5x parts through the log-band offset decomposition — the band
-    count stays ~40 while per-band windows take 5x rows."""
-    from pyspark.sql.window import Window as W
+    """Distributed Pareto prefix sum (catalog parts_abc_pareto shape,
+    via the SHARED pareto_cum_revenue core — the smoke exercises the
+    exact production pipeline): 5x parts through the log-band offset
+    decomposition — the band count stays ~40 while per-band windows
+    take 5x rows."""
+    from storm_dynamic_spout_spark.catalog.analytics import pareto_cum_revenue
 
-    pr = (
-        t("lineitem")
-        .groupBy("l_partkey")
-        .agg(
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                ).cast("long")
-            ).alias("cents")
-        )
-        .withColumn("__b", F.floor(F.log10(F.col("cents") + 1) * 4).cast("int"))
-    )
-    within = F.sum("cents").over(
-        W.partitionBy("__b")
-        .orderBy(F.desc("cents"), "l_partkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    offsets = (
-        pr.groupBy("__b")
-        .agg(F.sum("cents").alias("__bt"))
-        .select(
-            "__b",
-            (
-                F.sum("__bt").over(
-                    W.orderBy(F.desc("__b")).rowsBetween(
-                        W.unboundedPreceding, W.currentRow
-                    )
-                )
-                - F.col("__bt")
-            ).alias("__off"),
-        )
-    )
-    return (
-        pr.withColumn("__run", within)
-        .join(F.broadcast(offsets), "__b")
-        .select("l_partkey", (F.col("__off") + F.col("__run")).alias("cum"))
+    return pareto_cum_revenue(t("lineitem")).select(
+        "l_partkey", (F.col("__off") + F.col("__run")).alias("cum")
     )
 
 

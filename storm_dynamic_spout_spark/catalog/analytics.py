@@ -1229,8 +1229,8 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(min(d.med), 6) AS med,
-           round(min(a.mad), 6) AS mad,
+           CAST(round(min(d.med) * 1000000) AS BIGINT) AS med_micro,
+           CAST(round(min(a.mad) * 1000000) AS BIGINT) AS mad_micro,
            CAST(sum(CASE WHEN round(d.dev * 1000000) >
                               round(3 * a.mad * 1000000)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
@@ -1269,8 +1269,8 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.min("__med"), 6).alias("med"),
-            F.round(F.min("__mad"), 6).alias("mad"),
+            F.round(F.min("__med") * 1000000).cast("long").alias("med_micro"),
+            F.round(F.min("__mad") * 1000000).cast("long").alias("mad_micro"),
             F.sum((dev_i > cut_i).cast("long")).alias("n_outliers"),
             F.max(dev_i).cast("long").alias("max_dev_micro"),
         )
@@ -1278,30 +1278,87 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "graph_triangle_count",
-    oracle="""
+def pareto_cum_revenue(lineitem: DataFrame) -> DataFrame:
+    """Per-part revenue cents with the banded distributed prefix sum
+    attached — the shared core of ``parts_abc_pareto`` and the
+    ``abc_pareto`` scale smoke: (l_partkey, cents, __run, __off,
+    __tot) where global cumulative = __off + __run under the
+    (cents DESC, l_partkey) total order.  Log-scale revenue bands are
+    a monotone pure function of the sort key, so band order == global
+    order; within-band running sums are parallel windows; the ~40-row
+    band-total prefix sum broadcasts back as each band's offset."""
+    from pyspark.sql.window import Window
+
+    pr = (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+        .withColumn("__b", F.floor(F.log10(F.col("cents") + 1) * 4).cast("int"))
+    )
+    within = F.sum("cents").over(
+        Window.partitionBy("__b")
+        .orderBy(F.desc("cents"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        pr.groupBy("__b")
+        .agg(F.sum("cents").alias("__bt"))
+        .select(
+            "__b",
+            (
+                F.sum("__bt").over(
+                    Window.orderBy(F.desc("__b")).rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("__bt")
+            ).alias("__off"),
+        )
+    )
+    total = pr.agg(F.sum("cents").alias("__tot"))
+    return (
+        pr.withColumn("__run", within)
+        .join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(total))
+    )
+
+
+#: Triangle-graph radius: wider than the spatial join's so the
+#: proximity graph is dense enough to close wedges (157 triangles at
+#: sf0.01 vs ~0 at the join's radius).
+_TRI_RADIUS = 1_500
+
+
+def _triangle_oracle() -> str:
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord_sql
+
+    return f"""
     WITH pts AS (
       SELECT c_custkey AS id,
-             CAST(('0x' || substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 1, 8))
-               AS BIGINT) % 100000 AS ux,
-             CAST(('0x' || substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 1, 8))
-               AS BIGINT) % 100000 AS uy
+             {_spatial_coord_sql('x')} AS ux,
+             {_spatial_coord_sql('y')} AS uy
       FROM customer
     ),
     edges AS (
       SELECT a.id AS a, b.id AS b
       FROM pts a JOIN pts b ON a.id < b.id
       WHERE (a.ux - b.ux) * (a.ux - b.ux)
-          + (a.uy - b.uy) * (a.uy - b.uy) <= 2250000
+          + (a.uy - b.uy) * (a.uy - b.uy) <= {_TRI_RADIUS * _TRI_RADIUS}
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
            CAST(count(*) AS BIGINT) AS n_triangles
     FROM edges e1
     JOIN edges e2 ON e2.a = e1.b
     JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
-    """,
-)
+    """
+
+
+@query("graph_triangle_count", oracle=_triangle_oracle())
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triangle counting (node-iterator with ordered
     edges) over the spatial proximity graph: every edge is stored once
@@ -1326,7 +1383,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spatial_coord("x").alias("ux"),
         _spatial_coord("y").alias("uy"),
     )
-    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", 1500).select(
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     e1 = edges.alias("e1")
@@ -1546,38 +1603,6 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     back as each band's offset.  Class cuts are integer comparisons
     (5·cum ≤ 4·total, 20·cum ≤ 19·total) — no float share
     thresholds."""
-    from pyspark.sql.window import Window
-
-    pr = (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey")
-        .agg(
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                ).cast("long")
-            ).alias("cents")
-        )
-        .withColumn("__b", F.floor(F.log10(F.col("cents") + 1) * 4).cast("int"))
-    )
-    within = F.sum("cents").over(
-        Window.partitionBy("__b")
-        .orderBy(F.desc("cents"), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    band_totals = pr.groupBy("__b").agg(F.sum("cents").alias("__bt"))
-    offsets = band_totals.select(
-        "__b",
-        (
-            F.sum("__bt").over(
-                Window.orderBy(F.desc("__b")).rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            - F.col("__bt")
-        ).alias("__off"),
-    )
-    total = pr.agg(F.sum("cents").alias("__tot"))
     cum = F.col("__off") + F.col("__run")
     cls = (
         F.when(5 * cum <= 4 * F.col("__tot"), "A")
@@ -1585,9 +1610,7 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
     )
     return (
-        pr.withColumn("__run", within)
-        .join(F.broadcast(offsets), "__b")
-        .crossJoin(F.broadcast(total))
+        pareto_cum_revenue(t(spark, sf_dir, "lineitem"))
         .withColumn("abc_class", cls)
         .groupBy("abc_class")
         .agg(

@@ -351,7 +351,8 @@ def _setsim_prefix_sql() -> str:
              row_number() OVER (PARTITION BY ex.doc_id ORDER BY freq.c, ex.tok) AS rn
       FROM ex JOIN freq USING (tok)
     ),
-    prefix AS (SELECT doc_id, tok FROM ranked WHERE rn <= n - ceil({t_} * n) + 1),
+    prefix AS (SELECT doc_id, tok FROM ranked
+               WHERE rn <= n - ceil({t_} * n - 1e-9) + 1),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -3530,6 +3531,14 @@ PQ_RERANK_SHORTLIST = 20
 
 
 def _pq_rerank_oracle_sql() -> str:
+    # explicit LEFT-ASSOCIATIVE 64-term sum, same discipline as
+    # _pq_ctes: Spark's F.aggregate folds sequentially, and a DuckDB
+    # list_sum is free to re-associate (vectorized/pairwise), which
+    # could flip round(d2*1e6) by 1 at a .5 boundary
+    d2_terms = " + ".join(
+        f"(qv.ve[{i}] - nv.ve[{i}]) * (qv.ve[{i}] - nv.ve[{i}])"
+        for i in range(1, 65)
+    )
     return (
         _pq_adc_ctes()
         + f""",
@@ -3539,9 +3548,7 @@ def _pq_rerank_oracle_sql() -> str:
     ),
     ex AS (
       SELECT s.query_id, s.neighbor_id,
-             CAST(round(list_sum(list_transform(range(1, 65),
-               i -> (qv.ve[i] - nv.ve[i]) * (qv.ve[i] - nv.ve[i])
-             )) * 1e6) AS BIGINT) AS exact_d2_micro
+             CAST(round(({d2_terms}) * 1e6) AS BIGINT) AS exact_d2_micro
       FROM short s
       JOIN v qv ON qv.vec_id = s.query_id
       JOIN v nv ON nv.vec_id = s.neighbor_id

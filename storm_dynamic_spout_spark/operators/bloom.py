@@ -139,8 +139,14 @@ def bloom_prune_join(
     prune sits map-side BELOW the probe-side exchange: only surviving
     candidates pay the shuffle, which is the whole point).  If the
     build side IS broadcast-able, Catalyst broadcasts the exact join —
-    harmless, but then you didn't need a bloom."""
-    keys = small.select(F.col(small_key).alias("__k")).distinct()
+    harmless, but then you didn't need a bloom.
+
+    No pre-distinct on the build side: LEFT SEMI already dedups
+    matches, and the bitmap build's own groupBy absorbs duplicate
+    keys — a shared distinct aggregate would be planned TWICE (once
+    inside the scalar subquery, once in the main join subtree),
+    scanning and aggregating the dimension twice."""
+    keys = small.select(F.col(small_key).alias("__k"))
     bloom = bloom_build(keys, "__k", m_bits, k_hashes).scalar()
     cand = big.where(bloom_might_contain(bloom, F.col(big_key), m_bits, k_hashes))
     return cand.join(keys, cand[big_key] == keys["__k"], "left_semi")

@@ -740,9 +740,18 @@ def setsim_prefix_pairs(
     prefix = (
         exploded.join(freq, "__tok")
         .withColumn("__rn", F.row_number().over(w))
+        # prefix length n − ⌈t·n⌉ + 1.  The ceil argument is nudged
+        # down by 1e-9: float t·n can land an ulp ABOVE the exact
+        # rational product (e.g. 0.55·180 → 99.00000000000001, ceil
+        # 100 instead of 99), which would SHORTEN the prefix below the
+        # PPJoin bound and silently drop qualifying pairs.  The nudge
+        # can only lengthen the prefix — extra candidates, never a
+        # false negative.
         .filter(
             F.col("__rn")
-            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+            <= F.col("__n")
+            - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+            + 1
         )
         .select("__id", "__tok", "__rn", "__n")
     )

@@ -11,37 +11,26 @@ import pyspark.sql.functions as F
 from storm_dynamic_spout_spark.engine import load_table
 
 
-def test_changepoint_finds_known_mean_shift(spark, sf_dir):
-    """A flat-then-jump series must put the changepoint at the jump."""
+def test_changepoint_finds_known_mean_shift(spark, tmp_path):
+    """A flat-then-jump series must put the changepoint at the jump —
+    driven through the REAL catalog query against a synthetic events
+    parquet, so a regression in events_changepoint itself fails here."""
     import datetime
+
+    from storm_dynamic_spout_spark.catalog.analytics import events_changepoint
 
     base = datetime.datetime(2024, 1, 1)
     rows = [
         (i, base + datetime.timedelta(seconds=i), 1, "syn", 10.0 if i < 40 else 50.0)
         for i in range(60)
     ]
-    df = spark.createDataFrame(
+    spark.createDataFrame(
         rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
-    )
-    df.createOrReplaceTempView("__syn_events")
-
-    from pyspark.sql.window import Window
-
-    e = df.select(
-        "event_type", "ts", "event_id", F.round(F.col("value") * 100).cast("long").alias("iv")
-    )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    wp = Window.partitionBy("event_type")
-    seq = e.select(
-        "event_type",
-        F.row_number().over(w).alias("k"),
-        F.sum("iv").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("s_k"),
-        F.count(F.lit(1)).over(wp).alias("n"),
-        F.sum("iv").over(wp).alias("s_n"),
-    )
-    d = seq.withColumn("dk", F.abs(F.col("s_k") * F.col("n") - F.col("k") * F.col("s_n")))
-    best = d.orderBy(F.desc("dk"), "k").first()
-    assert best.k == 40  # the last pre-jump index maximizes |S_k·n − k·S_n|
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in events_changepoint(spark, str(tmp_path)).collect()}
+    assert out["syn"].n_events == 60
+    # the last pre-jump index maximizes |S_k·n − k·S_n|
+    assert out["syn"].change_k == 40
 
 
 def test_abc_classes_partition_and_order(spark, sf_dir):
@@ -78,36 +67,19 @@ def test_cohort_ltv_cumulative_consistency(spark, sf_dir):
             assert r.active_customers <= r.cohort_size
 
 
-def test_weighted_median_tiny_known_answer(spark):
-    # values 1..4 with weights 1,1,1,7: total 10, half 5 → the
-    # cumulative reaches 5 only at value 4 (1+1+1=3 < 5); p90 also 4
-    df = spark.createDataFrame(
+def test_weighted_median_tiny_known_answer(spark, tmp_path):
+    """values 1..4 with weights 1,1,1,7: total 10, half 5 → the
+    cumulative reaches 5 only at value 4 (1+1+1=3 < 5); p90 also 4 —
+    through the REAL catalog query against a synthetic lineitem."""
+    from storm_dynamic_spout_spark.catalog.aggregates import agg_weighted_median
+
+    spark.createDataFrame(
         [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 7.0)],
         "l_returnflag string, l_extendedprice double, l_quantity double",
-    )
-    from pyspark.sql.window import Window
-
-    g = df.groupBy(
-        "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
-    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("w"))
-    wc = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wp = Window.partitionBy("l_returnflag")
-    c = g.select(
-        "l_returnflag", "cents", F.sum("w").over(wc).alias("cum"), F.sum("w").over(wp).alias("tot")
-    )
-    row = (
-        c.groupBy("l_returnflag")
-        .agg(
-            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))).alias("med"),
-            F.min(F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("cents"))).alias("p90"),
-        )
-        .first()
-    )
-    assert row.med == 400 and row.p90 == 400
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    row = agg_weighted_median(spark, str(tmp_path)).first()
+    assert row.total_weight == 10
+    assert row.wmedian_cents == 400 and row.wp90_cents == 400
 
 
 def test_triangle_count_known_graph(spark):

@@ -84,7 +84,7 @@ def test_candidate_set_is_economical(spark, sf_dir):
     prefix = (
         ex.join(freq, "__tok")
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.col("__n") - F.ceil(F.lit(THRESHOLD) * F.col("__n")) + 1)
+        .filter(F.col("__rn") <= F.col("__n") - F.ceil(F.lit(THRESHOLD) * F.col("__n") - F.lit(1e-9)) + 1)
         .select("__id", "__tok")
     )
     cands = (
@@ -101,3 +101,19 @@ def test_candidate_set_is_economical(spark, sf_dir):
     )
     assert true_pairs <= cands, "prefix filter must never lose a true pair"
     assert cands <= 0.15 * all_pairs, (cands, all_pairs)
+
+
+def test_non_default_threshold_matches_brute_force(spark, sf_dir):
+    """t=0.55 belongs to the threshold family where float ceil(t·n)
+    can overshoot the exact rational ceiling (e.g. 0.55·180 →
+    99.000…01 → ceil 100, exact 99), which would shorten the prefix
+    and drop qualifying pairs — the nudged ceiling must keep the
+    operator equal to brute force at ANY threshold, not just 0.8."""
+    docs = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    got = setsim_prefix_pairs(docs, "doc_id", "text", 0.55)
+    exp = _brute_force(docs, 0.55)
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
