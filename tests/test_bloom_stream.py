@@ -71,3 +71,45 @@ def test_interrupted_compaction_heals(spark, tmp_path):
     assert out.filter(~F.col("possibly_seen")).count() == 0, (
         "bitmap lost across interrupted swap"
     )
+
+
+def test_fast_path_composition_equals_exact_dedup(spark, tmp_path):
+    """The advertised usage, end-to-end: definite-new rows skip the
+    exact history anti-join, possible-dups pay it — across batches
+    the union of the two paths must emit EXACTLY the keys a plain
+    exact streaming dedup would (same set, no loss, no dupes)."""
+    import os
+
+    bf = StreamingBloomFilter(str(tmp_path / "bloom"), "k")
+    hist_dir = str(tmp_path / "history")
+    os.makedirs(hist_dir)
+
+    def has_history():
+        return any(f.endswith(".parquet") for f in os.listdir(hist_dir))
+
+    emitted = []
+    batches = [
+        list(range(0, 400)),
+        list(range(200, 600)),          # 200 repeats
+        list(range(0, 100)) + list(range(550, 700)),  # mixed repeats
+    ]
+    for ids in batches:
+        classified = bf.classify_batch(_batch(spark, ids)).dropDuplicates(["k"])
+        definite_new = classified.filter(~F.col("possibly_seen")).select("k")
+        possible = classified.filter(F.col("possibly_seen")).select("k")
+        if has_history():
+            survived = possible.join(
+                spark.read.parquet(hist_dir), "k", "left_anti"
+            )
+        else:
+            survived = possible
+        new_keys = definite_new.unionByName(survived).localCheckpoint(eager=True)
+        emitted.append({r.k for r in new_keys.collect()})
+        new_keys.write.mode("append").parquet(hist_dir)
+
+    # ground truth: first batch to contain each key emits it
+    seen: set[int] = set()
+    for i, ids in enumerate(batches):
+        expect = set(ids) - seen
+        assert emitted[i] == expect, f"batch {i}"
+        seen |= set(ids)
