@@ -111,6 +111,13 @@ _PRIORITY = [
     # sweep green at sf0.01) ---
     "events_rolling_7d",
     "ann_topk_pq_rerank",
+    # --- late-r7 additions (registered after the window froze; first
+    # driver check is round 8, local sweep green at sf0.01) ---
+    "agg_bitmap_distinct",
+    "text_heavy_hitters",
+    "corpus_source_kl",
+    "graph_common_neighbors",
+    "multimodal_audio_silence_trim",
     # --- round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",

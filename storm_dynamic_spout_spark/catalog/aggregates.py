@@ -855,3 +855,53 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_custs,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting through 64-bit bitmap words (the
+    ClickHouse/Doris ``groupBitmap`` idiom, reference parity with the
+    distinct-count path of SURVEY §2 A2): each customer key sets one
+    bit in word ``key div 64``; words combine with ``bit_or`` and the
+    distinct count is the sum of per-word popcounts.
+
+    Why at 100 TB: a plain count(DISTINCT) shuffles every raw key to
+    its group; the bitmap form collapses keys into at most
+    |keyspace|/64 words PER GROUP during the map-side partial
+    ``bit_or`` — shuffle bytes drop ~64x on dense keyspaces and the
+    merge stays associative/commutative (mergeable-summary shape, the
+    same contract the HLL rollup exploits, but exact).  Popcount and
+    the final sum are integer-only, so the oracle compare is exact."""
+    o = t(spark, sf_dir, "orders")
+    words = (
+        o.select(
+            "o_orderpriority",
+            F.floor(F.col("o_custkey") / 64).alias("__word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 64 AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy("o_orderpriority", "__word")
+        .agg(
+            F.expr("bit_or(__bit)").alias("__mask"),
+            F.count(F.lit(1)).alias("__rows"),
+        )
+    )
+    return (
+        words.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.bit_count("__mask")).alias("n_distinct_custs"),
+            F.sum("__rows").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

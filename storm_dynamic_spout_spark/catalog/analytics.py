@@ -1665,3 +1665,99 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_7d"),
         F.sum(cents).over(w).alias("cents_7d"),
     )
+
+
+#: Top-k non-adjacent pairs reported by the link predictor.
+_CN_TOP = 20
+
+
+def _common_neighbors_oracle() -> str:
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord_sql
+
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_spatial_coord_sql('x')} AS ux,
+             {_spatial_coord_sql('y')} AS uy
+      FROM customer
+    ),
+    edges AS (
+      SELECT a.id AS a, b.id AS b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE (a.ux - b.ux) * (a.ux - b.ux)
+          + (a.uy - b.uy) * (a.uy - b.uy) <= {_TRI_RADIUS * _TRI_RADIUS}
+    ),
+    sym AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b AS u, a AS v FROM edges
+    ),
+    cn AS (
+      SELECT s1.u AS a, s2.u AS c, CAST(count(*) AS BIGINT) AS common_neighbors
+      FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.a = s1.u AND e.b = s2.u
+      )
+      GROUP BY s1.u, s2.u
+    )
+    SELECT a AS id_a, c AS id_b, common_neighbors FROM (
+      SELECT cn.*, row_number() OVER (
+        ORDER BY common_neighbors DESC, a, c
+      ) AS rn FROM cn
+    ) WHERE rn <= {_CN_TOP}
+    ORDER BY common_neighbors DESC, id_a, id_b
+    """
+
+
+@query("graph_common_neighbors", oracle=_common_neighbors_oracle())
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction over the spatial proximity
+    graph: for every NON-adjacent node pair, count shared neighbors
+    (the classic link-prediction score, Liben-Nowell & Kleinberg
+    2003) and report the top-20 candidate links.  Tie-break is fully
+    deterministic (count desc, then the pair ids), and each pair is
+    produced once via the u < v wedge orientation.
+
+    Why at 100 TB: the wedge join is a plain equi-join on the shared
+    middle node (same shape as the triangle close), the
+    already-an-edge rejection is a broadcast-able LEFT ANTI join on
+    the canonical (a<b) edge key, and the top-k is orderBy().limit()
+    → TakeOrderedAndProject, never a global sort.  The web-scale
+    refinement — orient wedges from the low-degree endpoint to bound
+    fan-out by arboricity — changes the orientation rule, not the
+    plan shape.  The ORACLE rebuilds the graph by brute-force
+    all-pairs, so the grid-blocked spatial derivation is checked
+    independently too."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    s1 = sym.alias("s1")
+    s2 = sym.alias("s2")
+    wedges = s1.join(
+        s2,
+        (F.col("s1.v") == F.col("s2.v")) & (F.col("s1.u") < F.col("s2.u")),
+    ).select(F.col("s1.u").alias("id_a"), F.col("s2.u").alias("id_b"))
+    cn = (
+        wedges.join(
+            edges,
+            (F.col("id_a") == F.col("a")) & (F.col("id_b") == F.col("b")),
+            "left_anti",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    return (
+        cn.orderBy(F.desc("common_neighbors"), "id_a", "id_b")
+        .limit(_CN_TOP)
+        .select("id_a", "id_b", "common_neighbors")
+    )

@@ -3621,3 +3621,124 @@ def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+#: Misra-Gries counter budget for the exact two-pass heavy hitters
+#: (threshold = n_tokens / (HH_K + 1)).
+HH_K = 40
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT u.x AS term FROM documents, UNNEST({_TOKS}) AS u(x)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           (SELECT n FROM tot) AS n_total
+    FROM toks
+    GROUP BY term
+    HAVING count(*) * {HH_K + 1} > (SELECT n FROM tot)
+    ORDER BY n_occurrences DESC, term
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (terms above a 1/(k+1) frequency
+    share) via the two-pass Misra-Gries plan in
+    ``operators/sketch.py``: per-partition k-counter summaries emit a
+    provably complete candidate set (mergeable-summaries bound), then
+    an exact count over ONLY candidate-matching rows filters on the
+    true threshold.  The ORACLE is the brute-force exact GROUP BY
+    HAVING over every token, so it independently checks both the
+    completeness of the sketch pass and the exactness of the verify
+    pass.
+
+    Why at 100 TB: the raw token stream never shuffles — pass 1 is
+    map-only (≤k rows out per partition), pass 2 semi-joins against a
+    broadcast candidate set BEFORE the hash aggregate, so the shuffle
+    carries only candidate terms (≤k distinct keys).  A plain
+    GROUP BY over a web corpus's token stream would shuffle the full
+    |tokens| rows to build a |vocab|-sized table just to keep the top
+    handful."""
+    from storm_dynamic_spout_spark.operators.sketch import heavy_hitters_exact
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("term"))
+    )
+    return heavy_hitters_exact(toks, "term", HH_K)
+
+
+@query(
+    "corpus_source_kl",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, u.x AS term FROM documents, UNNEST({_TOKS}) AS u(x)
+    ),
+    st AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+      FROM toks GROUP BY source, term
+    ),
+    ct AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY term),
+    s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+    nv AS (
+      SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c_t) AS BIGINT) AS n FROM ct
+    ),
+    cell AS (
+      SELECT g.source, g.n_s, g.c_t, coalesce(st.c_st, 0) AS c_st
+      FROM (SELECT s.source, s.n_s, ct.term, ct.c_t FROM ct CROSS JOIN s) g
+      LEFT JOIN st ON st.source = g.source AND st.term = g.term
+    )
+    SELECT cell.source,
+           CAST(min(cell.n_s) AS BIGINT) AS n_tokens,
+           CAST(round(sum(
+             ((cell.c_st + 1.0) / (cell.n_s + nv.v))
+             * ln(((cell.c_st + 1.0) / (cell.n_s + nv.v))
+                  / ((cell.c_t + 1.0) / (nv.n + nv.v)))
+           ) * 10000) AS BIGINT) AS kl_1e4
+    FROM cell, nv
+    GROUP BY cell.source
+    ORDER BY cell.source
+    """,
+)
+def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source unigram LM ‖ corpus
+    unigram LM), add-one smoothed over the joint vocabulary — the
+    mixture-diagnostics twin of ``corpus_dsir_importance`` (same
+    public method family, Xie et al. 2023): how far each source's
+    token distribution sits from the corpus it feeds.  Scores are
+    summed in double then rounded to 1e-4 integers, the catalog's
+    cross-engine float discipline.
+
+    Why at 100 TB: the token stream is aggregated ONCE into the
+    (source, term) count table; corpus totals, per-source totals and
+    the vocabulary size all derive from that table, so everything
+    after the first shuffle runs over |sources|x|vocab| cells, not
+    tokens.  The per-source totals broadcast onto the vocab table
+    (tiny dim), and the absent-term smoothing mass comes from the
+    grid's coalesce(0) rather than a second pass over the data."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", r"\s+")).alias("term")
+    )
+    st = d.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    nv = ct.agg(F.count(F.lit(1)).alias("v"), F.sum("c_t").alias("n"))
+    grid = ct.crossJoin(F.broadcast(s))
+    cell = (
+        grid.join(st, ["source", "term"], "left")
+        .withColumn("c_st", F.coalesce("c_st", F.lit(0)))
+        .crossJoin(F.broadcast(nv))
+    )
+    p = (F.col("c_st") + 1.0) / (F.col("n_s") + F.col("v"))
+    q = (F.col("c_t") + 1.0) / (F.col("n") + F.col("v"))
+    return (
+        cell.groupBy("source")
+        .agg(
+            F.min("n_s").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)) * 10000).cast("long").alias("kl_1e4"),
+        )
+        .orderBy("source")
+    )

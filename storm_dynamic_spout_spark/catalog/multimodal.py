@@ -835,3 +835,75 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "res_sq_sum",
         "res_sha",
     )
+
+
+#: |sample| below this counts as silence for the trim operator
+#: (~25% of full-scale int16, so the uniform keystream fixture yields
+#: nonempty trims on several clips).
+TRIM_THRESHOLD = 8192
+
+
+def _trim_oracle_values() -> str:
+    from storm_dynamic_spout_spark.operators.multimodal import trim_silence_bounds
+
+    rows = []
+    for d in range(N_CLIPS):
+        _seed, _rate, n = _audio_params(d)
+        lead, trail, kept = trim_silence_bounds(_audio_samples(d), TRIM_THRESHOLD)
+        sha = hashlib.sha256(kept.astype("<i2").tobytes()).hexdigest()
+        rows.append(
+            f"({d}, {n}, {lead}, {trail}, {int(kept.shape[0])}, "
+            f"{int(kept.sum())}, '{sha}')"
+        )
+    return ",\n      ".join(rows)
+
+
+@query(
+    "multimodal_audio_silence_trim",
+    oracle=f"""
+    SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+           CAST(v.n_in AS BIGINT) AS n_in,
+           CAST(v.n_lead AS BIGINT) AS n_lead,
+           CAST(v.n_trail AS BIGINT) AS n_trail,
+           CAST(v.n_kept AS BIGINT) AS n_kept,
+           CAST(v.kept_sum AS BIGINT) AS kept_sum,
+           v.kept_sha AS kept_sha
+    FROM (VALUES
+      {_trim_oracle_values()}
+    ) AS v(doc_id, n_in, n_lead, n_trail, n_kept, kept_sum, kept_sha)
+    JOIN documents d ON v.doc_id = d.doc_id
+    """,
+)
+def multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trim (endpointing) through the REAL
+    sample-level WAV decoder (``operators/multimodal.py
+    trim_silence_audio``): every fixture clip is decoded, bounded by
+    its first/last loud sample (|s| >= {TRIM_THRESHOLD}), and reduced
+    to trim counts + integer kept-sample stats + sha256 of the
+    int16-packed kept stream.  The oracle rebuilds the SAME trim over
+    the generator keystream (hashlib + the shared pure
+    ``trim_silence_bounds`` — never the decoder), so a byte-order,
+    framing, or boundary off-by-one in the decode path can't cancel
+    out.
+
+    The speech-pipeline preprocessing seam: Arrow-batched Python over
+    a 16-row fixture; at scale a narrow per-partition transformation,
+    one short row per clip."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        make_wav_audio,
+        trim_silence_audio,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < N_CLIPS)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: make_wav_audio(*_audio_params(int(i))))
+
+    res = trim_silence_audio(
+        d.select("doc_id").withColumn("content", _payload("doc_id")),
+        TRIM_THRESHOLD,
+    )
+    return res.select(
+        "doc_id", "n_in", "n_lead", "n_trail", "n_kept", "kept_sum", "kept_sha"
+    )

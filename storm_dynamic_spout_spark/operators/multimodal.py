@@ -1372,3 +1372,78 @@ def resample_audio_half(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "content").mapInPandas(
         _resample_batches, RESAMPLED_SCHEMA
     )
+
+
+def trim_silence_bounds(samples, threshold: int):
+    """Pure leading/trailing silence trim — the shared math: operator
+    (over decoded WAV samples) and oracle (over the fixture keystream)
+    both call THIS, the decoder stays operator-side only.  Samples
+    with ``|s| < threshold`` are silence; returns
+    ``(n_lead, n_trail, kept)`` where ``kept`` is the int64 slice
+    between the first and last loud sample (empty if the whole clip is
+    silent, in which case everything counts as leading silence)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    loud = np.flatnonzero(np.abs(arr) >= threshold)
+    if loud.size == 0:
+        return int(arr.shape[0]), 0, arr[:0]
+    lead, last = int(loud[0]), int(loud[-1])
+    return lead, int(arr.shape[0] - 1 - last), arr[lead : last + 1]
+
+
+TRIMMED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_in", T.LongType(), False),
+        T.StructField("n_lead", T.LongType(), False),
+        T.StructField("n_trail", T.LongType(), False),
+        T.StructField("n_kept", T.LongType(), False),
+        T.StructField("kept_sum", T.LongType(), False),
+        T.StructField("kept_sha", T.StringType(), False),
+    ]
+)
+
+
+def trim_silence_audio(
+    df: DataFrame, threshold: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """binary WAV content → leading/trailing silence trim via
+    Arrow-batched mapInPandas: sample-level decode
+    (:func:`wav_samples`), :func:`trim_silence_bounds`, reduced to
+    trim counts + kept-sample sum + sha256 of the int16-packed kept
+    stream.  The speech-pipeline preprocessing step (endpointing
+    before feature extraction); narrow transformation, one short row
+    per clip out."""
+
+    def _trim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf["content"]):
+                _rate, _fs, n, samples = wav_samples(buf)
+                lead, trail, kept = trim_silence_bounds(samples, threshold)
+                rows.append(
+                    (
+                        int(i),
+                        int(n),
+                        lead,
+                        trail,
+                        int(kept.shape[0]),
+                        int(kept.sum()),
+                        hashlib.sha256(kept.astype("<i2").tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_in",
+                    "n_lead",
+                    "n_trail",
+                    "n_kept",
+                    "kept_sum",
+                    "kept_sha",
+                ],
+            )
+
+    return df.select(id_col, "content").mapInPandas(_trim_batches, TRIMMED_SCHEMA)

@@ -1,0 +1,101 @@
+"""Mergeable frequency summaries: Misra-Gries heavy-hitter candidate
+generation and the exact two-pass heavy-hitters operator built on it.
+
+Reference parity: the reference engine's approximate frequency path
+(SURVEY §2 A2/A4 partial-aggregate family) — re-expressed Spark-first
+as the classic two-pass distributed heavy hitters: a per-partition
+Misra-Gries summary (Arrow-batched, O(k) memory per partition) emits a
+tiny candidate set whose union provably contains every item with
+global frequency > n/(k+1) (mergeable-summaries bound, Agarwal et al.
+2012, PODS); an exact semi-join count over just those candidates then
+removes false positives.  Only candidate rows ever shuffle — the raw
+value stream never does.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries(values: Iterable, k: int) -> dict:
+    """Classic Misra-Gries summary with ``k`` counters.
+
+    Guarantee: for every item x, ``count(x) - est(x) <= n/(k+1)`` where
+    n is the stream length; any item absent from the summary therefore
+    has ``count(x) <= n/(k+1)``.
+    """
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in counters:
+                counters[key] -= 1
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def partition_heavy_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries over ``col``: each task streams its
+    partition through a k-counter summary and emits at most k candidate
+    rows plus ONE summary row (``col`` NULL) carrying the partition's
+    row count — the only place Python touches the data, O(k) state,
+    Arrow batches in, k+1 rows out.  Piggybacking the count means the
+    caller's global total needs no second pass over the stream."""
+    import pandas as pd
+
+    out_schema = f"{col} string, part_rows long"
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+
+        def stream():
+            nonlocal n
+            for b in batches:
+                n += len(b)
+                yield from b[col]
+
+        cands = list(misra_gries(stream(), k))
+        yield pd.DataFrame(
+            {col: cands + [None], "part_rows": [0] * len(cands) + [n]}
+        )
+
+    return df.select(col).mapInPandas(_mg, out_schema)
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Exact heavy hitters (items with ``count * (k+1) > n``) without
+    ever shuffling the raw stream: pass 1 generates per-partition
+    Misra-Gries candidates (union provably complete for the n/(k+1)
+    threshold) AND the per-partition row counts, pass 2 exact-counts
+    ONLY rows matching a broadcast of the candidate set and filters on
+    the true total — exactly two scans of the stream, the two-pass
+    minimum.
+
+    Output: (col, n_occurrences, n_total) ordered by count desc."""
+    # collapse the ≤(k+1)·partitions summary rows to ONE row holding
+    # the deduped candidate set and the global total, then re-explode:
+    # a single lineage consumer, so the Python sketch pass runs
+    # exactly once (two branches would each recompute it — column
+    # pruning diverges their subtrees and defeats exchange reuse) and
+    # the total rides the broadcast join instead of a second pass
+    one = partition_heavy_candidates(df, col, k).agg(
+        F.collect_set(col).alias("__cands"),
+        F.sum("part_rows").alias("n_total"),
+    )
+    cand_rows = one.select(F.explode("__cands").alias(col), "n_total")
+    return (
+        df.join(F.broadcast(cand_rows), col)
+        .groupBy(col, "n_total")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * (k + 1) > F.col("n_total"))
+        .orderBy(F.desc("n_occurrences"), col)
+        .select(col, "n_occurrences", "n_total")
+    )

@@ -105,17 +105,20 @@ def test_first_fifty_registrations_cover_the_stale():
             with open(p) as fh:
                 for q in json.load(fh):
                     last_round[q] = r
-    # the two post-window-freeze additions (events_rolling_7d,
-    # ann_topk_pq_rerank) registered after the 50-slot window filled;
-    # they sit in the round-8 lead block at 53-54 so their first
-    # driver check is immediate next round
+    # the post-window-freeze additions registered after the 50-slot
+    # window filled; they sit in the round-8 lead block (slots 53+) so
+    # their first driver check is immediate next round
     never_checked = set(QUERIES) - set(last_round)
-    r8_lead = set(order[50:55])
+    r8_lead = set(order[50:60])
     assert never_checked <= first50 | r8_lead, (
         f"never-driver-checked queries outside window + r8 lead: "
         f"{sorted(never_checked - first50 - r8_lead)}"
     )
     assert {"events_rolling_7d", "ann_topk_pq_rerank"} == set(order[53:55])
+    assert {
+        "agg_bitmap_distinct", "text_heavy_hitters", "corpus_source_kl",
+        "graph_common_neighbors", "multimodal_audio_silence_trim",
+    } == set(order[55:60])
     # nothing with only round-1 evidence may remain outside the window
     r1_stale = {q for q, r in last_round.items() if r == 1}
     assert r1_stale <= first50, (
@@ -130,6 +133,6 @@ def test_first_fifty_registrations_cover_the_stale():
     assert len(outside) <= 42, (
         f"round-3-stale queries too far outside window: {sorted(outside)}"
     )
-    assert outside <= set(order[55 : 55 + len(outside)]), (
+    assert outside <= set(order[60 : 60 + len(outside)]), (
         f"stale overhang not adjacent to window: {sorted(outside)}"
     )

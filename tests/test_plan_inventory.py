@@ -76,6 +76,11 @@ def test_inventory_global_invariants():
         "multimodal_video_containment",
         "multimodal_image_resize",
         "multimodal_audio_resample",
+        "multimodal_audio_silence_trim",
+        # two-pass heavy hitters: the per-partition Misra-Gries
+        # candidate pass is the declared O(k)-state Arrow surface; the
+        # exact verify pass is pure relational
+        "text_heavy_hitters",
     }
     python = {n for n, c in inv.items() if c["python_nodes"] > 0}
     assert python <= allowed_python, (

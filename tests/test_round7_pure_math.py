@@ -67,3 +67,52 @@ def test_split_block_mask_math(h, k):
     assert 1 <= bin(m).count("1") <= k
     word = m | mask(h + 1, k)  # another key lands in the same word
     assert (word & m) == m  # no false negative after more inserts
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), max_size=400),
+    st.integers(min_value=1, max_value=10),
+)
+def test_misra_gries_guarantee(xs, k):
+    """The MG bound the two-pass heavy hitters relies on: every item
+    with count > n/(k+1) survives in the summary, and each surviving
+    estimate undercounts by at most n/(k+1)."""
+    from collections import Counter
+
+    from storm_dynamic_spout_spark.operators.sketch import misra_gries
+
+    summary = misra_gries(xs, k)
+    exact = Counter(xs)
+    n = len(xs)
+    assert len(summary) <= k
+    for v, c in exact.items():
+        if c * (k + 1) > n:
+            assert v in summary, f"heavy item {v} (count {c}, n {n}) dropped"
+    for v, est in summary.items():
+        assert 0 < est <= exact[v]
+        assert (exact[v] - est) * (k + 1) <= n
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), max_size=200),
+    st.integers(min_value=1, max_value=32768),
+)
+def test_trim_silence_bounds_properties(xs, threshold):
+    """Trim bookkeeping: lead + kept + trail == n, kept starts and
+    ends loud, nothing loud is ever trimmed, all-silent clips trim
+    entirely to leading silence."""
+    from storm_dynamic_spout_spark.operators.multimodal import trim_silence_bounds
+
+    lead, trail, kept = trim_silence_bounds(xs, threshold)
+    assert lead + trail + len(kept) == len(xs)
+    assert list(kept) == xs[lead : len(xs) - trail]
+    if len(kept):
+        assert abs(kept[0]) >= threshold and abs(kept[-1]) >= threshold
+    else:
+        assert trail == 0 and lead == len(xs)
+        assert all(abs(v) < threshold for v in xs)
+    assert all(abs(v) < threshold for v in xs[:lead])
+    if len(kept):
+        assert all(abs(v) < threshold for v in xs[len(xs) - trail :])
