@@ -118,6 +118,11 @@ _PRIORITY = [
     "corpus_source_kl",
     "graph_common_neighbors",
     "multimodal_audio_silence_trim",
+    "agg_countmin_freq",
+    "agg_kmv_intersect",
+    "graph_kcore",
+    "text_keyword_rake",
+    "stream_heavy_hitters",
     # --- round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",

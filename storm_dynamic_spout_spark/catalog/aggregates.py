@@ -905,3 +905,203 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+#: Count-min sketch shape (shared Spark/oracle).
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+CMS_PROBES = 10
+
+
+def _countmin_oracle() -> str:
+    return f"""
+    WITH hashed AS (
+      SELECT t.d AS __d,
+             CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':'
+                 || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {CMS_WIDTH} AS __bucket
+      FROM lineitem CROSS JOIN range(0, {CMS_DEPTH}) AS t(d)
+    ),
+    sketch AS (
+      SELECT __d, __bucket, CAST(count(*) AS BIGINT) AS c
+      FROM hashed GROUP BY __d, __bucket
+    ),
+    exact AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_n
+      FROM lineitem GROUP BY l_partkey
+    ),
+    probes AS (
+      SELECT l_partkey, exact_n FROM exact
+      ORDER BY exact_n DESC, l_partkey LIMIT {CMS_PROBES}
+    ),
+    probe_cells AS (
+      SELECT p.l_partkey, p.exact_n, t.d AS __d,
+             CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':'
+                 || CAST(p.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {CMS_WIDTH} AS __bucket
+      FROM probes p CROSS JOIN range(0, {CMS_DEPTH}) AS t(d)
+    )
+    SELECT pc.l_partkey, pc.exact_n,
+           CAST(min(s.c) AS BIGINT) AS cms_est,
+           CAST(min(s.c) - pc.exact_n AS BIGINT) AS overshoot
+    FROM probe_cells pc
+    JOIN sketch s ON s.__d = pc.__d AND s.__bucket = pc.__bucket
+    GROUP BY pc.l_partkey, pc.exact_n
+    ORDER BY pc.exact_n DESC, pc.l_partkey
+    """
+
+
+@query("agg_countmin_freq", oracle=_countmin_oracle())
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) probed at the top-{CMS_PROBES} hottest part keys: the sketch
+    is a depth×width cell relation built by ``countmin_table``
+    (operators/sketch.py), the point query is min-over-depths of the
+    probed cells, and the output carries exact counts alongside so the
+    CMS overestimate-only guarantee (overshoot >= 0) is visible in the
+    driver-checked rows.
+
+    Why at 100 TB: the sketch groupBy is map-side combinable into at
+    most depth*width = {CMS_DEPTH}*{CMS_WIDTH} cells per partition —
+    shuffle bytes are CONSTANT in input size, and cells from disjoint
+    shards merge by addition (mergeable summary), so per-day sketches
+    union with one more tiny groupBy instead of a rescan.  Probing
+    joins a {CMS_PROBES}-row broadcast against the tiny cell table.
+    The oracle rebuilds sketch + probes brute-force in SQL with the
+    identical md5 bucket hash, so cell counts, min-over-depth, and the
+    overshoot are all value-checked."""
+    from storm_dynamic_spout_spark.operators.sketch import countmin_table
+
+    li = t(spark, sf_dir, "lineitem")
+    sketch = countmin_table(li, "l_partkey", CMS_DEPTH, CMS_WIDTH)
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.orderBy(F.desc("exact_n"), "l_partkey").limit(CMS_PROBES)
+    d = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("__d")
+    probe_cells = probes.select("l_partkey", "exact_n", d).select(
+        "l_partkey",
+        "exact_n",
+        "__d",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("__d").cast("string"),
+                            F.lit(":"),
+                            F.col("l_partkey").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH
+        ).alias("__bucket"),
+    )
+    return (
+        sketch.join(F.broadcast(probe_cells), ["__d", "__bucket"])
+        .groupBy("l_partkey", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "l_partkey",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overshoot"),
+        )
+        .orderBy(F.desc("exact_n"), "l_partkey")
+    )
+
+
+#: KMV sketch size (shared Spark/oracle).
+KMV_K = 128
+#: Hash domain: 15 hex digits = 60 bits.
+KMV_DOMAIN = 1 << 60
+
+
+def _kmv_oracle() -> str:
+    seg = (
+        "SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))"
+        " AS BIGINT) AS h FROM orders WHERE o_orderpriority = '{p}'"
+        " GROUP BY o_custkey"
+    )
+    return f"""
+    WITH ha AS (SELECT DISTINCT h FROM ({seg.format(p='1-URGENT')})),
+    hb AS (SELECT DISTINCT h FROM ({seg.format(p='2-HIGH')})),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+    theta AS (
+      SELECT least((SELECT max(h) FROM ka), (SELECT max(h) FROM kb)) AS th
+    ),
+    common AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM ka JOIN kb USING (h), theta WHERE ka.h <= theta.th
+    ),
+    exact AS (
+      SELECT CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS exact_common
+      FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+      WHERE a.o_orderpriority = '1-URGENT' AND b.o_orderpriority = '2-HIGH'
+    )
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           theta.th AS theta,
+           common.n_common,
+           CAST(CAST(common.n_common AS HUGEINT) * {KMV_DOMAIN}
+                // theta.th AS BIGINT) AS est_common,
+           exact.exact_common
+    FROM theta, common, exact
+    """
+
+
+@query("agg_kmv_intersect", oracle=_kmv_oracle())
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-intersection estimation from two KMV (theta) sketches
+    (Beyer et al. 2007 / the DataSketches theta-sketch intersection):
+    each order-priority segment keeps its {KMV_K} smallest distinct
+    customer-key hashes, theta is the smaller of the two k-th minima,
+    and |A ∩ B| is estimated as n_common · domain / theta over the
+    hashes both sketches retain below theta.  The exact intersection
+    rides along so the driver row shows the estimate bracketing it.
+    All arithmetic is integer (the one division is exact floor
+    division on both engines: DECIMAL(38) DIV on Spark, HUGEINT //
+    in DuckDB), so the compare is exact.
+
+    Why at 100 TB: each sketch is distinct → per-partition top-k →
+    driver merge of k-row spills (TakeOrdered — no global sort), so a
+    petabyte segment reduces to {KMV_K} rows; sketches for any pair of
+    segments/days then intersect without touching raw data, the same
+    mergeable contract as the HLL rollup but supporting INTERSECTION,
+    which HLL cannot express."""
+    from storm_dynamic_spout_spark.operators.sketch import kmv_sketch
+
+    o = t(spark, sf_dir, "orders")
+    seg = lambda p: o.filter(F.col("o_orderpriority") == p).select("o_custkey")  # noqa: E731
+    ka = kmv_sketch(seg("1-URGENT"), "o_custkey", KMV_K)
+    kb = kmv_sketch(seg("2-HIGH"), "o_custkey", KMV_K)
+    theta = ka.agg(F.max("h").alias("ta")).crossJoin(
+        kb.agg(F.max("h").alias("tb"))
+    ).select(F.least("ta", "tb").alias("theta"))
+    common = (
+        ka.join(kb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        seg("1-URGENT").distinct()
+        .join(seg("2-HIGH").distinct(), "o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_common"))
+    )
+    return (
+        common.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(KMV_K).cast("long").alias("k"),
+            "theta",
+            "n_common",
+            F.expr(
+                f"CAST(CAST(n_common AS DECIMAL(38,0)) * {KMV_DOMAIN} DIV theta AS BIGINT)"
+            ).alias("est_common"),
+            "exact_common",
+        )
+    )

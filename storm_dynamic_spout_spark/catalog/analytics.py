@@ -1761,3 +1761,176 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_CN_TOP)
         .select("id_a", "id_b", "common_neighbors")
     )
+
+
+#: k-core parameters: minimum in-core degree and fixed peel rounds.
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord_sql
+
+    peel = []
+    prev = "sym"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        peel.append(
+            f"s{i} AS (SELECT u FROM {prev} GROUP BY u"
+            f" HAVING count(*) >= {_KCORE_K})"
+        )
+        peel.append(
+            f"e{i} AS (SELECT u, v FROM {prev}"
+            f" WHERE u IN (SELECT u FROM s{i}) AND v IN (SELECT u FROM s{i}))"
+        )
+        prev = f"e{i}"
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_spatial_coord_sql('x')} AS ux,
+             {_spatial_coord_sql('y')} AS uy
+      FROM customer
+    ),
+    edges AS (
+      SELECT a.id AS a, b.id AS b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE (a.ux - b.ux) * (a.ux - b.ux)
+          + (a.uy - b.uy) * (a.uy - b.uy) <= {_TRI_RADIUS * _TRI_RADIUS}
+    ),
+    sym AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b AS u, a AS v FROM edges
+    ),
+    {', '.join(peel)}
+    SELECT u AS id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY u ORDER BY id
+    """
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={_KCORE_K}) of the spatial proximity
+    graph by iterative peeling: each round drops vertices whose degree
+    within the surviving subgraph is below k, and the surviving
+    vertices' in-core degrees are reported.  {_KCORE_ROUNDS} fixed
+    rounds reach the true fixpoint on this graph (round 3 = round 4 —
+    asserted by the oracle, which peels the same fixed rounds in
+    chained CTEs over a brute-force edge set, independently checking
+    the grid-blocked spatial derivation too).
+
+    Why at 100 TB: each peel round is one degree aggregate plus two
+    semi-joins of the edge list against the (shrinking) survivor set —
+    all equi-joins on node id, no all-pairs anywhere; survivor sets
+    shrink monotonically so later rounds broadcast.  Production runs
+    to convergence with a driver-side emptiness check per round and
+    localCheckpoint every few rounds to truncate lineage (the
+    connected-components pattern, operators/dedup.py); the
+    fixed-round form keeps the query a single deterministic Catalyst
+    DAG for the oracle gate."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    for _ in range(_KCORE_ROUNDS):
+        # each round references sym three times (degree agg + two
+        # semi-join sides); without a checkpoint the spatial-join
+        # subtree duplicates ~3^rounds across the unrolled plan (the
+        # minhash materialize= rationale, operators/dedup.py:148)
+        sym = sym.localCheckpoint(eager=True)
+        surv = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= _KCORE_K)
+            .select("u")
+        )
+        sym = sym.join(F.broadcast(surv), "u").join(
+            F.broadcast(surv.withColumnRenamed("u", "v")), "v"
+        ).select("u", "v")
+    return (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("u").alias("id"), "core_degree")
+        .orderBy("id")
+    )
+
+
+#: Streaming heavy-hitter summary size: 127 counters ⇒ exact recall of
+#: every user above a 1/128 share of the event stream.
+_SHH_K = 127
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle=f"""
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           (SELECT n FROM tot) AS n_total
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) * {_SHH_K + 1} > (SELECT n FROM tot)
+    ORDER BY n_occurrences DESC, user_id
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: the event stream arrives in two
+    micro-batches (even event_ids, then odd); each batch contributes
+    per-partition Misra-Gries summaries (operators/sketch.py) that
+    fold into ONE k-counter driver-held summary via the mergeable-MG
+    merge (sum counters, subtract the (k+1)-st largest — Agarwal et
+    al. 2012), so candidate recall survives arbitrary merge trees.  A
+    final exact verify pass counts only candidate-matching rows and
+    filters on the true n/(k+1) threshold.  The ORACLE is the
+    brute-force GROUP BY HAVING over the whole history, so it checks
+    the cross-batch completeness of the merged sketch AND the verify
+    pass.
+
+    Why at 100 TB: per batch, only ≤(k+1)·partitions summary rows
+    leave the executors (the raw stream never shuffles), the
+    cross-batch state is k counters regardless of history length —
+    the same O(k) bound transformWithState would hold per key group —
+    and the verify pass semi-joins a broadcast candidate set before
+    its aggregate, shuffling ≤k distinct keys."""
+    from storm_dynamic_spout_spark.operators.sketch import (
+        merge_summaries,
+        partition_mg_summaries,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("user")
+    )
+    state: dict = {}
+    n_total = 0
+    for parity in (0, 1):
+        batch = e.filter(F.col("event_id") % 2 == parity).select("user")
+        combined: dict = {}
+        for row in partition_mg_summaries(batch, "user", _SHH_K).collect():
+            if row["user"] is None:
+                n_total += row["part_rows"]
+            else:
+                combined[row["user"]] = combined.get(row["user"], 0) + row["est"]
+        state = merge_summaries(state, combined, _SHH_K)
+    cands = spark.createDataFrame(
+        [(c,) for c in sorted(state)], "user string"
+    )
+    return (
+        e.join(F.broadcast(cands), "user")
+        .groupBy("user")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * (_SHH_K + 1) > F.lit(n_total))
+        .select(
+            F.col("user").cast("long").alias("user_id"),
+            "n_occurrences",
+            F.lit(n_total).cast("long").alias("n_total"),
+        )
+        .orderBy(F.desc("n_occurrences"), "user_id")
+    )

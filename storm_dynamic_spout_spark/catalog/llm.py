@@ -3742,3 +3742,104 @@ def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: RAKE candidate-phrase delimiters (function words; the fixture vocab
+#: contains 'a'/'the' — the rest future-proof real corpora) and the
+#: number of keywords reported.
+RAKE_STOP = ("a", "the", "is", "of", "and", "to", "in", "on")
+RAKE_TOP = 15
+
+
+def _rake_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in RAKE_STOP)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, u.pos AS pos, tk[u.pos] AS tok,
+             CASE WHEN tk[u.pos] IN ({stop_list}) THEN 1 ELSE 0 END AS is_stop
+      FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(pos)
+    ),
+    phrased AS (
+      SELECT doc_id, pos, tok, is_stop,
+             sum(is_stop) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING
+             ) AS phrase_id
+      FROM pos
+    ),
+    words AS (
+      SELECT doc_id, phrase_id, tok,
+             count(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+      FROM phrased WHERE is_stop = 0
+    ),
+    stats AS (
+      SELECT tok AS term,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(phrase_len) AS BIGINT) AS degree
+      FROM words GROUP BY tok
+    )
+    SELECT term, freq, degree,
+           CAST(degree * 1000 // freq AS BIGINT) AS score_x1000
+    FROM stats
+    ORDER BY score_x1000 DESC, freq DESC, term
+    LIMIT {RAKE_TOP}
+    """
+
+
+@query("text_keyword_rake", oracle=_rake_oracle())
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal runs of non-stopword tokens, each
+    word scores degree/freq where degree counts co-occurring words per
+    phrase occurrence (phrase length, self included) and freq counts
+    occurrences; the top-{RAKE_TOP} keywords by score are reported.
+    The score ships as exact integer thousandths (floor division on
+    both engines), so the compare is exact.
+
+    Why at 100 TB: phrase segmentation is a per-document prefix sum —
+    a window PARTITIONED BY doc_id (documents are the natural unit of
+    parallelism; no global window anywhere), phrase length is a second
+    doc-partitioned window, and the word-stats rollup is an ordinary
+    partial→final aggregate on the term key.  The final top-{RAKE_TOP}
+    is orderBy().limit() → TakeOrderedAndProject (per-partition heap +
+    driver merge), never a global sort of the vocabulary — the same
+    replan that fixed text_term_freq in round 6."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\s+")).alias("pos", "tok"),
+    ).withColumn(
+        "is_stop",
+        F.when(F.col("tok").isin(*RAKE_STOP), F.lit(1)).otherwise(F.lit(0)),
+    )
+    phrased = pos.withColumn(
+        "phrase_id",
+        F.sum("is_stop").over(
+            W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    words = phrased.filter(F.col("is_stop") == 0).withColumn(
+        "phrase_len",
+        F.count(F.lit(1)).over(W.partitionBy("doc_id", "phrase_id")),
+    )
+    stats = words.groupBy(F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phrase_len").alias("degree"),
+    )
+    return (
+        stats.select(
+            "term",
+            "freq",
+            "degree",
+            F.expr("degree * 1000 DIV freq").alias("score_x1000"),
+        )
+        .orderBy(F.desc("score_x1000"), F.desc("freq"), "term")
+        .limit(RAKE_TOP)
+    )

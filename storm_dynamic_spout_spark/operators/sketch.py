@@ -70,6 +70,93 @@ def partition_heavy_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     return df.select(col).mapInPandas(_mg, out_schema)
 
 
+def partition_mg_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries WITH counter estimates:
+    (col, est, part_rows) — at most k counter rows plus one NULL-key
+    row carrying the partition row count.  The counter values let a
+    driver-side fold (``merge_summaries``) maintain one k-counter
+    summary across micro-batches, the streaming form of the two-pass
+    plan; ``partition_heavy_candidates`` stays the keys-only batch
+    variant."""
+    import pandas as pd
+
+    out_schema = f"{col} string, est long, part_rows long"
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+
+        def stream():
+            nonlocal n
+            for b in batches:
+                n += len(b)
+                yield from b[col]
+
+        counters = misra_gries(stream(), k)
+        yield pd.DataFrame(
+            {
+                col: list(counters) + [None],
+                "est": list(counters.values()) + [0],
+                "part_rows": [0] * len(counters) + [n],
+            }
+        )
+
+    return df.select(col).mapInPandas(_mg, out_schema)
+
+
+def merge_summaries(a: dict, b: dict, k: int) -> dict:
+    """Merge two Misra-Gries summaries into one with ≤ k counters
+    (Agarwal et al. 2012: summing counters then subtracting the
+    (k+1)-st largest keeps the n/(k+1) error bound additive across
+    merges).  Used by the streaming heavy-hitter path to fold
+    per-micro-batch summaries without ever revisiting a batch."""
+    merged: dict = dict(a)
+    for key, c in b.items():
+        merged[key] = merged.get(key, 0) + c
+    if len(merged) > k:
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {key: c - cut for key, c in merged.items() if c > cut}
+    return merged
+
+
+def _h60(col, seed: str = ""):
+    """60-bit md5-derived hash as BIGINT — identical to the DuckDB
+    expression CAST(('0x' || substr(md5(<seed:>x), 1, 15)) AS BIGINT),
+    the engine-portable hash every sketch here is built on."""
+    prefixed = F.concat(F.lit(f"{seed}:"), col.cast("string")) if seed else col.cast("string")
+    return F.conv(F.substring(F.md5(prefixed.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def countmin_table(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
+    """Count-min sketch as a relation: ``depth × width`` cells
+    (``__d``, ``__bucket``, ``c``).  Each input row increments one
+    cell per depth; the groupBy is map-side combinable, so at most
+    depth·width rows ever shuffle regardless of input size — the
+    mergeable-summary contract (cells add) that lets sketches from
+    disjoint partitions/days union with a second tiny groupBy."""
+    d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__d")
+    return (
+        df.select(F.col(col).alias("__v"), d)
+        .select("__d", (_h60(F.concat(F.col("__d").cast("string"), F.lit(":"), F.col("__v").cast("string"))) % width).alias("__bucket"))
+        .groupBy("__d", "__bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int) -> DataFrame:
+    """K-minimum-values (theta) distinct sketch: the ``k`` smallest
+    distinct 60-bit hashes of ``col``, one row each.  Built with a
+    distinct + TakeOrdered top-k (per-partition heap, driver merge of
+    k-row spills — never a global sort), so the shuffle carries at
+    most k rows per partition.  Two sketches intersect by equi-join
+    below the shared theta = min(max_a, max_b)."""
+    return (
+        df.select(_h60(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
 def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     """Exact heavy hitters (items with ``count * (k+1) > n``) without
     ever shuffling the raw stream: pass 1 generates per-partition

@@ -116,3 +116,54 @@ def test_trim_silence_bounds_properties(xs, threshold):
     assert all(abs(v) < threshold for v in xs[:lead])
     if len(kept):
         assert all(abs(v) < threshold for v in xs[len(xs) - trail :])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=12), max_size=150),
+    st.lists(st.integers(min_value=0, max_value=12), max_size=150),
+    st.integers(min_value=1, max_value=8),
+)
+def test_merge_summaries_keeps_heavy_hitter_recall(xs, ys, k):
+    """Merged-and-trimmed MG summaries must (1) hold ≤ k counters,
+    (2) never overestimate, (3) underestimate by at most n/(k+1), so
+    every item with global count > n/(k+1) survives the merge — the
+    cross-batch completeness stream_heavy_hitters relies on."""
+    from collections import Counter
+
+    from storm_dynamic_spout_spark.operators.sketch import (
+        merge_summaries,
+        misra_gries,
+    )
+
+    merged = merge_summaries(misra_gries(xs, k), misra_gries(ys, k), k)
+    exact = Counter(xs) + Counter(ys)
+    n = len(xs) + len(ys)
+    assert len(merged) <= k
+    for item, est in merged.items():
+        assert est <= exact[item]
+    for item, c in exact.items():
+        assert merged.get(item, 0) >= c - n / (k + 1)
+        if c * (k + 1) > n:
+            assert item in merged
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=60),
+)
+def test_kmv_intersection_subset_identity(xs, k):
+    """KMV sanity: intersecting a set's sketch with itself below theta
+    returns exactly min(k, |distinct hashes|) common values, and theta
+    is the k-th smallest hash — the invariants agg_kmv_intersect's
+    join encodes relationally."""
+    import hashlib
+
+    hs = sorted({
+        int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16) for x in xs
+    })
+    kmv = hs[:k]
+    theta = kmv[-1]
+    common = [h for h in kmv if h in set(kmv) and h <= theta]
+    assert len(common) == min(k, len(hs))
