@@ -558,6 +558,99 @@ def abc_pareto_bands(t):
     )
 
 
+def heavy_hitters_two_pass(t):
+    """text_heavy_hitters shape: pass 1 is map-only Misra-Gries (≤k
+    rows out per partition), pass 2 a broadcast-semi-join exact count
+    — shuffle bytes must stay ~constant while the token stream grows
+    5x (candidate set is bounded by k, not by data)."""
+    from storm_dynamic_spout_spark.catalog.llm import HH_K
+    from storm_dynamic_spout_spark.operators.sketch import heavy_hitters_exact
+
+    toks = t("documents").select(
+        F.explode(F.split("text", r"\s+")).alias("term")
+    )
+    return heavy_hitters_exact(toks, "term", HH_K)
+
+
+def bitmap_distinct_words(t):
+    """agg_bitmap_distinct shape: keys collapse into keyspace/64 bitmap
+    words during the map-side partial bit_or — the word table (and so
+    the shuffle) grows with the KEYSPACE (shifted ids per copy), never
+    with row count."""
+    o = t("orders")
+    return (
+        o.select(
+            "o_orderpriority",
+            F.floor(F.col("o_custkey") / 64).alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 64 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("o_orderpriority", "w")
+        .agg(F.expr("bit_or(b)").alias("m"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bit_count("m")).alias("n_distinct"))
+    )
+
+
+def common_neighbor_wedges(t):
+    """graph_common_neighbors shape: grid-blocked edge derivation, the
+    wedge equi-join on the shared middle node, anti-join against the
+    edge set, TakeOrdered top-k.  Wedge count grows with sum(deg^2),
+    so on the key-shifted copies (each copy a disjoint subgraph) the
+    ratio should stay ~linear."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t("customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", 1_500).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = s1.join(
+        s2, (F.col("s1.v") == F.col("s2.v")) & (F.col("s1.u") < F.col("s2.u"))
+    ).select(F.col("s1.u").alias("id_a"), F.col("s2.u").alias("id_b"))
+    return (
+        wedges.join(
+            edges,
+            (F.col("id_a") == F.col("a")) & (F.col("id_b") == F.col("b")),
+            "left_anti",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .orderBy(F.desc("cn"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+def countmin_cells(t):
+    """agg_countmin_freq shape: the sketch groupBy must emit ≤
+    depth*width cells NO MATTER the input size — the one shape here
+    whose healthy ratio is ~1 (constant output, map-side combine),
+    so any growth beyond the scan itself is a regression."""
+    from storm_dynamic_spout_spark.catalog.aggregates import CMS_DEPTH, CMS_WIDTH
+    from storm_dynamic_spout_spark.operators.sketch import countmin_table
+
+    return countmin_table(t("lineitem"), "l_partkey", CMS_DEPTH, CMS_WIDTH)
+
+
+def kmv_topk(t):
+    """agg_kmv_intersect sketch-build shape: distinct → per-partition
+    top-k heap → driver merge (TakeOrdered); k rows out regardless of
+    scale, so like countmin the ratio should track the scan."""
+    from storm_dynamic_spout_spark.catalog.aggregates import KMV_K
+    from storm_dynamic_spout_spark.operators.sketch import kmv_sketch
+
+    return kmv_sketch(t("orders").select("o_custkey"), "o_custkey", KMV_K)
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -583,6 +676,11 @@ QUERIES = [
     ("spatial_grid", spatial_grid),
     ("bloom_prune", bloom_prune),
     ("abc_pareto", abc_pareto_bands),
+    ("heavy_hitters", heavy_hitters_two_pass),
+    ("bitmap_distinct", bitmap_distinct_words),
+    ("common_neighbors", common_neighbor_wedges),
+    ("countmin_cells", countmin_cells),
+    ("kmv_topk", kmv_topk),
 ]
 
 
