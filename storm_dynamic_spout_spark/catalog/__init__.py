@@ -123,6 +123,8 @@ _PRIORITY = [
     "graph_kcore",
     "text_keyword_rake",
     "stream_heavy_hitters",
+    "ann_topk_mips",
+    "text_collocations_pmi",
     # --- round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",

@@ -3843,3 +3843,152 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_x1000"), F.desc("freq"), "term")
         .limit(RAKE_TOP)
     )
+
+
+@query(
+    "ann_topk_mips",
+    oracle=f"""
+    WITH {_VQ},
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             round(list_inner_product(q, v) * 1000000) / 1000000 AS ip
+      FROM q JOIN v ON v.label = q.qlabel AND v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ip, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY ip DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    """,
+)
+def ann_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) top-k within the query's
+    coarse bucket — the scoring for un-normalized two-tower retrieval
+    embeddings, where the answer genuinely differs from cosine (norm
+    carries signal).  Rank is by inner product rounded to 1e-6 with
+    id tie-break on BOTH engines.  Scale path documented on
+    ``mips_topk_ivf``: the Shrivastava-Li asymmetric augmentation
+    reduces MIPS to constant-norm cosine so the SRP-LSH bucketer
+    applies unchanged."""
+    return S.mips_topk_ivf(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        F.col("vec_id") < ANN_QUERY_MAX_ID,
+        ANN_K,
+    )
+
+
+#: Collocation mining thresholds (shared Spark/oracle).
+PMI_MIN_PAIR = 5
+PMI_TOP = 20
+
+
+def _pmi_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, u.pos AS pos, tk[u.pos] AS w1, tk[u.pos + 1] AS w2,
+             len(tk) AS n_tk
+      FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(pos)
+    ),
+    uni AS (
+      SELECT w1 AS w, CAST(count(*) AS BIGINT) AS c_w FROM pos GROUP BY w1
+    ),
+    n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_uni FROM uni),
+    pairs AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM pos WHERE pos < n_tk GROUP BY w1, w2
+    ),
+    np AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_pairs FROM pairs)
+    SELECT w1, w2, c_xy,
+           CAST(round(ln(
+             (CAST(c_xy AS DOUBLE) / n_pairs)
+             / ((CAST(u1.c_w AS DOUBLE) / n_uni) * (CAST(u2.c_w AS DOUBLE) / n_uni))
+           ) * 10000) AS BIGINT) AS pmi_1e4
+    FROM pairs
+    JOIN uni u1 ON u1.w = pairs.w1
+    JOIN uni u2 ON u2.w = pairs.w2
+    CROSS JOIN n CROSS JOIN np
+    WHERE c_xy >= {PMI_MIN_PAIR}
+    ORDER BY pmi_1e4 DESC, w1, w2
+    LIMIT {PMI_TOP}
+    """
+
+
+@query("text_collocations_pmi", oracle=_pmi_oracle())
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    token bigrams: PMI = ln(p(xy) / (p(x)·p(y))) with p(xy) over the
+    bigram count table and p(x) over unigrams, reported as integer
+    1e-4 units (the corpus_source_kl convention) for the top-{PMI_TOP}
+    pairs above a minimum pair count — the classic phrase-mining
+    signal (Church & Hanks 1990) used to build tokenizer merge lists
+    and stop-phrase tables from a training corpus.
+
+    Why at 100 TB: bigrams come from a doc-partitioned lead (window
+    PARTITIONED BY doc_id — documents are the parallelism unit), both
+    count tables are partial→final aggregates on the pair/word keys,
+    the unigram side joins back by broadcast (vocab ≪ corpus after
+    aggregation), and the final top-{PMI_TOP} is TakeOrdered.  The
+    raw token stream shuffles once (the pair groupBy)."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\s+")).alias("pos", "w1"),
+    ).withColumn(
+        "w2",
+        F.lead("w1").over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    # the two count tables are vocab-sized; checkpointing them stops
+    # Catalyst re-deriving the full token-stream explode+aggregate for
+    # every consuming branch (u1/u2/n_uni would each rescan the corpus
+    # — the exchange-reuse trap documented on heavy_hitters_exact)
+    uni = (
+        pos.groupBy(F.col("w1").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .localCheckpoint(eager=True)
+    )
+    n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
+    pairs_all = (
+        pos.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=True)
+    )
+    # n_pairs folds over the (tiny) aggregated pair table, not the raw
+    # token stream — the stream is scanned twice total (uni + pairs)
+    n_pairs = pairs_all.agg(F.sum("c_xy").alias("n_pairs"))
+    pairs = pairs_all.filter(F.col("c_xy") >= PMI_MIN_PAIR)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y"))
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.col("n_pairs"))
+                    / (
+                        (F.col("c_x").cast("double") / F.col("n_uni"))
+                        * (F.col("c_y").cast("double") / F.col("n_uni"))
+                    )
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("pmi_1e4"),
+        )
+        .orderBy(F.desc("pmi_1e4"), "w1", "w2")
+        .limit(PMI_TOP)
+    )

@@ -106,6 +106,47 @@ def cosine_topk_ivf(
     )
 
 
+def mips_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    query_pred: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Maximum-inner-product top-k restricted to the query's coarse
+    bucket — the retrieval scoring used by un-normalized two-tower /
+    recommender embeddings, where MIPS ≠ cosine (a high-norm corpus
+    vector can dominate every query; normalizing first would change
+    the answer).  Rank is by inner product rounded to 1e-6 with id
+    tie-break, identical on the oracle side, so near-tie ordering is
+    engine-stable.
+
+    At 100 TB: same plan as cosine_topk_ivf — broadcast queries,
+    bucket equi-join, per-query WindowGroupLimit heap.  The standard
+    sharding refinement is asymmetric augmentation (Shrivastava & Li
+    2014): append sqrt(M² − ‖x‖²) to corpus vectors and 0 to queries,
+    making inner-product order equal cosine order over constant-norm
+    vectors, so the SRP-LSH bucketer (srp_band_pairs) applies
+    unchanged — different bucket derivation, same join shape."""
+    corpus = _with_vec(df, id_col, vec_col, bucket_col)
+    queries = corpus.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__q"),
+        F.col(bucket_col).alias("__qb"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col(bucket_col) == F.col("__qb")) & (F.col(id_col) != F.col("query_id")),
+    ).withColumn("ip", F.round(dot(F.col("__q"), F.col("__v")) * 1e6) / 1e6)
+    w = W.partitionBy("query_id").orderBy(F.desc("ip"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "ip", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, bucket_col: str, threshold: float
 ) -> DataFrame:
