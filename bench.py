@@ -45,6 +45,8 @@ HEADLINE = [
     "ann_topk_pq",  # r7: PQ ADC search — broadcast tables + code lookups
     "join_bloom_prune",  # r7: split-block bloom pre-filter below the probe exchange
     "join_spatial_grid",  # r7: 3x3 cell-blocked within-radius self-join
+    "text_heavy_hitters",  # r7: two-pass Misra-Gries — map-only sketch + broadcast verify
+    "agg_countmin_freq",  # r7: constant-shuffle count-min sketch + probe join
 ]
 
 

@@ -917,8 +917,8 @@ def _countmin_oracle() -> str:
     return f"""
     WITH hashed AS (
       SELECT t.d AS __d,
-             CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':'
-                 || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                 1 + 5 * t.d, 5)) AS BIGINT)
                % {CMS_WIDTH} AS __bucket
       FROM lineitem CROSS JOIN range(0, {CMS_DEPTH}) AS t(d)
     ),
@@ -936,8 +936,8 @@ def _countmin_oracle() -> str:
     ),
     probe_cells AS (
       SELECT p.l_partkey, p.exact_n, t.d AS __d,
-             CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':'
-                 || CAST(p.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+             CAST(('0x' || substr(md5(CAST(p.l_partkey AS VARCHAR)),
+                 1 + 5 * t.d, 5)) AS BIGINT)
                % {CMS_WIDTH} AS __bucket
       FROM probes p CROSS JOIN range(0, {CMS_DEPTH}) AS t(d)
     )
@@ -976,30 +976,20 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = countmin_table(li, "l_partkey", CMS_DEPTH, CMS_WIDTH)
     exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
     probes = exact.orderBy(F.desc("exact_n"), "l_partkey").limit(CMS_PROBES)
-    d = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("__d")
-    probe_cells = probes.select("l_partkey", "exact_n", d).select(
-        "l_partkey",
-        "exact_n",
-        "__d",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("__d").cast("string"),
-                            F.lit(":"),
-                            F.col("l_partkey").cast("string"),
-                        ).cast("binary")
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % CMS_WIDTH
-        ).alias("__bucket"),
+    from storm_dynamic_spout_spark.operators.sketch import countmin_bucket
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__d"),
+                countmin_bucket(F.col("l_partkey"), i, CMS_WIDTH).alias("__bucket"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
     )
+    probe_cells = probes.select(
+        "l_partkey", "exact_n", F.explode(cells).alias("__c")
+    ).select("l_partkey", "exact_n", "__c.__d", "__c.__bucket")
     return (
         sketch.join(F.broadcast(probe_cells), ["__d", "__bucket"])
         .groupBy("l_partkey", "exact_n")
