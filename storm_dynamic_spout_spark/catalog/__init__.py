@@ -125,6 +125,7 @@ _PRIORITY = [
     "stream_heavy_hitters",
     "ann_topk_mips",
     "text_collocations_pmi",
+    "multimodal_image_sobel",
     # --- round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",

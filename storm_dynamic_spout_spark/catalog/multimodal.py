@@ -907,3 +907,73 @@ def multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame
     return res.select(
         "doc_id", "n_in", "n_lead", "n_trail", "n_kept", "kept_sum", "kept_sha"
     )
+
+
+def _sobel_oracle_values() -> str:
+    """Edge-energy VALUES rows from the fixture keystream + the SHARED
+    pure sobel_energy (hashlib + numpy only — the PNG decoder under
+    test is never imported here; the generator writes pixels row-major,
+    so reshape(h, w, c) reconstructs the exact decoded array)."""
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.multimodal import sobel_energy
+
+    rows = []
+    for d in range(N_IMAGES):
+        seed, w, h, c = _image_params(d)
+        need = w * h * c
+        out = bytearray()
+        counter = 0
+        while len(out) < need:
+            out += hashlib.sha256(
+                seed + b"png" + counter.to_bytes(4, "little")
+            ).digest()
+            counter += 1
+        px = np.frombuffer(bytes(out[:need]), np.uint8).reshape(h, w, c)
+        rows.append(f"({d}, {w}, {h}, {sobel_energy(px)})")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "multimodal_image_sobel",
+    oracle=f"""
+    SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+           CAST(v.width AS BIGINT) AS width,
+           CAST(v.height AS BIGINT) AS height,
+           CAST(v.edge_energy AS BIGINT) AS edge_energy
+    FROM (VALUES
+      {_sobel_oracle_values()}
+    ) AS v(doc_id, width, height, edge_energy)
+    ORDER BY doc_id
+    """,
+)
+def multimodal_image_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convolutional feature extraction under the correctness gate:
+    decode the 24 fixture PNGs with the REAL decoder and compute
+    integer Sobel gradient energy (valid-mode 3x3, ITU-R 601 luma —
+    the complexity signal an image quality filter thresholds on;
+    near-zero = flat/synthetic, high = textured content).  The oracle
+    recomputes the energy from the generator keystream through the
+    SAME shared pure function (operators/multimodal.py sobel_energy)
+    without ever importing the decoder, so a single wrong pixel
+    anywhere in the zlib-inflate + unfilter path reds the row — a
+    stricter check than pixel_sum, which is permutation-blind.
+
+    Why at 100 TB: decode + convolution is the declared Arrow surface
+    (mapInPandas, narrow, partitioning preserved); the reduction
+    leaves one 4-integer row per image, so everything downstream is
+    relational."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        edge_energy_images,
+        make_png_image,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < N_IMAGES)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: make_png_image(*_image_params(int(i))))
+
+    return edge_energy_images(
+        d.select("doc_id").withColumn("content", _payload("doc_id"))
+    ).orderBy("doc_id")

@@ -1231,6 +1231,72 @@ def nearest_resize_indices(src: int, out: int) -> list[int]:
     return [(i * src) // out for i in range(out)]
 
 
+def sobel_energy(pixels) -> int:
+    """Integer Sobel gradient energy of a decoded pixel array: luma by
+    the same ITU-R 601 floor-division weights as :func:`phash64`,
+    valid-mode 3x3 Gx/Gy convolution (interior pixels only — no
+    padding convention to disagree about), energy = Σ(|gx| + |gy|).
+    Pure int64 arithmetic end to end, so the Spark side (real decoder)
+    and the oracle side (fixture keystream) must agree bit-for-bit."""
+    import numpy as np
+
+    arr = np.asarray(pixels)
+    if arr.ndim == 3:
+        a = arr.astype(np.int64)
+        if arr.shape[2] >= 3:
+            luma = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+        else:
+            luma = a[..., 0]
+    else:
+        luma = arr.astype(np.int64)
+    h, w = luma.shape
+    if h < 3 or w < 3:
+        return 0
+    gx = (
+        luma[:-2, 2:] + 2 * luma[1:-1, 2:] + luma[2:, 2:]
+        - luma[:-2, :-2] - 2 * luma[1:-1, :-2] - luma[2:, :-2]
+    )
+    gy = (
+        luma[2:, :-2] + 2 * luma[2:, 1:-1] + luma[2:, 2:]
+        - luma[:-2, :-2] - 2 * luma[:-2, 1:-1] - luma[:-2, 2:]
+    )
+    return int(np.abs(gx).sum() + np.abs(gy).sum())
+
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("edge_energy", T.LongType(), False),
+    ]
+)
+
+
+def edge_energy_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) → (id, w, h, Sobel edge energy) via Arrow-batched
+    mapInPandas over the REAL pixel decoders — the feature-extraction
+    stage of an image quality/complexity filter (flat or synthetic
+    images score near zero; photographic content scores high).  Narrow
+    transformation: partitioning preserved; the convolution is
+    vectorized numpy on decoded interiors, one narrow row out per
+    image."""
+    import numpy as np
+
+    def _edge_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf["content"]):
+                px = np.asarray(image_pixels(buf))
+                h, w = px.shape[0], px.shape[1]
+                rows.append((int(i), int(w), int(h), sobel_energy(px)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "edge_energy"]
+            )
+
+    return df.select(id_col, "content").mapInPandas(_edge_batches, EDGE_SCHEMA)
+
+
 def resize_pixels_nearest(pixels, out_w: int, out_h: int):
     """Nearest-neighbor resample of a decoded pixel array ((h, w) or
     (h, w, c), any integer dtype): advanced-index the first two axes

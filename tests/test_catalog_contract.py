@@ -109,7 +109,7 @@ def test_first_fifty_registrations_cover_the_stale():
     # window filled; they sit in the round-8 lead block (slots 53+) so
     # their first driver check is immediate next round
     never_checked = set(QUERIES) - set(last_round)
-    r8_lead = set(order[50:67])
+    r8_lead = set(order[50:68])
     assert never_checked <= first50 | r8_lead, (
         f"never-driver-checked queries outside window + r8 lead: "
         f"{sorted(never_checked - first50 - r8_lead)}"
@@ -123,7 +123,9 @@ def test_first_fifty_registrations_cover_the_stale():
         "agg_countmin_freq", "agg_kmv_intersect", "graph_kcore",
         "text_keyword_rake", "stream_heavy_hitters",
     } == set(order[60:65])
-    assert {"ann_topk_mips", "text_collocations_pmi"} == set(order[65:67])
+    assert {
+        "ann_topk_mips", "text_collocations_pmi", "multimodal_image_sobel",
+    } == set(order[65:68])
     # nothing with only round-1 evidence may remain outside the window
     r1_stale = {q for q, r in last_round.items() if r == 1}
     assert r1_stale <= first50, (
@@ -138,6 +140,6 @@ def test_first_fifty_registrations_cover_the_stale():
     assert len(outside) <= 42, (
         f"round-3-stale queries too far outside window: {sorted(outside)}"
     )
-    assert outside <= set(order[67 : 67 + len(outside)]), (
+    assert outside <= set(order[68 : 68 + len(outside)]), (
         f"stale overhang not adjacent to window: {sorted(outside)}"
     )

@@ -77,6 +77,7 @@ def test_inventory_global_invariants():
         "multimodal_image_resize",
         "multimodal_audio_resample",
         "multimodal_audio_silence_trim",
+        "multimodal_image_sobel",
         # two-pass heavy hitters: the per-partition Misra-Gries
         # candidate pass is the declared O(k)-state Arrow surface; the
         # exact verify pass is pure relational

@@ -167,3 +167,40 @@ def test_kmv_intersection_subset_identity(xs, k):
     theta = kmv[-1]
     common = [h for h in kmv if h in set(kmv) and h <= theta]
     assert len(common) == min(k, len(hs))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_sobel_energy_matches_naive_loop(h, w, c, seed):
+    """Vectorized integer Sobel energy == per-pixel reference loop
+    (valid mode, 601 floor luma), and flat images score exactly 0."""
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.multimodal import sobel_energy
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    a = px.astype(np.int64)
+    if c >= 3:
+        luma = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    else:
+        luma = a[..., 0]
+    exp = 0
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            gx = (
+                luma[y - 1, x + 1] + 2 * luma[y, x + 1] + luma[y + 1, x + 1]
+                - luma[y - 1, x - 1] - 2 * luma[y, x - 1] - luma[y + 1, x - 1]
+            )
+            gy = (
+                luma[y + 1, x - 1] + 2 * luma[y + 1, x] + luma[y + 1, x + 1]
+                - luma[y - 1, x - 1] - 2 * luma[y - 1, x] - luma[y - 1, x + 1]
+            )
+            exp += abs(int(gx)) + abs(int(gy))
+    assert sobel_energy(px) == exp
+    assert sobel_energy(np.full((h, w), 7, dtype=np.uint8)) == 0
