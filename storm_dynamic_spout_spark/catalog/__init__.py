@@ -126,6 +126,7 @@ _PRIORITY = [
     "ann_topk_mips",
     "text_collocations_pmi",
     "multimodal_image_sobel",
+    "graph_degree_assortativity",
     # --- round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",

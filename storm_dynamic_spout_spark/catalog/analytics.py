@@ -1934,3 +1934,98 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occurrences"), "user_id")
     )
+
+
+def _assortativity_oracle() -> str:
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord_sql
+
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_spatial_coord_sql('x')} AS ux,
+             {_spatial_coord_sql('y')} AS uy
+      FROM customer
+    ),
+    edges AS (
+      SELECT a.id AS a, b.id AS b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE (a.ux - b.ux) * (a.ux - b.ux)
+          + (a.uy - b.uy) * (a.uy - b.uy) <= {_TRI_RADIUS * _TRI_RADIUS}
+    ),
+    sym AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b AS u, a AS v FROM edges
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    moments AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(du.d) AS BIGINT) AS sx,
+             CAST(sum(du.d * dv.d) AS BIGINT) AS sxy,
+             CAST(sum(du.d * du.d) AS BIGINT) AS sxx
+      FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v
+    )
+    SELECT n, sx, sxy, sxx,
+           CAST(round(
+             (CAST(n * sxy - sx * sx AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000
+           ) AS BIGINT) AS assortativity_1e6
+    FROM moments
+    """
+
+
+@query("graph_degree_assortativity", oracle=_assortativity_oracle())
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the spatial proximity
+    graph: the Pearson correlation of endpoint degrees over directed
+    edge instances.  Computed from EXACT integer moment sums (n, Σd_u,
+    Σd_u·d_v, Σd_u² — symmetric, so Sy=Sx and Syy=Sxx); the only
+    float step is one division of exact int64s, rounded to 1e-6, so
+    the compare is engine-stable without trusting corr()'s
+    accumulation order.
+
+    Why at 100 TB: the degree table is a groupBy on node id, the two
+    degree lookups are equi-joins (broadcast once degrees aggregate
+    below the threshold; sort-merge otherwise), and the moments are
+    one partial→final aggregate — no correlation UDAF state, no
+    global sort, and the integer moments merge associatively across
+    any sharding."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("__u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("__v"), F.col("d").alias("dv"))
+    moments = (
+        sym.join(F.broadcast(du), F.col("u") == F.col("__u"))
+        .join(F.broadcast(dv), F.col("v") == F.col("__v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("du").alias("sx"),
+            F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+            F.sum(F.col("du") * F.col("du")).alias("sxx"),
+        )
+    )
+    return moments.select(
+        "n",
+        "sx",
+        "sxy",
+        "sxx",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * 1000000
+        )
+        .cast("long")
+        .alias("assortativity_1e6"),
+    )
