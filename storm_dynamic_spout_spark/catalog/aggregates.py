@@ -1056,18 +1056,25 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     division on both engines: DECIMAL(38) DIV on Spark, HUGEINT //
     in DuckDB), so the compare is exact.
 
-    Why at 100 TB: each sketch is distinct → per-partition top-k →
-    driver merge of k-row spills (TakeOrdered — no global sort), so a
-    petabyte segment reduces to {KMV_K} rows; sketches for any pair of
-    segments/days then intersect without touching raw data, the same
-    mergeable contract as the HLL rollup but supporting INTERSECTION,
-    which HLL cannot express."""
+    Why at 100 TB: each sketch reduces a segment to {KMV_K}
+    materialized rows, and sketches for any pair of segments/days then
+    intersect WITHOUT touching raw data — the same mergeable contract
+    as the HLL rollup but supporting INTERSECTION, which HLL cannot
+    express.  Inside the sketch build, the TakeOrdered is k-bounded
+    (no global sort); the distinct's exchange carries per-partition-
+    distinct hashes, whose production pre-trim is documented on
+    ``kmv_sketch``."""
     from storm_dynamic_spout_spark.operators.sketch import kmv_sketch
 
     o = t(spark, sf_dir, "orders")
     seg = lambda p: o.filter(F.col("o_orderpriority") == p).select("o_custkey")  # noqa: E731
-    ka = kmv_sketch(seg("1-URGENT"), "o_custkey", KMV_K)
-    kb = kmv_sketch(seg("2-HIGH"), "o_custkey", KMV_K)
+    # materialize each 128-row sketch once: theta and the intersection
+    # both reference ka/kb, and without the checkpoint Catalyst
+    # re-expands the full distinct+TakeOrdered lineage (a fresh orders
+    # scan) per reference — the sketches are the thing that must NOT
+    # rescan raw data
+    ka = kmv_sketch(seg("1-URGENT"), "o_custkey", KMV_K).localCheckpoint(eager=True)
+    kb = kmv_sketch(seg("2-HIGH"), "o_custkey", KMV_K).localCheckpoint(eager=True)
     theta = ka.agg(F.max("h").alias("ta")).crossJoin(
         kb.agg(F.max("h").alias("tb"))
     ).select(F.least("ta", "tb").alias("theta"))

@@ -1735,9 +1735,13 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spatial_coord("x").alias("ux"),
         _spatial_coord("y").alias("uy"),
     )
+    # the spatial self-join is referenced five times downstream (both
+    # wedge sides embed sym = 2x edges each, plus the anti-join);
+    # checkpoint it once or Catalyst re-derives the whole grid join
+    # per reference (the kcore/minhash materialize rationale)
     edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -1905,30 +1909,30 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_mg_summaries,
     )
 
-    e = t(spark, sf_dir, "events").select(
-        "event_id", F.col("user_id").cast("string").alias("user")
-    )
+    e = t(spark, sf_dir, "events").select("event_id", "user_id")
     state: dict = {}
     n_total = 0
     for parity in (0, 1):
-        batch = e.filter(F.col("event_id") % 2 == parity).select("user")
+        batch = e.filter(F.col("event_id") % 2 == parity).select("user_id")
         combined: dict = {}
-        for row in partition_mg_summaries(batch, "user", _SHH_K).collect():
-            if row["user"] is None:
+        for row in partition_mg_summaries(batch, "user_id", _SHH_K).collect():
+            if row["user_id"] is None:
                 n_total += row["part_rows"]
             else:
-                combined[row["user"]] = combined.get(row["user"], 0) + row["est"]
+                combined[row["user_id"]] = (
+                    combined.get(row["user_id"], 0) + row["est"]
+                )
         state = merge_summaries(state, combined, _SHH_K)
     cands = spark.createDataFrame(
-        [(c,) for c in sorted(state)], "user string"
+        [(int(c),) for c in sorted(state)], "user_id long"
     )
     return (
-        e.join(F.broadcast(cands), "user")
-        .groupBy("user")
+        e.join(F.broadcast(cands), "user_id")
+        .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") * (_SHH_K + 1) > F.lit(n_total))
         .select(
-            F.col("user").cast("long").alias("user_id"),
+            "user_id",
             "n_occurrences",
             F.lit(n_total).cast("long").alias("n_total"),
         )

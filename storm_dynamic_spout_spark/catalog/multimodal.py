@@ -697,19 +697,8 @@ def _resize_oracle_values() -> str:
 
     rows = []
     for d in range(N_IMAGES):
-        seed, w, h, c = _image_params(d)
-        need = w * h * c
-        out = bytearray()
-        counter = 0
-        while len(out) < need:
-            out += hashlib.sha256(
-                seed + b"png" + counter.to_bytes(4, "little")
-            ).digest()
-            counter += 1
-        arr = np.frombuffer(bytes(out[:need]), np.uint8).reshape(h, w, c)
-        if c == 1:
-            arr = arr[:, :, 0]  # png_pixels' single-channel convention
-        rz = resize_pixels_nearest(arr, RESIZE_W, RESIZE_H)
+        _, _, _, c = _image_params(d)
+        rz = resize_pixels_nearest(_phash_pixels(d), RESIZE_W, RESIZE_H)
         sha = hashlib.sha256(np.ascontiguousarray(rz).tobytes()).hexdigest()
         rows.append(f"({d}, {c}, {int(rz.sum())}, '{sha}')")
     return ",\n      ".join(rows)
@@ -912,25 +901,16 @@ def multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame
 def _sobel_oracle_values() -> str:
     """Edge-energy VALUES rows from the fixture keystream + the SHARED
     pure sobel_energy (hashlib + numpy only — the PNG decoder under
-    test is never imported here; the generator writes pixels row-major,
-    so reshape(h, w, c) reconstructs the exact decoded array)."""
-    import numpy as np
-
+    test is never imported here).  Pixel reconstruction reuses
+    :func:`_phash_pixels` (the single keystream implementation; its
+    c==1 squeeze is transparent — sobel_energy lumas (h, w) and
+    (h, w, 1) identically)."""
     from storm_dynamic_spout_spark.operators.multimodal import sobel_energy
 
     rows = []
     for d in range(N_IMAGES):
-        seed, w, h, c = _image_params(d)
-        need = w * h * c
-        out = bytearray()
-        counter = 0
-        while len(out) < need:
-            out += hashlib.sha256(
-                seed + b"png" + counter.to_bytes(4, "little")
-            ).digest()
-            counter += 1
-        px = np.frombuffer(bytes(out[:need]), np.uint8).reshape(h, w, c)
-        rows.append(f"({d}, {w}, {h}, {sobel_energy(px)})")
+        _, w, h, _ = _image_params(d)
+        rows.append(f"({d}, {w}, {h}, {sobel_energy(_phash_pixels(d))})")
     return ",\n      ".join(rows)
 
 

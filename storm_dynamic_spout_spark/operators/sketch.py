@@ -42,16 +42,28 @@ def misra_gries(values: Iterable, k: int) -> dict:
     return counters
 
 
+def _key_schema(df: DataFrame, col: str) -> str:
+    """Output-schema fragment preserving the key column's Spark type
+    (a hard-coded string key would make integral-keyed callers fail at
+    Arrow conversion or join on mismatched types)."""
+    return f"{col} {df.schema[col].dataType.simpleString()}"
+
+
 def partition_heavy_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries over ``col``: each task streams its
     partition through a k-counter summary and emits at most k candidate
     rows plus ONE summary row (``col`` NULL) carrying the partition's
     row count — the only place Python touches the data, O(k) state,
     Arrow batches in, k+1 rows out.  Piggybacking the count means the
-    caller's global total needs no second pass over the stream."""
+    caller's global total needs no second pass over the stream.
+
+    NULL keys are REJECTED loudly (the summary row reuses NULL as its
+    marker, and the verify pass's equi-join could never match a NULL
+    candidate anyway) — callers must pre-map NULL to a sentinel value
+    if it is a legitimate key."""
     import pandas as pd
 
-    out_schema = f"{col} string, part_rows long"
+    out_schema = f"{_key_schema(df, col)}, part_rows long"
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
@@ -59,12 +71,20 @@ def partition_heavy_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
         def stream():
             nonlocal n
             for b in batches:
+                if b[col].isna().any():
+                    raise ValueError(
+                        f"NULL key in heavy-hitter column {col!r}: map it "
+                        "to a sentinel before the sketch pass"
+                    )
                 n += len(b)
                 yield from b[col]
 
         cands = list(misra_gries(stream(), k))
         yield pd.DataFrame(
-            {col: cands + [None], "part_rows": [0] * len(cands) + [n]}
+            {
+                col: pd.Series(cands + [None], dtype=object),
+                "part_rows": [0] * len(cands) + [n],
+            }
         )
 
     return df.select(col).mapInPandas(_mg, out_schema)
@@ -77,10 +97,11 @@ def partition_mg_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
     driver-side fold (``merge_summaries``) maintain one k-counter
     summary across micro-batches, the streaming form of the two-pass
     plan; ``partition_heavy_candidates`` stays the keys-only batch
-    variant."""
+    variant.  NULL keys are rejected loudly (same contract and reason
+    as ``partition_heavy_candidates``)."""
     import pandas as pd
 
-    out_schema = f"{col} string, est long, part_rows long"
+    out_schema = f"{_key_schema(df, col)}, est long, part_rows long"
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
@@ -88,13 +109,18 @@ def partition_mg_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
         def stream():
             nonlocal n
             for b in batches:
+                if b[col].isna().any():
+                    raise ValueError(
+                        f"NULL key in heavy-hitter column {col!r}: map it "
+                        "to a sentinel before the sketch pass"
+                    )
                 n += len(b)
                 yield from b[col]
 
         counters = misra_gries(stream(), k)
         yield pd.DataFrame(
             {
-                col: list(counters) + [None],
+                col: pd.Series(list(counters) + [None], dtype=object),
                 "est": list(counters.values()) + [0],
                 "part_rows": [0] * len(counters) + [n],
             }
@@ -167,10 +193,15 @@ def countmin_table(df: DataFrame, col: str, depth: int, width: int) -> DataFrame
 def kmv_sketch(df: DataFrame, col: str, k: int) -> DataFrame:
     """K-minimum-values (theta) distinct sketch: the ``k`` smallest
     distinct 60-bit hashes of ``col``, one row each.  Built with a
-    distinct + TakeOrdered top-k (per-partition heap, driver merge of
-    k-row spills — never a global sort), so the shuffle carries at
-    most k rows per partition.  Two sketches intersect by equi-join
-    below the shared theta = min(max_a, max_b)."""
+    distinct + TakeOrdered top-k.  The TakeOrdered step is k-bounded
+    (per-partition heap, driver merge — never a global sort); the
+    distinct's exchange, however, carries every PER-PARTITION-DISTINCT
+    hash, which at extreme scale dominates — the production refinement
+    is a per-partition k-smallest pre-trim (an Arrow pass like the
+    Misra-Gries one above, or a partial TopK rule) ahead of the
+    distinct, which this fixture-sized path deliberately skips to stay
+    pure-relational.  Two sketches intersect by equi-join below the
+    shared theta = min(max_a, max_b)."""
     return (
         df.select(_h60(F.col(col)).alias("h"))
         .distinct()

