@@ -127,6 +127,7 @@ _PRIORITY = [
     "text_collocations_pmi",
     "multimodal_image_sobel",
     "graph_degree_assortativity",
+    "events_daily_trend",
     # --- round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",

@@ -2033,3 +2033,76 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("assortativity_1e6"),
     )
+
+
+@query(
+    "events_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(day_x) AS BIGINT) AS sx,
+             CAST(sum(cents) AS BIGINT) AS sy,
+             CAST(sum(day_x * cents) AS BIGINT) AS sxy,
+             CAST(sum(day_x * day_x) AS BIGINT) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, sy AS cents_total,
+           CAST(round(
+             (CAST(n_days * sxy - sx * sy AS DOUBLE)
+              / CAST(n_days * sxx - sx * sx AS DOUBLE)) * 1000000
+           ) AS BIGINT) AS slope_cents_per_day_1e6
+    FROM m ORDER BY event_type
+    """,
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend (ordinary least squares slope of daily
+    revenue over the day index) from EXACT integer moment sums — the
+    assortativity recipe applied to time series: n, Σx, Σy, Σxy, Σx²
+    are exact int64 aggregates, and the only float step is one
+    division of exact integers rounded to 1e-6, so the compare never
+    depends on regr_slope's accumulation order.  The forecasting
+    primitive behind growth dashboards ("is purchase revenue trending
+    up, and how fast").
+
+    Why at 100 TB: two chained partial→final aggregates (day rollup,
+    then 5 integer moments per group — both map-side combinable,
+    both shuffles carry only grouped rows), no window, no sort except
+    the final group-count-sized orderBy.  Moments merge associatively
+    across shards/days, so the trend updates incrementally from
+    per-day increments without rescanning history."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_x"),
+            F.round(F.col("value") * 100).cast("long").alias("__c"),
+        )
+        .groupBy("event_type", "day_x")
+        .agg(F.sum("__c").alias("cents"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("day_x").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("day_x") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("day_x") * F.col("day_x")).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("sy").alias("cents_total"),
+        F.round(
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * 1000000
+        )
+        .cast("long")
+        .alias("slope_cents_per_day_1e6"),
+    ).orderBy("event_type")
