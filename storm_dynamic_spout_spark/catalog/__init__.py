@@ -128,6 +128,7 @@ _PRIORITY = [
     "multimodal_image_sobel",
     "graph_degree_assortativity",
     "events_daily_trend",
+    "stream_countmin",
     # --- round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",

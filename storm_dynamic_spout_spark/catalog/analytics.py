@@ -2106,3 +2106,109 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_cents_per_day_1e6"),
     ).orderBy("event_type")
+
+
+#: Streaming count-min shape (shared Spark/oracle): 20-bit md5 chunks.
+_SCM_DEPTH = 3
+_SCM_WIDTH = 256
+_SCM_PROBES = 8
+
+
+@query(
+    "stream_countmin",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT t.d AS __d,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                 1 + 5 * t.d, 5)) AS BIGINT) % {_SCM_WIDTH} AS __bucket
+      FROM events CROSS JOIN range(0, {_SCM_DEPTH}) AS t(d)
+    ),
+    sketch AS (
+      SELECT __d, __bucket, CAST(count(*) AS BIGINT) AS c
+      FROM hashed GROUP BY __d, __bucket
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+    ),
+    probes AS (
+      SELECT user_id, exact_n FROM exact
+      ORDER BY exact_n DESC, user_id LIMIT {_SCM_PROBES}
+    ),
+    probe_cells AS (
+      SELECT p.user_id, p.exact_n, t.d AS __d,
+             CAST(('0x' || substr(md5(CAST(p.user_id AS VARCHAR)),
+                 1 + 5 * t.d, 5)) AS BIGINT) % {_SCM_WIDTH} AS __bucket
+      FROM probes p CROSS JOIN range(0, {_SCM_DEPTH}) AS t(d)
+    )
+    SELECT pc.user_id, pc.exact_n,
+           CAST(min(s.c) AS BIGINT) AS cms_est,
+           CAST(min(s.c) - pc.exact_n AS BIGINT) AS overshoot
+    FROM probe_cells pc
+    JOIN sketch s ON s.__d = pc.__d AND s.__bucket = pc.__bucket
+    GROUP BY pc.user_id, pc.exact_n
+    ORDER BY pc.exact_n DESC, pc.user_id
+    """,
+)
+def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min maintenance: the event stream arrives in
+    two micro-batches (even / odd event_ids), each batch builds its
+    own depth×width cell sketch, and the stored sketch is maintained
+    by UNION + re-aggregate — cells ADD, so the merged sketch is
+    bit-identical to the one-pass sketch over the full history (the
+    mergeable-summary contract, exercised live rather than claimed).
+    The ORACLE is the one-pass sketch + brute-force probe in SQL, so
+    any drift in the per-batch build or the merge reds the row.
+
+    Why at 100 TB: per batch only ≤ depth·width cells leave the
+    executors; merging historical state is a groupBy over 2·depth·
+    width rows regardless of history length — the same O(state)
+    bound as the streaming heavy-hitter fold but purely relational
+    (no driver-held dict), and per-day sketches roll up to
+    week/month by the same union."""
+    from storm_dynamic_spout_spark.operators.sketch import (
+        countmin_bucket,
+        countmin_table,
+    )
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id")
+    batches = [
+        countmin_table(
+            e.filter(F.col("event_id") % 2 == p).select("user_id"),
+            "user_id",
+            _SCM_DEPTH,
+            _SCM_WIDTH,
+        )
+        for p in (0, 1)
+    ]
+    merged = (
+        batches[0].unionAll(batches[1])
+        .groupBy("__d", "__bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.orderBy(F.desc("exact_n"), "user_id").limit(_SCM_PROBES)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__d"),
+                countmin_bucket(F.col("user_id"), i, _SCM_WIDTH).alias("__bucket"),
+            )
+            for i in range(_SCM_DEPTH)
+        ]
+    )
+    probe_cells = probes.select(
+        "user_id", "exact_n", F.explode(cells).alias("__c")
+    ).select("user_id", "exact_n", "__c.__d", "__c.__bucket")
+    return (
+        merged.join(F.broadcast(probe_cells), ["__d", "__bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overshoot"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
