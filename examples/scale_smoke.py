@@ -641,6 +641,73 @@ def countmin_cells(t):
     return countmin_table(t("lineitem"), "l_partkey", CMS_DEPTH, CMS_WIDTH)
 
 
+def kcore_peel(t):
+    """graph_kcore shape: per-round degree aggregate + two broadcast
+    semi-joins with a localCheckpoint between rounds (timing includes
+    the checkpoint jobs — that IS the production cost model).  On
+    key-shifted copies the graph is 5 disjoint replicas, so healthy
+    scaling is ~linear."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t("customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", 1_500).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    for _ in range(4):
+        sym = sym.localCheckpoint(eager=True)
+        surv = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 3)
+            .select("u")
+        )
+        sym = sym.join(F.broadcast(surv), "u").join(
+            F.broadcast(surv.withColumnRenamed("u", "v")), "v"
+        ).select("u", "v")
+    return sym.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
+
+
+def rake_phrases(t):
+    """text_keyword_rake shape: doc-partitioned prefix-sum phrase
+    segmentation (two windows, both PARTITIONED BY doc_id — documents
+    are the parallelism unit) + term rollup + TakeOrdered top-k."""
+    from pyspark.sql.window import Window as W
+
+    from storm_dynamic_spout_spark.catalog.llm import RAKE_STOP, RAKE_TOP
+
+    pos = t("documents").select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok")
+    ).withColumn(
+        "is_stop",
+        F.when(F.col("tok").isin(*RAKE_STOP), F.lit(1)).otherwise(F.lit(0)),
+    )
+    phrased = pos.withColumn(
+        "phrase_id",
+        F.sum("is_stop").over(
+            W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    words = phrased.filter(F.col("is_stop") == 0).withColumn(
+        "phrase_len", F.count(F.lit(1)).over(W.partitionBy("doc_id", "phrase_id"))
+    )
+    return (
+        words.groupBy(F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("phrase_len").alias("degree"))
+        .orderBy(F.desc("degree"), "term")
+        .limit(RAKE_TOP)
+    )
+
+
 def kmv_topk(t):
     """agg_kmv_intersect sketch-build shape: distinct → per-partition
     top-k heap → driver merge (TakeOrdered); k rows out regardless of
@@ -681,6 +748,8 @@ QUERIES = [
     ("common_neighbors", common_neighbor_wedges),
     ("countmin_cells", countmin_cells),
     ("kmv_topk", kmv_topk),
+    ("kcore_peel", kcore_peel),
+    ("rake_phrases", rake_phrases),
 ]
 
 
