@@ -1969,10 +1969,11 @@ def _assortativity_oracle() -> str:
       FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v
     )
     SELECT n, sx, sxy, sxx,
-           CAST(round(
-             (CAST(n * sxy - sx * sx AS DOUBLE)
-              / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000
-           ) AS BIGINT) AS assortativity_1e6
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(round(
+                  (CAST(n * sxy - sx * sx AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000
+                ) AS BIGINT) END AS assortativity_1e6
     FROM moments
     """
 
@@ -2020,18 +2021,26 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("du") * F.col("du")).alias("sxx"),
         )
     )
+    # a graph whose endpoint degrees have zero variance (e.g. the tiny
+    # sf0.001 fixture: isolated pairs only) has no defined
+    # assortativity — NULL on both engines, and the guard keeps ANSI
+    # mode's divide-by-zero from aborting the job
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     return moments.select(
         "n",
         "sx",
         "sxy",
         "sxx",
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-            * 1000000
-        )
-        .cast("long")
-        .alias("assortativity_1e6"),
+        F.when(
+            den != 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                / den
+                * 1000000
+            ).cast("long"),
+        ).alias("assortativity_1e6"),
     )
 
 
@@ -2054,10 +2063,11 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY event_type
     )
     SELECT event_type, n_days, sy AS cents_total,
-           CAST(round(
-             (CAST(n_days * sxy - sx * sy AS DOUBLE)
-              / CAST(n_days * sxx - sx * sx AS DOUBLE)) * 1000000
-           ) AS BIGINT) AS slope_cents_per_day_1e6
+           CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(round(
+                  (CAST(n_days * sxy - sx * sy AS DOUBLE)
+                   / CAST(n_days * sxx - sx * sx AS DOUBLE)) * 1000000
+                ) AS BIGINT) END AS slope_cents_per_day_1e6
     FROM m ORDER BY event_type
     """,
 )
@@ -2094,17 +2104,25 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("day_x") * F.col("cents")).alias("sxy"),
         F.sum(F.col("day_x") * F.col("day_x")).alias("sxx"),
     )
+    # a single-day group has no defined slope — NULL on both engines
+    # (and the guard keeps ANSI divide-by-zero from aborting the job)
+    den = (
+        F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
     return m.select(
         "event_type",
         "n_days",
         F.col("sy").alias("cents_total"),
-        F.round(
-            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-            * 1000000
-        )
-        .cast("long")
-        .alias("slope_cents_per_day_1e6"),
+        F.when(
+            den != 0,
+            F.round(
+                (
+                    F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / den
+                * 1000000
+            ).cast("long"),
+        ).alias("slope_cents_per_day_1e6"),
     ).orderBy("event_type")
 
 
