@@ -129,6 +129,7 @@ _PRIORITY = [
     "graph_degree_assortativity",
     "events_daily_trend",
     "stream_countmin",
+    "text_zipf_fit",
     # --- round-3-stale cohort (non-tpch first) ---
     "orderby_limit",
     "scalar_array",

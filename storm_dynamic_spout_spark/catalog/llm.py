@@ -3992,3 +3992,121 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_1e4"), "w1", "w2")
         .limit(PMI_TOP)
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT u.x AS term FROM documents, UNNEST({_TOKS}) AS u(x)
+    ),
+    freq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY term
+    ),
+    ranked AS (
+      SELECT CAST(round(ln(row_number() OVER (ORDER BY f DESC, term))
+                   * 10000) AS BIGINT) AS lr,
+             CAST(round(ln(f) * 10000) AS BIGINT) AS lf
+      FROM freq
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lr) AS BIGINT) AS sx,
+             CAST(sum(lf) AS BIGINT) AS sy,
+             CAST(sum(lr * lf) AS BIGINT) AS sxy,
+             CAST(sum(lr * lr) AS BIGINT) AS sxx
+      FROM ranked
+    )
+    SELECT n AS n_terms, sx, sy, sxy, sxx,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(round(
+                  (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000
+                ) AS BIGINT) END AS zipf_slope_1e6
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus rank-frequency curve: OLS
+    slope of ln(frequency) on ln(rank) — a healthy natural-language
+    corpus fits slope ≈ −1, and drift toward 0 (flat) or steep tails
+    flags boilerplate floods / deduplication damage, so this is a
+    one-row corpus-health gauge for a training-data pipeline.  Both
+    logs are rounded to integer 1e-4 units FIRST (the corpus_source_kl
+    convention), the five moment sums are exact int64 aggregates over
+    those units, and the final division of exact integers is rounded
+    to 1e-6 with a zero-variance NULL guard — engine-stable end to
+    end.
+
+    Why at 100 TB: the frequency table is one partial→final aggregate
+    on the term key, and the GLOBAL rank is computed WITHOUT a global
+    sort via the parts_abc_pareto band decomposition: log2-frequency
+    bands are a monotone function of the sort key, within-band ranks
+    are parallel (band-partitioned) windows, and the ≤~40-row
+    band-count prefix sum broadcasts back as each band's rank offset
+    (that tiny window is the plan-audit-whitelisted shape).  The
+    moments collapse to one row; the raw token stream shuffles
+    once."""
+    from pyspark.sql import Window as W
+
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", r"\s+")).alias("term")
+    )
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn("__b", F.floor(F.log2("f")).cast("int"))
+    )
+    within = F.row_number().over(
+        W.partitionBy("__b").orderBy(F.desc("f"), "term")
+    )
+    offsets = (
+        freq.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .select(
+            "__b",
+            (
+                F.sum("__bc").over(
+                    W.orderBy(F.desc("__b")).rowsBetween(
+                        W.unboundedPreceding, W.currentRow
+                    )
+                )
+                - F.col("__bc")
+            ).alias("__off"),
+        )
+    )
+    ranked = (
+        freq.withColumn("__r", within)
+        .join(F.broadcast(offsets), "__b")
+        .select(
+            F.round(F.log(F.col("__off") + F.col("__r")) * 10000)
+            .cast("long")
+            .alias("lr"),
+            F.round(F.log("f") * 10000).cast("long").alias("lf"),
+        )
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lr").alias("sx"),
+        F.sum("lf").alias("sy"),
+        F.sum(F.col("lr") * F.col("lf")).alias("sxy"),
+        F.sum(F.col("lr") * F.col("lr")).alias("sxx"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        F.col("n").alias("n_terms"),
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.when(
+            den != 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / den
+                * 1000000
+            ).cast("long"),
+        ).alias("zipf_slope_1e6"),
+    )

@@ -109,7 +109,7 @@ def test_first_fifty_registrations_cover_the_stale():
     # window filled; they sit in the round-8 lead block (slots 53+) so
     # their first driver check is immediate next round
     never_checked = set(QUERIES) - set(last_round)
-    r8_lead = set(order[50:71])
+    r8_lead = set(order[50:72])
     assert never_checked <= first50 | r8_lead, (
         f"never-driver-checked queries outside window + r8 lead: "
         f"{sorted(never_checked - first50 - r8_lead)}"
@@ -126,8 +126,8 @@ def test_first_fifty_registrations_cover_the_stale():
     assert {
         "ann_topk_mips", "text_collocations_pmi", "multimodal_image_sobel",
         "graph_degree_assortativity", "events_daily_trend",
-        "stream_countmin",
-    } == set(order[65:71])
+        "stream_countmin", "text_zipf_fit",
+    } == set(order[65:72])
     # nothing with only round-1 evidence may remain outside the window
     r1_stale = {q for q, r in last_round.items() if r == 1}
     assert r1_stale <= first50, (
@@ -142,6 +142,6 @@ def test_first_fifty_registrations_cover_the_stale():
     assert len(outside) <= 42, (
         f"round-3-stale queries too far outside window: {sorted(outside)}"
     )
-    assert outside <= set(order[71 : 71 + len(outside)]), (
+    assert outside <= set(order[72 : 72 + len(outside)]), (
         f"stale overhang not adjacent to window: {sorted(outside)}"
     )

@@ -103,6 +103,8 @@ def test_inventory_global_invariants():
         "corpus_token_budget",
         "events_cumulative_users",
         "parts_abc_pareto",
+        # ≤~40-row log2-band count prefix sum (banded Zipf rank)
+        "text_zipf_fit",
     }
     gw = {n for n, c in inv.items() if c.get("unpartitioned_windows", 0) > 0}
     assert gw <= allowed_global_window, (

@@ -36,6 +36,9 @@ KNOWN_BENIGN = {
     # ~40-row log-band offset prefix sum (the corpus_token_budget
     # decomposition applied to revenue bands)
     "parts_abc_pareto",
+    # ≤~40-row log2-frequency band-count prefix sum (same banded-rank
+    # decomposition, applied to the Zipf vocabulary rank)
+    "text_zipf_fit",
 }
 
 
