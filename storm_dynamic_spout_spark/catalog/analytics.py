@@ -1383,9 +1383,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spatial_coord("x").alias("ux"),
         _spatial_coord("y").alias("uy"),
     )
+    # four references downstream (e1/e2/e3 + the n_edges branch):
+    # materialize the spatial join once (the common_neighbors/kcore
+    # checkpoint rationale) instead of deriving it per alias
     edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")

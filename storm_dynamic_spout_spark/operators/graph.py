@@ -61,11 +61,16 @@ def pagerank(
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
     out = e.groupBy("__src").agg(F.sum("__w").alias("__out"))
+    # norm and base are loop-INVARIANT and referenced every power
+    # step; materialize each once (the adjacency-caching every
+    # PageRank implementation does) or Catalyst re-derives the whole
+    # upstream edge subtree per iteration — the kcore ~3^rounds plan
+    # blow-up (22 scans / 73 exchanges at 3 iterations before this)
     norm = e.join(out, "__src").select(
         "__src", "__dst", (F.col("__w") / F.col("__out")).alias("__p")
-    )
+    ).localCheckpoint(eager=True)
     nstats = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    base = nodes.crossJoin(F.broadcast(nstats))
+    base = nodes.crossJoin(F.broadcast(nstats)).localCheckpoint(eager=True)
     ranks = base.select("node", (F.lit(1.0) / F.col("__n")).alias("rank"))
     for i in range(iterations):
         contrib = norm.join(
