@@ -641,9 +641,13 @@ def containment_pairs(
     """
     from storm_dynamic_spout_spark.operators.corpus import token_ngram_hashes
 
+    # gram hashing is the expensive pass and has FOUR consumers (both
+    # candidate-join sides + both verify sides); materialize it once
+    # (the minhash materialize= rationale at :148) instead of
+    # re-tokenizing the corpus per reference
     grams = df.select(
         F.col(id_col), token_ngram_hashes(F.col(text_col), ngram).alias("__g")
-    ).withColumn("__n", F.size("__g"))
+    ).withColumn("__n", F.size("__g")).localCheckpoint(eager=True)
     ex = grams.select(id_col, F.explode("__g").alias("__gk"))
     a = ex.select(F.col(id_col).alias("id_a"), "__gk")
     b = ex.select(F.col(id_col).alias("id_b"), "__gk")
@@ -664,17 +668,26 @@ def containment_pairs(
         .join(gb, "id_b")
         .withColumn("__i", F.size(F.array_intersect("__ga", "__gb")).cast("double"))
     )
-    fwd = joined.select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
-        (F.col("__i") / F.col("__na")).alias("containment"),
+    # both directions from ONE pass over the verified pairs (separate
+    # fwd/rev projections would duplicate the whole candidate+verify
+    # subtree under the union)
+    both = F.array(
+        F.struct(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            (F.col("__i") / F.col("__na")).alias("containment"),
+        ),
+        F.struct(
+            F.col("id_b").alias("contained_id"),
+            F.col("id_a").alias("container_id"),
+            (F.col("__i") / F.col("__nb")).alias("containment"),
+        ),
     )
-    rev = joined.select(
-        F.col("id_b").alias("contained_id"),
-        F.col("id_a").alias("container_id"),
-        (F.col("__i") / F.col("__nb")).alias("containment"),
+    return (
+        joined.select(F.explode(both).alias("__d"))
+        .select("__d.contained_id", "__d.container_id", "__d.containment")
+        .filter(F.col("containment") >= threshold)
     )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
 def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
