@@ -651,9 +651,13 @@ def multimodal_video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return s.map(mk)
 
+    # the decode+sample pass is the expensive Arrow stage and feeds
+    # BOTH self-join sides (and the per-video frame counts) —
+    # materialize it once or every consumer re-parses and re-hashes
+    # every video (the containment_pairs grams rationale)
     sampled = frame_sample_real(
         ids.withColumn("content", _payload("doc_id")), n_frames=FRAMES_PER_VIDEO
-    ).select(F.col("doc_id").alias("vid"), "frame_sha")
+    ).select(F.col("doc_id").alias("vid"), "frame_sha").localCheckpoint(eager=True)
     a = sampled.select(F.col("vid").alias("id_a"), F.col("frame_sha").alias("__sha"))
     b = sampled.select(F.col("vid").alias("id_b"), F.col("frame_sha").alias("__sha"))
     pairs = (

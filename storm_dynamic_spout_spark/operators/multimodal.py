@@ -1155,7 +1155,12 @@ def phash_near_pairs(
             for b in range(PHASH_BANDS)
         ]
     )
-    keyed = hashed.select(F.col(id_col), hash_col, F.explode(bands).alias("__band"))
+    # hashed comes out of the Python decode stage and feeds BOTH join
+    # sides — materialize it once so the decoders run once, not per
+    # alias (the containment_pairs grams rationale)
+    keyed = hashed.localCheckpoint(eager=True).select(
+        F.col(id_col), hash_col, F.explode(bands).alias("__band")
+    )
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col(hash_col).alias("__pa"), "__band"
     )
