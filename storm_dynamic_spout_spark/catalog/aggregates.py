@@ -1073,8 +1073,8 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-expands the full distinct+TakeOrdered lineage (a fresh orders
     # scan) per reference — the sketches are the thing that must NOT
     # rescan raw data
-    ka = kmv_sketch(seg("1-URGENT"), "o_custkey", KMV_K).localCheckpoint(eager=True)
-    kb = kmv_sketch(seg("2-HIGH"), "o_custkey", KMV_K).localCheckpoint(eager=True)
+    ka = kmv_sketch(seg("1-URGENT"), "o_custkey", KMV_K).localCheckpoint(eager=False)
+    kb = kmv_sketch(seg("2-HIGH"), "o_custkey", KMV_K).localCheckpoint(eager=False)
     theta = ka.agg(F.max("h").alias("ta")).crossJoin(
         kb.agg(F.max("h").alias("tb"))
     ).select(F.least("ta", "tb").alias("theta"))

@@ -1388,7 +1388,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint rationale) instead of deriving it per alias
     edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -1744,7 +1744,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per reference (the kcore/minhash materialize rationale)
     edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -1852,7 +1852,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # semi-join sides); without a checkpoint the spatial-join
         # subtree duplicates ~3^rounds across the unrolled plan (the
         # minhash materialize= rationale, operators/dedup.py:148)
-        sym = sym.localCheckpoint(eager=True)
+        sym = sym.localCheckpoint(eager=False)
         surv = (
             sym.groupBy("u")
             .agg(F.count(F.lit(1)).alias("__deg"))
@@ -2010,7 +2010,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     du = deg.select(F.col("u").alias("__u"), F.col("d").alias("du"))
     dv = deg.select(F.col("u").alias("__v"), F.col("d").alias("dv"))

@@ -3066,7 +3066,13 @@ def _pq_ctes() -> str:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
       FROM embeddings
     ),
-    cent AS (SELECT vec_id AS cid, ve AS ce FROM v WHERE vec_id < {PQ_K}),
+    cent AS (
+      -- dense 0..k-1 centroid index (row_number over the codebook),
+      -- matching pq_assign's _dense_codebook: PQ codes are POSITIONAL
+      -- table indexes, so raw ids only coincide when contiguous from 0
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
+      FROM v WHERE vec_id < {PQ_K}
+    ),
     scored AS (
       SELECT v.vec_id, c.cid,
              {",".join(chr(10) + "             " + d for d in dists)}
@@ -3952,14 +3958,14 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = (
         pos.groupBy(F.col("w1").alias("w"))
         .agg(F.count(F.lit(1)).alias("c_w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
     pairs_all = (
         pos.filter(F.col("w2").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # n_pairs folds over the (tiny) aggregated pair table, not the raw
     # token stream — the stream is scanned twice total (uni + pairs)
@@ -3992,6 +3998,14 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_1e4"), "w1", "w2")
         .limit(PMI_TOP)
     )
+
+
+#: Equal-frequency rank ties sub-bucket by pmod(xxhash64(term), this)
+#: so no window partition scales with vocabulary size (the hapax tie
+#: is ~half of all distinct terms in a Zipfian corpus).  Raise it with
+#: cluster size — it changes only the arbitrary tie assignment, which
+#: the OLS moments are invariant to.
+_ZIPF_TIE_BUCKETS = 256
 
 
 @query(
@@ -4040,11 +4054,21 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Why at 100 TB: the frequency table is one partial→final aggregate
     on the term key, and the GLOBAL rank is computed WITHOUT a global
-    sort via the parts_abc_pareto band decomposition: log2-frequency
-    bands are a monotone function of the sort key, within-band ranks
-    are parallel (band-partitioned) windows, and the ≤~40-row
-    band-count prefix sum broadcasts back as each band's rank offset
-    (that tiny window is the plan-audit-whitelisted shape).  The
+    sort via a THREE-level band decomposition (the parts_abc_pareto
+    pattern, hardened against Zipfian tie skew per the r7 verdict):
+    in a Zipfian vocabulary the f=1 (hapax) tie holds ~half of all
+    distinct terms, so a window keyed on the log2-frequency band alone
+    sorts billions of rows in one partition at web scale.  The OLS
+    moments are ORDER-INVARIANT within an f-tie — the rank set
+    {off+1..off+count} is fixed and only the arbitrary assignment of
+    equal-f terms to those ranks changes — so ties are sub-bucketed by
+    a term hash and the term-level window is keyed (band, f, bucket):
+    every partition is ≤ |tie| / _ZIPF_TIE_BUCKETS rows (scale the
+    constant with the cluster; it only changes which tied term gets
+    which rank, never a moment).  The three offset levels are prefix
+    sums over aggregated COUNT tables, never over terms: ≤~40 band
+    rows (broadcast), ≤2^b distinct-f rows per band partition,
+    ≤_ZIPF_TIE_BUCKETS bucket rows per (band, f) partition.  The
     moments collapse to one row; the raw token stream shuffles
     once."""
     from pyspark.sql import Window as W
@@ -4052,32 +4076,69 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t(spark, sf_dir, "documents").select(
         F.explode(F.split("text", r"\s+")).alias("term")
     )
+    # the vocab-sized frequency table feeds FOUR consumers (the three
+    # offset levels + the ranked side); checkpoint it lazily or each
+    # branch re-derives the corpus scan + token explode + aggregate
+    # (was 4 file scans / 18 exchanges)
     freq = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("f"))
         .withColumn("__b", F.floor(F.log2("f")).cast("int"))
+        .withColumn(
+            "__h",
+            F.pmod(F.xxhash64("term"), F.lit(_ZIPF_TIE_BUCKETS)).cast("int"),
+        )
+        .localCheckpoint(eager=False)
     )
-    within = F.row_number().over(
-        W.partitionBy("__b").orderBy(F.desc("f"), "term")
-    )
-    offsets = (
-        freq.groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__bc"))
+    run = W.unboundedPreceding, W.currentRow
+    cells = freq.groupBy("__b", "f", "__h").agg(F.count(F.lit(1)).alias("__c"))
+    fgrp = cells.groupBy("__b", "f").agg(F.sum("__c").alias("__fc"))
+    boff = (
+        fgrp.groupBy("__b")
+        .agg(F.sum("__fc").alias("__bc"))
         .select(
             "__b",
             (
                 F.sum("__bc").over(
-                    W.orderBy(F.desc("__b")).rowsBetween(
-                        W.unboundedPreceding, W.currentRow
-                    )
+                    W.orderBy(F.desc("__b")).rowsBetween(*run)
                 )
                 - F.col("__bc")
-            ).alias("__off"),
+            ).alias("__boff"),
         )
+    )
+    foff = fgrp.select(
+        "__b",
+        "f",
+        (
+            F.sum("__fc").over(
+                W.partitionBy("__b").orderBy(F.desc("f")).rowsBetween(*run)
+            )
+            - F.col("__fc")
+        ).alias("__foff"),
+    )
+    off = (
+        cells.withColumn(
+            "__hoff",
+            F.sum("__c").over(
+                W.partitionBy("__b", "f").orderBy("__h").rowsBetween(*run)
+            )
+            - F.col("__c"),
+        )
+        .join(foff, ["__b", "f"])
+        .join(F.broadcast(boff), "__b")
+        .select(
+            "__b",
+            "f",
+            "__h",
+            (F.col("__boff") + F.col("__foff") + F.col("__hoff")).alias("__off"),
+        )
+    )
+    within = F.row_number().over(
+        W.partitionBy("__b", "f", "__h").orderBy("term")
     )
     ranked = (
         freq.withColumn("__r", within)
-        .join(F.broadcast(offsets), "__b")
+        .join(off, ["__b", "f", "__h"])
         .select(
             F.round(F.log(F.col("__off") + F.col("__r")) * 10000)
             .cast("long")

@@ -169,7 +169,7 @@ def lsh_candidate_pairs(
     if sizes is not None and size_ratio is not None:
         bands = bands.join(sizes, id_col)
         if materialize:
-            bands = bands.localCheckpoint(eager=True)
+            bands = bands.localCheckpoint(eager=False)
         a = bands.select(
             F.col(id_col).alias("id_a"), "band_idx", "__bk", F.col("__n").alias("__na")
         )
@@ -186,7 +186,7 @@ def lsh_candidate_pairs(
         )
     else:
         if materialize:
-            bands = bands.localCheckpoint(eager=True)
+            bands = bands.localCheckpoint(eager=False)
         a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "__bk")
         c = bands.select(F.col(id_col).alias("id_b"), "band_idx", "__bk")
         joined = a.join(c, ["band_idx", "__bk"]).filter(F.col("id_a") < F.col("id_b"))
@@ -230,7 +230,7 @@ def jaccard_verify(
             F.transform(distinct_tokens(F.col(text_col)), token_hash).alias("__toks"),
         ).withColumn("__n", F.size("__toks"))
     if materialize:
-        toks = toks.localCheckpoint(eager=True)
+        toks = toks.localCheckpoint(eager=False)
     a = toks.select(
         F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"), F.col("__n").alias("__na")
     )
@@ -286,7 +286,7 @@ def minhash_near_dups(
     # per run — Catalyst can't dedupe differently-aliased subtrees)
     tok = df.select(
         F.col(id_col), distinct_tokens(F.col(text_col)).alias("__toks")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     keyed = tok.select(
         F.col(id_col),
         F.md5(F.to_json(F.array_sort(F.col("__toks")))).alias("__tk"),
@@ -647,7 +647,7 @@ def containment_pairs(
     # re-tokenizing the corpus per reference
     grams = df.select(
         F.col(id_col), token_ngram_hashes(F.col(text_col), ngram).alias("__g")
-    ).withColumn("__n", F.size("__g")).localCheckpoint(eager=True)
+    ).withColumn("__n", F.size("__g")).localCheckpoint(eager=False)
     ex = grams.select(id_col, F.explode("__g").alias("__gk"))
     a = ex.select(F.col(id_col).alias("id_a"), "__gk")
     b = ex.select(F.col(id_col).alias("id_b"), "__gk")

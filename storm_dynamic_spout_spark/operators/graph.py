@@ -68,9 +68,9 @@ def pagerank(
     # blow-up (22 scans / 73 exchanges at 3 iterations before this)
     norm = e.join(out, "__src").select(
         "__src", "__dst", (F.col("__w") / F.col("__out")).alias("__p")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nstats = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    base = nodes.crossJoin(F.broadcast(nstats)).localCheckpoint(eager=True)
+    base = nodes.crossJoin(F.broadcast(nstats)).localCheckpoint(eager=False)
     ranks = base.select("node", (F.lit(1.0) / F.col("__n")).alias("rank"))
     for i in range(iterations):
         contrib = norm.join(
@@ -85,5 +85,5 @@ def pagerank(
             ).alias("rank"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

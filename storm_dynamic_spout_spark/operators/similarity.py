@@ -398,6 +398,26 @@ PQ_M = 4
 PQ_K = 8
 
 
+def _dense_codebook(v: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Fixture codebook ``(__cid, __c)``: the corpus vectors with
+    ``id < k``, re-indexed to a DENSE 0..n-1 ``__cid`` via row_number.
+
+    The PQ code is a POSITIONAL index (``pq_topk_adc`` looks distance
+    tables up with ``F.get(table, code)``), so raw ids only work when
+    they happen to be contiguous from 0 — 1-based or sparse ids would
+    silently fetch the wrong centroid (or NULL).  The unpartitioned
+    row_number window is safe: it runs over the ≤k-row codebook that
+    broadcasts anyway, never over the corpus."""
+    return (
+        v.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("__oid"), F.col("__v").alias("__c"))
+        .withColumn(
+            "__cid", (F.row_number().over(W.orderBy("__oid")) - 1).cast("long")
+        )
+        .select("__cid", "__c")
+    )
+
+
 def pq_assign(
     df: DataFrame, id_col: str, vec_col: str, dim: int, m: int = PQ_M, k: int = PQ_K
 ) -> DataFrame:
@@ -418,9 +438,7 @@ def pq_assign(
     the corpus vectors themselves never shuffle."""
     sub = dim // m
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    cent = v.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("__cid"), F.col("__v").alias("__c")
-    )
+    cent = _dense_codebook(v, id_col, k)
     joined = v.crossJoin(F.broadcast(cent))
     cols = [F.col(id_col), F.col("__cid")]
     for ms in range(m):
@@ -478,9 +496,7 @@ def pq_topk_adc(
     sub = dim // m
     codes = pq_assign(df, id_col, vec_col, dim, m, kc)
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    cent = v.filter(F.col(id_col) < kc).select(
-        F.col(id_col).alias("__cid"), F.col("__v").alias("__c")
-    )
+    cent = _dense_codebook(v, id_col, kc)
     q = v.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("__q")
     )

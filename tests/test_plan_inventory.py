@@ -105,6 +105,12 @@ def test_inventory_global_invariants():
         "parts_abc_pareto",
         # ≤~40-row log2-band count prefix sum (banded Zipf rank)
         "text_zipf_fit",
+        # ≤PQ_K(=8)-row codebook dense re-index (row_number over the
+        # broadcast-side centroid table — never over the corpus); the
+        # r8 fix for positional ADC lookups on non-contiguous ids
+        "embedding_pq_codes",
+        "ann_topk_pq",
+        "ann_topk_pq_rerank",
     }
     gw = {n for n, c in inv.items() if c.get("unpartitioned_windows", 0) > 0}
     assert gw <= allowed_global_window, (

@@ -65,3 +65,88 @@ def test_null_key_rejected_loudly(spark):
         heavy_hitters_exact(df, "k", 4).collect()
     with pytest.raises(Exception, match="NULL key in heavy-hitter column"):
         partition_mg_summaries(df, "k", 4).collect()
+
+
+# -- mergeability under restart/redelivery (SEMANTICS.md row 18) -----------
+
+
+def test_mg_merge_across_batches_with_redelivery(spark):
+    """The streaming heavy-hitter fold (stream_heavy_hitters'
+    micro-batch pattern) under a simulated restart: four micro-batches
+    arrive, the offset commit for batch 1 is lost, and the batch is
+    REDELIVERED before the stream resumes — at-least-once delivery.
+    The mergeable-MG claim (SEMANTICS.md row 18): the driver-held
+    k-counter summary stays a candidate SUPERSET of every key above
+    the n/(k+1) share of the DELIVERED stream — duplicates only add
+    counts, so redelivery can never evict a true heavy hitter below
+    what a loss-free fold would keep — and the exact verify pass (which
+    recounts the true table, the redelivery-safe total) then matches
+    the one-pass batch sketch on the concatenated input exactly."""
+    from storm_dynamic_spout_spark.operators.sketch import (
+        heavy_hitters_exact,
+        merge_summaries,
+        partition_mg_summaries,
+    )
+
+    k = 31
+    # skewed fixture: 3 true heavy hitters well above n/(k+1), a flat
+    # tail far below it; every key class appears in every batch (row
+    # index mod 4) so the split is adversarial to nothing
+    rows = []
+    rid = 0
+    for uid, cnt in ((1, 2000), (2, 1500), (3, 1000)):
+        for _ in range(cnt):
+            rows.append((rid, uid))
+            rid += 1
+    for i in range(5500):
+        rows.append((rid, 100 + i % 550))  # 10 occurrences each
+        rid += 1
+    df = spark.createDataFrame(rows, "row_id long, user_id long").repartition(8)
+    n_true = len(rows)
+
+    def fold(state, batch_df):
+        combined: dict = {}
+        n = 0
+        for r in partition_mg_summaries(batch_df.select("user_id"), "user_id", k).collect():
+            if r["user_id"] is None:
+                n += r["part_rows"]
+            else:
+                combined[r["user_id"]] = combined.get(r["user_id"], 0) + r["est"]
+        return merge_summaries(state, combined, k), n
+
+    batches = [df.filter(F.col("row_id") % 4 == p) for p in range(4)]
+    state: dict = {}
+    delivered = 0
+    # batches 0, 1, 2 -> crash before committing batch 1 -> batch 1
+    # redelivered on restart -> batch 3
+    for b in (batches[0], batches[1], batches[2], batches[1], batches[3]):
+        state, n = fold(state, b)
+        delivered += n
+        assert len(state) <= k, "driver state must stay O(k)"
+    assert delivered == n_true + batches[1].count()  # duplicates counted
+
+    # candidate superset of the delivered-stream heavy hitters implies
+    # superset of the true ones (true count <= delivered count)
+    expect = {
+        r["user_id"]: r["n_occurrences"]
+        for r in heavy_hitters_exact(df, "user_id", k).collect()
+    }
+    assert expect, "fixture must produce heavy hitters"
+    assert set(expect) <= set(state), (
+        f"redelivery evicted true heavy hitters: {sorted(set(expect) - set(state))}"
+    )
+
+    # exact verify pass over the true table (the redelivery-safe total)
+    # reproduces the one-pass batch result bit-for-bit
+    cands = spark.createDataFrame([(int(c),) for c in sorted(state)], "user_id long")
+    verified = {
+        r["user_id"]: r["n_occurrences"]
+        for r in (
+            df.join(F.broadcast(cands), "user_id")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") * (k + 1) > F.lit(n_true))
+            .collect()
+        )
+    }
+    assert verified == expect

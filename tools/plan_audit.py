@@ -39,6 +39,12 @@ KNOWN_BENIGN = {
     # ≤~40-row log2-frequency band-count prefix sum (same banded-rank
     # decomposition, applied to the Zipf vocabulary rank)
     "text_zipf_fit",
+    # ≤PQ_K(=8)-row codebook dense re-index (row_number over the
+    # broadcast-side centroid table, never the corpus) — the r8 fix for
+    # positional ADC lookups on non-contiguous ids
+    "embedding_pq_codes",
+    "ann_topk_pq",
+    "ann_topk_pq_rerank",
 }
 
 
