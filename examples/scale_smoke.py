@@ -718,6 +718,23 @@ def kmv_topk(t):
     return kmv_sketch(t("orders").select("o_custkey"), "o_custkey", KMV_K)
 
 
+def zipf_banded_rank(t):
+    """text_zipf_fit rank-decomposition shape (r8 hapax fix): the
+    global rank never needs a global sort — every term-level window is
+    keyed (log2-band, f, tie-bucket), so the hapax tie (~half the
+    vocabulary) splits across _ZIPF_TIE_BUCKETS partitions instead of
+    sorting in one.  Healthy = ratio tracks the scan; the pre-fix shape
+    (window keyed on the band alone) degrades superlinearly as the
+    f=1 partition grows with vocabulary."""
+    from storm_dynamic_spout_spark.catalog.llm import zipf_ranked_logs
+
+    return zipf_ranked_logs(t("documents")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lr").alias("sx"),
+        F.sum(F.col("lr") * F.col("lf")).alias("sxy"),
+    )
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -750,6 +767,7 @@ QUERIES = [
     ("kmv_topk", kmv_topk),
     ("kcore_peel", kcore_peel),
     ("rake_phrases", rake_phrases),
+    ("zipf_banded_rank", zipf_banded_rank),
 ]
 
 

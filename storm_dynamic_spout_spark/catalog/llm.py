@@ -4008,74 +4008,14 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZIPF_TIE_BUCKETS = 256
 
 
-@query(
-    "text_zipf_fit",
-    oracle=f"""
-    WITH toks AS (
-      SELECT u.x AS term FROM documents, UNNEST({_TOKS}) AS u(x)
-    ),
-    freq AS (
-      SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY term
-    ),
-    ranked AS (
-      SELECT CAST(round(ln(row_number() OVER (ORDER BY f DESC, term))
-                   * 10000) AS BIGINT) AS lr,
-             CAST(round(ln(f) * 10000) AS BIGINT) AS lf
-      FROM freq
-    ),
-    m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(lr) AS BIGINT) AS sx,
-             CAST(sum(lf) AS BIGINT) AS sy,
-             CAST(sum(lr * lf) AS BIGINT) AS sxy,
-             CAST(sum(lr * lr) AS BIGINT) AS sxx
-      FROM ranked
-    )
-    SELECT n AS n_terms, sx, sy, sxy, sxx,
-           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                ELSE CAST(round(
-                  (CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000
-                ) AS BIGINT) END AS zipf_slope_1e6
-    FROM m
-    """,
-)
-def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf power-law fit of the corpus rank-frequency curve: OLS
-    slope of ln(frequency) on ln(rank) — a healthy natural-language
-    corpus fits slope ≈ −1, and drift toward 0 (flat) or steep tails
-    flags boilerplate floods / deduplication damage, so this is a
-    one-row corpus-health gauge for a training-data pipeline.  Both
-    logs are rounded to integer 1e-4 units FIRST (the corpus_source_kl
-    convention), the five moment sums are exact int64 aggregates over
-    those units, and the final division of exact integers is rounded
-    to 1e-6 with a zero-variance NULL guard — engine-stable end to
-    end.
-
-    Why at 100 TB: the frequency table is one partial→final aggregate
-    on the term key, and the GLOBAL rank is computed WITHOUT a global
-    sort via a THREE-level band decomposition (the parts_abc_pareto
-    pattern, hardened against Zipfian tie skew per the r7 verdict):
-    in a Zipfian vocabulary the f=1 (hapax) tie holds ~half of all
-    distinct terms, so a window keyed on the log2-frequency band alone
-    sorts billions of rows in one partition at web scale.  The OLS
-    moments are ORDER-INVARIANT within an f-tie — the rank set
-    {off+1..off+count} is fixed and only the arbitrary assignment of
-    equal-f terms to those ranks changes — so ties are sub-bucketed by
-    a term hash and the term-level window is keyed (band, f, bucket):
-    every partition is ≤ |tie| / _ZIPF_TIE_BUCKETS rows (scale the
-    constant with the cluster; it only changes which tied term gets
-    which rank, never a moment).  The three offset levels are prefix
-    sums over aggregated COUNT tables, never over terms: ≤~40 band
-    rows (broadcast), ≤2^b distinct-f rows per band partition,
-    ≤_ZIPF_TIE_BUCKETS bucket rows per (band, f) partition.  The
-    moments collapse to one row; the raw token stream shuffles
-    once."""
+def zipf_ranked_logs(docs, text_col: str = "text"):
+    """(lr, lf) pairs — rounded ln(global rank) / ln(frequency) per
+    distinct term — via the skew-proof three-level banded-rank
+    decomposition shared by text_zipf_fit and the scale smoke; see the
+    query docstring for the invariance argument and partition bounds."""
     from pyspark.sql import Window as W
 
-    toks = t(spark, sf_dir, "documents").select(
-        F.explode(F.split("text", r"\s+")).alias("term")
-    )
+    toks = docs.select(F.explode(F.split(text_col, r"\s+")).alias("term"))
     # the vocab-sized frequency table feeds FOUR consumers (the three
     # offset levels + the ranked side); checkpoint it lazily or each
     # branch re-derives the corpus scan + token explode + aggregate
@@ -4146,6 +4086,73 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log("f") * 10000).cast("long").alias("lf"),
         )
     )
+    return ranked
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT u.x AS term FROM documents, UNNEST({_TOKS}) AS u(x)
+    ),
+    freq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY term
+    ),
+    ranked AS (
+      SELECT CAST(round(ln(row_number() OVER (ORDER BY f DESC, term))
+                   * 10000) AS BIGINT) AS lr,
+             CAST(round(ln(f) * 10000) AS BIGINT) AS lf
+      FROM freq
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lr) AS BIGINT) AS sx,
+             CAST(sum(lf) AS BIGINT) AS sy,
+             CAST(sum(lr * lf) AS BIGINT) AS sxy,
+             CAST(sum(lr * lr) AS BIGINT) AS sxx
+      FROM ranked
+    )
+    SELECT n AS n_terms, sx, sy, sxy, sxx,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(round(
+                  (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000
+                ) AS BIGINT) END AS zipf_slope_1e6
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus rank-frequency curve: OLS
+    slope of ln(frequency) on ln(rank) — a healthy natural-language
+    corpus fits slope ≈ −1, and drift toward 0 (flat) or steep tails
+    flags boilerplate floods / deduplication damage, so this is a
+    one-row corpus-health gauge for a training-data pipeline.  Both
+    logs are rounded to integer 1e-4 units FIRST (the corpus_source_kl
+    convention), the five moment sums are exact int64 aggregates over
+    those units, and the final division of exact integers is rounded
+    to 1e-6 with a zero-variance NULL guard — engine-stable end to
+    end.
+
+    Why at 100 TB: the frequency table is one partial→final aggregate
+    on the term key, and the GLOBAL rank is computed WITHOUT a global
+    sort via a THREE-level band decomposition (the parts_abc_pareto
+    pattern, hardened against Zipfian tie skew per the r7 verdict):
+    in a Zipfian vocabulary the f=1 (hapax) tie holds ~half of all
+    distinct terms, so a window keyed on the log2-frequency band alone
+    sorts billions of rows in one partition at web scale.  The OLS
+    moments are ORDER-INVARIANT within an f-tie — the rank set
+    {off+1..off+count} is fixed and only the arbitrary assignment of
+    equal-f terms to those ranks changes — so ties are sub-bucketed by
+    a term hash and the term-level window is keyed (band, f, bucket):
+    every partition is ≤ |tie| / _ZIPF_TIE_BUCKETS rows (scale the
+    constant with the cluster; it only changes which tied term gets
+    which rank, never a moment).  The three offset levels are prefix
+    sums over aggregated COUNT tables, never over terms: ≤~40 band
+    rows (broadcast), ≤2^b distinct-f rows per band partition,
+    ≤_ZIPF_TIE_BUCKETS bucket rows per (band, f) partition.  The
+    moments collapse to one row; the raw token stream shuffles
+    once."""
+    ranked = zipf_ranked_logs(t(spark, sf_dir, "documents"))
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("lr").alias("sx"),
