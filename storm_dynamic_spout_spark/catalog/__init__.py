@@ -41,8 +41,12 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 (eager=False — graph/pagerank/triangles, multimodal
 #:                 pair families, minhash-derived dedup/corpus
 #:                 composites) and the PQ dense-codebook fix.
-#:   slots 40-50 — the round-3-stale cohort, oldest evidence first;
-#:                 the 28-query overhang sits immediately after slot 50
+#:   slots 40-44 — queries ADDED this round (mergeable moments, BPE
+#:                 token counting, IVF-PQ, Kaplan-Meier, ViT patches):
+#:                 never-checked queries always enter the current
+#:                 window, displacing green-but-stale slots.
+#:   slots 45-50 — the round-3-stale cohort, oldest evidence first;
+#:                 the 33-query overhang sits immediately after slot 50
 #:                 so it leads round 9 (r4/r5 cohorts follow in r10+).
 _PRIORITY = [
     # --- slots 1-19: never driver-checked (late-r7 additions) ---
@@ -90,19 +94,26 @@ _PRIORITY = [
     "corpus_dedup_funnel",
     "dedup_method_agreement",
     "corpus_training_manifest",
-    # --- slots 40-50: round-3-stale cohort (oldest first) ---
+    # --- slots 40-44: NEW in round 8 (never driver-checked; first
+    # check must be this round, not staged into the r9 backlog) ---
+    "agg_moments_sketch",
+    "text_token_count_bpe",
+    "ann_topk_ivfpq",
+    "events_survival_km",
+    "multimodal_image_patches",
+    # --- slots 45-50: round-3-stale cohort (oldest first) ---
     "orderby_limit",
     "scalar_array",
     "scalar_conditional",
     "scalar_date",
     "scalar_json",
     "scalar_json_schema",
+    # --- slots 51+: r3-stale overhang (leads round 9) ---
     "scalar_math",
     "scalar_null_handling",
     "scalar_regex",
     "scalar_string_distance",
     "setop_except",
-    # --- slots 51+: r3-stale overhang (leads round 9) ---
     "setop_intersect",
     "setop_union_distinct",
     "setop_union_evolved",

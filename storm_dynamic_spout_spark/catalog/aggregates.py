@@ -1102,3 +1102,120 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_common",
         )
     )
+
+
+@query(
+    "agg_moments_sketch",
+    oracle="""
+    WITH px AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice) AS DECIMAL(9,0)) AS x
+      FROM orders
+    ),
+    p2 AS (SELECT o_orderpriority, x, x * x AS x2 FROM px),
+    p4 AS (
+      SELECT o_orderpriority, x, x2,
+             CAST(x2 AS DECIMAL(19,0)) * CAST(x AS DECIMAL(9,0)) AS x3,
+             CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0)) AS x4
+      FROM p2
+    ),
+    sums AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(x3) AS DOUBLE) AS s3,
+             CAST(sum(x4) AS DOUBLE) AS s4
+      FROM p4 GROUP BY o_orderpriority
+    ),
+    cm AS (
+      SELECT o_orderpriority, n,
+             s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, s4 / n AS m4
+      FROM sums
+    ),
+    v AS (SELECT *, m2 - m1 * m1 AS var FROM cm)
+    SELECT o_orderpriority, n,
+           CAST(round(m1 * 1e6) AS BIGINT) AS mean_1e6,
+           CAST(round(var * 1e6) AS BIGINT) AS var_1e6,
+           CAST(round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                      / (var * sqrt(var)) * 1e6) AS BIGINT) AS skew_1e6,
+           CAST(round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+                       - 3 * m1 * m1 * m1 * m1)
+                      / (var * var) * 1e6) AS BIGINT) AS kurt_1e6
+    FROM v
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments sketch: per-group mean/variance/skewness/
+    kurtosis from exact integer power sums (Agarwal et al. 2012's
+    "mergeable summaries" frame: raw moments merge by ADDITION, so
+    Spark's partial->final hash aggregate IS the sketch merge — each
+    partition ships five numbers per group, never rows).
+
+    Engine-exact by construction: prices round to integer dollars
+    (DECIMAL(9,0)), powers stay exact decimals wide enough for the
+    4th moment at any SF (x^4 <= 1.3e23 << 1e38), and the only
+    floating-point work is the FINAL derivation — identical division/
+    multiply/sqrt trees on identical exact inputs, all IEEE
+    correctly-rounded ops (deliberately no pow/exp/ln, whose libm
+    implementations differ across engines in the last ulp).
+
+    Why at 100 TB: this is the one-pass distributed-statistics
+    pattern — no second pass for the mean, no per-group sort, constant
+    state per (group, partition); the same five sums also feed
+    streaming maintenance (add a micro-batch's sums) and decommission
+    (subtract a retired partition's sums)."""
+    x = F.round("o_totalprice").cast("decimal(9,0)")
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderpriority", x.alias("x"))
+        .withColumn("x2", F.col("x") * F.col("x"))
+        .withColumn(
+            "x3", F.col("x2").cast("decimal(19,0)") * F.col("x").cast("decimal(9,0)")
+        )
+        .withColumn(
+            "x4",
+            F.col("x2").cast("decimal(19,0)") * F.col("x2").cast("decimal(19,0)"),
+        )
+    )
+    sums = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("x3").cast("double").alias("s3"),
+        F.sum("x4").cast("double").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    cm = sums.select(
+        "o_orderpriority",
+        "n",
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("s3") / n).alias("m3"),
+        (F.col("s4") / n).alias("m4"),
+    )
+    m1, m2, m3, m4 = (F.col(c) for c in ("m1", "m2", "m3", "m4"))
+    v = cm.withColumn("var", m2 - m1 * m1)
+    var = F.col("var")
+    three, two, four, six = (F.lit(float(i)) for i in (3, 2, 4, 6))
+    return v.select(
+        "o_orderpriority",
+        "n",
+        F.round(m1 * 1e6).cast("long").alias("mean_1e6"),
+        F.round(var * 1e6).cast("long").alias("var_1e6"),
+        F.round(
+            (m3 - three * m1 * m2 + two * m1 * m1 * m1)
+            / (var * F.sqrt(var))
+            * 1e6
+        )
+        .cast("long")
+        .alias("skew_1e6"),
+        F.round(
+            (m4 - four * m1 * m3 + six * m1 * m1 * m2 - three * m1 * m1 * m1 * m1)
+            / (var * var)
+            * 1e6
+        )
+        .cast("long")
+        .alias("kurt_1e6"),
+    ).orderBy("o_orderpriority")

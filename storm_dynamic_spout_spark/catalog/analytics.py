@@ -2233,3 +2233,141 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "user_id")
     )
+
+
+#: Kaplan-Meier observation window: users are followed for this many
+#: hours from the stream start; first purchases after it are CENSORED.
+_KM_WINDOW_HOURS = 240
+_KM_US_PER_HOUR = 3_600_000_000
+
+
+@query(
+    "events_survival_km",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(ts) AS t_min,
+             min(ts) + INTERVAL {_KM_WINDOW_HOURS} HOUR AS cutoff
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    u AS (
+      SELECT f.user_id,
+             CASE WHEN f.tp IS NOT NULL AND f.tp <= b.cutoff
+                  THEN (epoch_us(f.tp) - epoch_us(f.t0)) // {_KM_US_PER_HOUR}
+                  ELSE (epoch_us(b.cutoff) - epoch_us(f.t0))
+                       // {_KM_US_PER_HOUR} END AS dur,
+             CASE WHEN f.tp IS NOT NULL AND f.tp <= b.cutoff
+                  THEN 1 ELSE 0 END AS ev
+      FROM f CROSS JOIN b
+      WHERE f.t0 <= b.cutoff
+    ),
+    hist AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n, CAST(sum(ev) AS BIGINT) AS d
+      FROM u GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             CAST(sum(n) OVER (ORDER BY dur
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_at_risk
+      FROM hist
+    ),
+    ev AS (
+      SELECT dur, d, n_at_risk,
+             CASE WHEN d < n_at_risk
+                  THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                                  * 1000000) AS BIGINT) END AS lnf
+      FROM risk WHERE d > 0
+    )
+    SELECT dur AS t_hours, n_at_risk, d AS d_events,
+           CAST(sum(lnf) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS km_log_1e6
+    FROM ev ORDER BY t_hours
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over time-to-first-purchase with
+    right-censoring at a fixed observation window: per event-hour t,
+    the risk set size, the event count, and the cumulative log survival
+    ln S(t) = Σ ln(1 − d_s/n_s) in exact 1e-6 integer units (each ln is
+    rounded FIRST, then summed exactly — the text_zipf_fit convention;
+    reporting the LOG curve keeps the cross-engine comparison an
+    integer sum instead of a float cumulative product).  A d = n_at_risk
+    final drop (survival hits zero) yields a NULL ln factor by
+    definition and is excluded from later sums rather than producing
+    −inf.
+
+    Why at 100 TB: the raw event stream is reduced per user (two
+    min-aggregates), then per DURATION (one aggregate) before any
+    window runs — the two prefix-sum windows order the duration
+    HISTOGRAM, bounded by the observation window in hours (≤ ~240
+    rows regardless of corpus size), the same post-aggregation
+    tiny-window class as events_cumulative_users / parts_abc_pareto;
+    the cutoff and user total ride one-row broadcasts."""
+    e = t(spark, sf_dir, "events")
+    b = e.agg(F.min("ts").alias("t_min")).select(
+        "t_min",
+        (F.col("t_min") + F.expr(f"INTERVAL {_KM_WINDOW_HOURS} HOURS")).alias(
+            "cutoff"
+        ),
+    )
+    # one conditional aggregate per user instead of a second filtered
+    # scan + join: min(ts) and min(purchase ts) come out of the same
+    # partial->final pass over the stream
+    f = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    observed = F.col("tp").isNotNull() & (F.col("tp") <= F.col("cutoff"))
+    def hours(a, b_):
+        # fixture timestamps are NTZ; unix_micros needs TIMESTAMP — the
+        # UTC-session cast cancels out in the difference
+        us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        return (us(a) - us(b_)) / F.lit(_KM_US_PER_HOUR)
+    u = (
+        f.crossJoin(F.broadcast(b))
+        .filter(F.col("t0") <= F.col("cutoff"))
+        .select(
+            F.when(observed, F.floor(hours(F.col("tp"), F.col("t0"))))
+            .otherwise(F.floor(hours(F.col("cutoff"), F.col("t0"))))
+            .cast("long")
+            .alias("dur"),
+            F.when(observed, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+        )
+    )
+    hist = u.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    # at-risk at t = users with dur >= t: a SUFFIX sum over the tiny
+    # duration histogram — no separate total (which would re-derive
+    # the per-user aggregate) and no broadcast join
+    w_from = Window.orderBy("dur").rowsBetween(0, Window.unboundedFollowing)
+    risk = hist.select(
+        "dur",
+        "d",
+        F.sum("n").over(w_from).cast("long").alias("n_at_risk"),
+    ).filter(F.col("d") > 0)
+    lnf = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.round(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk"))
+            * 1000000
+        ).cast("long"),
+    )
+    w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.withColumn("__lnf", lnf)
+        .select(
+            F.col("dur").alias("t_hours"),
+            "n_at_risk",
+            F.col("d").alias("d_events"),
+            F.sum("__lnf").over(w_run).cast("long").alias("km_log_1e6"),
+        )
+        .orderBy("t_hours")
+    )

@@ -4178,3 +4178,151 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("zipf_slope_1e6"),
     )
+
+
+#: GPT-2-style pre-tokenizer, simplified to the regex subset whose
+#: semantics are identical between Java regex (Spark) and RE2 (DuckDB):
+#: letter runs | single digits | single non-alnum non-space marks.
+#: Real BPE merges within these pre-token boundaries, so this count is
+#: the standard upper-bound token estimate a data pipeline budgets on.
+_BPE_PRETOKEN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_BPE_PRETOKEN}')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+               AS n_word,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_mark,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+               AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_word, n_digit, n_mark,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE CAST(round(CAST(n_chars AS DOUBLE) / n_tokens * 1000000)
+                          AS BIGINT) END AS chars_per_token_1e6
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the training-pipeline budget pass): a
+    GPT-2-style pre-tokenizer regex splits each document into letter
+    runs / digits / punctuation marks, and chars-per-token is the
+    compression proxy quality filters threshold on (prose sits near
+    ~4-5, code and boilerplate drift).  Counting real merged-BPE
+    tokens only changes counts WITHIN pre-token boundaries, so this is
+    the standard engine-portable upper bound.
+
+    Why at 100 TB: one map-only pass — regexp_extract_all + size are
+    whole-stage-codegen'd JVM expressions, no Python, no explode (the
+    match ARRAYS never materialize into rows, only their sizes
+    aggregate), no shuffle until the output sort; at scale drop the
+    ORDER BY (driver-compare determinism only) and it is shuffle-free."""
+    d = t(spark, sf_dir, "documents")
+
+    def n_matches(pat: str):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).cast(
+            "long"
+        )
+
+    tok = d.select(
+        "doc_id",
+        n_matches(_BPE_PRETOKEN).alias("n_tokens"),
+        n_matches(r"[A-Za-z]+").alias("n_word"),
+        n_matches(r"[0-9]").alias("n_digit"),
+        n_matches(r"[^A-Za-z0-9\s]").alias("n_mark"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("long").alias(
+            "n_chars"
+        ),
+    )
+    return tok.select(
+        "doc_id",
+        "n_tokens",
+        "n_word",
+        "n_digit",
+        "n_mark",
+        F.when(
+            F.col("n_tokens") != 0,
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens") * 1000000
+            ).cast("long"),
+        ).alias("chars_per_token_1e6"),
+    ).orderBy("doc_id")
+
+
+def _pq_ivf_adc_oracle_sql() -> str:
+    """IVF-PQ oracle: the shared PQ CTEs plus the coarse-bucket (label)
+    restriction on both the query tables and the scanned codes."""
+    from storm_dynamic_spout_spark.operators.similarity import PQ_K, PQ_M
+
+    joins = "\n      ".join(
+        f"JOIN dt t{ms} ON t{ms}.query_id = q.query_id"
+        f" AND t{ms}.cid = k.code_{ms}"
+        for ms in range(PQ_M)
+    )
+    approx = " + ".join(f"t{ms}.d{ms}" for ms in range(PQ_M))
+    return (
+        _pq_ctes()
+        + f""",
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    dt AS (
+      SELECT s.vec_id AS query_id, l.label AS qb, s.cid,
+             {", ".join(f"d{ms}" for ms in range(PQ_M))}
+      FROM scored s JOIN lbl l ON l.vec_id = s.vec_id
+      WHERE s.vec_id < {PQ_K}
+    ),
+    q AS (SELECT DISTINCT query_id, qb FROM dt),
+    adc AS (
+      SELECT q.query_id, k.vec_id AS neighbor_id,
+             CAST({approx} AS BIGINT) AS approx_d2_micro
+      FROM codes k
+      JOIN lbl kl ON kl.vec_id = k.vec_id
+      JOIN q ON kl.label = q.qb AND k.vec_id != q.query_id
+      {joins}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_d2_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_d2_micro, neighbor_id)
+               AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, approx_d2_micro,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {ANN_K}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+@query("ann_topk_ivfpq", oracle=_pq_ivf_adc_oracle_sql())
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (operators/similarity.py pq_topk_ivf_adc): the
+    FAISS-IVFPQ composition — the coarse bucket (the fixture label;
+    production uses argmin-centroid assignment) restricts WHICH compact
+    codes a query scans, the PQ asymmetric-distance table bounds the
+    cost of each scan to 4 integer lookups.  The scan is a bucket
+    equi-join against broadcast per-query tables; ranking on (integer
+    distance, neighbor id) is exact given the codes."""
+    from storm_dynamic_spout_spark.operators.similarity import (
+        PQ_K,
+        pq_topk_ivf_adc,
+    )
+
+    return pq_topk_ivf_adc(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        dim=64,
+        query_pred=F.col("vec_id") < PQ_K,
+        k=ANN_K,
+    ).orderBy("query_id", "rank")

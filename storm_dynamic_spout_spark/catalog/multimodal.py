@@ -961,3 +961,73 @@ def multimodal_image_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_energy_images(
         d.select("doc_id").withColumn("content", _payload("doc_id"))
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patch extraction over the PNG fixtures.
+# ---------------------------------------------------------------------------
+
+PATCH = 4
+
+
+def _patch_oracle_values() -> str:
+    """Closed-form patch sums: keystream pixels (hashlib only, never
+    the decoder) through the SAME shared pure function the operator
+    uses (operators/multimodal.py patch_sums — the sobel sharing
+    pattern)."""
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.multimodal import patch_sums
+
+    rows = []
+    for d in range(N_IMAGES):
+        s = patch_sums(_phash_pixels(d), PATCH)
+        for (pr, pc), v in np.ndenumerate(s):
+            rows.append(f"({d}, {pr}, {pc}, {int(v)})")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "multimodal_image_patches",
+    oracle=f"""
+    SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+           CAST(v.patch_row AS BIGINT) AS patch_row,
+           CAST(v.patch_col AS BIGINT) AS patch_col,
+           CAST(v.patch_sum AS BIGINT) AS patch_sum
+    FROM (VALUES
+      {_patch_oracle_values()}
+    ) AS v(doc_id, patch_row, patch_col, patch_sum)
+    JOIN documents d ON v.doc_id = d.doc_id
+    ORDER BY doc_id, patch_row, patch_col
+    """,
+)
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch tokenization under the correctness gate: decode
+    the 24 fixture PNGs with the REAL decoder and emit one row per
+    non-overlapping 4x4 tile with its integer pixel sum — the tiling a
+    vision-transformer training pipeline feeds to the patch-embedding
+    projection.  The oracle rebuilds every patch sum from the
+    generator keystream through the SAME shared pure tiling function
+    without ever importing the decoder, so both the pixel VALUES and
+    their spatial LAYOUT are checked (pixel_sum alone is
+    permutation-blind; a transposed or row-shuffled decode reds this
+    row).
+
+    Why at 100 TB: decode + tiling is the declared Arrow surface
+    (mapInPandas, narrow, partitioning preserved); fan-out is bounded
+    at (w/4)·(h/4) integer rows per image and everything downstream is
+    relational."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        image_patch_features,
+        make_png_image,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < N_IMAGES)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: make_png_image(*_image_params(int(i))))
+
+    return image_patch_features(
+        d.select("doc_id").withColumn("content", _payload("doc_id")), patch=PATCH
+    ).orderBy("doc_id", "patch_row", "patch_col")

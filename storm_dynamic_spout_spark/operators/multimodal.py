@@ -1518,3 +1518,55 @@ def trim_silence_audio(
             )
 
     return df.select(id_col, "content").mapInPandas(_trim_batches, TRIMMED_SCHEMA)
+
+
+# --- ViT-style patch extraction -------------------------------------------
+
+PATCH_SCHEMA = (
+    "doc_id bigint, patch_row bigint, patch_col bigint, patch_sum bigint"
+)
+
+
+def patch_sums(pixels, patch: int):
+    """Non-overlapping ``patch``×``patch`` tile sums over the decoded
+    array's full-tile grid (ragged edges truncate — the ViT convention
+    when inputs aren't pre-resized), summed across channels.  Returns a
+    (rows, cols) int64 matrix.  Pure array math, shared verbatim by
+    the Spark operator and the fixture oracle's closed form (the
+    sobel_energy sharing pattern)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.int64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, _c = arr.shape
+    ph, pw = h // patch, w // patch
+    core = arr[: ph * patch, : pw * patch, :].sum(axis=2)
+    return core.reshape(ph, patch, pw, patch).sum(axis=(1, 3))
+
+
+def image_patch_features(
+    df: DataFrame, patch: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, content) → one row per non-overlapping ``patch``×``patch``
+    tile with its integer pixel sum — the tokenization step of a ViT
+    training pipeline (patch embeddings consume exactly this tiling;
+    the sum is the projection-free integer reduction the oracle can
+    check).  Arrow-batched mapInPandas over the REAL pixel decoders;
+    narrow (partitioning preserved), fan-out bounded by
+    (w/patch)·(h/patch) rows per image."""
+
+    def _patch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf["content"]):
+                s = patch_sums(image_pixels(buf), patch)
+                for (pr, pc), v in np.ndenumerate(s):
+                    rows.append((int(i), int(pr), int(pc), int(v)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "patch_row", "patch_col", "patch_sum"]
+            )
+
+    return df.select(id_col, "content").mapInPandas(_patch_batches, PATCH_SCHEMA)

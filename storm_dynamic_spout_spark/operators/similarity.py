@@ -419,7 +419,13 @@ def _dense_codebook(v: DataFrame, id_col: str, k: int) -> DataFrame:
 
 
 def pq_assign(
-    df: DataFrame, id_col: str, vec_col: str, dim: int, m: int = PQ_M, k: int = PQ_K
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Product-quantization encode: split each vector into ``m``
     subvectors, assign each to its nearest codebook centroid (squared
@@ -437,10 +443,15 @@ def pq_assign(
     same partition), so the only exchange carries n compact code rows —
     the corpus vectors themselves never shuffle."""
     sub = dim // m
-    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    cent = _dense_codebook(v, id_col, k)
+    carry = carry or []
+    v = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v"), *map(F.col, carry)
+    )
+    cent = _dense_codebook(
+        v.select(F.col(id_col), F.col("__v")), id_col, k
+    )
     joined = v.crossJoin(F.broadcast(cent))
-    cols = [F.col(id_col), F.col("__cid")]
+    cols = [F.col(id_col), F.col("__cid"), *map(F.col, carry)]
     for ms in range(m):
         dv = F.slice("__v", ms * sub + 1, sub)
         dc = F.slice("__c", ms * sub + 1, sub)
@@ -459,10 +470,14 @@ def pq_assign(
             .alias(f"code_{ms}")
         )
         aggs.append(F.min(f"__d{ms}").alias(f"__e{ms}"))
-    out = scored.groupBy(id_col).agg(*aggs)
+    # ``carry`` columns are constant per id (one vector per row), so
+    # grouping by them changes nothing semantically and keeps them in
+    # the output without a second corpus scan + join
+    out = scored.groupBy(id_col, *carry).agg(*aggs)
     err = sum(F.col(f"__e{ms}") for ms in range(m))
     return out.select(
         F.col(id_col),
+        *map(F.col, carry),
         *[F.col(f"code_{ms}") for ms in range(m)],
         err.cast("long").alias("err_micro"),
     )
@@ -532,4 +547,86 @@ def pq_topk_adc(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "approx_d2_micro", "rank")
+    )
+
+
+def pq_topk_ivf_adc(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    dim: int,
+    query_pred: Column,
+    k: int = 5,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+) -> DataFrame:
+    """IVF-PQ search — the composition the production ANN indexes
+    (FAISS IVFPQ) ship: the coarse bucket (IVF) bounds WHICH codes a
+    query scans, the PQ code (ADC) bounds WHAT each scan costs.  Same
+    distance-table derivation as ``pq_topk_adc``; the corpus side is
+    the compact code table carrying its coarse bucket, and the
+    scan is a bucket EQUI-join against the broadcast query tables
+    instead of a cross join — per query, |bucket| code rows, each
+    scored by m integer lookups.
+
+    Why at 100 TB: this is the memory-AND-compute bound pair — 16x
+    compressed corpus (codes) scanned at 1/|buckets| selectivity, one
+    broadcast, one equi-join keyed on the bucket, WindowGroupLimit
+    top-k.  Recall knobs (nprobe, rerank) compose exactly as in
+    cosine_topk_ivf_nprobe / the pq rerank pass."""
+    sub = dim // m
+    codes = pq_assign(
+        df.withColumn("__bkt", F.col(bucket_col)),
+        id_col,
+        vec_col,
+        dim,
+        m,
+        kc,
+        carry=["__bkt"],
+    )
+    v = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v"), F.col(bucket_col)
+    )
+    cent = _dense_codebook(v.select(F.col(id_col), F.col("__v")), id_col, kc)
+    q = v.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__q"),
+        F.col(bucket_col).alias("__qb"),
+    )
+    tcols = [F.col("query_id"), F.col("__qb"), F.col("__cid")]
+    for ms in range(m):
+        dq = F.slice("__q", ms * sub + 1, sub)
+        dc = F.slice("__c", ms * sub + 1, sub)
+        d2 = F.aggregate(
+            F.zip_with(dq, dc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        tcols.append(F.round(d2 * 1e6).cast("long").alias(f"__t{ms}"))
+    dt = q.crossJoin(F.broadcast(cent)).select(*tcols)
+
+    def _table(ms: int):
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("__cid", f"__t{ms}"))),
+            lambda s: s.getField(f"__t{ms}"),
+        ).alias(f"__arr{ms}")
+
+    tables = dt.groupBy("query_id", "__qb").agg(*[_table(ms) for ms in range(m)])
+    adc = codes.join(
+        F.broadcast(tables),
+        (F.col("__bkt") == F.col("__qb")) & (F.col(id_col) != F.col("query_id")),
+    )
+    approx = None
+    for ms in range(m):
+        term = F.get(F.col(f"__arr{ms}"), F.col(f"code_{ms}").cast("int"))
+        approx = term if approx is None else approx + term
+    w = W.partitionBy("query_id").orderBy("approx_d2_micro", id_col)
+    return (
+        adc.withColumn("approx_d2_micro", approx.cast("long"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "approx_d2_micro", "rank"
+        )
     )

@@ -82,6 +82,9 @@ def test_inventory_global_invariants():
         # candidate pass is the declared O(k)-state Arrow surface; the
         # exact verify pass is pure relational
         "text_heavy_hitters",
+        # ViT patch tokenization: decode + tiling on the declared
+        # multimodal Arrow surface (r8)
+        "multimodal_image_patches",
     }
     python = {n for n, c in inv.items() if c["python_nodes"] > 0}
     assert python <= allowed_python, (
@@ -111,6 +114,11 @@ def test_inventory_global_invariants():
         "embedding_pq_codes",
         "ann_topk_pq",
         "ann_topk_pq_rerank",
+        "ann_topk_ivfpq",
+        # Kaplan-Meier: two prefix sums over the duration HISTOGRAM,
+        # bounded by the observation window in hours (≤ ~240 rows),
+        # the events_cumulative_users post-aggregation class
+        "events_survival_km",
     }
     gw = {n for n, c in inv.items() if c.get("unpartitioned_windows", 0) > 0}
     assert gw <= allowed_global_window, (

@@ -45,6 +45,10 @@ KNOWN_BENIGN = {
     "embedding_pq_codes",
     "ann_topk_pq",
     "ann_topk_pq_rerank",
+    "ann_topk_ivfpq",
+    # Kaplan-Meier prefix sums over the ≤~240-row duration histogram
+    # (post-aggregation, bounded by the observation window)
+    "events_survival_km",
 }
 
 
