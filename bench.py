@@ -47,6 +47,10 @@ HEADLINE = [
     "join_spatial_grid",  # r7: 3x3 cell-blocked within-radius self-join
     "text_heavy_hitters",  # r7: two-pass Misra-Gries — map-only sketch + broadcast verify
     "agg_countmin_freq",  # r7: constant-shuffle count-min sketch + probe join
+    "ann_topk_ivfpq",  # r8: bucket-restricted PQ ADC — the FAISS-IVFPQ composition
+    "agg_moments_sketch",  # r8: mergeable moments — partial agg IS the sketch merge
+    "text_token_count_bpe",  # r8: map-only pre-tokenizer counts (token budget pass)
+    "events_survival_km",  # r8: Kaplan-Meier over per-user reductions + tiny windows
 ]
 
 #: The ONLY cross-round comparable series: the exact 17 queries the

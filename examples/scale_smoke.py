@@ -735,6 +735,76 @@ def zipf_banded_rank(t):
     )
 
 
+
+def ivfpq_adc(t):
+    """ann_topk_ivfpq shape: PQ codes carry their coarse bucket through
+    the encode aggregate, the scan is a bucket equi-join against
+    broadcast query tables (never a cross join), WindowGroupLimit
+    top-k.  Healthy = ratio tracks the (compressed) code scan."""
+    from pyspark.sql import functions as F
+
+    from storm_dynamic_spout_spark.operators.similarity import (
+        PQ_K,
+        pq_topk_ivf_adc,
+    )
+
+    return pq_topk_ivf_adc(
+        t("embeddings"), "vec_id", "embedding", "label",
+        dim=64, query_pred=F.col("vec_id") < PQ_K, k=5,
+    )
+
+
+def moments_partial_agg(t):
+    """agg_moments_sketch shape: five exact power sums per group via
+    partial->final hash aggregate — per-partition state is constant,
+    so the ratio must track the scan exactly."""
+    x = F.round("o_totalprice").cast("decimal(9,0)")
+    base = (
+        t("orders")
+        .select("o_orderpriority", x.alias("x"))
+        .withColumn("x2", F.col("x") * F.col("x"))
+    )
+    return base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum("x2").alias("s2"),
+    )
+
+
+def bpe_token_counts(t):
+    """text_token_count_bpe shape: map-only regexp_extract_all sizes —
+    zero shuffles before the aggregate; ratio == scan or the pattern
+    stopped being codegen'd."""
+    pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return (
+        t("documents")
+        .select(F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias("n"))
+        .agg(F.sum("n").alias("total_tokens"))
+    )
+
+
+def survival_histogram(t):
+    """events_survival_km shape: the stream reduces per user then per
+    duration BEFORE any window — the two prefix sums run on a
+    histogram bounded by the observation window, so the ratio tracks
+    the per-user aggregate."""
+    e = t("events")
+    f = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    dur = F.floor(
+        (F.unix_micros(F.col("tp").cast("timestamp"))
+         - F.unix_micros(F.col("t0").cast("timestamp"))) / F.lit(3_600_000_000)
+    )
+    return (
+        f.filter(F.col("tp").isNotNull())
+        .select(dur.alias("dur"))
+        .groupBy("dur")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -768,6 +838,10 @@ QUERIES = [
     ("kcore_peel", kcore_peel),
     ("rake_phrases", rake_phrases),
     ("zipf_banded_rank", zipf_banded_rank),
+    ("ivfpq_adc", ivfpq_adc),
+    ("moments_partial_agg", moments_partial_agg),
+    ("bpe_token_counts", bpe_token_counts),
+    ("survival_histogram", survival_histogram),
 ]
 
 

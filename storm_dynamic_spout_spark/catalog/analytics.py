@@ -2371,3 +2371,250 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_hours")
     )
+
+
+#: stream_moments micro-batch count (event_id mod); batch 1 is also
+#: REDELIVERED to exercise the exactly-once guard.
+_SM_BATCHES = 3
+
+
+@query(
+    "stream_moments",
+    oracle="""
+    WITH px AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS DECIMAL(9,0)) AS x
+      FROM events
+    ),
+    p2 AS (SELECT event_type, x, x * x AS x2 FROM px),
+    p4 AS (
+      SELECT event_type, x, x2,
+             CAST(x2 AS DECIMAL(19,0)) * CAST(x AS DECIMAL(9,0)) AS x3,
+             CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0)) AS x4
+      FROM p2
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(x3) AS DOUBLE) AS s3,
+             CAST(sum(x4) AS DOUBLE) AS s4
+      FROM p4 GROUP BY event_type
+    ),
+    cm AS (
+      SELECT event_type, n,
+             s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, s4 / n AS m4
+      FROM sums
+    ),
+    v AS (SELECT *, m2 - m1 * m1 AS var FROM cm)
+    SELECT event_type, n,
+           CAST(round(m1 * 1e6) AS BIGINT) AS mean_cents_1e6,
+           CAST(round(var * 1e6) AS BIGINT) AS var_1e6,
+           CAST(round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                      / (var * sqrt(var)) * 1e6) AS BIGINT) AS skew_1e6,
+           CAST(round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+                       - 3 * m1 * m1 * m1 * m1)
+                      / (var * var) * 1e6) AS BIGINT) AS kurt_1e6
+    FROM v
+    ORDER BY event_type
+    """,
+)
+def stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the mergeable moments sketch
+    (agg_moments_sketch's five power sums) under at-least-once
+    delivery: the revenue stream arrives in three micro-batches (by
+    event_id mod), each contributing one (batch_id, event_type, n,
+    s1..s4) row set; batch 1 is then REDELIVERED and an anti-join on
+    the already-folded batch_id set drops it relationally — the
+    ContinuousRollup batch-watermark pattern (SEMANTICS.md row 12)
+    applied to sketch state.  Because raw moments merge by ADDITION
+    over exact DECIMAL sums, the maintained state re-aggregated per
+    group is BIT-identical to the one-pass sketch — which is exactly
+    what the oracle computes, so the fold, the merge, and the
+    exactly-once guard are all under the gate.
+
+    Why at 100 TB: per batch, five numbers per (event_type, partition)
+    leave the executors; historical state is groups×6 values
+    regardless of history length; retiring a day = subtracting its
+    batch rows (moments are also subtractable)."""
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def batch_sums(batch: DataFrame, batch_id: int) -> DataFrame:
+        x = F.round(F.col("value") * 100).cast("decimal(9,0)")
+        base = (
+            batch.select("event_type", x.alias("x"))
+            .withColumn("x2", F.col("x") * F.col("x"))
+            .withColumn(
+                "x3",
+                F.col("x2").cast("decimal(19,0)") * F.col("x").cast("decimal(9,0)"),
+            )
+            .withColumn(
+                "x4",
+                F.col("x2").cast("decimal(19,0)") * F.col("x2").cast("decimal(19,0)"),
+            )
+        )
+        return base.groupBy("event_type").agg(
+            F.lit(batch_id).alias("batch_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum("x2").alias("s2"),
+            F.sum("x3").alias("s3"),
+            F.sum("x4").alias("s4"),
+        )
+
+    state = None
+    for b in range(_SM_BATCHES):
+        rows = batch_sums(e.filter(F.col("event_id") % _SM_BATCHES == b), b)
+        state = rows if state is None else state.unionByName(rows)
+    # redelivery: batch 1 arrives again; the batch_id watermark
+    # (anti-join on already-folded ids) must drop it entirely
+    redelivered = batch_sums(e.filter(F.col("event_id") % _SM_BATCHES == 1), 1)
+    seen = state.select("batch_id").distinct()
+    state = state.unionByName(redelivered.join(seen, "batch_id", "left_anti"))
+    sums = state.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s1").cast("double").alias("s1"),
+        F.sum("s2").cast("double").alias("s2"),
+        F.sum("s3").cast("double").alias("s3"),
+        F.sum("s4").cast("double").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    cm = sums.select(
+        "event_type",
+        "n",
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("s3") / n).alias("m3"),
+        (F.col("s4") / n).alias("m4"),
+    )
+    m1, m2, m3, m4 = (F.col(c) for c in ("m1", "m2", "m3", "m4"))
+    v = cm.withColumn("var", m2 - m1 * m1)
+    var = F.col("var")
+    three, two, four, six = (F.lit(float(i)) for i in (3, 2, 4, 6))
+    return v.select(
+        "event_type",
+        "n",
+        F.round(m1 * 1e6).cast("long").alias("mean_cents_1e6"),
+        F.round(var * 1e6).cast("long").alias("var_1e6"),
+        F.round(
+            (m3 - three * m1 * m2 + two * m1 * m1 * m1)
+            / (var * F.sqrt(var))
+            * 1e6
+        )
+        .cast("long")
+        .alias("skew_1e6"),
+        F.round(
+            (m4 - four * m1 * m3 + six * m1 * m1 * m2 - three * m1 * m1 * m1 * m1)
+            / (var * var)
+            * 1e6
+        )
+        .cast("long")
+        .alias("kurt_1e6"),
+    ).orderBy("event_type")
+
+
+#: Synchronous label-propagation rounds for the community query —
+#: fixed so the whole computation is one deterministic Catalyst DAG
+#: the chained-CTE oracle replays (the graph_kcore convention).
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord_sql
+
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    n{r} AS (
+      SELECT s.u, l.lbl, CAST(count(*) AS BIGINT) AS c
+      FROM sym s JOIN {prev} l ON l.node = s.v
+      GROUP BY s.u, l.lbl
+    ),
+    l{r} AS (
+      SELECT u AS node, lbl FROM (
+        SELECT u, lbl,
+               row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+        FROM n{r}
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{r}"
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_spatial_coord_sql('x')} AS ux,
+             {_spatial_coord_sql('y')} AS uy
+      FROM customer
+    ),
+    edges AS (
+      SELECT a.id AS a, b.id AS b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE (a.ux - b.ux) * (a.ux - b.ux)
+          + (a.uy - b.uy) * (a.uy - b.uy) <= {_TRI_RADIUS * _TRI_RADIUS}
+    ),
+    sym AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b AS u, a AS v FROM edges
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),{",".join(rounds)}
+    SELECT node AS id, CAST(lbl AS BIGINT) AS community
+    FROM {prev} ORDER BY id
+    """
+
+
+@query("graph_lpa_communities", oracle=_lpa_oracle())
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    spatial proximity graph: each round every node adopts the MOST
+    FREQUENT label among its neighbors (ties -> smallest label), from
+    labels = node ids.  Fixed rounds + deterministic tie-break make
+    the classic LPA instability a non-issue under the oracle gate (the
+    oracle replays the identical rounds as chained CTEs over a
+    brute-force edge set, independently checking the grid-blocked
+    spatial derivation too).  Communities differ from connected
+    components (operators/dedup.py): LPA splits dense regions joined
+    by thin bridges — the semantic-cluster granularity a near-dup
+    pipeline actually wants.
+
+    Why at 100 TB: each round is one equi-join of the (checkpointed)
+    symmetric edge list against the current label table plus a
+    per-node mode — a (node, label)-keyed aggregate and a node-keyed
+    WindowGroupLimit, never all-pairs; rounds are O(diameter)-bounded
+    like the CC loop and checkpoint the same way."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    # referenced once per round on the join side: materialize the
+    # spatial join once, lazily (the pagerank norm/base pattern)
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        nb = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("u").orderBy(F.desc("c"), "lbl")
+        labels = (
+            nb.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("u").alias("node"), "lbl")
+        )
+    return labels.select(
+        F.col("node").alias("id"), F.col("lbl").cast("long").alias("community")
+    ).orderBy("id")
