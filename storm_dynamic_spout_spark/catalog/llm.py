@@ -4235,13 +4235,18 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = d.select(
         "doc_id",
-        n_matches(_BPE_PRETOKEN).alias("n_tokens"),
         n_matches(r"[A-Za-z]+").alias("n_word"),
         n_matches(r"[0-9]").alias("n_digit"),
         n_matches(r"[^A-Za-z0-9\s]").alias("n_mark"),
         F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("long").alias(
             "n_chars"
         ),
+    ).withColumn(
+        # the three alternatives are disjoint character classes, so the
+        # combined-pattern match count is EXACTLY their sum (pinned by
+        # tests/test_round8_ops.py) — skip the 4th regex pass
+        "n_tokens",
+        F.col("n_word") + F.col("n_digit") + F.col("n_mark"),
     )
     return tok.select(
         "doc_id",

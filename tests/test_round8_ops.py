@@ -71,12 +71,27 @@ def test_moments_sketch_matches_numpy_reference(spark):
 
 
 def test_bpe_token_classes_partition_matches(spark):
+    from storm_dynamic_spout_spark.catalog.llm import _BPE_PRETOKEN
+
     rows = QUERIES["text_token_count_bpe"](spark, SF).collect()
     assert rows
+    # the query derives n_tokens as the SUM of the three class counts
+    # (skipping the combined-pattern pass); this pins the identity it
+    # relies on — every combined-pattern match is exactly one class
+    # match — against an independent combined-pattern count
+    combined = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(_BPE_PRETOKEN), F.lit(0))
+            ).alias("n"),
+        )
+        .collect()
+    }
     for r in rows:
-        # the three alternatives are disjoint character classes, so
-        # every combined match is exactly one class match
-        assert r["n_tokens"] == r["n_word"] + r["n_digit"] + r["n_mark"], r
+        assert r["n_tokens"] == combined[r["doc_id"]], r
         if r["n_tokens"]:
             assert r["chars_per_token_1e6"] >= 1_000_000  # >= 1 char/token
 
