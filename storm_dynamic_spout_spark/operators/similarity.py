@@ -426,6 +426,7 @@ def pq_assign(
     m: int = PQ_M,
     k: int = PQ_K,
     carry: list[str] | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encode: split each vector into ``m``
     subvectors, assign each to its nearest codebook centroid (squared
@@ -447,8 +448,10 @@ def pq_assign(
     v = df.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v"), *map(F.col, carry)
     )
-    cent = _dense_codebook(
-        v.select(F.col(id_col), F.col("__v")), id_col, k
+    cent = (
+        codebook
+        if codebook is not None
+        else _dense_codebook(v.select(F.col(id_col), F.col("__v")), id_col, k)
     )
     joined = v.crossJoin(F.broadcast(cent))
     cols = [F.col(id_col), F.col("__cid"), *map(F.col, carry)]
@@ -509,9 +512,14 @@ def pq_topk_adc(
     is on (integer distance, neighbor id) so results are exact given
     the codes — engine-portable, no float near-ties."""
     sub = dim // m
-    codes = pq_assign(df, id_col, vec_col, dim, m, kc)
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    cent = _dense_codebook(v, id_col, kc)
+    # derive the tiny dense-index codebook ONCE and share it between
+    # the encode pass and the per-query distance tables (it is the
+    # only subtree the r8 re-index made two stages deep — scan ->
+    # single-partition row_number — so computing it twice doubles
+    # that latency for zero information)
+    cent = _dense_codebook(v, id_col, kc).localCheckpoint(eager=False)
+    codes = pq_assign(df, id_col, vec_col, dim, m, kc, codebook=cent)
     q = v.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("__q")
     )
@@ -576,6 +584,12 @@ def pq_topk_ivf_adc(
     top-k.  Recall knobs (nprobe, rerank) compose exactly as in
     cosine_topk_ivf_nprobe / the pq rerank pass."""
     sub = dim // m
+    v = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v"), F.col(bucket_col)
+    )
+    cent = _dense_codebook(
+        v.select(F.col(id_col), F.col("__v")), id_col, kc
+    ).localCheckpoint(eager=False)
     codes = pq_assign(
         df.withColumn("__bkt", F.col(bucket_col)),
         id_col,
@@ -584,11 +598,8 @@ def pq_topk_ivf_adc(
         m,
         kc,
         carry=["__bkt"],
+        codebook=cent,
     )
-    v = df.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("__v"), F.col(bucket_col)
-    )
-    cent = _dense_codebook(v.select(F.col(id_col), F.col("__v")), id_col, kc)
     q = v.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("__v").alias("__q"),
