@@ -602,10 +602,19 @@ def common_neighbor_wedges(t):
     from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
     from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
 
+    # the Nx loader shifts keys but _spatial_coord hashes the shifted
+    # key back into the SAME coordinate space — 5x density means ~25x
+    # edges and ~125x wedges, i.e. the smoke would measure TRUE-result
+    # growth, not plan health.  Offset each copy's coordinates by its
+    # copy index (key // shift) so copies are genuinely disjoint
+    # subgraphs and per-copy structure is preserved.
+    copy_off = (F.col("c_custkey") / F.lit(1_000_000_000)).cast("long") * F.lit(
+        10_000_000
+    )
     pts = t("customer").select(
         F.col("c_custkey").alias("id"),
-        _spatial_coord("x").alias("ux"),
-        _spatial_coord("y").alias("uy"),
+        (_spatial_coord("x") + copy_off).alias("ux"),
+        (_spatial_coord("y") + copy_off).alias("uy"),
     )
     edges = grid_neighbor_pairs(pts, "id", "ux", "uy", 1_500).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
@@ -777,7 +786,7 @@ def bpe_token_counts(t):
     stopped being codegen'd."""
     pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
     return (
-        t("documents")
+        t("documents_plain")
         .select(F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias("n"))
         .agg(F.sum("n").alias("total_tokens"))
     )
@@ -850,10 +859,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def loader_1x(name):
+        if name == "documents_plain":
+            name = "documents"
         return load_table(spark, SF_DIR, name)
 
     def loader_nx(name):
-        base = load_table(spark, SF_DIR, name)
+        # documents_plain: Nx documents WITHOUT the per-copy token salt
+        # — for pure scan-throughput shapes where the salting regexp
+        # (which exists to decorrelate DEDUP copies) would run inside
+        # the timed query and distort the ratio
+        plain = name == "documents_plain"
+        base = load_table(spark, SF_DIR, "documents" if plain else name)
         if name in ("nation", "region", "part"):
             # dims stay dim-sized; part is the interval side of the
             # binned range join — duplicating it would multiply the
@@ -869,6 +885,10 @@ def main() -> None:
                     shifted = shifted.withColumn(
                         col, F.col(col) + F.lit(i * 1_000_000_000)
                     )
+            if plain:
+                shifted = shifted.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000)
+                )
             if name == "documents":
                 # distinct ids + per-copy token salt: every token gets a
                 # copy suffix, so cross-copy Jaccard is 0 and per-copy

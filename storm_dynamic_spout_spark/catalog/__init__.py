@@ -41,13 +41,14 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 (eager=False — graph/pagerank/triangles, multimodal
 #:                 pair families, minhash-derived dedup/corpus
 #:                 composites) and the PQ dense-codebook fix.
-#:   slots 40-46 — queries ADDED this round (mergeable moments, BPE
+#:   slots 40-48 — queries ADDED this round (mergeable moments, BPE
 #:                 token counting, IVF-PQ, Kaplan-Meier, ViT patches,
-#:                 streaming moments, LPA communities): never-checked
-#:                 queries always enter the current window, displacing
-#:                 green-but-stale slots.
-#:   slots 47-50 — the round-3-stale cohort, oldest evidence first;
-#:                 the 35-query overhang sits immediately after slot 50
+#:                 streaming moments, LPA communities, forward as-of,
+#:                 token entropy): never-checked queries always enter
+#:                 the current window, displacing green-but-stale
+#:                 slots.
+#:   slots 49-50 — the round-3-stale cohort, oldest evidence first;
+#:                 the 37-query overhang sits immediately after slot 50
 #:                 so it leads round 9 (r4/r5 cohorts follow in r10+).
 _PRIORITY = [
     # --- slots 1-19: never driver-checked (late-r7 additions) ---
@@ -104,12 +105,14 @@ _PRIORITY = [
     "multimodal_image_patches",
     "stream_moments",
     "graph_lpa_communities",
-    # --- slots 47-50: round-3-stale cohort (oldest first) ---
+    "join_asof_forward",
+    "text_ngram_entropy",
+    # --- slots 49-50: round-3-stale cohort (oldest first) ---
     "orderby_limit",
     "scalar_array",
+    # --- slots 51+: r3-stale overhang (leads round 9) ---
     "scalar_conditional",
     "scalar_date",
-    # --- slots 51+: r3-stale overhang (leads round 9) ---
     "scalar_json",
     "scalar_json_schema",
     "scalar_math",

@@ -305,6 +305,59 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           min(o.o_orderdate) AS next_order_date
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event picks the nearest order at or
+    AFTER its timestamp — the "time-to-next-treatment" direction
+    (attribution lookahead, label leakage checks in training-data
+    assembly) that the backward join_asof cannot express.  Same
+    one-shuffle union + per-key ordered window pattern, mirrored: a
+    running MIN over [current row, unbounded following], with orders
+    sorting after events at equal timestamps so the bound stays
+    inclusive.  Still one exchange on the key, no row explosion."""
+    e = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit(None).cast("timestamp").alias("od"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("o_orderdate").alias("od"),
+    )
+    # events sort BEFORE orders at equal t (is_event desc) -> the
+    # forward window [current, following] includes the equal-t order
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", F.desc("is_event"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return (
+        e.unionByName(o)
+        .withColumn("next_order_date", F.min("od").over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", "ts", "next_order_date")
+    )
+
+
+@query(
     "join_stream_static",
     oracle="""
     SELECT c.c_mktsegment,

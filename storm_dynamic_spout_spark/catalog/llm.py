@@ -4331,3 +4331,74 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_pred=F.col("vec_id") < PQ_K,
         k=ANN_K,
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "text_ngram_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.x AS term FROM documents, UNNEST({_TOKS}) AS u(x)
+    ),
+    cnt AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, term
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c * CAST(round(ln(c) * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_c_lnc_1e4
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct, sum_c_lnc_1e4,
+           CAST(round((ln(n_tokens)
+                 - CAST(sum_c_lnc_1e4 AS DOUBLE) / n_tokens / 10000)
+                 * 1000000) AS BIGINT) AS entropy_1e6
+    FROM agg
+    ORDER BY doc_id
+    """,
+)
+def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution,
+    H = ln(n) − (1/n)·Σ c·ln(c) — the diversity/repetition quality
+    signal (boilerplate and degenerate repetition crater it; natural
+    prose sits near the Zipf-implied band).  Engine-stable by the
+    zipf convention: each ln(c) rounds to integer 1e-4 units FIRST,
+    the Σ c·ln(c) is an exact int64 sum, and the final combination is
+    three IEEE correctly-rounded ops on exact inputs plus one ln(n)
+    both engines agree on for integer n.
+
+    Why at 100 TB: two cascaded counting aggregates — (doc, term)
+    then doc — with map-side partial combine on both; no windows, no
+    joins, nothing keyed wider than a document's vocabulary."""
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(
+            F.col("c") * F.round(F.log("c") * 10000).cast("long")
+        )
+        .cast("long")
+        .alias("sum_c_lnc_1e4"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "sum_c_lnc_1e4",
+        F.round(
+            (
+                F.log(F.col("n_tokens"))
+                - F.col("sum_c_lnc_1e4").cast("double") / F.col("n_tokens") / 10000
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("entropy_1e6"),
+    ).orderBy("doc_id")

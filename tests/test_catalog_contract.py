@@ -112,9 +112,9 @@ def test_first_fifty_registrations_cover_the_stale():
     # the overhang sits immediately after slot 50 (leads round 9)
     r3_stale = {q for q, r in last_round.items() if r == 3}
     outside = r3_stale - first50
-    # 39 r3-stale minus the 4 window slots left after the 19
-    # never-checked + staleness/edit re-checks + 7 round-8 additions
-    assert len(outside) <= 35, (
+    # 39 r3-stale minus the 2 window slots left after the 19
+    # never-checked + staleness/edit re-checks + 9 round-8 additions
+    assert len(outside) <= 37, (
         f"round-3-stale queries too far outside window: {sorted(outside)}"
     )
     assert outside <= set(order[50 : 50 + len(outside)]), (
