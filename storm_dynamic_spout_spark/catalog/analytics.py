@@ -2553,9 +2553,14 @@ def _lpa_oracle() -> str:
       WHERE (a.ux - b.ux) * (a.ux - b.ux)
           + (a.uy - b.uy) * (a.uy - b.uy) <= {_TRI_RADIUS * _TRI_RADIUS}
     ),
-    sym AS (
+    base AS (
       SELECT a AS u, b AS v FROM edges
       UNION ALL SELECT b AS u, a AS v FROM edges
+    ),
+    -- self-preference: each node's own label votes (see lpa_labels)
+    sym AS (
+      SELECT u, v FROM base
+      UNION ALL SELECT DISTINCT u, u AS v FROM base
     ),
     l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),{",".join(rounds)}
     SELECT node AS id, CAST(lbl AS BIGINT) AS community
@@ -2590,31 +2595,12 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spatial_coord("x").alias("ux"),
         _spatial_coord("y").alias("uy"),
     )
+    from storm_dynamic_spout_spark.operators.graph import lpa_labels
+
     edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
-    # referenced once per round on the join side: materialize the
-    # spatial join once, lazily (the pagerank norm/base pattern)
-    sym = (
-        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint(eager=False)
-    )
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    for _ in range(_LPA_ROUNDS):
-        nb = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .groupBy("u", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        w = Window.partitionBy("u").orderBy(F.desc("c"), "lbl")
-        labels = (
-            nb.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(F.col("u").alias("node"), "lbl")
-        )
+    labels = lpa_labels(edges, "a", "b", rounds=_LPA_ROUNDS)
     return labels.select(
         F.col("node").alias("id"), F.col("lbl").cast("long").alias("community")
     ).orderBy("id")

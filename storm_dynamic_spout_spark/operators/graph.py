@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def pagerank(
@@ -87,3 +88,45 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def lpa_labels(
+    edges: DataFrame, src: str = "a", dst: str = "b", rounds: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    min-label tie-break, fixed ``rounds``: every node adopts the most
+    frequent label among its neighbors each round; labels start as
+    node ids.  Returns ``(node, lbl)``.
+
+    Each node's OWN current label votes alongside its neighbors'
+    (self-preference) — plain synchronous LPA oscillates on bipartite
+    structures (an isolated edge swaps labels every round, so a fixed
+    odd round count strands the pair in different communities; pinned
+    by the trivial-graph test), and the self-vote is the standard
+    deterministic damping.  Implemented as a self-loop per node, so
+    the loop body stays one equi-join + mode.
+
+    The symmetric edge list is lazily checkpointed: it is re-joined
+    every round, and the checkpoint also severs the lineage between
+    ``labels`` (derived from it) and the join's other side."""
+    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    loops = base.select("u").distinct().select("u", F.col("u").alias("v"))
+    sym = base.unionAll(loops).localCheckpoint(eager=False)
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        nb = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = W.partitionBy("u").orderBy(F.desc("c"), "lbl")
+        labels = (
+            nb.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("u").alias("node"), "lbl")
+        )
+    return labels

@@ -200,3 +200,59 @@ def test_survival_km_matches_pure_python_reference(spark):
     assert risks == sorted(risks, reverse=True)
     logs = [r["km_log_1e6"] for r in rows if r["km_log_1e6"] is not None]
     assert logs == sorted(logs, reverse=True)
+
+
+# -- degenerate inputs: empty frames must flow through, never crash ---------
+
+
+def test_round8_operators_on_empty_inputs(spark):
+    import numpy as np
+
+    from storm_dynamic_spout_spark.operators.multimodal import patch_sums
+    from storm_dynamic_spout_spark.operators.similarity import (
+        pq_assign,
+        pq_topk_adc,
+        pq_topk_ivf_adc,
+    )
+
+    # PQ on an empty corpus: empty codebook + empty codes, no NPE
+    empty_vec = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    assert pq_assign(empty_vec, "vec_id", "embedding", dim=8, m=4, k=8).count() == 0
+    assert (
+        pq_topk_adc(
+            empty_vec, "vec_id", "embedding", dim=8,
+            query_pred=F.col("vec_id") < 8, k=3, m=4, kc=8,
+        ).count()
+        == 0
+    )
+    assert (
+        pq_topk_ivf_adc(
+            empty_vec, "vec_id", "embedding", "label", dim=8,
+            query_pred=F.col("vec_id") < 8, k=3, m=4, kc=8,
+        ).count()
+        == 0
+    )
+    # patch grid smaller than one tile -> zero rows, not an error
+    assert patch_sums(np.zeros((3, 3), dtype=np.uint8), 4).size == 0
+
+
+def test_lpa_trivial_graphs(spark):
+    """LPA endpoints through the SHARED operator (the catalog query
+    uses the same code): a clique converges to its min label; two
+    disjoint edges keep two communities.  Also the regression pin for
+    the ambiguous self-join the operator's internal checkpoint severs
+    — an unchecked sym/labels lineage misresolves round-2 joins."""
+    from storm_dynamic_spout_spark.operators.graph import lpa_labels
+
+    def lpa(edge_rows):
+        edges = spark.createDataFrame(edge_rows, "a long, b long")
+        return {
+            r["node"]: r["lbl"] for r in lpa_labels(edges, "a", "b", 3).collect()
+        }
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    assert set(lpa(clique).values()) == {1}
+    two = lpa([(1, 2), (10, 11)])
+    assert two[1] == two[2] and two[10] == two[11] and two[1] != two[10]
