@@ -256,3 +256,45 @@ def test_lpa_trivial_graphs(spark):
     assert set(lpa(clique).values()) == {1}
     two = lpa([(1, 2), (10, 11)])
     assert two[1] == two[2] and two[10] == two[11] and two[1] != two[10]
+
+
+# -- composed pipeline (examples/training_pipeline_demo.py) ------------------
+
+
+def test_training_pipeline_composes_and_filters_monotonically(spark):
+    """The end-to-end demo pipeline (exact dedup -> near-dup CC ->
+    quality gate -> packing -> manifest) must compose library operators
+    into consistent outputs: counts shrink monotonically, every kept
+    doc survives dedup, packing offsets are contiguous per stream, and
+    the manifest order is a permutation of the kept set."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "training_pipeline_demo",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "training_pipeline_demo.py"
+        ),
+    )
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    deduped, kept, packed, manifest = demo.build_pipeline(spark, SF)
+    n_in = spark.read.parquet(f"{SF}/documents.parquet").count()
+    n_dedup, n_kept = deduped.count(), kept.count()
+    assert n_in >= n_dedup >= n_kept > 0
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    dedup_ids = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    assert kept_ids <= dedup_ids
+    # packing: per stream, offsets are the prefix sums of token counts
+    rows = packed.orderBy("lang", "doc_id").collect()
+    by_stream: dict[str, int] = {}
+    for r in rows:
+        assert r["start_offset"] == by_stream.get(r["lang"], 0)
+        by_stream[r["lang"]] = r["start_offset"] + r["n_tokens"]
+        assert r["n_seqs"] >= 1
+    assert {r["doc_id"] for r in rows} == kept_ids
+    man = manifest.collect()
+    assert {r["doc_id"] for r in man} == kept_ids
+    keys = [r["shuffle_key"] for r in man]
+    assert keys == sorted(keys)
