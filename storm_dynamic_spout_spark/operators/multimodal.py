@@ -1158,6 +1158,7 @@ def phash_near_pairs(
     # hashed comes out of the Python decode stage and feeds BOTH join
     # sides — materialize it once so the decoders run once, not per
     # alias (the containment_pairs grams rationale)
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
     keyed = hashed.localCheckpoint(eager=False).select(
         F.col(id_col), hash_col, F.explode(bands).alias("__band")
     )

@@ -518,6 +518,7 @@ def pq_topk_adc(
     # only subtree the r8 re-index made two stages deep — scan ->
     # single-partition row_number — so computing it twice doubles
     # that latency for zero information)
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
     cent = _dense_codebook(v, id_col, kc).localCheckpoint(eager=False)
     codes = pq_assign(df, id_col, vec_col, dim, m, kc, codebook=cent)
     q = v.filter(query_pred).select(
@@ -589,6 +590,7 @@ def pq_topk_ivf_adc(
     )
     cent = _dense_codebook(
         v.select(F.col(id_col), F.col("__v")), id_col, kc
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
     ).localCheckpoint(eager=False)
     codes = pq_assign(
         df.withColumn("__bkt", F.col(bucket_col)),
