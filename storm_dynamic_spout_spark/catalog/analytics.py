@@ -1895,53 +1895,71 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy hitters: the event stream arrives in two
     micro-batches (even event_ids, then odd); each batch contributes
     per-partition Misra-Gries summaries (operators/sketch.py) that
-    fold into ONE k-counter driver-held summary via the mergeable-MG
-    merge (sum counters, subtract the (k+1)-st largest — Agarwal et
-    al. 2012), so candidate recall survives arbitrary merge trees.  A
-    final exact verify pass counts only candidate-matching rows and
-    filters on the true n/(k+1) threshold.  The ORACLE is the
-    brute-force GROUP BY HAVING over the whole history, so it checks
-    the cross-batch completeness of the merged sketch AND the verify
-    pass.
+    fold into ONE ≤k-counter state RELATION via the mergeable-MG merge
+    (sum counters, subtract the (k+1)-st largest — Agarwal et al.
+    2012), so candidate recall survives arbitrary merge trees.  The
+    fold is fully relational (r8 verdict item 2): per batch a groupBy
+    sums the partition summaries and ``mg_truncate`` cuts the merged
+    state back to ≤k rows, so NOTHING partition-scaled ever reaches
+    the driver — no ``.collect()``, no driver-held dict.  A final
+    exact verify pass counts only candidate-matching rows and filters
+    on the true n/(k+1) threshold.  The ORACLE is the brute-force
+    GROUP BY HAVING over the whole history, so it checks the
+    cross-batch completeness of the merged sketch AND the verify pass.
 
     Why at 100 TB: per batch, only ≤(k+1)·partitions summary rows
     leave the executors (the raw stream never shuffles), the
-    cross-batch state is k counters regardless of history length —
-    the same O(k) bound transformWithState would hold per key group —
-    and the verify pass semi-joins a broadcast candidate set before
-    its aggregate, shuffling ≤k distinct keys."""
+    cross-batch state is a ≤k-row relation regardless of history
+    length — the same O(k) bound transformWithState would hold per key
+    group — and the verify pass semi-joins a broadcast candidate set
+    before its aggregate, shuffling ≤k distinct keys."""
     from storm_dynamic_spout_spark.operators.sketch import (
-        merge_summaries,
+        mg_truncate,
         partition_mg_summaries,
     )
 
     e = t(spark, sf_dir, "events").select("event_id", "user_id")
-    state: dict = {}
-    n_total = 0
+    state = None  # ≤k-row (user_id, est) relation after each fold
+    batch_totals = []
     for parity in (0, 1):
         batch = e.filter(F.col("event_id") % 2 == parity).select("user_id")
-        combined: dict = {}
-        for row in partition_mg_summaries(batch, "user_id", _SHH_K).collect():
-            if row["user_id"] is None:
-                n_total += row["part_rows"]
-            else:
-                combined[row["user_id"]] = (
-                    combined.get(row["user_id"], 0) + row["est"]
-                )
-        state = merge_summaries(state, combined, _SHH_K)
-    cands = spark.createDataFrame(
-        [(int(c),) for c in sorted(state)], "user_id long"
+        # two consumers below (counters + totals) — checkpoint so the
+        # Arrow sketch pass runs once per batch, not per consumer
+        # lazy checkpoint: subtree must be deterministic (see
+        # operators/dedup.py DETERMINISM note) — parquet scan + filter
+        summ = partition_mg_summaries(batch, "user_id", _SHH_K).localCheckpoint(
+            eager=False
+        )
+        batch_totals.append(
+            summ.filter(F.col("user_id").isNull()).agg(
+                F.coalesce(F.sum("part_rows"), F.lit(0)).alias("n")
+            )
+        )
+        counters = (
+            summ.filter(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(F.sum("est").alias("est"))
+        )
+        merged = (
+            counters
+            if state is None
+            else state.unionAll(counters)
+            .groupBy("user_id")
+            .agg(F.sum("est").alias("est"))
+        )
+        state = mg_truncate(merged, "user_id", _SHH_K)
+    n_total = (
+        batch_totals[0]
+        .unionAll(batch_totals[1])
+        .agg(F.sum("n").cast("long").alias("n_total"))
     )
     return (
-        e.join(F.broadcast(cands), "user_id")
+        e.join(F.broadcast(state.select("user_id")), "user_id")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .filter(F.col("n_occurrences") * (_SHH_K + 1) > F.lit(n_total))
-        .select(
-            "user_id",
-            "n_occurrences",
-            F.lit(n_total).cast("long").alias("n_total"),
-        )
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("n_occurrences") * (_SHH_K + 1) > F.col("n_total"))
+        .select("user_id", "n_occurrences", "n_total")
         .orderBy(F.desc("n_occurrences"), "user_id")
     )
 

@@ -144,6 +144,35 @@ def merge_summaries(a: dict, b: dict, k: int) -> dict:
     return merged
 
 
+def mg_truncate(counters: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Relational Misra-Gries merge truncation: reduce a summed
+    counter relation ``(key_col, est)`` to ≤ k counters by subtracting
+    the (k+1)-st largest estimate and keeping the positives — the
+    exact relational mirror of ``merge_summaries``'s dict fold, so the
+    Agarwal et al. 2012 mergeability bound carries over unchanged.
+
+    The cut lookup is a TakeOrdered over the counter relation (k+1
+    rows via per-partition heaps — never a global sort or a
+    single-partition window) aggregated to ONE row and broadcast back,
+    so the fold is fully distributed: no driver-side dict, no
+    ``.collect()``, state bounded at k rows regardless of how many
+    partition summaries merged into ``counters``."""
+    cut = (
+        counters.orderBy(F.desc("est"))
+        .limit(k + 1)
+        .agg(
+            F.when(F.count(F.lit(1)) == k + 1, F.min("est"))
+            .otherwise(F.lit(0))
+            .alias("__cut")
+        )
+    )
+    return (
+        counters.crossJoin(F.broadcast(cut))
+        .select(key_col, (F.col("est") - F.col("__cut")).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+
+
 def _h60(col, seed: str = ""):
     """60-bit md5-derived hash as BIGINT — identical to the DuckDB
     expression CAST(('0x' || substr(md5(<seed:>x), 1, 15)) AS BIGINT),

@@ -427,3 +427,31 @@ def test_skew_report_is_partial_aggregates_only(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "partial" in plan.lower()
+
+
+def test_catalog_source_has_no_driver_collects():
+    """Catalog builders must stay lazy end to end (r8 verdict item 2
+    closed the last exception — stream_heavy_hitters' driver-side MG
+    merge is now the relational mg_truncate fold).  Any
+    ``.collect()`` / ``.toPandas()`` over partition-scaled data in
+    catalog source would silently turn an operator non-distributed, so
+    the class is pinned extinct at the source level (collect_set /
+    collect_list are Spark aggregates, not driver collects, and don't
+    match)."""
+    import pathlib
+    import re
+
+    cat = pathlib.Path(__file__).resolve().parent.parent / (
+        "storm_dynamic_spout_spark/catalog"
+    )
+    offenders = []
+    for py in sorted(cat.glob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            # require a receiver before the dot so prose mentions in
+            # docstrings (``.collect()``) don't trip the guard
+            if re.search(r"[\w)\]]\.collect\(\)|[\w)\]]\.toPandas\(\)", code):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, "driver-side collects in catalog code:\n" + "\n".join(
+        offenders
+    )
