@@ -293,6 +293,51 @@ def cosine_topk_ivf_nprobe(
     )
 
 
+def ivf_assign_labels(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """IVF coarse train + assign in one operator: centroids are the
+    per-``label_col`` mean vectors (one k-means update step seeded by
+    the given labels) and every vector is re-assigned to its
+    argmax-cosine centroid — ``(id_col, assigned)``.  The assignment
+    convention (raw double cosine, ties to the smallest label) is the
+    SAME one ``ann_ivf_assign`` oracle-proves, so composing this with
+    a bucket-restricted search yields the full trained-IVF shape
+    (train → assign → scan) without a new comparison convention.
+
+    Why at 100 TB: the codebook is |labels|×dim (broadcast twice: once
+    exploded for the update, once as arrays for the assign); the n×k
+    candidate fan-out collapses back to one row per vector by map-side
+    ``min_by`` partial aggregation BEFORE its exchange, so the corpus
+    vectors themselves never shuffle — the pq_assign pattern."""
+    v = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v"), F.col(label_col)
+    )
+    comp = v.select(label_col, F.posexplode("__v").alias("pos", "val"))
+    cvec = (
+        comp.groupBy(label_col, "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("__pc"))
+        .select(
+            F.col(label_col).alias("__clabel"),
+            F.transform(F.col("__pc"), lambda s: s.getField("c")).alias("__cv"),
+        )
+    )
+    cos = dot(F.col("__v"), F.col("__cv")) / (
+        F.sqrt(dot(F.col("__v"), F.col("__v")))
+        * F.sqrt(dot(F.col("__cv"), F.col("__cv")))
+    )
+    scored = v.crossJoin(F.broadcast(cvec)).select(
+        F.col(id_col), F.col("__clabel"), cos.alias("__cos")
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by(
+            "__clabel", F.struct(-F.col("__cos"), F.col("__clabel").cast("long"))
+        ).alias("assigned")
+    )
+
+
 # --- signed-random-projection (random-hyperplane) LSH ------------------
 
 SRP_SEED = 42
