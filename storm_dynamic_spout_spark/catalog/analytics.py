@@ -1772,6 +1772,182 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adamic_adar_oracle() -> str:
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord_sql
+
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_spatial_coord_sql('x')} AS ux,
+             {_spatial_coord_sql('y')} AS uy
+      FROM customer
+    ),
+    edges AS (
+      SELECT a.id AS a, b.id AS b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE (a.ux - b.ux) * (a.ux - b.ux)
+          + (a.uy - b.uy) * (a.uy - b.uy) <= {_TRI_RADIUS * _TRI_RADIUS}
+    ),
+    sym AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b AS u, a AS v FROM edges
+    ),
+    deg AS (SELECT u AS z, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    wedge AS (
+      SELECT s1.u AS a, s2.u AS c, s1.v AS z
+      FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.a = s1.u AND e.b = s2.u
+      )
+    ),
+    aa AS (
+      SELECT a, c, CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(CAST(round(1000000.0 / ln(d)) AS BIGINT)) AS BIGINT)
+               AS aa_score_1e6
+      FROM wedge JOIN deg USING (z)
+      GROUP BY a, c
+    )
+    SELECT a AS id_a, c AS id_b, common_neighbors, aa_score_1e6 FROM (
+      SELECT aa.*, row_number() OVER (
+        ORDER BY aa_score_1e6 DESC, a, c
+      ) AS rn FROM aa
+    ) WHERE rn <= {_CN_TOP}
+    ORDER BY aa_score_1e6 DESC, id_a, id_b
+    """
+
+
+@query("graph_adamic_adar", oracle=_adamic_adar_oracle())
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the spatial proximity graph:
+    each shared neighbor z of a non-adjacent pair contributes
+    1/ln(deg(z)) — rare mutual friends count more than hubs (Adamic &
+    Adar 2003).  Same wedge plan as graph_common_neighbors with the
+    middle node KEPT through the wedge join so its degree weight can
+    attach by one more equi-join.  Engine-stable: each term is rounded
+    to integer 1e-6 units FIRST (a middle node always has degree ≥ 2,
+    so ln > 0) and the pair score is an exact int64 sum; ranking is on
+    (integer score, pair ids).
+
+    Why at 100 TB: two equi-joins (wedge close on the middle, degree
+    attach on the middle) + a broadcast-able LEFT ANTI edge rejection +
+    TakeOrderedAndProject top-k — no global sort, no float near-ties;
+    low-degree wedge orientation bounds fan-out exactly as in the
+    common-neighbors plan."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    # referenced by both wedge sides, the degree table and the
+    # anti-join — checkpoint once (the graph_common_neighbors rationale)
+    # lazy checkpoint: subtree must be deterministic (see
+    # operators/dedup.py DETERMINISM note)
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).localCheckpoint(eager=False)
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    s1 = sym.alias("s1")
+    s2 = sym.alias("s2")
+    wedges = s1.join(
+        s2,
+        (F.col("s1.v") == F.col("s2.v")) & (F.col("s1.u") < F.col("s2.u")),
+    ).select(
+        F.col("s1.u").alias("id_a"),
+        F.col("s2.u").alias("id_b"),
+        F.col("s1.v").alias("z"),
+    )
+    aa = (
+        wedges.join(
+            edges,
+            (F.col("id_a") == F.col("a")) & (F.col("id_b") == F.col("b")),
+            "left_anti",
+        )
+        .join(deg, "z")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.round(F.lit(1000000.0) / F.log("d")).cast("long"))
+            .cast("long")
+            .alias("aa_score_1e6"),
+        )
+    )
+    return (
+        aa.orderBy(F.desc("aa_score_1e6"), "id_a", "id_b")
+        .limit(_CN_TOP)
+        .select("id_a", "id_b", "common_neighbors", "aa_score_1e6")
+    )
+
+
+def _spatial_cc_oracle() -> str:
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord_sql
+
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS id,
+             {_spatial_coord_sql('x')} AS ux,
+             {_spatial_coord_sql('y')} AS uy
+      FROM customer
+    ),
+    e0 AS (
+      SELECT a.id AS a, b.id AS b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE (a.ux - b.ux) * (a.ux - b.ux)
+          + (a.uy - b.uy) * (a.uy - b.uy) <= {_TRI_RADIUS * _TRI_RADIUS}
+    ),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT p.id, COALESCE(comp.cluster_id, p.id) AS cluster_id
+    FROM pts p LEFT JOIN comp USING (id)
+    ORDER BY p.id
+    """
+
+
+@query("graph_connected_components", oracle=_spatial_cc_oracle())
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the spatial proximity graph via the
+    alternating large-star/small-star contraction (Kiveris et al.,
+    MapReduce CC) — ``method="star"``, the O(log n)-round 100 TB path
+    of operators/dedup.py connected_components.  This gives the star
+    contraction its own DRIVER oracle row (a recursive-CTE transitive
+    closure): until now only the label-propagation method was
+    oracle-checked (dedup_cluster_assignment); the two methods'
+    fixpoint equivalence was property-tested but never
+    engine-compared.  Every node is labeled with the minimum reachable
+    id; isolated nodes keep their own id.
+
+    Why at 100 TB: each star round is two equi-join + min-aggregate
+    passes whose state is one row per EDGE (never paths), and the
+    round count is O(log n) regardless of component diameter — the
+    right choice when duplicate chains / contact graphs are deep,
+    where label propagation needs diameter rounds."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.dedup import connected_components
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS)
+    return connected_components(
+        edges, pts, "id", method="star"
+    ).orderBy("id")
+
+
 #: k-core parameters: minimum in-core degree and fixed peel rounds.
 _KCORE_K = 3
 _KCORE_ROUNDS = 4

@@ -358,6 +358,115 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH prev AS (
+      SELECT e.event_id, max(o.o_orderdate) AS prev_od
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      GROUP BY e.event_id
+    ),
+    nxt AS (
+      SELECT e.event_id, min(o.o_orderdate) AS next_od
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      GROUP BY e.event_id
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           CASE
+             WHEN prev_od IS NULL THEN next_od
+             WHEN next_od IS NULL THEN prev_od
+             WHEN (e.ts - prev_od) <= (next_od - e.ts) THEN prev_od
+             ELSE next_od
+           END AS nearest_order_date,
+           CASE
+             WHEN prev_od IS NULL AND next_od IS NULL THEN NULL
+             WHEN prev_od IS NULL THEN 'forward'
+             WHEN next_od IS NULL THEN 'backward'
+             WHEN (e.ts - prev_od) <= (next_od - e.ts) THEN 'backward'
+             ELSE 'forward'
+           END AS direction
+    FROM events e
+    JOIN prev USING (event_id) JOIN nxt USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each event picks whichever order is closer
+    in time — backward or forward — with ties going backward (the
+    pandas ``merge_asof(direction='nearest')`` semantics), completing
+    the as-of family (backward ``join_asof``, forward
+    ``join_asof_forward``).  Both directional candidates come from the
+    SAME unioned relation: the running-max-backward and
+    running-min-forward windows share the per-key hash partitioning,
+    so the whole query is still ONE exchange on the key (the second
+    window re-sorts within partitions, no second shuffle) and no
+    row-explosion — the naive form is two range joins.  The tie and
+    NULL arbitration compares integer epoch differences, not floats.
+
+    Why at 100 TB: identical shape to join_asof — union + windows
+    scale with per-key history, never with the cross product; skewed
+    keys split by AQE."""
+    e = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit(None).cast("timestamp").alias("od"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("o_orderdate").alias("od"),
+    )
+    # backward: orders sort before events at equal t (inclusive bound);
+    # forward: events sort before orders at equal t (inclusive bound)
+    wb = (
+        W.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("k")
+        .orderBy("t", F.desc("is_event"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    prev_od, next_od = F.col("__prev"), F.col("__next")
+    back_closer = F.unix_micros(F.col("ts")) - F.unix_micros(prev_od) <= (
+        F.unix_micros(next_od) - F.unix_micros(F.col("ts"))
+    )
+    return (
+        e.unionByName(o)
+        .withColumn("__prev", F.max("od").over(wb))
+        .withColumn("__next", F.min("od").over(wf))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(prev_od.isNull(), next_od)
+            .when(next_od.isNull(), prev_od)
+            .when(back_closer, prev_od)
+            .otherwise(next_od)
+            .alias("nearest_order_date"),
+            F.when(prev_od.isNull() & next_od.isNull(), F.lit(None).cast("string"))
+            .when(prev_od.isNull(), F.lit("forward"))
+            .when(next_od.isNull(), F.lit("backward"))
+            .when(back_closer, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+        )
+    )
+
+
+@query(
     "join_stream_static",
     oracle="""
     SELECT c.c_mktsegment,
