@@ -4266,6 +4266,94 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Feature-hashing width: tokens hash into this many signed buckets.
+HASHING_TRICK_B = 64
+
+
+@query(
+    "text_hashing_trick",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.x AS term FROM documents, UNNEST({_TOKS}) AS u(x)
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)
+               % {HASHING_TRICK_B} AS bucket,
+             CAST(sum(1 - 2 * (CAST(('0x' || substr(md5(term), 16, 1)) AS BIGINT)
+                               % 2)) AS BIGINT) AS wgt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY doc_id, bucket
+    ),
+    ranked AS (
+      SELECT doc_id, bucket, wgt, n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY abs(wgt) DESC, bucket) AS rn
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE wgt <> 0) AS BIGINT) AS n_active_buckets,
+           CAST(sum(wgt * wgt) AS BIGINT) AS l2sq,
+           CAST(max(CASE WHEN rn = 1 THEN bucket END) AS BIGINT) AS top_bucket,
+           CAST(max(CASE WHEN rn = 1 THEN wgt END) AS BIGINT) AS top_weight
+    FROM ranked GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009
+    ICML): every token hashes into one of HASHING_TRICK_B (64) signed
+    buckets — bucket from the md5-60bit token hash, sign from the
+    parity of md5 hex digit 16 — giving each document a fixed-width
+    sparse feature vector with NO vocabulary pass (the property that
+    makes it the standard text featurizer at corpus scale).  Reported
+    per document as exact integer summaries (token count, active
+    buckets, squared L2 of the signed vector, argmax-|weight| bucket
+    with ties to the smallest bucket), so the whole query is
+    engine-portable integer math.
+
+    Why at 100 TB: two cascaded counting aggregates — (doc, bucket)
+    then doc — both map-side combinable; the argmax is a min_by
+    partial aggregate, not a window; no joins, no vocabulary
+    broadcast, nothing wider than the bucket width per doc."""
+    from storm_dynamic_spout_spark.operators.text import token_hash
+
+    d = t(spark, sf_dir, "documents")
+    term = F.col("term")
+    sign = F.lit(1) - F.lit(2) * (
+        F.conv(F.substring(F.md5(term.cast("binary")), 16, 1), 16, 10).cast("long")
+        % 2
+    )
+    w = (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+        .select(
+            "doc_id",
+            (token_hash(term) % HASHING_TRICK_B).alias("bucket"),
+            sign.alias("__s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("__s").cast("long").alias("wgt"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    pick = F.struct(-F.abs(F.col("wgt")), F.col("bucket"))
+    return (
+        w.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("wgt") != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_active_buckets"),
+            F.sum(F.col("wgt") * F.col("wgt")).cast("long").alias("l2sq"),
+            F.min_by("bucket", pick).cast("long").alias("top_bucket"),
+            F.min_by("wgt", pick).cast("long").alias("top_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _pq_ivf_adc_oracle_sql(
     lbl_cte: str = "SELECT vec_id, label FROM embeddings",
 ) -> str:

@@ -319,6 +319,81 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Stride for the fixed-rate sampler: every 3rd frame of the 10 fps
+#: fixture clips = one frame every 300 ms of stream time.
+FRAME_STRIDE = 3
+_VID_USEC_PER_FRAME = 100_000  # make_mjpeg_avi default fps=10
+
+
+def _video_stride_oracle_values() -> str:
+    rows = []
+    for d in range(N_VIDEOS):
+        seed, n_frames = _video_params(d)
+        for fi in range(0, n_frames, FRAME_STRIDE):
+            sha = hashlib.sha256(_video_frame_jpeg(seed, fi)).hexdigest()
+            rows.append(
+                f"({d}, {fi}, {fi * _VID_USEC_PER_FRAME}, "
+                f"{_VID_W}, {_VID_H}, '{sha}')"
+            )
+    return ",\n      ".join(rows)
+
+
+@query(
+    "multimodal_video_frame_sample",
+    oracle=f"""
+    SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+           CAST(v.frame_index AS BIGINT) AS frame_index,
+           CAST(v.ts_micros AS BIGINT) AS ts_micros,
+           CAST(v.width AS BIGINT) AS width,
+           CAST(v.height AS BIGINT) AS height,
+           v.frame_sha AS frame_sha
+    FROM (VALUES
+      {_video_stride_oracle_values()}
+    ) AS v(doc_id, frame_index, ts_micros, width, height, frame_sha)
+    JOIN documents d ON v.doc_id = d.doc_id
+    """,
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-RATE frame sampling under the correctness gate
+    (operators/multimodal.py frame_sample_stride): every 3rd frame of
+    each MJPEG/AVI fixture clip, stamped with the container clock
+    (frame_index × usec_per_frame from the avih header) — the
+    transcript-alignment sampler, vs multimodal_video_stats' fixed-
+    COUNT picks.  The oracle rebuilds each expected frame's JPEG bytes
+    from the keystream + encoder and the timestamps from the known
+    fixture fps, independent of the container writer AND parser — a
+    mis-read header clock, wrong stride arithmetic, or mis-walked
+    chunk reds the row; decoded width/height prove each pick actually
+    decoded.  1:N mapInPandas explosion on a 6-row input — the
+    declared Arrow surface."""
+    from storm_dynamic_spout_spark.operators.multimodal import (
+        frame_sample_stride,
+        make_mjpeg_avi,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < N_VIDEOS)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids: pd.Series) -> pd.Series:
+        def make(i):
+            seed, n_frames = _video_params(int(i))
+            return make_mjpeg_avi(seed, _VID_W, _VID_H, n_frames)
+
+        return ids.map(make)
+
+    return frame_sample_stride(
+        d.select("doc_id").withColumn("content", _payload("doc_id")),
+        stride=FRAME_STRIDE,
+    ).select(
+        "doc_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("ts_micros").cast("long").alias("ts_micros"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "frame_sha",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash near-dup image pairs: 24 base PNGs + 12 brightness-
 # shifted LOSSLESS-JPEG variants (cross-codec dedup: same content, a

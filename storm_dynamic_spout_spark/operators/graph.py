@@ -93,12 +93,28 @@ def pagerank(
 
 
 def lpa_labels(
-    edges: DataFrame, src: str = "a", dst: str = "b", rounds: int = 3
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    rounds: int = 3,
+    converge: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) with a
-    min-label tie-break, fixed ``rounds``: every node adopts the most
-    frequent label among its neighbors each round; labels start as
-    node ids.  Returns ``(node, lbl)``.
+    min-label tie-break: every node adopts the most frequent label
+    among its neighbors each round; labels start as node ids.  Returns
+    ``(node, lbl)``.
+
+    ``converge=False`` (default): exactly ``rounds`` rounds — fully
+    lazy, deterministic plan, the catalog/oracle form.
+    ``converge=True``: converge-OR-max-rounds — stop as soon as a
+    round changes no label (one extra count aggregate per round, each
+    round materialized via local checkpoint), up to ``rounds`` as the
+    cap.  The production form: community structure on real graphs
+    usually stabilizes in a handful of rounds, and the stable-label
+    count is the natural progress metric to log.  Both modes agree
+    whenever the fixed round count reaches the fixpoint (pinned by
+    tests/test_round9_ops.py, including the bipartite oscillation
+    case, which the self-vote damps in BOTH modes).
 
     Each node's OWN current label votes alongside its neighbors'
     (self-preference) — plain synchronous LPA oscillates on bipartite
@@ -127,9 +143,24 @@ def lpa_labels(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         w = W.partitionBy("u").orderBy(F.desc("c"), "lbl")
-        labels = (
+        new = (
             nb.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(F.col("u").alias("node"), "lbl")
         )
+        if converge:
+            # lazy checkpoint: subtree must be deterministic (see
+            # operators/dedup.py DETERMINISM note); the count action
+            # below materializes it, truncating per-round lineage
+            new = new.localCheckpoint(eager=False)
+            changed = (
+                new.join(labels.withColumnRenamed("lbl", "__prev"), "node")
+                .filter(F.col("lbl") != F.col("__prev"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        else:
+            labels = new
     return labels

@@ -1036,6 +1036,65 @@ def frame_sample_real(df: DataFrame, n_frames: int, id_col: str = "doc_id") -> D
     return df.select(id_col, "content").mapInPandas(_sample, REAL_FRAME_SCHEMA)
 
 
+STRIDE_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("ts_micros", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def frame_sample_stride(
+    df: DataFrame, stride: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixed-RATE video frame sampling: every ``stride``-th frame
+    (indexes 0, stride, 2·stride, …) stamped with the container's own
+    clock — ``ts_micros = frame_index × usec_per_frame`` from the avih
+    header — the "1 fps from a 30 fps clip" op a multimodal training
+    pipeline runs to align frames with transcripts.  Complements
+    :func:`frame_sample_real` (fixed COUNT, evenly spaced): stride
+    sampling preserves the temporal density contract as clip length
+    varies, count sampling preserves the per-clip budget.  Each pick
+    is decoded (native baseline JPEG) so width/height prove the frame
+    decoded; the sha fingerprints the payload for downstream frame
+    dedup.  Same 1:N mapInPandas explosion shape as the samplers
+    above — at scale the explosion factor drives partition sizing."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from storm_dynamic_spout_spark.operators.jpeg import decode_baseline_jpeg
+
+        for pdf in batches:
+            ids, idxs, tss, ws, hs, shas = [], [], [], [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf["content"]):
+                buf = bytes(content)
+                meta, frames = parse_mjpeg_avi(buf)
+                upf = int(meta.get("usec_per_frame", 0))
+                for fi in range(0, len(frames), stride):
+                    arr = decode_baseline_jpeg(frames[fi])
+                    ids.append(int(doc_id))
+                    idxs.append(int(fi))
+                    tss.append(int(fi) * upf)
+                    hs.append(int(arr.shape[0]))
+                    ws.append(int(arr.shape[1]))
+                    shas.append(hashlib.sha256(frames[fi]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_index": idxs,
+                    "ts_micros": tss,
+                    "width": ws,
+                    "height": hs,
+                    "frame_sha": shas,
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(_sample, STRIDE_FRAME_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual hash (pHash) + banded hamming near-dup join
 # ---------------------------------------------------------------------------
