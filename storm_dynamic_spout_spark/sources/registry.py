@@ -21,6 +21,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+#: Reference consumer defaults (``kafka/KafkaConsumerConfig.java:
+#: 112-170``) and their disposition against the Spark Kafka source:
+#: ``passthrough`` defaults are emitted by :func:`kafka_options` as
+#: ``kafka.``-prefixed consumer properties (overridable via
+#: ``consumer_overrides``); ``structural`` settings are things the
+#: Spark source enforces by design and REFUSES as raw properties —
+#: the source never auto-commits (progress lives in the streaming
+#: checkpoint, the reference's persistence-adapter role) and offset
+#: positioning is expressed via ``startingOffsets`` +
+#: ``failOnDataLoss`` instead of ``auto.offset.reset``.
+REFERENCE_CONSUMER_DEFAULTS: dict[str, tuple[str, str]] = {
+    "max.poll.records": ("2147483647", "passthrough"),
+    "receive.buffer.bytes": ("262144", "passthrough"),
+    "enable.auto.commit": ("false", "structural"),
+    "auto.offset.reset": ("none", "structural"),
+}
+
+#: Consumer properties the Spark Kafka source manages itself and
+#: rejects as options; each maps to the Spark-native way to say it.
+_SPARK_MANAGED_CONSUMER_KEYS: dict[str, str] = {
+    "enable.auto.commit": (
+        "the Spark source never auto-commits; offsets are tracked in the "
+        "streaming checkpoint (equivalent to the reference's forced "
+        "enable.auto.commit=false)"
+    ),
+    "auto.offset.reset": (
+        "use starting_offsets= (earliest/latest/per-partition dict) and "
+        "fail_on_data_loss= instead (equivalent to the reference's "
+        "auto.offset.reset=none + explicit seek)"
+    ),
+    "key.deserializer": "the source always reads raw bytes; deserialize in the plan",
+    "value.deserializer": "the source always reads raw bytes; deserialize in the plan",
+    "interceptor.classes": "not supported by the Spark Kafka source",
+}
+
+
 def kafka_options(
     bootstrap_servers: str,
     subscribe: str | list[str] | None = None,
@@ -30,6 +66,7 @@ def kafka_options(
     ending_offsets: str | dict[str, dict[int, int]] | None = None,
     fail_on_data_loss: bool = False,
     max_offsets_per_trigger: int | None = None,
+    consumer_overrides: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Build the Kafka source option map from structured inputs — the
     engine's ``KafkaConsumerConfig`` analogue
@@ -49,6 +86,13 @@ def kafka_options(
     - ``fail_on_data_loss=False`` (default) reproduces the reference's
       offset-out-of-range recovery — stale offsets reset to earliest
       instead of failing the query (``kafka/Consumer.java:548-625``).
+    - the reference consumer's tuned defaults
+      (:data:`REFERENCE_CONSUMER_DEFAULTS`) are applied: the
+      passthrough ones (``max.poll.records``, ``receive.buffer.bytes``)
+      are emitted as ``kafka.``-prefixed properties, overridable via
+      ``consumer_overrides``; the structural ones are enforced by the
+      Spark source itself and attempting to set them raises with the
+      Spark-native equivalent spelled out.
     """
     import json
 
@@ -87,6 +131,17 @@ def kafka_options(
         opts["endingOffsets"] = _offsets_json(ending_offsets)
     if max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(int(max_offsets_per_trigger))
+    for prop, (default, kind) in REFERENCE_CONSUMER_DEFAULTS.items():
+        if kind == "passthrough":
+            opts[f"kafka.{prop}"] = default
+    for prop, val in (consumer_overrides or {}).items():
+        bare = prop.removeprefix("kafka.")
+        if bare in _SPARK_MANAGED_CONSUMER_KEYS:
+            raise ValueError(
+                f"consumer property {bare!r} is managed by the Spark "
+                f"Kafka source: {_SPARK_MANAGED_CONSUMER_KEYS[bare]}"
+            )
+        opts[f"kafka.{bare}"] = str(val)
     return opts
 
 
