@@ -51,6 +51,10 @@ HEADLINE = [
     "agg_moments_sketch",  # r8: mergeable moments — partial agg IS the sketch merge
     "text_token_count_bpe",  # r8: map-only pre-tokenizer counts (token budget pass)
     "events_survival_km",  # r8: Kaplan-Meier over per-user reductions + tiny windows
+    "ann_topk_ivfpq_trained",  # r9: full FAISS shape — train + assign + ADC scan
+    "graph_connected_components",  # r9: star-contraction CC (O(log n) rounds)
+    "text_hashing_trick",  # r9: signed feature hashing, two map-side aggs
+    "join_asof_nearest",  # r9: bidirectional as-of, one exchange two windows
 ]
 
 #: The ONLY cross-round comparable series: the exact 17 queries the

@@ -814,6 +814,98 @@ def survival_histogram(t):
     )
 
 
+def ivf_assign(t):
+    """Fused IVF train + assign (operators/similarity.py
+    ivf_assign_labels — the ann_topk_ivfpq_trained front half).  The
+    |labels|×dim codebook broadcasts and the n×k candidate fan-out
+    collapses map-side (min_by partial agg), so the corpus never
+    shuffles: healthy scaling is ~linear in vectors.  The Nx loader's
+    circular shift decorrelates copies but labels survive, so the
+    codebook stays |labels| rows at every scale."""
+    from storm_dynamic_spout_spark.operators.similarity import ivf_assign_labels
+
+    return ivf_assign_labels(t("embeddings"), "vec_id", "embedding", "label")
+
+
+def hashing_trick(t):
+    """Signed feature hashing (catalog text_hashing_trick shape): two
+    cascaded counting aggregates — (doc, bucket) then doc — both
+    map-side combinable, no vocabulary pass; the plain-document loader
+    keeps the regexp out of the measured delta.  Healthy scaling is
+    ~linear in tokens."""
+    from storm_dynamic_spout_spark.operators.text import token_hash
+
+    d = t("documents_plain")
+    term = F.col("term")
+    sign = F.lit(1) - F.lit(2) * (
+        F.conv(F.substring(F.md5(term.cast("binary")), 16, 1), 16, 10).cast("long")
+        % 2
+    )
+    w = (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+        .select("doc_id", (token_hash(term) % 64).alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("wgt"))
+    )
+    return w.groupBy("doc_id").agg(
+        F.sum(F.col("wgt") * F.col("wgt")).alias("l2sq"),
+        F.min_by("bucket", F.struct(-F.abs(F.col("wgt")), F.col("bucket"))).alias(
+            "top_bucket"
+        ),
+    )
+
+
+def asof_nearest(t):
+    """Bidirectional nearest as-of (catalog join_asof_nearest): ONE
+    per-key exchange feeding a running-max-backward and a running-min-
+    forward window (second window re-sorts in place, no second
+    shuffle).  Scales with per-key history like asof_join; the naive
+    form is TWO range joins."""
+    from pyspark.sql.window import Window as W
+
+    e = t("events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("tt"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("timestamp").alias("od"),
+    )
+    o = t("orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("tt"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderdate").alias("od"),
+    )
+    wb = (
+        W.partitionBy("k")
+        .orderBy("tt", "is_event")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("k")
+        .orderBy("tt", F.desc("is_event"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    prev_od, next_od = F.col("__prev"), F.col("__next")
+    back_closer = F.unix_micros(F.col("tt")) - F.unix_micros(prev_od) <= (
+        F.unix_micros(next_od) - F.unix_micros(F.col("tt"))
+    )
+    return (
+        e.unionByName(o)
+        .withColumn("__prev", F.max("od").over(wb))
+        .withColumn("__next", F.min("od").over(wf))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "k",
+            "tt",
+            F.when(prev_od.isNull(), next_od)
+            .when(next_od.isNull(), prev_od)
+            .when(back_closer, prev_od)
+            .otherwise(next_od)
+            .alias("nearest"),
+        )
+    )
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -851,6 +943,9 @@ QUERIES = [
     ("moments_partial_agg", moments_partial_agg),
     ("bpe_token_counts", bpe_token_counts),
     ("survival_histogram", survival_histogram),
+    ("ivf_assign", ivf_assign),
+    ("hashing_trick", hashing_trick),
+    ("asof_nearest", asof_nearest),
 ]
 
 

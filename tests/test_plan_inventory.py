@@ -85,6 +85,9 @@ def test_inventory_global_invariants():
         # ViT patch tokenization: decode + tiling on the declared
         # multimodal Arrow surface (r8)
         "multimodal_image_patches",
+        # fixed-rate frame sampler: container walk + JPEG decode on the
+        # declared multimodal Arrow surface (r9)
+        "multimodal_video_frame_sample",
     }
     python = {n for n, c in inv.items() if c["python_nodes"] > 0}
     assert python <= allowed_python, (
