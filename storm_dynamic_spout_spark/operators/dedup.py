@@ -573,9 +573,13 @@ def connected_components(
         canon = _canonical_edges(pairs, src, dst).localCheckpoint(eager=True)
         for _ in range(max_iter):
             canon2 = _small_star(_large_star(canon)).localCheckpoint(eager=True)
-            same = (
-                canon2.count() == canon.count()
-                and canon2.exceptAll(canon).count() == 0
+            # fixpoint test: equal cardinality + one-directional set
+            # containment ⇒ set equality (star output is distinct by
+            # construction).  isEmpty() short-circuits at the first
+            # differing row — cheaper than exceptAll().count() == 0,
+            # which always builds the full difference
+            same = canon2.count() == canon.count() and (
+                canon2.join(canon, ["__s", "__d"], "left_anti").isEmpty()
             )
             canon = canon2
             if same:
