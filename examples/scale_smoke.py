@@ -863,17 +863,20 @@ def asof_nearest(t):
     form is TWO range joins."""
     from pyspark.sql.window import Window as W
 
+    # cast NTZ fixture timestamps to LTZ up front: unix_micros (the
+    # integer tie arbiter) requires TIMESTAMP, and the catalog query
+    # gets the coercion for free from its null-literal ts/od columns
     e = t("events").select(
         F.col("user_id").alias("k"),
-        F.col("ts").alias("tt"),
+        F.col("ts").cast("timestamp").alias("tt"),
         F.lit(1).alias("is_event"),
         F.lit(None).cast("timestamp").alias("od"),
     )
     o = t("orders").select(
         F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("tt"),
+        F.col("o_orderdate").cast("timestamp").alias("tt"),
         F.lit(0).alias("is_event"),
-        F.col("o_orderdate").alias("od"),
+        F.col("o_orderdate").cast("timestamp").alias("od"),
     )
     wb = (
         W.partitionBy("k")
