@@ -219,24 +219,51 @@ def countmin_table(df: DataFrame, col: str, depth: int, width: int) -> DataFrame
     )
 
 
-def kmv_sketch(df: DataFrame, col: str, k: int) -> DataFrame:
+def kmv_sketch(df: DataFrame, col: str, k: int, pre_trim: bool = False) -> DataFrame:
     """K-minimum-values (theta) distinct sketch: the ``k`` smallest
     distinct 60-bit hashes of ``col``, one row each.  Built with a
     distinct + TakeOrdered top-k.  The TakeOrdered step is k-bounded
     (per-partition heap, driver merge — never a global sort); the
     distinct's exchange, however, carries every PER-PARTITION-DISTINCT
-    hash, which at extreme scale dominates — the production refinement
-    is a per-partition k-smallest pre-trim (an Arrow pass like the
-    Misra-Gries one above, or a partial TopK rule) ahead of the
-    distinct, which this fixture-sized path deliberately skips to stay
-    pure-relational.  Two sketches intersect by equi-join below the
-    shared theta = min(max_a, max_b)."""
-    return (
-        df.select(_h60(F.col(col)).alias("h"))
-        .distinct()
-        .orderBy("h")
-        .limit(k)
-    )
+    hash, which at extreme scale dominates.
+
+    ``pre_trim=True`` is the production refinement that bounds that
+    exchange: an Arrow pass keeps only each partition's k smallest
+    DISTINCT hashes (a bounded heap over the partition stream, the
+    Misra-Gries shape above), so at most k·partitions rows reach the
+    global distinct.  Output-identical to the pure-relational path —
+    the global k minima are each a partition-local minimum-k member —
+    pinned by tests/test_round9_properties.py.  Default stays the
+    pure-relational plan (the fixture-sized catalog path).
+
+    Two sketches intersect by equi-join below the shared
+    theta = min(max_a, max_b)."""
+    hashes = df.select(_h60(F.col(col)).alias("h"))
+    if pre_trim:
+        import heapq
+
+        import pandas as pd
+
+        def _trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # max-heap of the k smallest distinct values seen so far
+            # (negated), with a set for O(1) membership — O(k) state
+            heap: list = []
+            members: set = set()
+            for b in batches:
+                for h in b["h"]:
+                    h = int(h)
+                    if h in members:
+                        continue
+                    if len(heap) < k:
+                        heapq.heappush(heap, -h)
+                        members.add(h)
+                    elif h < -heap[0]:
+                        members.discard(-heapq.heappushpop(heap, -h))
+                        members.add(h)
+            yield pd.DataFrame({"h": sorted(members)})
+
+        hashes = hashes.mapInPandas(_trim, "h long")
+    return hashes.distinct().orderBy("h").limit(k)
 
 
 def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
