@@ -1830,9 +1830,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Why at 100 TB: two equi-joins (wedge close on the middle, degree
     attach on the middle) + a broadcast-able LEFT ANTI edge rejection +
-    TakeOrderedAndProject top-k — no global sort, no float near-ties;
-    low-degree wedge orientation bounds fan-out exactly as in the
-    common-neighbors plan."""
+    TakeOrderedAndProject top-k — no global sort, no float near-ties.
+    As in graph_common_neighbors, the web-scale refinement — orient
+    wedges from the low-degree endpoint to bound fan-out by arboricity
+    — changes the orientation rule, not this plan shape."""
     from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
     from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
 

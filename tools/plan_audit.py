@@ -10,8 +10,11 @@
    plan-guarded bucket-offset windows (≤ bucket-count rows).
 
 2. **Driver-side collects**: catalog builders must stay lazy; any
-   `.collect()`/`.toPandas()` in catalog code is flagged by grep in
-   CI-style tests, not here.
+   `.collect()`/`.toPandas()` in catalog code is flagged at the source
+   level by tests/test_plan_guards.py
+   `test_catalog_source_has_no_driver_collects` (r8 verdict item 2
+   closed the last exception — stream_heavy_hitters now folds
+   relationally via operators/sketch.py `mg_truncate`).
 
     python tools/plan_audit.py            # audit every catalog query
 """
