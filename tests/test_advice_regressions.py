@@ -249,3 +249,33 @@ def test_trigger_poll_survives_bad_event_and_does_not_loop(spark, tmp_path):
 
     # no crash loop: a second poll re-dispatches nothing
     assert trig.poll() == 0
+
+
+# -- 7. r8 advice: lazy-checkpoint determinism precondition ------------------
+
+
+def test_every_lazy_checkpoint_site_documents_determinism():
+    """The r8 advice: localCheckpoint(eager=False) relies on the
+    subtree being DETERMINISTIC (compute-on-first-action; a sampling /
+    wall-clock / stateful-UDF subtree could diverge across concurrent
+    consumers).  The canonical explanation lives in operators/dedup.py;
+    every OTHER site must carry the one-line pointer within the five
+    lines above it, so a future lazy checkpoint can't ship without the
+    precondition being considered."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "storm_dynamic_spout_spark"
+    missing = []
+    for py in sorted(pkg.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        has_canonical = "DETERMINISM note" in py.read_text() and py.name == "dedup.py"
+        for i, line in enumerate(lines):
+            if "localCheckpoint(eager=False)" not in line:
+                continue
+            ctx = "\n".join(lines[max(0, i - 5) : i + 1])
+            if has_canonical or "deterministic" in ctx.lower():
+                continue
+            missing.append(f"{py.relative_to(pkg)}:{i + 1}")
+    assert not missing, (
+        "lazy checkpoint sites without the determinism note: " + ", ".join(missing)
+    )
