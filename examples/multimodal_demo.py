@@ -75,6 +75,14 @@ def main() -> None:
         F.round("mean_intensity", 1).alias("mean"),
     ).orderBy("doc_id", "frame_index").show(truncate=False)
 
+    print("== fixed-rate frame sampling (every 4th frame, container "
+          "clock timestamps from the avih header @ 6 fps) ==")
+    M.frame_sample_stride(videos, 4).select(
+        "doc_id", "frame_index",
+        (F.col("ts_micros") / 1_000_000).alias("t_sec"),
+        "frame_sha",
+    ).orderBy("doc_id", "frame_index").show(truncate=False)
+
     # --- near-dup detection across codecs and gain (round 7) ---------
     from storm_dynamic_spout_spark.operators.jpeg import encode_lossless_jpeg
 
