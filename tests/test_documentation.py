@@ -250,3 +250,22 @@ def test_plan_audit_exits_nonzero_on_build_error(spark, capsys, monkeypatch):
     assert plan_audit.main() == 1
     out = capsys.readouterr().out
     assert "broken_query ERROR" in out and "build errors: 1" in out
+
+
+def test_bench_headline_names_resolve():
+    """bench.py silently skips HEADLINE names missing from the registry
+    (by design, so a renamed query can't crash the driver's bench run)
+    — pin that every declared headline actually resolves, so a typo'd
+    entry can't silently vanish from BENCH_r*.json."""
+    import bench
+
+    from storm_dynamic_spout_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench HEADLINE entries not in the registry: {missing}"
+    # the anchor series must stay resolvable too (minus the synthetic
+    # firehose drain, which is timed outside the query loop)
+    missing_anchor = [
+        n for n in bench.ANCHOR_17 if n != "firehose_100k_stream" and n not in QUERIES
+    ]
+    assert not missing_anchor, f"anchor entries not in the registry: {missing_anchor}"
