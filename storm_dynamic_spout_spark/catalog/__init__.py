@@ -40,8 +40,10 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:                 nearest as-of join, video frame sampling, hashing-
 #:                 trick term features): never-checked queries always
 #:                 enter the current window.
-#:   slot 50     — r4-cohort lead-in (agg_having heads the r10
-#:                 rotation; see test_catalog_contract's rotation rule).
+#:   slot 50     — embedding_matryoshka_recall (added late in round 9;
+#:                 never-checked queries always enter the current
+#:                 window).  The r4 cohort heads the overhang and the
+#:                 r10 rotation; see test_catalog_contract's rule.
 _PRIORITY = [
     # --- slots 1-37: the full r3-stale cohort, oldest evidence first ---
     "tpch_q2",
@@ -97,8 +99,10 @@ _PRIORITY = [
     "join_asof_nearest",
     "multimodal_video_frame_sample",
     "text_hashing_trick",
-    # --- slot 50: r4-cohort lead-in (oldest-first rotation for r10) ---
-    "agg_having",
+    # --- slot 50: NEW in round 9 (late addition — never driver-checked
+    # queries must enter the current window; displaces only the
+    # OPTIONAL r4 lead-in, never the r3 drain) ---
+    "embedding_matryoshka_recall",
 ]
 
 

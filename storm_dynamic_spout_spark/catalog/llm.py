@@ -2182,6 +2182,87 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Matryoshka truncation width: recall is measured for the first
+#: MRL_DIM of the 64 embedding dimensions.
+MRL_DIM = 16
+
+
+@query(
+    "embedding_matryoshka_recall",
+    oracle=f"""
+    WITH {_VQ},
+    vt AS (SELECT vec_id, v[1:{MRL_DIM}] AS v FROM v),
+    qt AS (SELECT query_id, q[1:{MRL_DIM}] AS q FROM q),
+    exact AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round({_SQL_COS} * 1000000) / 1000000 DESC, vec_id)
+                 AS rn
+        FROM q CROSS JOIN v WHERE vec_id <> query_id
+      ) WHERE rn <= {ANN_K}
+    ),
+    approx AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT qt.query_id, vt.vec_id,
+               row_number() OVER (PARTITION BY qt.query_id
+                 ORDER BY round({_SQL_COS} * 1000000) / 1000000 DESC, vt.vec_id)
+                 AS rn
+        FROM qt CROSS JOIN vt WHERE vt.vec_id <> qt.query_id
+      ) WHERE rn <= {ANN_K}
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / CAST({ANN_K} AS DOUBLE), 6)
+             AS recall_at_k
+    FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) truncation recall: how
+    much of the EXACT full-dimension cosine top-k survives when search
+    runs on only the first MRL_DIM (16 of 64) dimensions — the
+    acceptance metric for serving truncated embeddings (memory/compute
+    drop 4x; MRL-trained models concentrate signal in the prefix, so
+    the recall this reports is the deployment go/no-go).  Cosine is
+    scale-invariant, so truncation needs no re-normalization — the
+    truncated search is the SAME brute-force operator over sliced
+    vectors, and recall is a pure id-set intersection (integer count),
+    immune to float rank jitter.
+
+    Why at 100 TB: ground truth only ever computes for the sampled
+    query panel (broadcast twice — the ann_recall_report shape); the
+    corpus side is two scans, one of them over vectors 4x narrower;
+    the production variant swaps the truncated brute force for the
+    IVF/PQ index built on the SAME sliced column."""
+    e = t(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < ANN_QUERY_MAX_ID
+    exact = S.cosine_topk(e, "vec_id", "embedding", pred, ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = e.select(
+        "vec_id", F.slice("embedding", 1, MRL_DIM).alias("embedding")
+    )
+    approx = S.cosine_topk(trunc, "vec_id", "embedding", pred, ANN_K).select(
+        F.col("query_id").alias("__aq"), F.col("neighbor_id").alias("__an")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("__aq"))
+            & (F.col("neighbor_id") == F.col("__an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("__an").cast("long").alias("n_hits"),
+            F.round(F.count("__an") / ANN_K, 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 #: Epochs per language tier — "repeat high-quality sources more often"
 #: (the Pile/LLaMA-style epoch weighting table).
 EPOCHS = {"en": 1, "de": 2, "es": 3, "fr": 2}
