@@ -19,91 +19,109 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 
 #: Registration order doubles as the driver's sampling order: its
 #: correctness sweep checks the FIRST ~50 registered queries (exactly
-#: 50 in every round so far).  Round 9 composition, per the r8 verdict
-#: ("drain the 37 r3-stale queries oldest-first"):
-#:   slots 1-37  — the round-3-stale cohort in full (TPC-H core,
-#:                 scalars, setops, sort, two stream windows, window
-#:                 functions): every query whose latest green driver
-#:                 row is CORRECTNESS_r03.  After this round the oldest
-#:                 remaining evidence is the r4 cohort (leads r10).
-#:   slots 38-41 — the historical red->green canary set (kept in every
+#: 50 in every round so far).  Round 10 composition, per the r8
+#: verdict's rotation rule (item 8: strict oldest-cohort-first; after
+#: this round max driver-evidence staleness is <= 5 rounds):
+#:   slots 1-44  — the round-4-stale cohort IN FULL (44 queries: TPC-H
+#:                 q1/q4/q12/q14/q22, the events funnel family, ANN
+#:                 IVF, dedup_exact, text quality/chunking, stream
+#:                 windows, UDF/UDAF/UDTF, sampling, joins): every
+#:                 query whose latest green driver row is
+#:                 CORRECTNESS_r04.  Round 9 drained the r3 cohort
+#:                 (its rows land in CORRECTNESS_r09, which the driver
+#:                 may write mid-round — the overhang sort below reads
+#:                 whatever files exist, so either state is ordered).
+#:   slots 45-48 — the historical red->green canary set (kept in every
 #:                 window per the r5 verdict's canary discipline).
-#:   slots 42-43 — queries whose implementation changed THIS round
-#:                 after their latest driver row: stream_heavy_hitters
-#:                 (driver-side sketch merge replaced by a distributed
-#:                 relational fold, r8 verdict item 2) and
-#:                 graph_lpa_communities (lpa_labels gained a converge-
-#:                 or-max-rounds mode, item 7 — catalog query pinned to
-#:                 fixed rounds but shares the edited code path).
-#:   slots 44-49 — queries ADDED this round (trained IVF-PQ end-to-end,
-#:                 connected components, Adamic-Adar link prediction,
-#:                 nearest as-of join, video frame sampling, hashing-
-#:                 trick term features): never-checked queries always
-#:                 enter the current window.
-#:   slot 50     — embedding_matryoshka_recall (added late in round 9;
-#:                 never-checked queries always enter the current
-#:                 window).  The r4 cohort heads the overhang and the
-#:                 r10 rotation; see test_catalog_contract's rule.
+#:   slots 49-50 — queries ADDED in round 10 (embedding whitening,
+#:                 A/B-test z statistic): never-checked queries always
+#:                 enter the current window.  The r4 cohort leaves NO
+#:                 optional slack — exactly two additions fit this
+#:                 round; further r10 additions would displace the
+#:                 drain and are deferred by design (the r5 cohort, 36
+#:                 queries, leads round 11 with ~10 free slots).
 _PRIORITY = [
-    # --- slots 1-37: the full r3-stale cohort, oldest evidence first ---
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "scalar_conditional",
-    "scalar_date",
-    "scalar_json",
-    "scalar_json_schema",
-    "scalar_math",
-    "scalar_null_handling",
-    "scalar_regex",
-    "scalar_string_distance",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_distinct",
-    "setop_union_evolved",
-    "sort_multi_key",
-    "stream_dedup_within_window",
-    "stream_hopping_window",
-    "window_distribution",
-    "window_first_last",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_running",
-    # --- slots 38-41: canaries ---
+    # --- slots 1-44: the full r4-stale cohort, TPC-H first then
+    # grouped by family (all equally stale; order within the cohort is
+    # cosmetic) ---
+    "tpch_q1",
+    "tpch_q4",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q22",
+    "agg_having",
+    "agg_histogram",
+    "ann_ivf_assign",
+    "ann_topk_ivf",
+    "ann_topk_ivf_nprobe",
+    "corpus_composition",
+    "corpus_contamination",
+    "dedup_exact",
+    "embedding_centroids",
+    "events_funnel",
+    "events_gap_fill",
+    "events_retention",
+    "events_transitions",
+    "join_range_binned",
+    "join_star",
+    "retry_backoff_schedule",
+    "sample_deterministic",
+    "sample_mixture",
+    "scalar_array_explode",
+    "scalar_bitops",
+    "scalar_map_explode",
+    "scalar_string",
+    "scalar_trig",
+    "sequence_packing",
+    "setop_union_all",
+    "stream_incremental_dedup",
+    "stream_session_window",
+    "stream_tumbling_window",
+    "text_chunking",
+    "text_pii_scrub",
+    "text_quality_filter",
+    "text_repetition",
+    "text_tfidf_top_term",
+    "topk_per_group",
+    "training_export_shuffle",
+    "udaf_apply_in_pandas",
+    "udf_pandas_scalar",
+    "udtf_split_tokens",
+    "window_ranking",
+    # --- slots 45-48: canaries ---
     "embedding_quantize",
     "agg_stats",
     "scalar_map",
     "events_sessionize",
-    # --- slots 42-43: implementation changed in round 9 after the
-    # latest driver row ---
-    "stream_heavy_hitters",
-    "graph_lpa_communities",
-    # --- slots 44-49: NEW in round 9 (never driver-checked) ---
-    "ann_topk_ivfpq_trained",
-    "graph_connected_components",
-    "graph_adamic_adar",
-    "join_asof_nearest",
-    "multimodal_video_frame_sample",
-    "text_hashing_trick",
-    # --- slot 50: NEW in round 9 (late addition — never driver-checked
-    # queries must enter the current window; displaces only the
-    # OPTIONAL r4 lead-in, never the r3 drain) ---
-    "embedding_matryoshka_recall",
+    # --- slots 49-50: NEW in round 10 (never driver-checked) ---
+    "embedding_whitening",
+    "events_ab_test",
 ]
+
+
+#: The round-9 driver window, frozen (it was _PRIORITY during round 9).
+#: The driver may write CORRECTNESS_r09.json mid-round-10; until it
+#: lands, these 50 queries carry round-9 evidence *pending on disk* —
+#: the overhang sort overlays round 9 for them so registration order
+#: is identical before and after the file appears.
+_R9_WINDOW = (
+    "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+    "tpch_q21", "scalar_conditional", "scalar_date", "scalar_json",
+    "scalar_json_schema", "scalar_math", "scalar_null_handling",
+    "scalar_regex", "scalar_string_distance", "setop_except",
+    "setop_intersect", "setop_union_distinct", "setop_union_evolved",
+    "sort_multi_key", "stream_dedup_within_window",
+    "stream_hopping_window", "window_distribution", "window_first_last",
+    "window_lag_lead", "window_range_frame", "window_running",
+    "embedding_quantize", "agg_stats", "scalar_map", "events_sessionize",
+    "stream_heavy_hitters", "graph_lpa_communities",
+    "ann_topk_ivfpq_trained", "graph_connected_components",
+    "graph_adamic_adar", "join_asof_nearest",
+    "multimodal_video_frame_sample", "text_hashing_trick",
+    "embedding_matryoshka_recall",
+)
 
 
 def _latest_driver_round() -> dict[str, int]:
@@ -137,6 +155,11 @@ def _reorder_for_driver_sampling() -> None:
     # round 0 — maximally stale, they lead the next window.  The sort
     # is stable, so within a cohort registration order is preserved.
     last = _latest_driver_round()
+    if max(last.values(), default=0) < 9:
+        # CORRECTNESS_r09.json has not landed yet: the round-9 window
+        # carries round-9 evidence pending on disk (see _R9_WINDOW).
+        for n in _R9_WINDOW:
+            last[n] = max(last.get(n, 0), 9)
     rest = [n for n in QUERIES if n not in _PRIORITY]
     order += sorted(rest, key=lambda n: last.get(n, 0))
     for d in (QUERIES, ORACLES):

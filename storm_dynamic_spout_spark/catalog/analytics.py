@@ -2803,3 +2803,160 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("id"), F.col("lbl").cast("long").alias("community")
     ).orderBy("id")
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+             sum(value) AS val
+      FROM events GROUP BY user_id, event_type
+    ),
+    u AS (SELECT DISTINCT user_id FROM per),
+    ty AS (SELECT DISTINCT event_type FROM per),
+    frame AS (
+      SELECT u.user_id, ty.event_type, u.user_id % 2 AS arm,
+             coalesce(per.cnt, 0) AS cnt, coalesce(per.val, 0.0) AS val
+      FROM u CROSS JOIN ty
+      LEFT JOIN per ON per.user_id = u.user_id
+                   AND per.event_type = ty.event_type
+    ),
+    tavg AS (SELECT event_type, avg(cnt) AS avg_cnt FROM frame GROUP BY 1),
+    conv AS (
+      SELECT f.*, CASE WHEN f.cnt > t.avg_cnt THEN 1 ELSE 0 END AS is_conv
+      FROM frame f JOIN tavg t USING (event_type)
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN arm = 0 THEN is_conv ELSE 0 END) AS BIGINT) AS conv_c,
+             CAST(sum(CASE WHEN arm = 1 THEN is_conv ELSE 0 END) AS BIGINT) AS conv_t,
+             avg(CASE WHEN arm = 0 THEN val END) AS mean_c,
+             avg(CASE WHEN arm = 1 THEN val END) AS mean_t,
+             var_samp(CASE WHEN arm = 0 THEN val END) AS var_c,
+             var_samp(CASE WHEN arm = 1 THEN val END) AS var_t
+      FROM conv GROUP BY event_type
+    )
+    SELECT event_type, n_c, n_t, conv_c, conv_t,
+           round(conv_c * 1.0 / n_c, 6) AS rate_c,
+           round(conv_t * 1.0 / n_t, 6) AS rate_t,
+           round(CASE WHEN (conv_c + conv_t) > 0
+                       AND (conv_c + conv_t) < (n_c + n_t)
+                 THEN (conv_t * 1.0 / n_t - conv_c * 1.0 / n_c)
+                      / sqrt((conv_c + conv_t) * 1.0 / (n_c + n_t)
+                             * (1 - (conv_c + conv_t) * 1.0 / (n_c + n_t))
+                             * (1.0 / n_c + 1.0 / n_t))
+                 ELSE 0 END, 6) AS z_conv,
+           round(mean_c, 6) AS mean_c,
+           round(mean_t, 6) AS mean_t,
+           round(CASE WHEN var_c / n_c + var_t / n_t > 0
+                 THEN (mean_t - mean_c) / sqrt(var_c / n_c + var_t / n_t)
+                 ELSE 0 END, 6) AS t_welch
+    FROM g ORDER BY event_type
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-experiment readout — the hypothesis-testing shape every
+    event pipeline eventually feeds: deterministic hash-of-identity
+    arm assignment (here ``user_id % 2``: control/treatment), then per
+    event_type a two-proportion pooled z statistic on a conversion
+    flag plus Welch's t on the per-user continuous metric.
+
+    Conversion is "this user's count of the event type exceeds the
+    corpus-wide per-user average for that type" — integer-vs-exact-
+    ratio comparison, so both engines flag identically (a >=1-event
+    rule would be degenerate: every fixture user emits every type).
+    The user x type frame is completed with zero rows so absent users
+    count in means and variances, exactly like a real exposure table.
+
+    Why at 100 TB: ONE (user, type) aggregate over the event scan
+    (map-side partial), lazily checkpointed so its four downstream
+    references (user dim, type dim, per-type totals, exposure frame)
+    share a single computation instead of re-deriving the scan per
+    branch.  The exposure frame is users x |types| built from a
+    broadcast of the tiny type dim; per-type averages come back as a
+    broadcast of |types| rows (computed CLOSED-FORM from the totals —
+    the zero-completed frame's avg(cnt) is exactly
+    ``sum(cnt) / n_users``, so no second pass over the frame); the
+    closing aggregate is |types| x 2 cells.  The z/t math is
+    closed-form codegen on that tiny result — no window over the full
+    frame, no driver math."""
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("val"))
+        # lazy checkpoint: subtree must be deterministic (see
+        # operators/dedup.py DETERMINISM note) — count/sum over a
+        # static scan is.
+    ).localCheckpoint(eager=False)
+    users = per.select("user_id").distinct()
+    types = per.select("event_type").distinct()
+    nu = users.agg(F.count(F.lit(1)).alias("__n_users"))
+    # avg(cnt) over the zero-completed exposure frame == the exact
+    # integer ratio sum(cnt)/n_users: both engines divide the same two
+    # exact integers, so the conversion threshold is bit-identical
+    tavg = (
+        per.groupBy("event_type")
+        .agg(F.sum("cnt").alias("__tot"))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "event_type",
+            (F.col("__tot") * 1.0 / F.col("__n_users")).alias("__avg_cnt"),
+        )
+    )
+    frame = (
+        users.crossJoin(F.broadcast(types))
+        .join(per, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            (F.col("user_id") % 2).alias("__arm"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("val", F.lit(0.0)).alias("val"),
+        )
+    )
+    conv = frame.join(F.broadcast(tavg), "event_type").withColumn(
+        "__is_conv", (F.col("cnt") > F.col("__avg_cnt")).cast("int")
+    )
+    c = F.col("__arm") == 0
+    tr = F.col("__arm") == 1
+    g = conv.groupBy("event_type").agg(
+        F.sum(c.cast("long")).alias("n_c"),
+        F.sum(tr.cast("long")).alias("n_t"),
+        F.sum(F.when(c, F.col("__is_conv")).otherwise(0)).cast("long").alias("conv_c"),
+        F.sum(F.when(tr, F.col("__is_conv")).otherwise(0)).cast("long").alias("conv_t"),
+        F.avg(F.when(c, F.col("val"))).alias("__mean_c"),
+        F.avg(F.when(tr, F.col("val"))).alias("__mean_t"),
+        F.var_samp(F.when(c, F.col("val"))).alias("__var_c"),
+        F.var_samp(F.when(tr, F.col("val"))).alias("__var_t"),
+    )
+    n_c, n_t = F.col("n_c"), F.col("n_t")
+    conv_c, conv_t = F.col("conv_c"), F.col("conv_t")
+    p_pool = (conv_c + conv_t) * 1.0 / (n_c + n_t)
+    z = (conv_t * 1.0 / n_t - conv_c * 1.0 / n_c) / F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / n_c + 1.0 / n_t)
+    )
+    w_denom = F.col("__var_c") / n_c + F.col("__var_t") / n_t
+    t_welch = (F.col("__mean_t") - F.col("__mean_c")) / F.sqrt(w_denom)
+    return g.select(
+        "event_type",
+        "n_c",
+        "n_t",
+        "conv_c",
+        "conv_t",
+        F.round(conv_c * 1.0 / n_c, 6).alias("rate_c"),
+        F.round(conv_t * 1.0 / n_t, 6).alias("rate_t"),
+        F.round(
+            F.when(
+                ((conv_c + conv_t) > 0) & ((conv_c + conv_t) < (n_c + n_t)), z
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("z_conv"),
+        F.round("__mean_c", 6).alias("mean_c"),
+        F.round("__mean_t", 6).alias("mean_t"),
+        F.round(F.when(w_denom > 0, t_welch).otherwise(F.lit(0.0)), 6).alias(
+            "t_welch"
+        ),
+    ).orderBy("event_type")

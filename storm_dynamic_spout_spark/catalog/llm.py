@@ -1211,6 +1211,45 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@query(
+    "embedding_whitening",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    comp AS (SELECT UNNEST(range(1, len(ve) + 1)) AS pos, ve FROM v),
+    cell AS (SELECT pos, ve[pos] AS x FROM comp),
+    stats AS (SELECT pos, avg(x) AS mu, stddev_pop(x) AS sd FROM cell GROUP BY pos),
+    sarr AS (SELECT list(mu ORDER BY pos) AS mus, list(sd ORDER BY pos) AS sds
+             FROM stats)
+    SELECT vec_id,
+           CAST(len(ve) AS INTEGER) AS n_dims,
+           array_to_string(list_transform(range(1, len(ve) + 1), i ->
+               CAST(CAST(CASE WHEN sds[i] > 0
+                              THEN round((ve[i] - mus[i]) / sds[i] * 1000000)
+                              ELSE 0 END AS BIGINT) AS VARCHAR)), ',') AS white_ppm
+    FROM v, sarr
+    ORDER BY vec_id
+    """,
+)
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal corpus whitening (operators/similarity.py whiten_ppm):
+    standardize every embedding dimension to zero mean / unit variance
+    over the corpus — the retrieval post-processing step that repairs
+    anisotropic embedding spaces before indexing.  Integer ppm
+    components cross the driver hash as one CSV (list cells aren't
+    hashable in the driver's canonical sort); both engines round the
+    raw quotient ``(x - mu)/sd * 1e6`` exactly once.
+
+    Plan shape: posexplode -> per-dimension agg (one exchange over d
+    groups), mu/sd arrays broadcast back on a one-row cross join, then
+    a map-only zip_with — at 100 TB the only shuffle is d rows wide."""
+    w = S.whiten_ppm(t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    ppm = F.transform(F.col("white_ppm"), lambda x: x.cast("string"))
+    return w.select(
+        "vec_id", "n_dims", F.array_join(ppm, ",").alias("white_ppm")
+    ).orderBy("vec_id")
+
+
 ANN_NPROBE = 2
 
 

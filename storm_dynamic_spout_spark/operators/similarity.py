@@ -231,6 +231,50 @@ def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def whiten_ppm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Diagonal (per-dimension) corpus whitening — the embedding
+    post-processing step retrieval stacks apply before indexing
+    (Su et al. 2021 "Whitening Sentence Representations" restricted to
+    the diagonal: full ZCA needs a covariance eigendecomposition, which
+    is a driver-side O(d^2) solve, not a Spark shape).  Returns
+    ``(id, n_dims, white_ppm: array<long>)`` where component ``i`` is
+    ``round((x_i - mu_i) / sd_i * 1e6)`` — rounded ONCE so the integers
+    match a SQL oracle bit-for-bit; dimensions with ``sd = 0`` whiten
+    to 0.
+
+    100 TB shape: one posexplode + per-dimension aggregate (map-side
+    partial over ``dim`` values per row, ``d`` groups total), the
+    d-element mu/sd arrays return via a one-row broadcast cross join,
+    and the whitening itself is a map-only ``zip_with``.  No per-vector
+    state ever crosses an exchange."""
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    cell = v.select(F.posexplode("__v").alias("pos", "x"))
+    stats = cell.groupBy("pos").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd")
+    )
+    arrs = (
+        stats.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mu", "sd"))).alias("s"))
+        .select(
+            F.transform("s", lambda s: s.mu).alias("__mus"),
+            F.transform("s", lambda s: s.sd).alias("__sds"),
+        )
+    )
+    centered = F.zip_with("__v", "__mus", lambda x, m: x - m)
+    white = F.zip_with(
+        centered,
+        F.col("__sds"),
+        lambda d, s: F.when(s > 0, F.round(d / s * 1_000_000))
+        .otherwise(F.lit(0.0))
+        .cast("long"),
+    )
+    return v.crossJoin(F.broadcast(arrs)).select(
+        F.col(id_col),
+        F.size("__v").alias("n_dims"),
+        white.alias("white_ppm"),
+    )
+
+
 def cosine_topk_ivf_nprobe(
     df: DataFrame,
     id_col: str,
