@@ -455,3 +455,28 @@ def test_catalog_source_has_no_driver_collects():
     assert not offenders, "driver-side collects in catalog code:\n" + "\n".join(
         offenders
     )
+
+
+def test_whitening_is_broadcast_stats_map_only(spark, sf_dir):
+    """embedding_whitening (r10): the per-dimension mu/sd arrays must
+    return as a one-row BROADCAST — never a shuffle join keyed on the
+    vectors — and the whitening itself stays JVM-side (zip_with, no
+    Python nodes).  At 100 TB the only exchange is d rows wide."""
+    plan = _plan(spark, sf_dir, "embedding_whitening")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_ab_test_aggregates_events_once(spark, sf_dir):
+    """events_ab_test (r10): the (user, type) aggregate is lazily
+    checkpointed, so the final plan re-reads the checkpoint — NOT the
+    events parquet — for its four downstream branches, and the
+    exposure-frame threshold comes back as a broadcast of |types|
+    rows, never a window over the frame."""
+    plan = _plan(spark, sf_dir, "events_ab_test")
+    assert "Scan parquet" not in plan, "events re-scanned past the checkpoint"
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan
