@@ -55,6 +55,8 @@ HEADLINE = [
     "graph_connected_components",  # r9: star-contraction CC (O(log n) rounds)
     "text_hashing_trick",  # r9: signed feature hashing, two map-side aggs
     "join_asof_nearest",  # r9: bidirectional as-of, one exchange two windows
+    "embedding_whitening",  # r10: d-row stats exchange + broadcast map-only zip_with
+    "events_ab_test",  # r10: checkpointed exposure aggregate + closed-form z/t
 ]
 
 #: The ONLY cross-round comparable series: the exact 17 queries the

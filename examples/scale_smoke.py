@@ -909,6 +909,61 @@ def asof_nearest(t):
     )
 
 
+def whitening(t):
+    """Diagonal corpus whitening (catalog embedding_whitening shape):
+    posexplode -> d-group aggregate (map-side partial), mu/sd arrays
+    return on a one-row broadcast, zip_with map-only transform.
+    Healthy scaling is ~linear in vectors — the only exchange is d
+    rows wide regardless of corpus size."""
+    from storm_dynamic_spout_spark.operators.similarity import whiten_ppm
+
+    return whiten_ppm(t("embeddings"), "vec_id", "embedding")
+
+
+def ab_test_readout(t):
+    """A/B readout (catalog events_ab_test shape): one (user, type)
+    aggregate — checkpoint-shared by four branches — then |types|-row
+    broadcasts and a |types|x2-cell closing aggregate.  Healthy
+    scaling is ~linear in events; the z/t math is constant-size."""
+    per = (
+        t("events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("val"))
+        # lazy checkpoint: subtree must be deterministic (see
+        # operators/dedup.py DETERMINISM note) — static-scan count/sum.
+    ).localCheckpoint(eager=False)
+    users = per.select("user_id").distinct()
+    types = per.select("event_type").distinct()
+    nu = users.agg(F.count(F.lit(1)).alias("n_users"))
+    tavg = (
+        per.groupBy("event_type")
+        .agg(F.sum("cnt").alias("tot"))
+        .crossJoin(F.broadcast(nu))
+        .select("event_type", (F.col("tot") * 1.0 / F.col("n_users")).alias("avg_cnt"))
+    )
+    frame = (
+        users.crossJoin(F.broadcast(types))
+        .join(per, ["user_id", "event_type"], "left")
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).alias("arm"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("val", F.lit(0.0)).alias("val"),
+        )
+    )
+    conv = frame.join(F.broadcast(tavg), "event_type")
+    c, tr = F.col("arm") == 0, F.col("arm") == 1
+    hit = (F.col("cnt") > F.col("avg_cnt")).cast("long")
+    return conv.groupBy("event_type").agg(
+        F.sum(c.cast("long")).alias("n_c"),
+        F.sum(tr.cast("long")).alias("n_t"),
+        F.sum(F.when(c, hit).otherwise(0)).alias("conv_c"),
+        F.sum(F.when(tr, hit).otherwise(0)).alias("conv_t"),
+        F.avg(F.when(c, F.col("val"))).alias("mean_c"),
+        F.avg(F.when(tr, F.col("val"))).alias("mean_t"),
+    )
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -949,6 +1004,8 @@ QUERIES = [
     ("ivf_assign", ivf_assign),
     ("hashing_trick", hashing_trick),
     ("asof_nearest", asof_nearest),
+    ("whitening", whitening),
+    ("ab_test", ab_test_readout),
 ]
 
 
