@@ -1,0 +1,179 @@
+"""sf1-equivalent rehearsal for the ANN + embedding family (round 10,
+extending the r8-verdict-item-4 dedup rehearsal in tools/
+sf1_rehearsal.py): run the FULL trained FAISS shape
+(ann_topk_ivfpq_trained: train -> assign -> ADC scan) and the diagonal
+whitening pass against a 50x sf0.1 embeddings table (100k vectors) and
+record timings + recall + the whitening moments into SCALE_SF1.md
+(appended section).
+
+    python tools/sf1_ann_rehearsal.py
+
+The 50x table is the examples/scale_smoke.py recipe: fifty copies of
+the sf0.1 embeddings with shifted vec_ids and a per-copy circular
+dimension shift, so copies are decorrelated while the fixed 8-query
+panel (vec_id < 8, all in copy 0) stays constant — the index grows
+50x, the queries don't, which is exactly how a production vector
+index scales.  Checks:
+
+- ivfpq_trained completes at 50x with the same per-query output
+  contract (8 queries x k rows) and a wall-clock blow-up well under
+  the 50x data blow-up (the ADC scan is bucket-bounded);
+- recall@k of the trained IVF-PQ index vs exact brute-force cosine on
+  the SAME 50x corpus stays above a floor (0.2 — PQ over 2-dim
+  subspaces with m=32 is coarse; the point is "bounded approximation",
+  not parity);
+- whiten_ppm at 50x still standardizes every dimension (|mean| < 1
+  ppm-unit, pop-std within 0.1% of 1e6) — the moments contract is
+  scale-invariant, so any partial-aggregation bug shows up here.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from storm_dynamic_spout_spark.engine import (  # noqa: E402
+    EngineConfig,
+    build_session,
+    load_table,
+)
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = 50
+RECALL_FLOOR = 0.2
+DIM = 64
+
+
+def build_embeddings(spark, n_copies: int):
+    base = load_table(spark, SF01, "embeddings")
+    copies = []
+    for i in range(n_copies):
+        c = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000_000))
+        if i > 0:
+            shift = i % (DIM - 1) + 1  # 1..63, never the identity
+            c = c.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), shift + 1, DIM - shift),
+                    F.slice(F.col("embedding"), 1, shift),
+                ),
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _topk_ids(df, qcol: str, idcol: str) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r[qcol], set()).add(r[idcol])
+    return out
+
+
+def main() -> int:
+    from storm_dynamic_spout_spark.queries import QUERIES as CATALOG
+
+    spark = build_session(
+        EngineConfig({"spark.master": "local[32]", "spark.shuffle_partitions": 32})
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1x baseline timing
+    t0 = time.perf_counter()
+    CATALOG["ann_topk_ivfpq_trained"](spark, SF01).count()
+    wall_1x = time.perf_counter() - t0
+
+    report = [
+        "",
+        "## sf1-equivalent rehearsal — ANN + embedding family (round 10)",
+        "",
+        f"Corpus: {COPIES}x sf0.1 embeddings (100k vectors; shifted ids + "
+        "per-copy circular dimension shift so copies decorrelate; the "
+        "8-query panel lives in copy 0 and stays fixed while the index "
+        "grows).  Built by tools/sf1_ann_rehearsal.py.",
+        "",
+    ]
+
+    with tempfile.TemporaryDirectory(prefix="sf1ann-") as workdir:
+        build_embeddings(spark, COPIES).coalesce(8).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(workdir, "embeddings.parquet"))
+
+        t0 = time.perf_counter()
+        ivf = CATALOG["ann_topk_ivfpq_trained"](spark, workdir)
+        ivf_ids = _topk_ids(ivf, "query_id", "vec_id")
+        wall_nx = time.perf_counter() - t0
+        n_queries = len(ivf_ids)
+        k = max(len(v) for v in ivf_ids.values())
+        ratio = wall_nx / wall_1x
+        ok_ratio = ratio <= COPIES  # far below in practice; never super-linear
+        report.append(
+            f"- ann_topk_ivfpq_trained @ {COPIES}x: {wall_nx:.1f}s vs "
+            f"{wall_1x:.1f}s at 1x = {ratio:.1f}x wall for {COPIES}x data "
+            f"-> {'SUB-LINEAR (pass)' if ok_ratio else 'SUPER-LINEAR (FAIL)'}; "
+            f"{n_queries} queries x {k} results"
+        )
+        print(report[-1], flush=True)
+
+        # exact brute-force cosine on the SAME corpus -> recall@k
+        t0 = time.perf_counter()
+        brute = CATALOG["ann_topk_bruteforce"](spark, workdir)
+        brute_ids = _topk_ids(brute, "query_id", "vec_id")
+        wall_brute = time.perf_counter() - t0
+        shared = sorted(set(ivf_ids) & set(brute_ids))
+        recall = sum(
+            len(ivf_ids[q] & brute_ids[q]) / len(brute_ids[q]) for q in shared
+        ) / len(shared)
+        ok_recall = recall >= RECALL_FLOOR
+        report.append(
+            f"- recall@k vs exact brute force ({wall_brute:.1f}s) over the "
+            f"{len(shared)}-query shared panel: **{recall:.2f}** "
+            f"(floor {RECALL_FLOOR}) -> "
+            f"{'pass' if ok_recall else 'BELOW FLOOR (FAIL)'}"
+        )
+        print(report[-1], flush=True)
+
+        # whitening moments at 50x: scale-invariant contract
+        from storm_dynamic_spout_spark.operators.similarity import whiten_ppm
+
+        t0 = time.perf_counter()
+        emb = load_table(spark, workdir, "embeddings")
+        stats = (
+            whiten_ppm(emb, "vec_id", "embedding")
+            .select(F.posexplode("white_ppm").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd"))
+            .collect()
+        )
+        wall_w = time.perf_counter() - t0
+        worst_mu = max(abs(r["mu"]) for r in stats)
+        worst_sd = max(abs(r["sd"] - 1_000_000) for r in stats)
+        ok_white = worst_mu < 1.0 and worst_sd < 1_000
+        report.append(
+            f"- whiten_ppm @ {COPIES}x ({wall_w:.1f}s): worst per-dimension "
+            f"|mean| = {worst_mu:.3f} ppm-units, worst |sd - 1e6| = "
+            f"{worst_sd:.1f} over {len(stats)} dimensions -> "
+            f"{'STANDARDIZED (pass)' if ok_white else 'MOMENTS DRIFTED (FAIL)'}"
+        )
+        print(report[-1], flush=True)
+
+    with open(
+        Path(__file__).resolve().parent.parent / "SCALE_SF1.md", "a"
+    ) as fh:
+        fh.write("\n".join(report) + "\n")
+    print("appended SCALE_SF1.md")
+    spark.stop()
+    return 0 if ok_ratio and ok_recall and ok_white else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
