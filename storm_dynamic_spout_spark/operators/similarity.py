@@ -732,3 +732,150 @@ def pq_topk_ivf_adc(
             "query_id", F.col(id_col).alias("neighbor_id"), "approx_d2_micro", "rank"
         )
     )
+
+
+def pq_topk_ivf_adc_tuned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    dim: int,
+    query_pred: Column,
+    k: int = 5,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    nprobe: int = 1,
+    rerank_mult: int = 0,
+) -> DataFrame:
+    """``pq_topk_ivf_adc`` with the two production recall knobs FAISS
+    ships, composed (the base operator's docstring promises they
+    compose — this is the composition):
+
+    - ``nprobe``: each query scans its ``nprobe`` nearest coarse
+      buckets by exact L2 to the bucket MEAN vectors (metric-matched
+      to the ADC scan — the cosine variant lives in
+      ``cosine_topk_ivf_nprobe``), recovering true neighbors that the
+      coarse quantizer put one bucket over.
+    - ``rerank_mult``: the ADC scan keeps a ``k * rerank_mult``
+      shortlist instead of ``k``, then re-scores JUST the shortlist
+      with exact L2 against the original vectors — the standard fix
+      for PQ distortion (here m=4 subspaces x 8 fixture centroids =
+      12 bits/vector, so distortion dominates).  ``0`` disables.
+
+    Output: ``(query_id, neighbor_id, d2_micro, rank)`` — ``d2_micro``
+    is EXACT squared L2 (1e-6 units) when reranked, the ADC
+    approximation otherwise.
+
+    Why at 100 TB: everything the base operator promises, plus — the
+    bucket-mean table is |buckets| rows (one tiny aggregate,
+    broadcast), probes multiply only the BROADCAST side of the ADC
+    join (corpus codes are still scanned once, now matching nprobe
+    buckets per query), and the rerank touches k*rerank_mult original
+    vectors per query via one broadcast equi-join on id — the full
+    vectors never shuffle."""
+    sub = dim // m
+    v = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v"), F.col(bucket_col)
+    )
+    cent = _dense_codebook(
+        v.select(F.col(id_col), F.col("__v")), id_col, kc
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
+    ).localCheckpoint(eager=False)
+    codes = pq_assign(
+        df.withColumn("__bkt", F.col(bucket_col)),
+        id_col,
+        vec_col,
+        dim,
+        m,
+        kc,
+        carry=["__bkt"],
+        codebook=cent,
+    )
+    q = v.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__q"),
+        F.col(bucket_col).alias("__qb0"),
+    )
+
+    if nprobe <= 1:
+        probes = q.select("query_id", F.col("__qb0").alias("__qb"))
+    else:
+        # bucket means by one posexplode aggregate; probe ranking is
+        # integer-micro L2 with bucket-id tiebreak (deterministic)
+        bcent = (
+            v.select(bucket_col, F.posexplode("__v").alias("pos", "val"))
+            .groupBy(bucket_col, "pos")
+            .agg(F.avg("val").alias("c"))
+            .groupBy(bucket_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("__pc"))
+            .select(
+                F.col(bucket_col).alias("__cb"),
+                F.transform(F.col("__pc"), lambda s: s.getField("c")).alias("__cv"),
+            )
+        )
+        cd2 = F.aggregate(
+            F.zip_with("__q", "__cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wq = W.partitionBy("query_id").orderBy("__cd2", "__cb")
+        probes = (
+            q.crossJoin(F.broadcast(bcent))
+            .withColumn("__cd2", F.round(cd2 * 1e6).cast("long"))
+            .withColumn("__pr", F.row_number().over(wq))
+            .filter(F.col("__pr") <= nprobe)
+            .select("query_id", F.col("__cb").alias("__qb"))
+        )
+
+    tcols = [F.col("query_id"), F.col("__cid")]
+    for ms in range(m):
+        dq = F.slice("__q", ms * sub + 1, sub)
+        dc = F.slice("__c", ms * sub + 1, sub)
+        d2 = F.aggregate(
+            F.zip_with(dq, dc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        tcols.append(F.round(d2 * 1e6).cast("long").alias(f"__t{ms}"))
+    dt = q.crossJoin(F.broadcast(cent)).select(*tcols)
+
+    def _table(ms: int):
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("__cid", f"__t{ms}"))),
+            lambda s: s.getField(f"__t{ms}"),
+        ).alias(f"__arr{ms}")
+
+    tables = dt.groupBy("query_id").agg(*[_table(ms) for ms in range(m)])
+    adc = codes.join(
+        F.broadcast(probes.join(tables, "query_id")),
+        (F.col("__bkt") == F.col("__qb")) & (F.col(id_col) != F.col("query_id")),
+    )
+    approx = None
+    for ms in range(m):
+        term = F.get(F.col(f"__arr{ms}"), F.col(f"code_{ms}").cast("int"))
+        approx = term if approx is None else approx + term
+    shortlist_k = k * rerank_mult if rerank_mult > 0 else k
+    w = W.partitionBy("query_id").orderBy("d2_micro", id_col)
+    shortlist = (
+        adc.withColumn("d2_micro", approx.cast("long"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= shortlist_k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "d2_micro", "rank")
+    )
+    if rerank_mult <= 0:
+        return shortlist
+    xd2 = F.aggregate(
+        F.zip_with("__q", "__nv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wr = W.partitionBy("query_id").orderBy("d2_micro", "neighbor_id")
+    return (
+        v.select(F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__nv"))
+        .join(F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "__q")), "query_id")
+        .withColumn("d2_micro", F.round(xd2 * 1e6).cast("long"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d2_micro", "rank")
+    )

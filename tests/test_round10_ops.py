@@ -83,3 +83,104 @@ def test_ab_test_invariants(spark):
         diff = r["rate_t"] - r["rate_c"]
         if r["z_conv"] != 0:
             assert math.copysign(1, r["z_conv"]) == math.copysign(1, diff)
+
+
+def _exact_l2_topk(e, k=5, maxid=8):
+    from pyspark.sql.window import Window as W
+
+    q = e.filter(F.col("vec_id") < maxid).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", d2)
+    )
+    w = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivfpq_tuned_exhaustive_settings_recover_exact_topk(spark):
+    """pq_topk_ivf_adc_tuned with nprobe = |buckets| and a rerank
+    shortlist covering the whole corpus must return EXACTLY the
+    brute-force L2 top-k — the knobs' limit case is exact search, which
+    pins both the multi-probe fan-out and the rerank scoring."""
+    from storm_dynamic_spout_spark.operators.similarity import (
+        ivf_assign_labels,
+        pq_topk_ivf_adc_tuned,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_buckets = e.select("label").distinct().count()
+    n_vecs = e.count()
+    assigned = ivf_assign_labels(e, "vec_id", "embedding", "label")
+    dfb = e.select("vec_id", "embedding").join(assigned, "vec_id")
+    got = _topk_sets(
+        pq_topk_ivf_adc_tuned(
+            dfb,
+            "vec_id",
+            "embedding",
+            "assigned",
+            dim=64,
+            query_pred=F.col("vec_id") < 8,
+            k=5,
+            nprobe=n_buckets,
+            rerank_mult=n_vecs // 5 + 1,
+        )
+    )
+    want = _topk_sets(_exact_l2_topk(e))
+    assert got == want
+
+
+def test_ivfpq_tuned_knobs_are_monotone_in_recall(spark):
+    """More probes + a rerank pass must not lower recall vs the
+    nprobe=1 ADC-only baseline (each knob only ever ADDS candidates /
+    replaces approximate scores with exact ones)."""
+    from storm_dynamic_spout_spark.operators.similarity import (
+        ivf_assign_labels,
+        pq_topk_ivf_adc_tuned,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = ivf_assign_labels(e, "vec_id", "embedding", "label")
+    dfb = e.select("vec_id", "embedding").join(assigned, "vec_id")
+    gt = _topk_sets(_exact_l2_topk(e))
+
+    def recall(nprobe, rm):
+        got = _topk_sets(
+            pq_topk_ivf_adc_tuned(
+                dfb,
+                "vec_id",
+                "embedding",
+                "assigned",
+                dim=64,
+                query_pred=F.col("vec_id") < 8,
+                k=5,
+                nprobe=nprobe,
+                rerank_mult=rm,
+            )
+        )
+        return sum(len(gt[q] & got.get(q, set())) / 5 for q in gt) / len(gt)
+
+    base = recall(1, 0)
+    tuned = recall(4, 8)
+    assert tuned >= base
