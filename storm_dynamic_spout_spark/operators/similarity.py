@@ -734,6 +734,132 @@ def pq_topk_ivf_adc(
     )
 
 
+def pq_train_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 5,
+) -> DataFrame:
+    """K-means-train the PQ codebook per subspace (Lloyd iterations) —
+    the "swap in k-means-trained centroids at scale" path the fixture
+    codebook's docstring promises.  Returns the same ``(__cid, __c)``
+    full-dim contract as ``_dense_codebook`` (the cid-th centroid of
+    each subspace, concatenated), so every PQ consumer (``pq_assign``,
+    the ADC scans) takes it via their ``codebook=`` parameter with zero
+    plan changes.
+
+    Determinism: init is the fixture codebook (first k vectors by id);
+    assignment rounds distances to integer micro-units with centroid-id
+    tiebreak (the ``pq_assign`` convention); a subspace cluster that
+    loses all members keeps its previous centroid.
+
+    Why at 100 TB: per iteration, the corpus is scanned ONCE — each
+    vector fans out to its m subvectors map-side, the m*k centroid
+    table BROADCASTS, the argmin collapses map-side (min_by partial
+    agg), and the centroid update is a (subspace, cid, pos) mean —
+    m*k*sub group cells.  Iterations localCheckpoint the m*k-row
+    centroid table only (the dedup/PageRank loop convention), never
+    the corpus."""
+    sub = dim // m
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    rows = v.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ms).alias("__ms"),
+                        F.slice("__v", ms * sub + 1, sub).alias("__sv"),
+                    )
+                    for ms in range(m)
+                ]
+            )
+        ).alias("__x")
+    ).select("__x.__ms", "__x.__sv")
+
+    init = _dense_codebook(v, id_col, k)
+    cent = init.select(
+        F.col("__cid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ms).alias("__ms"),
+                        F.slice("__c", ms * sub + 1, sub).alias("__cv"),
+                    )
+                    for ms in range(m)
+                ]
+            )
+        ).alias("__x"),
+    ).select("__x.__ms", "__cid", "__x.__cv")
+
+    d2 = F.aggregate(
+        F.zip_with("__sv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iters):
+        assigned = (
+            rows.join(F.broadcast(cent), "__ms")
+            .withColumn("__d", F.round(d2 * 1e6).cast("long"))
+            .groupBy("__ms", "__sv")
+            .agg(
+                F.min_by("__cid", F.struct(F.col("__d"), F.col("__cid"))).alias(
+                    "__cid"
+                ),
+                F.count(F.lit(1)).alias("__n_dup"),
+            )
+        )
+        means = (
+            assigned.select(
+                "__ms",
+                "__cid",
+                "__n_dup",
+                F.posexplode("__sv").alias("__pos", "__val"),
+            )
+            .groupBy("__ms", "__cid", "__pos")
+            # duplicate subvectors collapse in the groupBy above;
+            # weight by their multiplicity so the mean is over VECTORS
+            .agg(
+                (
+                    F.sum(F.col("__val") * F.col("__n_dup"))
+                    / F.sum("__n_dup")
+                ).alias("__c")
+            )
+            .groupBy("__ms", "__cid")
+            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__c"))).alias("__pc"))
+            .select(
+                "__ms",
+                "__cid",
+                F.transform("__pc", lambda s: s.getField("__c")).alias("__new"),
+            )
+        )
+        cent = (
+            cent.join(means, ["__ms", "__cid"], "left")
+            .select(
+                "__ms",
+                "__cid",
+                # empty cluster keeps its previous centroid
+                F.coalesce("__new", "__cv").alias("__cv"),
+            )
+            # lazy checkpoint: subtree must be deterministic (see
+            # operators/dedup.py DETERMINISM note) — integer-rounded
+            # argmin with id tiebreak over a static corpus is.
+            .localCheckpoint(eager=False)
+        )
+
+    return (
+        cent.groupBy("__cid")
+        .agg(F.array_sort(F.collect_list(F.struct("__ms", "__cv"))).alias("__mc"))
+        .select(
+            "__cid",
+            F.flatten(F.transform("__mc", lambda s: s.getField("__cv"))).alias("__c"),
+        )
+    )
+
+
 def pq_topk_ivf_adc_tuned(
     df: DataFrame,
     id_col: str,
@@ -746,10 +872,16 @@ def pq_topk_ivf_adc_tuned(
     kc: int = PQ_K,
     nprobe: int = 1,
     rerank_mult: int = 0,
+    train_iters: int = 0,
 ) -> DataFrame:
-    """``pq_topk_ivf_adc`` with the two production recall knobs FAISS
+    """``pq_topk_ivf_adc`` with the THREE production recall knobs FAISS
     ships, composed (the base operator's docstring promises they
     compose — this is the composition):
+
+    - ``train_iters``: k-means-train the PQ codebook
+      (``pq_train_codebook``) instead of the fixture first-k-vectors
+      codebook — attacks the code distortion at its source.  ``0``
+      keeps the fixture codebook.
 
     - ``nprobe``: each query scans its ``nprobe`` nearest coarse
       buckets by exact L2 to the bucket MEAN vectors (metric-matched
@@ -777,10 +909,13 @@ def pq_topk_ivf_adc_tuned(
     v = df.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v"), F.col(bucket_col)
     )
-    cent = _dense_codebook(
-        v.select(F.col(id_col), F.col("__v")), id_col, kc
+    raw_cent = (
+        pq_train_codebook(df, id_col, vec_col, dim, m, kc, iters=train_iters)
+        if train_iters > 0
+        else _dense_codebook(v.select(F.col(id_col), F.col("__v")), id_col, kc)
+    )
     # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
-    ).localCheckpoint(eager=False)
+    cent = raw_cent.localCheckpoint(eager=False)
     codes = pq_assign(
         df.withColumn("__bkt", F.col(bucket_col)),
         id_col,

@@ -184,3 +184,81 @@ def test_ivfpq_tuned_knobs_are_monotone_in_recall(spark):
     base = recall(1, 0)
     tuned = recall(4, 8)
     assert tuned >= base
+
+
+def test_pq_train_codebook_reduces_distortion(spark):
+    """Lloyd iterations from the fixture-codebook init must not
+    increase total quantization error on the fixture corpus (k-means
+    SSE is non-increasing per step), and here strictly reduce it."""
+    from storm_dynamic_spout_spark.operators.similarity import (
+        pq_assign,
+        pq_train_codebook,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    fixture = pq_assign(e, "vec_id", "embedding", 64).agg(
+        F.sum("err_micro")
+    ).first()[0]
+    cb = pq_train_codebook(e, "vec_id", "embedding", 64, iters=3)
+    trained = pq_assign(e, "vec_id", "embedding", 64, codebook=cb).agg(
+        F.sum("err_micro")
+    ).first()[0]
+    assert trained <= fixture
+    assert trained < fixture * 0.95, "training should strictly cut distortion"
+
+
+def test_pq_train_codebook_recovers_separable_clusters(spark):
+    """Two exact cluster centers per 2-dim subspace, with a WORST-CASE
+    init (the first k vectors sit in the same cluster): training must
+    drive quantization error to zero and emit the (__cid, __c) full-dim
+    contract — k rows of dim-length arrays with dense 0..k-1 cids."""
+    from storm_dynamic_spout_spark.operators.similarity import (
+        pq_assign,
+        pq_train_codebook,
+    )
+
+    # subspace 0 clusters at x=0 / x=10; subspace 1 at y=0 / y=10.
+    # ids 0,1 (the init) both sit at the origin-side cluster.
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.1, 0.1, 0.1, 0.1]),
+        (2, [10.0, 10.0, 10.0, 10.0]),
+        (3, [10.1, 10.1, 10.1, 10.1]),
+        (4, [0.0, 0.1, 10.0, 10.1]),
+        (5, [10.1, 10.0, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fixture_err = pq_assign(df, "vec_id", "embedding", 4, m=2, k=2).agg(
+        F.sum("err_micro")
+    ).first()[0]
+    cb = pq_train_codebook(df, "vec_id", "embedding", 4, m=2, k=2, iters=5)
+    rows_cb = cb.orderBy("__cid").collect()
+    assert [r["__cid"] for r in rows_cb] == [0, 1]
+    assert all(len(r["__c"]) == 4 for r in rows_cb)
+    trained_err = pq_assign(
+        df, "vec_id", "embedding", 4, m=2, k=2, codebook=cb
+    ).agg(F.sum("err_micro")).first()[0]
+    assert fixture_err > 0, "worst-case init must start with distortion"
+    # each subspace cluster has radius 0.05 around its mean -> tiny err
+    assert trained_err < fixture_err * 0.01
+
+
+def test_pq_train_codebook_survives_empty_clusters(spark):
+    """More centroids than distinct subvectors: the losing centroids
+    keep their previous value (no NULL rows, no crash), and assignment
+    still works downstream."""
+    from storm_dynamic_spout_spark.operators.similarity import (
+        pq_assign,
+        pq_train_codebook,
+    )
+
+    rows = [(i, [float(i % 2), 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train_codebook(df, "vec_id", "embedding", 2, m=1, k=4, iters=3)
+    got = cb.orderBy("__cid").collect()
+    assert len(got) == 4
+    assert all(r["__c"] is not None and len(r["__c"]) == 2 for r in got)
+    err = pq_assign(df, "vec_id", "embedding", 2, m=1, k=4, codebook=cb).agg(
+        F.sum("err_micro")
+    ).first()[0]
+    assert err == 0  # 2 distinct vectors, >=2 surviving centroids
