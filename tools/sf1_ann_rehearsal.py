@@ -201,6 +201,35 @@ def main() -> int:
         )
         print(report[-1], flush=True)
 
+        # PQ codebook training at 50x: distortion must not increase
+        # (k-means SSE is non-increasing from the fixture-codebook init)
+        from storm_dynamic_spout_spark.operators.similarity import (
+            pq_assign,
+            pq_train_codebook,
+        )
+
+        t0 = time.perf_counter()
+        fix_err = (
+            pq_assign(e50, "vec_id", "embedding", DIM)
+            .agg(F.sum("err_micro"))
+            .first()[0]
+        )
+        cb = pq_train_codebook(e50, "vec_id", "embedding", DIM, iters=3)
+        tr_err = (
+            pq_assign(e50, "vec_id", "embedding", DIM, codebook=cb)
+            .agg(F.sum("err_micro"))
+            .first()[0]
+        )
+        wall_train = time.perf_counter() - t0
+        ok_train = tr_err <= fix_err
+        report.append(
+            f"- pq_train_codebook @ {COPIES}x ({wall_train:.1f}s incl. both "
+            f"assigns): total quantization error {fix_err} (fixture) -> "
+            f"{tr_err} (3 Lloyd iters) = {tr_err / fix_err:.2f}x -> "
+            f"{'NON-INCREASING (pass)' if ok_train else 'INCREASED (FAIL)'}"
+        )
+        print(report[-1], flush=True)
+
         # whitening moments at 50x: scale-invariant contract
         from storm_dynamic_spout_spark.operators.similarity import whiten_ppm
 
@@ -231,7 +260,7 @@ def main() -> int:
         fh.write("\n".join(report) + "\n")
     print("appended SCALE_SF1.md")
     spark.stop()
-    return 0 if ok_ratio and ok_recall and ok_white else 1
+    return 0 if ok_ratio and ok_recall and ok_train and ok_white else 1
 
 
 if __name__ == "__main__":
