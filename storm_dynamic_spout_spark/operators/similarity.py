@@ -382,6 +382,34 @@ def ivf_assign_labels(
     )
 
 
+def ivf_train_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iters: int = 5,
+) -> DataFrame:
+    """LABEL-FREE IVF coarse training: full-vector k-means (Lloyd) from
+    the deterministic first-k-vectors init, then argmin-L2 assignment —
+    ``(id_col, assigned)`` with dense 0..k-1 bucket ids.  Completes the
+    unsupervised FAISS story: where ``ivf_assign_labels`` seeds its one
+    k-means step from a given label column, this needs NOTHING but the
+    vectors, so ``pq_topk_ivf_adc_tuned`` composes into a fully trained
+    index (coarse k-means + PQ k-means + multi-probe + rerank) on any
+    unlabeled corpus.
+
+    Full-vector k-means IS ``pq_train_codebook`` with m=1 (one
+    subspace spanning the whole vector), so the training plan — one
+    corpus scan per iteration, broadcast centroid table, map-side
+    min_by argmin, k×dim-cell mean update, k-row checkpoint per round —
+    is shared, not re-derived.  The assignment convention is the
+    ``pq_assign`` one: integer-micro L2 with centroid-id tiebreak."""
+    cb = pq_train_codebook(df, id_col, vec_col, dim, m=1, k=k, iters=iters)
+    assigned = pq_assign(df, id_col, vec_col, dim, m=1, k=k, codebook=cb)
+    return assigned.select(F.col(id_col), F.col("code_0").alias("assigned"))
+
+
 # --- signed-random-projection (random-hyperplane) LSH ------------------
 
 SRP_SEED = 42

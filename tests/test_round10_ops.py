@@ -262,3 +262,36 @@ def test_pq_train_codebook_survives_empty_clusters(spark):
         F.sum("err_micro")
     ).first()[0]
     assert err == 0  # 2 distinct vectors, >=2 surviving centroids
+
+
+def test_ivf_train_assign_label_free_index_is_exact_in_the_limit(spark):
+    """The fully UNSUPERVISED index (k-means coarse buckets from
+    ivf_train_assign — no fixture label — composed with the tuned ADC
+    search) must still return exactly the brute-force L2 top-k in the
+    exhaustive limit, and its buckets must partition the corpus."""
+    from storm_dynamic_spout_spark.operators.similarity import (
+        ivf_train_assign,
+        pq_topk_ivf_adc_tuned,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_vecs = e.count()
+    assigned = ivf_train_assign(e, "vec_id", "embedding", 64, k=6, iters=3)
+    assert assigned.count() == n_vecs
+    buckets = {r["assigned"] for r in assigned.select("assigned").distinct().collect()}
+    assert buckets <= set(range(6)) and len(buckets) >= 2
+    dfb = e.select("vec_id", "embedding").join(assigned, "vec_id")
+    got = _topk_sets(
+        pq_topk_ivf_adc_tuned(
+            dfb,
+            "vec_id",
+            "embedding",
+            "assigned",
+            dim=64,
+            query_pred=F.col("vec_id") < 8,
+            k=5,
+            nprobe=len(buckets),
+            rerank_mult=n_vecs // 5 + 1,
+        )
+    )
+    assert got == _topk_sets(_exact_l2_topk(e))
