@@ -295,3 +295,49 @@ def test_ivf_train_assign_label_free_index_is_exact_in_the_limit(spark):
         )
     )
     assert got == _topk_sets(_exact_l2_topk(e))
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark):
+    """CUPED on a synthetic corpus where the metric is 0.8-correlated
+    with the pre-period covariate: per-arm means move by at most the
+    adjustment noise, total variance shrinks by ~rho^2, and a
+    zero-variance covariate is a no-op (theta guard)."""
+    import random
+
+    from storm_dynamic_spout_spark.operators.experiment import (
+        cuped_adjust,
+        hash_arm,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for uid in range(2000):
+        x = rng.gauss(50, 10)  # pre-period
+        y = 0.8 * x + rng.gauss(0, 7.5)  # experiment metric, rho ~ 0.73
+        rows.append((uid, float(x), float(y)))
+    df = spark.createDataFrame(rows, "uid long, x double, y double").withColumn(
+        "arm", hash_arm(F.col("uid"))
+    )
+    adj = cuped_adjust(df, "y", "x")
+    stats = adj.agg(
+        F.var_pop("y").alias("vy"),
+        F.var_pop("metric_cv").alias("vcv"),
+        F.avg("y").alias("my"),
+        F.avg("metric_cv").alias("mcv"),
+        F.corr("y", "x").alias("rho"),
+    ).first()
+    # variance ratio ~ 1 - rho^2
+    expect = 1 - stats["rho"] ** 2
+    assert stats["vcv"] / stats["vy"] < expect + 0.05
+    # corpus mean is preserved EXACTLY in expectation (theta * (x - mean))
+    assert abs(stats["mcv"] - stats["my"]) < 1e-6 * max(1, abs(stats["my"]))
+    # arm split is deterministic and roughly balanced
+    arms = {r["arm"]: r["n"] for r in df.groupBy("arm").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(arms) == {0, 1} and min(arms.values()) > 800
+
+    # zero-variance covariate -> no-op
+    const = spark.createDataFrame(
+        [(i, 1.0, float(i)) for i in range(10)], "uid long, x double, y double"
+    )
+    noop = cuped_adjust(const, "y", "x").select("y", "metric_cv").collect()
+    assert all(r["y"] == r["metric_cv"] for r in noop)
