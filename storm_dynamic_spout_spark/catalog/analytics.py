@@ -2960,3 +2960,80 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_welch"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "events_ab_cuped",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             sum(CASE WHEN event_id % 2 = 0 THEN value ELSE 0 END) AS x,
+             sum(CASE WHEN event_id % 2 = 1 THEN value ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    st AS (
+      SELECT covar_pop(y, x) AS cv, var_pop(x) AS vx, avg(x) AS mx FROM per
+    ),
+    adj AS (
+      SELECT p.user_id, p.user_id % 2 AS arm, p.y,
+             p.y - (CASE WHEN st.vx > 0 THEN st.cv / st.vx ELSE 0 END)
+                 * (p.x - st.mx) AS y_cv
+      FROM per p, st
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_units,
+           round(avg(y), 6) AS mean_y,
+           round(avg(y_cv), 6) AS mean_cv,
+           round(var_samp(y), 4) AS var_y,
+           round(var_samp(y_cv), 4) AS var_cv
+    FROM adj GROUP BY arm ORDER BY arm
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout (Deng, Xu, Kohavi & Walker, WSDM'13
+    — operators/experiment.py cuped_adjust): per user, the metric is
+    the value sum over odd event_ids and the pre-period covariate the
+    value sum over even event_ids (a deterministic split both engines
+    compute identically; the two halves correlate through per-user
+    activity level, which is exactly the leverage CUPED exploits).
+    Reports per arm the unit count, raw and adjusted means, and raw
+    and adjusted sample variances — the adjusted variance shrink is
+    the whole point of the operator.
+
+    Variances round to 1e-4 (not 1e-6): var_samp composes two
+    accumulation-order-sensitive passes (theta, then the moment over
+    the adjusted values), so the ulp noise is ~100x a single
+    aggregate's.
+
+    Why at 100 TB: one (user) aggregate over the event scan (map-side
+    partial), ONE corpus-level moment row broadcast back on a one-row
+    cross join, codegen adjustment, then a 2-row closing aggregate —
+    the cuped_adjust plan shape with the arm rollup fused on top."""
+    from storm_dynamic_spout_spark.operators.experiment import cuped_adjust
+
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_id") % 2 == 0, F.col("value")).otherwise(0.0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_id") % 2 == 1, F.col("value")).otherwise(0.0)
+            ).alias("y"),
+        )
+    )
+    adj = cuped_adjust(per, "y", "x", out_col="y_cv").withColumn(
+        "arm", F.col("user_id") % 2
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.round(F.avg("y"), 6).alias("mean_y"),
+            F.round(F.avg("y_cv"), 6).alias("mean_cv"),
+            F.round(F.var_samp("y"), 4).alias("var_y"),
+            F.round(F.var_samp("y_cv"), 4).alias("var_cv"),
+        )
+        .orderBy("arm")
+    )

@@ -4686,3 +4686,229 @@ def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("entropy_1e6"),
     ).orderBy("doc_id")
+
+
+def _ivf_train_assign_oracle(k: int, iters: int) -> str:
+    """Label-free k-means coarse assignment, Lloyd iterations UNROLLED
+    (recursive CTEs cannot aggregate in the recursive term, so a fixed
+    iteration count unrolls to chained CTE pairs).  Distance sums are
+    explicit left-associative 64-term chains (the _pq_ctes convention —
+    bit-identical to Spark's sequential F.aggregate fold), argmin is
+    (integer-micro distance, cid), and a cluster that loses all members
+    keeps its previous centroid (COALESCE on a LEFT JOIN), mirroring
+    operators/similarity.py pq_train_codebook exactly."""
+    d2 = " + ".join(
+        f"(v.ve[{i}] - c.ce[{i}]) * (v.ve[{i}] - c.ce[{i}])" for i in range(1, 65)
+    )
+
+    def assign(name: str, cent: str) -> str:
+        return f""",
+    {name}_sc AS (
+      SELECT v.vec_id, v.ve, c.cid,
+             CAST(round(({d2}) * 1e6) AS BIGINT) AS d
+      FROM v CROSS JOIN {cent} c
+    ),
+    {name} AS (
+      SELECT vec_id, ve, cid FROM (
+        SELECT vec_id, ve, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        FROM {name}_sc
+      ) WHERE r = 1
+    )"""
+
+    def update(a: str, prev: str, new: str) -> str:
+        return f""",
+    {new}_m AS (
+      SELECT a.cid, t.pos, avg(a.ve[t.pos]) AS c
+      FROM {a} a, UNNEST(range(1, 65)) AS t(pos)
+      GROUP BY a.cid, t.pos
+    ),
+    {new}_v AS (
+      SELECT cid, list(c ORDER BY pos) AS ce FROM {new}_m GROUP BY cid
+    ),
+    {new} AS (
+      SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+      FROM {prev} p LEFT JOIN {new}_v n ON n.cid = p.cid
+    )"""
+
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
+      FROM v WHERE vec_id < {k}
+    )"""
+    cent = "c0"
+    for it in range(1, iters + 1):
+        sql += assign(f"a{it}", cent)
+        sql += update(f"a{it}", cent, f"c{it}")
+        cent = f"c{it}"
+    sql += assign("afinal", cent)
+    sql += """
+    SELECT vec_id, CAST(cid AS BIGINT) AS assigned FROM afinal ORDER BY vec_id
+    """
+    return sql
+
+
+IVF_TRAIN_K = 6
+IVF_TRAIN_ITERS = 2
+
+
+@query(
+    "ann_ivf_train_assign",
+    oracle=_ivf_train_assign_oracle(IVF_TRAIN_K, IVF_TRAIN_ITERS),
+)
+def ann_ivf_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-FREE coarse quantizer training (operators/similarity.py
+    ivf_train_assign = pq_train_codebook with m=1 + the pq_assign
+    argmin): full-vector k-means from the deterministic first-k init,
+    two Lloyd iterations, then every vector assigned to its
+    argmin-L2 centroid — the unsupervised half of the FAISS story
+    (ann_ivf_assign / ann_topk_ivfpq_trained seed from the fixture
+    label column; a real corpus has none).
+
+    Why at 100 TB: per iteration the corpus is scanned once — k-row
+    centroid table broadcast, map-side min_by argmin collapse, k×dim
+    mean-cell update, k-row checkpoint; the corpus vectors never
+    shuffle.  The oracle unrolls the same two iterations as chained
+    SQL CTEs with the left-associative distance sums both engines
+    fold identically."""
+    from storm_dynamic_spout_spark.operators.similarity import ivf_train_assign
+
+    return ivf_train_assign(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        64,
+        k=IVF_TRAIN_K,
+        iters=IVF_TRAIN_ITERS,
+    ).orderBy("vec_id")
+
+
+def _ivfpq_tuned_oracle(nprobe: int, rerank_mult: int) -> str:
+    """Multi-probe + exact-rerank IVF-PQ oracle: the _pq_ivf_adc
+    oracle's CTEs, except (a) each query probes its ``nprobe`` nearest
+    coarse buckets by exact L2 to the per-label MEAN vectors (integer-
+    micro distance, label tiebreak — the pq_topk_ivf_adc_tuned probe
+    convention), and (b) the ADC ranking keeps a k*rerank_mult
+    shortlist that a final exact-L2 pass re-scores against the
+    original vectors.  All distance sums are explicit left-associative
+    chains (bit-identical to Spark's sequential fold)."""
+    from storm_dynamic_spout_spark.operators.similarity import PQ_K, PQ_M
+
+    d2q = " + ".join(
+        f"(qv.ve[{i}] - b.cv[{i}]) * (qv.ve[{i}] - b.cv[{i}])"
+        for i in range(1, 65)
+    )
+    d2r = " + ".join(
+        f"(qe.ve[{i}] - ne.ve[{i}]) * (qe.ve[{i}] - ne.ve[{i}])"
+        for i in range(1, 65)
+    )
+    joins = "\n      ".join(
+        f"JOIN dt t{ms} ON t{ms}.query_id = p.query_id"
+        f" AND t{ms}.cid = k.code_{ms}"
+        for ms in range(PQ_M)
+    )
+    approx = " + ".join(f"t{ms}.d{ms}" for ms in range(PQ_M))
+    return (
+        _pq_ctes()
+        + f""",
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    bcent AS (
+      SELECT l.label, list(c ORDER BY pos) AS cv FROM (
+        SELECT kl.label, t.pos, avg(v.ve[t.pos]) AS c
+        FROM v JOIN lbl kl ON kl.vec_id = v.vec_id,
+             UNNEST(range(1, 65)) AS t(pos)
+        GROUP BY kl.label, t.pos
+      ) l GROUP BY l.label
+    ),
+    probes AS (
+      SELECT query_id, label AS qb FROM (
+        SELECT qv.vec_id AS query_id, b.label,
+               row_number() OVER (
+                 PARTITION BY qv.vec_id
+                 ORDER BY CAST(round(({d2q}) * 1e6) AS BIGINT), b.label
+               ) AS pr
+        FROM v qv CROSS JOIN bcent b
+        WHERE qv.vec_id < {PQ_K}
+      ) WHERE pr <= {nprobe}
+    ),
+    dt AS (
+      SELECT s.vec_id AS query_id, s.cid,
+             {", ".join(f"d{ms}" for ms in range(PQ_M))}
+      FROM scored s WHERE s.vec_id < {PQ_K}
+    ),
+    adc AS (
+      SELECT p.query_id, k.vec_id AS neighbor_id,
+             CAST({approx} AS BIGINT) AS approx_d2
+      FROM codes k
+      JOIN lbl kl ON kl.vec_id = k.vec_id
+      JOIN probes p ON kl.label = p.qb AND k.vec_id != p.query_id
+      {joins}
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_d2, neighbor_id) AS r
+        FROM adc
+      ) WHERE r <= {ANN_K * rerank_mult}
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(round(({d2r}) * 1e6) AS BIGINT) AS d2_micro
+      FROM shortlist s
+      JOIN v qe ON qe.vec_id = s.query_id
+      JOIN v ne ON ne.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, d2_micro, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, d2_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2_micro, neighbor_id) AS rank
+      FROM rr
+    ) WHERE rank <= {ANN_K}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+IVFPQ_TUNED_NPROBE = 2
+IVFPQ_TUNED_RERANK = 4
+
+
+@query(
+    "ann_topk_ivfpq_tuned",
+    oracle=_ivfpq_tuned_oracle(IVFPQ_TUNED_NPROBE, IVFPQ_TUNED_RERANK),
+)
+def ann_topk_ivfpq_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the production recall knobs engaged
+    (operators/similarity.py pq_topk_ivf_adc_tuned): each query probes
+    its 2 nearest coarse buckets (exact L2 to the bucket means — the
+    metric the ADC scan optimizes, where cosine probing would
+    mis-rank) and the ADC scan keeps a 4k shortlist that one broadcast
+    id-join re-scores with exact L2.  Rehearsed at 100k vectors:
+    recall@5 0.03 (ADC-only) -> 0.57 with these knobs (SCALE_SF1.md).
+
+    Why at 100 TB: probes multiply only the BROADCAST side of the
+    bucket equi-join (codes still scanned once); the rerank touches
+    k*mult original vectors per query — the corpus vectors never
+    shuffle; everything else is the ann_topk_ivfpq plan."""
+    from storm_dynamic_spout_spark.operators.similarity import (
+        PQ_K,
+        pq_topk_ivf_adc_tuned,
+    )
+
+    return pq_topk_ivf_adc_tuned(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        dim=64,
+        query_pred=F.col("vec_id") < PQ_K,
+        k=ANN_K,
+        nprobe=IVFPQ_TUNED_NPROBE,
+        rerank_mult=IVFPQ_TUNED_RERANK,
+    ).orderBy("query_id", "rank")

@@ -480,3 +480,22 @@ def test_ab_test_aggregates_events_once(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "Python" not in plan
+
+
+def test_staged_round10_queries_plan_shapes(spark, sf_dir):
+    """Late-round-10 staged queries: the tuned IVF-PQ scan must stay a
+    bucket equi-join (never cartesian against the corpus) with no
+    Python nodes; the CUPED readout is pure aggregates + a one-row
+    broadcast (no window, no Python); the k-means assignment never
+    goes cartesian against anything bigger than the k-row centroid
+    broadcast."""
+    plan = _plan(spark, sf_dir, "ann_topk_ivfpq_tuned")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    plan = _plan(spark, sf_dir, "events_ab_cuped")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan
+    plan = _plan(spark, sf_dir, "ann_ivf_train_assign")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
