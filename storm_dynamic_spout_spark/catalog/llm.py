@@ -4912,3 +4912,147 @@ def ann_topk_ivfpq_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=IVFPQ_TUNED_NPROBE,
         rerank_mult=IVFPQ_TUNED_RERANK,
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(round(({_SQL_QUALITY.format(punct=X.sql_punct_ratio('text'), stop=X.sql_stopword_ratio('text', X.QUALITY_STOPWORDS))}) * 1000000) AS BIGINT)
+               AS quality_1e6
+      FROM documents
+    ),
+    cuts AS (
+      SELECT quantile_cont(quality_1e6, 0.25) AS c1,
+             quantile_cont(quality_1e6, 0.50) AS c2,
+             quantile_cont(quality_1e6, 0.75) AS c3
+      FROM q
+    ),
+    b AS (
+      SELECT doc_id, quality_1e6,
+             1 + CAST(quality_1e6 > c1 AS INT)
+               + CAST(quality_1e6 > c2 AS INT)
+               + CAST(quality_1e6 > c3 AS INT) AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM q, cuts
+    )
+    SELECT doc_id, quality_1e6, CAST(bucket AS INT) AS bucket,
+           CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+                AS BIGINT) AS rank_in_bucket
+    FROM b ORDER BY doc_id
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning order (Bengio et al. 2009 applied to
+    pre-training data): bucket documents into quality quartiles
+    (integer 1e-6 quality keys against broadcast exact-percentile
+    cuts — the orders_rfm convention, no global ntile sort), then
+    shuffle deterministically WITHIN each bucket by md5(doc_id) — a
+    training loader walks bucket 4 (best) to bucket 1, randomized
+    inside each stage, reproducibly across runs and engines.
+
+    Why at 100 TB: the cuts are a 1-row exact-percentile aggregate
+    broadcast back over the scan (swap approx_percentile in at
+    extreme scale, same plan); the within-bucket rank is a
+    4-partition window — skewed by construction, so at real scale
+    rank within (bucket, shard-of-hash) bands instead (the
+    zipf_banded_rank pattern) and offset by band; the hash order
+    makes either formulation deterministic."""
+    from pyspark.sql.window import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        F.round(X.quality_score(F.col("text")) * 1_000_000)
+        .cast("long")
+        .alias("quality_1e6"),
+    )
+    cuts = q.agg(
+        F.percentile("quality_1e6", 0.25).alias("__c1"),
+        F.percentile("quality_1e6", 0.50).alias("__c2"),
+        F.percentile("quality_1e6", 0.75).alias("__c3"),
+    )
+    qk = F.col("quality_1e6")
+    bucket = (
+        F.lit(1)
+        + (qk > F.col("__c1")).cast("int")
+        + (qk > F.col("__c2")).cast("int")
+        + (qk > F.col("__c3")).cast("int")
+    )
+    b = q.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "quality_1e6",
+        bucket.alias("bucket"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("__h"),
+    )
+    w = W.partitionBy("bucket").orderBy("__h", "doc_id")
+    return (
+        b.withColumn("rank_in_bucket", F.row_number().over(w).cast("long"))
+        .select("doc_id", "quality_1e6", "bucket", "rank_in_bucket")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "embedding_whitened_topk",
+    oracle=f"""
+    WITH ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+    comp AS (SELECT UNNEST(range(1, len(e) + 1)) AS pos, e FROM ve),
+    cell AS (SELECT pos, e[pos] AS x FROM comp),
+    stats AS (SELECT pos, avg(x) AS mu, stddev_pop(x) AS sd FROM cell GROUP BY pos),
+    sarr AS (SELECT list(mu ORDER BY pos) AS mus, list(sd ORDER BY pos) AS sds
+             FROM stats),
+    w AS (
+      SELECT vec_id,
+             list_transform(range(1, len(e) + 1), i ->
+                 CAST(CAST(CASE WHEN sds[i] > 0
+                                THEN round((e[i] - mus[i]) / sds[i] * 1000000)
+                                ELSE 0 END AS BIGINT) AS DOUBLE)) AS v
+      FROM ve, sarr
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM w
+          WHERE vec_id < {ANN_QUERY_MAX_ID}),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             round(list_inner_product(qv, v)
+                   / (sqrt(list_inner_product(qv, qv))
+                      * sqrt(list_inner_product(v, v))) * 1000000) / 1000000
+               AS cos
+      FROM q CROSS JOIN w WHERE vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_whitened_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the WHITENED space — the
+    composition diagonal whitening exists for (retrieval in the
+    standardized space, where no high-variance dimension dominates the
+    metric).  The whitened integer-ppm components make every dot
+    product and norm an EXACT integer sum (64 products of ppm-scale
+    values stay far under 2^53), so the cosine is bit-identical across
+    engines regardless of summation order — stronger determinism than
+    the raw-float baseline ann_topk_bruteforce.
+
+    Why at 100 TB: the whitening adds one d-row stats aggregate +
+    broadcast to the ann_topk_bruteforce plan (broadcast query panel x
+    one corpus scan, WindowGroupLimit top-k) — the corpus still never
+    self-joins."""
+    w = S.whiten_ppm(t(spark, sf_dir, "embeddings"), "vec_id", "embedding").select(
+        "vec_id", "white_ppm"
+    )
+    res = S.cosine_topk(
+        w, "vec_id", "white_ppm", F.col("vec_id") < ANN_QUERY_MAX_ID, ANN_K
+    )
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(F.col("cos") * 1000000) / 1000000).alias("cos"),
+        "rank",
+    ).orderBy("query_id", "rank")

@@ -366,3 +366,92 @@ def table_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+COMPACT_TARGET_KB = 256_000  # 256 MB target output size, in KB
+
+
+@query(
+    "table_compaction_plan",
+    oracle=f"""
+    WITH f AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+             o_orderkey AS file_id,
+             CAST(round(o_totalprice / 10) AS BIGINT) AS size_kb
+      FROM orders
+    ),
+    packed AS (
+      SELECT part_month, file_id, size_kb,
+             CAST(floor((sum(size_kb) OVER (
+                 PARTITION BY part_month ORDER BY file_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - size_kb) / {COMPACT_TARGET_KB}.0) AS BIGINT) AS grp
+      FROM f
+    ),
+    groups AS (
+      SELECT part_month, grp,
+             CAST(sum(size_kb) AS BIGINT) AS grp_kb,
+             CAST(count(*) AS BIGINT) AS n_files
+      FROM packed GROUP BY part_month, grp
+    )
+    SELECT part_month,
+           CAST(sum(n_files) AS BIGINT) AS n_files,
+           CAST(sum(grp_kb) AS BIGINT) AS total_kb,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(max(grp_kb) AS BIGINT) AS largest_group_kb,
+           round(avg(grp_kb * 1.0 / {COMPACT_TARGET_KB}), 6) AS avg_fill
+    FROM groups GROUP BY part_month ORDER BY part_month
+    """,
+)
+def table_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance pass
+    every 100 TB lake runs nightly: within each partition, pack files
+    (modeled here as order rows: id + a deterministic integer KB size)
+    into sequential target-size output groups via start-offset
+    bucketing — ``group = floor(prefix_sum_before / target)`` — and
+    report per partition the file count, bytes, group count, largest
+    group, and mean fill factor.
+
+    This is the corpus_token_budget distributed-prefix-sum shape
+    applied to storage: one partition-keyed cumulative-sum window
+    (per-partition sequential greedy packing IS the deterministic
+    contract — bin-packing reorderings would change file placement
+    run to run), one (partition, group) aggregate, one per-partition
+    rollup.  All integer arithmetic, so the plan is byte-stable across
+    engines.  At 100 TB the real input is the transaction log's file
+    manifest (path, partition, size), some thousands of rows per
+    partition — the window never sees data-scale rows."""
+    from pyspark.sql.window import Window as W
+
+    f = t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
+        F.col("o_orderkey").alias("file_id"),
+        F.round(F.col("o_totalprice") / 10).cast("long").alias("size_kb"),
+    )
+    w = (
+        W.partitionBy("part_month")
+        .orderBy("file_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = f.withColumn(
+        "__grp",
+        F.floor(
+            (F.sum("size_kb").over(w) - F.col("size_kb")) / COMPACT_TARGET_KB
+        ).cast("long"),
+    )
+    groups = packed.groupBy("part_month", "__grp").agg(
+        F.sum("size_kb").alias("__grp_kb"), F.count(F.lit(1)).alias("__n_files")
+    )
+    return (
+        groups.groupBy("part_month")
+        .agg(
+            F.sum("__n_files").alias("n_files"),
+            F.sum("__grp_kb").alias("total_kb"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("__grp_kb").alias("largest_group_kb"),
+            F.round(F.avg(F.col("__grp_kb") * 1.0 / COMPACT_TARGET_KB), 6).alias(
+                "avg_fill"
+            ),
+        )
+        .orderBy("part_month")
+    )
