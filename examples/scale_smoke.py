@@ -964,6 +964,71 @@ def ab_test_readout(t):
     )
 
 
+def curriculum_order(t):
+    """Quality-quartile curriculum (catalog corpus_curriculum_order
+    shape): integer quality keys, one exact-percentile aggregate
+    broadcast back, md5-ordered rank inside each of 4 buckets.
+    Healthy scaling is ~linear in documents; the 4-partition window is
+    the documented skew point (banded-rank at real scale)."""
+    from pyspark.sql.window import Window as W
+
+    from storm_dynamic_spout_spark.operators.text import quality_score
+
+    d = t("documents_plain")
+    q = d.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")) * 1_000_000).cast("long").alias("qk"),
+    )
+    cuts = q.agg(
+        F.percentile("qk", 0.25).alias("c1"),
+        F.percentile("qk", 0.50).alias("c2"),
+        F.percentile("qk", 0.75).alias("c3"),
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("qk") > F.col("c1")).cast("int")
+        + (F.col("qk") > F.col("c2")).cast("int")
+        + (F.col("qk") > F.col("c3")).cast("int")
+    )
+    b = q.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "qk",
+        bucket.alias("bucket"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    w = W.partitionBy("bucket").orderBy("h", "doc_id")
+    return b.withColumn("rank_in_bucket", F.row_number().over(w))
+
+
+def compaction_plan(t):
+    """Small-file compaction planning (catalog table_compaction_plan
+    shape): per-partition prefix-sum window -> start-offset group
+    bucketing -> two counting aggregates.  Healthy scaling is ~linear
+    in files; per-partition file counts grow 5x but the window state
+    is one running sum."""
+    from pyspark.sql.window import Window as W
+
+    f = t("orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("pm"),
+        F.col("o_orderkey").alias("fid"),
+        F.round(F.col("o_totalprice") / 10).cast("long").alias("kb"),
+    )
+    w = W.partitionBy("pm").orderBy("fid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = f.withColumn(
+        "grp", F.floor((F.sum("kb").over(w) - F.col("kb")) / 256_000).cast("long")
+    )
+    return (
+        packed.groupBy("pm", "grp")
+        .agg(F.sum("kb").alias("gkb"), F.count(F.lit(1)).alias("nf"))
+        .groupBy("pm")
+        .agg(
+            F.sum("nf").alias("n_files"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("gkb").alias("largest"),
+        )
+    )
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -1006,6 +1071,8 @@ QUERIES = [
     ("asof_nearest", asof_nearest),
     ("whitening", whitening),
     ("ab_test", ab_test_readout),
+    ("curriculum", curriculum_order),
+    ("compaction_plan", compaction_plan),
 ]
 
 
