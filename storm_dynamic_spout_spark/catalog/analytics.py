@@ -3037,3 +3037,75 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@query(
+    "events_ab_srm",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT 'modulo' AS method, CAST(user_id % 2 AS INT) AS arm FROM u
+      UNION ALL
+      SELECT 'md5' AS method,
+             CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                       AS BIGINT) % 2 AS INT) AS arm
+      FROM u
+    ),
+    g AS (
+      SELECT method,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+      FROM arms GROUP BY method
+    )
+    SELECT method, n_c + n_t AS n_units, n_c, n_t,
+           round((n_c - n_t) * (n_c - n_t) * 1.0 / (n_c + n_t), 6) AS chi2,
+           (n_c - n_t) * (n_c - n_t) * 1.0 / (n_c + n_t) > 3.841 AS srm_flag
+    FROM g ORDER BY method
+    """,
+)
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the sanity check every
+    experimentation platform runs before reading a result (a biased
+    assignment invalidates the whole experiment): for each assignment
+    method (identity modulo and an md5-byte parity split), the
+    chi-square statistic for a 50/50 design simplifies to
+    ``(n_c - n_t)^2 / n``; flag when it exceeds the 95% critical value
+    (3.841, 1 dof).
+
+    Why at 100 TB: one distinct-users aggregate, a 2-way map-side arm
+    count, closed-form codegen math on a 2-row result — the guardrail
+    costs one pass regardless of corpus size."""
+    u = t(spark, sf_dir, "events").select("user_id").distinct()
+    modulo = u.select(
+        F.lit("modulo").alias("method"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    )
+    md5arm = u.select(
+        F.lit("md5").alias("method"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 2),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        ).alias("arm"),
+    )
+    g = (
+        modulo.unionByName(md5arm)
+        .groupBy("method")
+        .agg(
+            F.sum((F.col("arm") == 0).cast("long")).alias("n_c"),
+            F.sum((F.col("arm") == 1).cast("long")).alias("n_t"),
+        )
+    )
+    n_c, n_t = F.col("n_c"), F.col("n_t")
+    chi2 = (n_c - n_t) * (n_c - n_t) * 1.0 / (n_c + n_t)
+    return g.select(
+        "method",
+        (n_c + n_t).alias("n_units"),
+        "n_c",
+        "n_t",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    ).orderBy("method")
