@@ -3109,3 +3109,74 @@ def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841).alias("srm_flag"),
     ).orderBy("method")
+
+
+@query(
+    "events_regression_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2020-01-01',
+                            CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x,
+             value AS y
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             covar_pop(x, y) AS cxy, var_pop(x) AS vx,
+             avg(x) AS mx, avg(y) AS my,
+             corr(x, y) AS r
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CASE WHEN vx > 0 THEN cxy / vx ELSE 0 END, 6) AS slope,
+           round(my - (CASE WHEN vx > 0 THEN cxy / vx ELSE 0 END) * mx, 6)
+             AS intercept,
+           round(CASE WHEN r IS NULL THEN 0 ELSE r * r END, 6) AS r2
+    FROM g ORDER BY event_type
+    """,
+)
+def events_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric OLS trend line — the "is this KPI drifting"
+    readout: slope/intercept of value vs day index (days since a fixed
+    epoch, so x is small and the moments stay well-conditioned — raw
+    unix seconds would put 1e9-scale x into the covariance) plus r²,
+    all from the explicit moment primitives (covar_pop / var_pop /
+    corr) rather than engine-specific regr_* aggregates, so both
+    engines evaluate the identical expression tree.  Zero-variance x
+    (all events on one day) degrades to slope 0 / intercept mean(y).
+
+    Why at 100 TB: one grouped aggregate with map-side partial
+    moments — the same single-exchange shape as agg_corr_covar; the
+    closed-form algebra is codegen on a |types|-row result."""
+    d = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.col("ts"), F.lit("2020-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_pop("x", "y").alias("__cxy"),
+        F.var_pop("x").alias("__vx"),
+        F.avg("x").alias("__mx"),
+        F.avg("y").alias("__my"),
+        F.corr("x", "y").alias("__r"),
+    )
+    slope = F.when(F.col("__vx") > 0, F.col("__cxy") / F.col("__vx")).otherwise(
+        F.lit(0.0)
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"), 6).alias("intercept"),
+        F.round(
+            F.when(F.col("__r").isNull(), F.lit(0.0)).otherwise(
+                F.col("__r") * F.col("__r")
+            ),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")
