@@ -1360,22 +1360,32 @@ def _triangle_oracle() -> str:
 
 @query("graph_triangle_count", oracle=_triangle_oracle())
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed triangle counting (node-iterator with ordered
-    edges) over the spatial proximity graph: every edge is stored once
-    as (a < b), so each triangle a<b<c is found exactly once by the
-    two-join wedge-close — no 6× overcount, no post-dedup.
+    """Distributed triangle counting with DEGREE-ORDERED edge
+    orientation (the compact-forward / arboricity algorithm; Chiba &
+    Nishizeki '85, Latapy '08) over the spatial proximity graph.
 
-    Why at 100 TB: both joins are plain equi-joins on node ids (wedge
-    build on the shared middle node, then a closing edge lookup); the
-    standard refinement at web-graph scale is degree-ordered
-    direction (orient edges low-degree → high-degree before the wedge
-    join) which bounds wedge fan-out by the arboricity — same plan
-    shape, different orientation rule, so the fixture keeps the
-    simpler id order.  The ORACLE builds its edge set by brute-force
-    all-pairs; the Spark side goes through the grid-blocked spatial
-    join, so the oracle independently checks both the graph
-    derivation and the count."""
+    Every edge is oriented from its lower-(degree, id) endpoint to the
+    higher one, so every triangle has exactly one apex with two
+    out-edges and is counted exactly once by the wedge-close — no 6×
+    overcount, no post-dedup.  Why this orientation at 100 TB: wedge
+    fan-out per apex is its OUT-degree, which degree-ordering bounds by
+    O(sqrt(m)) on any graph (arboricity bound) — a celebrity node with
+    10^7 neighbors contributes ZERO wedges as apex because all its
+    edges point inward, where the naive id-order would explode its
+    wedge bucket quadratically.  tests/test_graph_orientation.py pins
+    both the count equality vs id-orientation and the wedge-volume
+    reduction on a skewed graph.
+
+    Plan: degree aggregate (node-sized) → two equi-joins to attach
+    endpoint degrees → oriented wedge self-join on the apex → closing
+    equi-join on the (v, w) edge key.  The ORACLE builds its edge set
+    by brute-force all-pairs; the Spark side goes through the
+    grid-blocked spatial join, so the oracle independently checks both
+    the graph derivation and the count."""
     from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.graph import (
+        degree_oriented_triangles,
+    )
     from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
 
     pts = t(spark, sf_dir, "customer").select(
@@ -1383,23 +1393,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spatial_coord("x").alias("ux"),
         _spatial_coord("y").alias("uy"),
     )
-    # four references downstream (e1/e2/e3 + the n_edges branch):
+    # referenced by both the triangle close and the n_edges branch:
     # materialize the spatial join once (the common_neighbors/kcore
     # checkpoint rationale) instead of deriving it per alias
     edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
     ).localCheckpoint(eager=False)
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    tri = degree_oriented_triangles(edges).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(tri)

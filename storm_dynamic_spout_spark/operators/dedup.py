@@ -743,20 +743,34 @@ def setsim_prefix_pairs(
 
     Tokens are globally ordered by (frequency, token) ascending —
     rarest first.  A document of n distinct tokens exposes only its
-    first ``n - ceil(t·n) + 1`` tokens under that order (its prefix):
-    two sets with J ≥ t must overlap in ≥ ceil(t·n) tokens, so they
-    cannot avoid sharing a prefix token.  Candidates therefore come
-    from an equi-join on prefix tokens, and because prefixes hold each
-    document's RAREST tokens the join buckets are intrinsically small —
-    the frequency order IS the skew defense (the viral stopword that
-    would explode a naive token join is never in anyone's prefix).
+    first ``n - ceil(t·n) + 1`` tokens under that order (its probe
+    prefix): two sets with J ≥ t must overlap in ≥ ceil(t·n) tokens, so
+    they cannot avoid sharing a prefix token.  Candidates therefore
+    come from an equi-join on prefix tokens, and because prefixes hold
+    each document's RAREST tokens the join buckets are intrinsically
+    small — the frequency order IS the skew defense (the viral stopword
+    that would explode a naive token join is never in anyone's prefix).
     Exact Jaccard verification then drops the false positives.
+
+    ASYMMETRIC INDEX PREFIX (the ppjoin indexing bound): orient every
+    candidate pair by (n, id) so the SMALLER set is the indexed side a
+    and the larger the probing side b.  For a qualifying pair the
+    required overlap is α = ⌈t/(1+t)·(n_a+n_b)⌉ ≥ ⌈2t/(1+t)·n_a⌉ (since
+    n_b ≥ n_a) and ≥ ⌈t·n_b⌉ (since n_a ≥ t·n_b by the size bound), and
+    the cross-prefix lemma (Xiao et al., WWW'08, Lemma 1: |x∩y| ≥ α ⟹
+    the first |x|−α+1 tokens of x and first |y|−α+1 of y share a token)
+    lets a expose only its first ``n − ⌈2t/(1+t)·n⌉ + 1`` tokens.  At
+    t=0.8 the index prefix is 1/9 of the set vs the probe prefix's 1/5
+    — candidate volume drops ~45% with zero false negatives (the same
+    exact-verify stage runs after; only the candidate generator
+    tightened).
 
     Plan at 100 TB: token-frequency aggregate (vocab-sized, shuffle on
     token) → per-doc window to pick the prefix (shuffle on doc id) →
-    prefix equi-join (shuffle on rare tokens) → size-pruned verify.
-    No all-pairs stage anywhere; no global sort (the frequency order is
-    consumed as a per-doc sort key, never as a global rank).
+    index-vs-probe prefix equi-join (shuffle on rare tokens) →
+    size-pruned verify.  No all-pairs stage anywhere; no global sort
+    (the frequency order is consumed as a per-doc sort key, never as a
+    global rank).
     """
     from pyspark.sql.window import Window
 
@@ -767,16 +781,15 @@ def setsim_prefix_pairs(
     exploded = toks.select("__id", "__n", F.explode("__toks").alias("__tok"))
     freq = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
     w = Window.partitionBy("__id").orderBy("__freq", "__tok")
+    # probe prefix length n − ⌈t·n⌉ + 1.  The ceil argument is nudged
+    # down by 1e-9: float t·n can land an ulp ABOVE the exact rational
+    # product (e.g. 0.55·180 → 99.00000000000001, ceil 100 instead of
+    # 99), which would SHORTEN the prefix below the PPJoin bound and
+    # silently drop qualifying pairs.  The nudge can only lengthen the
+    # prefix — extra candidates, never a false negative.
     prefix = (
         exploded.join(freq, "__tok")
         .withColumn("__rn", F.row_number().over(w))
-        # prefix length n − ⌈t·n⌉ + 1.  The ceil argument is nudged
-        # down by 1e-9: float t·n can land an ulp ABOVE the exact
-        # rational product (e.g. 0.55·180 → 99.00000000000001, ceil
-        # 100 instead of 99), which would SHORTEN the prefix below the
-        # PPJoin bound and silently drop qualifying pairs.  The nudge
-        # can only lengthen the prefix — extra candidates, never a
-        # false negative.
         .filter(
             F.col("__rn")
             <= F.col("__n")
@@ -784,6 +797,13 @@ def setsim_prefix_pairs(
             + 1
         )
         .select("__id", "__tok", "__rn", "__n")
+    )
+    # index prefix ⊆ probe prefix: same rows, tighter rank bound —
+    # derived by filter so the frequency join + window run ONCE.
+    index_ratio = 2.0 * threshold / (1.0 + threshold)
+    index_prefix = prefix.filter(
+        F.col("__rn")
+        <= F.col("__n") - F.ceil(F.lit(index_ratio) * F.col("__n") - F.lit(1e-9)) + 1
     )
     # Positional refinement (the "P" in PPJoin): a shared prefix token
     # at positions (pa, pb) of the globally-sorted arrays bounds the
@@ -800,15 +820,23 @@ def setsim_prefix_pairs(
         + 1
     )
     cands = (
-        prefix.alias("a")
+        index_prefix.alias("a")
         .join(prefix.alias("b"), "__tok")
         .filter(
-            (F.col("a.__id") < F.col("b.__id"))
+            # canonical orientation: a is the smaller set (ties by id),
+            # so each unordered pair is generated exactly once with the
+            # indexed side exposing only its short index prefix
+            (
+                (F.col("a.__n") < F.col("b.__n"))
+                | (
+                    (F.col("a.__n") == F.col("b.__n"))
+                    & (F.col("a.__id") < F.col("b.__id"))
+                )
+            )
             # size-ratio prune INSIDE the join filter: J ≥ t needs
             # min(n)/max(n) ≥ t, so mismatched-size pairs die before
             # the pair-key shuffle into the groupBy, not after it
             & (F.col("a.__n") >= F.lit(threshold) * F.col("b.__n"))
-            & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
         )
         .select(
             F.col("a.__id").alias("id_a"),
@@ -849,5 +877,11 @@ def setsim_prefix_pairs(
             / ((F.col("__na") + F.col("__nb")).cast("double") - F.col("__inter")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # candidates are oriented smaller-set-first; the output contract
+        # is id-ordered pairs, so re-canonicalize here
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
     )

@@ -164,3 +164,80 @@ def lpa_labels(
         else:
             labels = new
     return labels
+
+
+def orient_by_degree(edges: DataFrame) -> DataFrame:
+    """Orient an undirected edge table (columns ``a``, ``b``, each edge
+    once in any order) from its lower-(degree, id) endpoint to the
+    higher one — the compact-forward orientation (Chiba & Nishizeki
+    '85; Latapy '08).  Out-degree under this total order is bounded by
+    O(sqrt(m)) on ANY graph: a node of degree d > sqrt(2m) has fewer
+    than sqrt(2m) neighbors of degree >= d, so its out-fan is capped
+    even at a celebrity node, which is what keeps the wedge self-join
+    below from exploding on skewed graphs at 100 TB.
+
+    Returns ``src, dst, src_deg, dst_deg`` with every input edge
+    exactly once.  Degrees come from a node-sized aggregate attached by
+    two plain equi-joins — no collect, no global sort."""
+    ends = edges.select(F.col("a").alias("node")).unionAll(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("__deg"))
+    withdeg = (
+        edges.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("__deg", "__da")
+        .join(
+            deg.withColumnRenamed("node", "b").withColumnRenamed(
+                "__deg", "__db"
+            ),
+            "b",
+        )
+    )
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    return withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("__da")).otherwise(F.col("__db")).alias("src_deg"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("dst_deg"),
+    )
+
+
+def degree_oriented_triangles(edges: DataFrame) -> DataFrame:
+    """One row per triangle via degree-ordered wedge-close: every
+    triangle has exactly one apex with two out-edges under the
+    compact-forward orientation (its (degree, id)-minimal node), so the
+    count is exact with no overcount and no dedup.
+
+    Wedges join on the apex; the (v, w) pair is kept in orientation
+    order (v precedes w in the (degree, id) total order), so the
+    closing edge — if it exists — is stored exactly as ``v -> w`` and
+    one equi-join finishes the triangle.  Fan-out per apex is its
+    out-degree, O(sqrt(m)) by :func:`orient_by_degree`, vs the naive
+    id-order where a low-id hub contributes a quadratic wedge bucket.
+
+    Returns columns ``apex, v, w`` (one row per triangle)."""
+    d = orient_by_degree(edges).localCheckpoint(eager=False)
+    d1 = d.alias("d1")
+    d2 = d.alias("d2")
+    wedges = (
+        d1.join(d2, F.col("d1.src") == F.col("d2.src"))
+        # v precedes w in the orientation order: same (deg, id)
+        # comparison orient_by_degree used, so (v, w) matches the
+        # stored direction of the closing edge
+        .filter(
+            (F.col("d1.dst_deg") < F.col("d2.dst_deg"))
+            | (
+                (F.col("d1.dst_deg") == F.col("d2.dst_deg"))
+                & (F.col("d1.dst") < F.col("d2.dst"))
+            )
+        )
+        .select(
+            F.col("d1.src").alias("apex"),
+            F.col("d1.dst").alias("v"),
+            F.col("d2.dst").alias("w"),
+        )
+    )
+    closing = d.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return wedges.join(closing, ["v", "w"]).select("apex", "v", "w")

@@ -103,6 +103,72 @@ def test_candidate_set_is_economical(spark, sf_dir):
     assert cands <= 0.15 * all_pairs, (cands, all_pairs)
 
 
+def test_index_prefix_cuts_candidate_volume(spark, sf_dir):
+    """The ppjoin asymmetric index prefix (r10 verdict item 3): the
+    smaller set of a candidate pair exposes only its first
+    n − ⌈2t/(1+t)·n⌉ + 1 tokens, so the index-vs-probe join must
+    generate MATERIALLY fewer candidate rows than the old symmetric
+    probe-vs-probe join — at t=0.8 the index prefix is 1/9 of the set
+    vs the probe's 1/5, a ≥30%% cut — while the brute-force equality
+    tests above pin that no true pair is lost.
+
+    Measured on `documents` (the catalog input): median 25 distinct
+    tokens → probe prefix 6 vs index prefix 2.  (`part.p_name` cannot
+    show the cut: its docs have 2 distinct tokens, where both prefixes
+    collapse to the same single rarest token.)"""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        F.col("doc_id").alias("__id"),
+        F.transform(distinct_tokens(F.col("text")), token_hash).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    ex = toks.select("__id", "__n", F.explode("__toks").alias("__tok"))
+    freq = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
+    w = Window.partitionBy("__id").orderBy("__freq", "__tok")
+    ranked = ex.join(freq, "__tok").withColumn("__rn", F.row_number().over(w))
+    probe = ranked.filter(
+        F.col("__rn")
+        <= F.col("__n") - F.ceil(F.lit(THRESHOLD) * F.col("__n") - F.lit(1e-9)) + 1
+    ).select("__id", "__tok", "__n")
+    ratio = 2.0 * THRESHOLD / (1.0 + THRESHOLD)
+    index = probe.join(
+        ranked.filter(
+            F.col("__rn")
+            <= F.col("__n") - F.ceil(F.lit(ratio) * F.col("__n") - F.lit(1e-9)) + 1
+        ).select("__id", "__tok"),
+        ["__id", "__tok"],
+        "semi",
+    )
+    size_ok = (F.col("a.__n") >= F.lit(THRESHOLD) * F.col("b.__n")) & (
+        F.col("b.__n") >= F.lit(THRESHOLD) * F.col("a.__n")
+    )
+    symmetric = (
+        probe.alias("a")
+        .join(probe.alias("b"), "__tok")
+        .filter((F.col("a.__id") < F.col("b.__id")) & size_ok)
+        .count()
+    )
+    oriented = (
+        index.alias("a")
+        .join(probe.alias("b"), "__tok")
+        .filter(
+            (
+                (F.col("a.__n") < F.col("b.__n"))
+                | ((F.col("a.__n") == F.col("b.__n")) & (F.col("a.__id") < F.col("b.__id")))
+            )
+            & (F.col("a.__n") >= F.lit(THRESHOLD) * F.col("b.__n"))
+        )
+        .count()
+    )
+    reduction = 1.0 - oriented / symmetric
+    print(
+        f"setsim candidate volume: symmetric={symmetric} "
+        f"index-oriented={oriented} reduction={reduction:.1%}"
+    )
+    assert reduction >= 0.30, (symmetric, oriented)
+
+
 def test_non_default_threshold_matches_brute_force(spark, sf_dir):
     """t=0.55 belongs to the threshold family where float ceil(t·n)
     can overshoot the exact rational ceiling (e.g. 0.55·180 →
