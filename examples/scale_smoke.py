@@ -639,6 +639,35 @@ def common_neighbor_wedges(t):
     )
 
 
+def triangle_close(t):
+    """graph_triangle_count shape: grid-blocked edge derivation, then
+    the DEGREE-ORIENTED wedge close (operators/graph.py) — fan-out per
+    apex is its out-degree, O(sqrt(m)) on any graph.  Copies are made
+    disjoint by the same coordinate offset as the common-neighbors
+    shape, so healthy scaling is ~linear in the copy count."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.graph import (
+        degree_oriented_triangles,
+    )
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    copy_off = (F.col("c_custkey") / F.lit(1_000_000_000)).cast("long") * F.lit(
+        10_000_000
+    )
+    pts = t("customer").select(
+        F.col("c_custkey").alias("id"),
+        (_spatial_coord("x") + copy_off).alias("ux"),
+        (_spatial_coord("y") + copy_off).alias("uy"),
+    )
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", 1_500).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    # lazy checkpoint: subtree must be deterministic (see operators/dedup.py DETERMINISM note)
+    ).localCheckpoint(eager=False)
+    return degree_oriented_triangles(edges).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 def countmin_cells(t):
     """agg_countmin_freq shape: the sketch groupBy must emit ≤
     depth*width cells NO MATTER the input size — the one shape here
@@ -1057,6 +1086,7 @@ QUERIES = [
     ("heavy_hitters", heavy_hitters_two_pass),
     ("bitmap_distinct", bitmap_distinct_words),
     ("common_neighbors", common_neighbor_wedges),
+    ("triangle_close", triangle_close),
     ("countmin_cells", countmin_cells),
     ("kmv_topk", kmv_topk),
     ("kcore_peel", kcore_peel),

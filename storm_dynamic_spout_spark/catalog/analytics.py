@@ -3182,3 +3182,319 @@ def events_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("event_type")
+
+
+#: Sequential-testing parameters for events_ab_sequential.  K looks of
+#: equal size by event arrival order; the O'Brien-Fleming boundary
+#: keeps the z-shape C*sqrt(K/k) with a conservative default constant
+#: (2.7965 dominates the exact OBF critical value for alpha=0.05 at
+#: K=10, so a flag here is also a flag under the exact bound); the
+#: mSPRT mixture variance tau^2 and rejection level ln(1/alpha) follow
+#: Johari et al., "Peeking at A/B Tests" (KDD'17).
+_SEQ_LOOKS = 10
+_SEQ_OBF_C = 2.7965
+_SEQ_TAU2 = 100.0
+_SEQ_ALPHA = 0.05
+
+
+@query(
+    "events_ab_sequential",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_ev FROM events),
+    e AS (
+      SELECT CAST(user_id % 2 AS INT) AS arm,
+             CAST(1 + floor(event_id * {_SEQ_LOOKS}.0 / n.n_ev) AS INT) AS look,
+             value
+      FROM events, n
+    ),
+    g AS (
+      SELECT arm, look, CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS s, sum(value * value) AS ss
+      FROM e GROUP BY arm, look
+    ),
+    c AS (
+      SELECT arm, look,
+             sum(n)  OVER w AS cn,
+             sum(s)  OVER w AS cs,
+             sum(ss) OVER w AS css
+      FROM g
+      WINDOW w AS (PARTITION BY arm ORDER BY look ROWS UNBOUNDED PRECEDING)
+    ),
+    p AS (
+      SELECT look,
+             max(CASE WHEN arm = 0 THEN cn END) AS n_c,
+             max(CASE WHEN arm = 1 THEN cn END) AS n_t,
+             max(CASE WHEN arm = 0 THEN cs END) AS s_c,
+             max(CASE WHEN arm = 1 THEN cs END) AS s_t,
+             max(CASE WHEN arm = 0 THEN css END) AS ss_c,
+             max(CASE WHEN arm = 1 THEN css END) AS ss_t
+      FROM c GROUP BY look
+    ),
+    st AS (
+      SELECT look, n_c, n_t,
+             s_c / n_c AS mean_c, s_t / n_t AS mean_t,
+             (ss_c - s_c * s_c / n_c) / (n_c - 1) AS var_c,
+             (ss_t - s_t * s_t / n_t) / (n_t - 1) AS var_t
+      FROM p
+    ),
+    z AS (
+      SELECT look, n_c, n_t, mean_c, mean_t,
+             mean_t - mean_c AS delta,
+             var_c / n_c + var_t / n_t AS v
+      FROM st
+    )
+    SELECT look, CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+           round(mean_c, 6) AS mean_c, round(mean_t, 6) AS mean_t,
+           round(delta, 6) AS delta,
+           round(delta / sqrt(v), 4) AS z_stat,
+           round({_SEQ_OBF_C} * sqrt({_SEQ_LOOKS}.0 / look), 4) AS obf_bound,
+           abs(delta / sqrt(v)) > {_SEQ_OBF_C} * sqrt({_SEQ_LOOKS}.0 / look)
+             AS obf_reject,
+           round(0.5 * ln(v / (v + {_SEQ_TAU2}))
+                 + delta * delta * {_SEQ_TAU2} / (2 * v * (v + {_SEQ_TAU2})), 4)
+             AS msprt_llr,
+           0.5 * ln(v / (v + {_SEQ_TAU2}))
+                 + delta * delta * {_SEQ_TAU2} / (2 * v * (v + {_SEQ_TAU2}))
+             >= ln(1.0 / {_SEQ_ALPHA}) AS msprt_reject
+    FROM z ORDER BY look
+    """,
+)
+def events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential A/B monitoring readout — the "can I peek" table every
+    experimentation platform needs: the experiment is cut into K
+    equal-size looks by arrival order, and each look reports the
+    CUMULATIVE two-sample z statistic against BOTH sequential
+    boundaries: the O'Brien-Fleming group-sequential bound (z-shape
+    C*sqrt(K/k): very conservative early, nominal at the horizon) and
+    the always-valid mixture-SPRT log-likelihood ratio (Johari et al.,
+    KDD'17 — reject when llr >= ln(1/alpha)), so a dashboard can stop
+    early without inflating false positives.
+
+    Variances come from explicit moment primitives (n, sum, sum of
+    squares) cumulated per arm, so both engines evaluate the identical
+    expression tree; z/llr round to 1e-4 (two subtraction-sensitive
+    passes — the ab_cuped precedent).
+
+    Why at 100 TB: one (arm, look) grouped aggregate over the event
+    scan (map-side partial, 2K result rows), a 2-partition cumulative
+    window over K rows each, a K-row pivot, and closed-form codegen
+    math — boundary evaluation costs nothing at any corpus size.  The
+    look assignment needs the total event count: one scalar aggregate
+    broadcast back on a one-row cross join (the corpus_composition
+    pattern)."""
+    ev = t(spark, sf_dir, "events")
+    n_ev = ev.agg(F.count(F.lit(1)).alias("__n_ev"))
+    e = ev.crossJoin(F.broadcast(n_ev)).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (
+            1
+            + F.floor(
+                F.col("event_id") * float(_SEQ_LOOKS) / F.col("__n_ev")
+            )
+        )
+        .cast("int")
+        .alias("look"),
+        "value",
+    )
+    g = e.groupBy("arm", "look").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("value").alias("__s"),
+        F.sum(F.col("value") * F.col("value")).alias("__ss"),
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "arm",
+        "look",
+        F.sum("__n").over(w).alias("__cn"),
+        F.sum("__s").over(w).alias("__cs"),
+        F.sum("__ss").over(w).alias("__css"),
+    )
+    arm = lambda a, col: F.max(F.when(F.col("arm") == a, F.col(col)))  # noqa: E731
+    p = c.groupBy("look").agg(
+        arm(0, "__cn").alias("n_c"),
+        arm(1, "__cn").alias("n_t"),
+        arm(0, "__cs").alias("__s_c"),
+        arm(1, "__cs").alias("__s_t"),
+        arm(0, "__css").alias("__ss_c"),
+        arm(1, "__css").alias("__ss_t"),
+    )
+    mean_c = F.col("__s_c") / F.col("n_c")
+    mean_t = F.col("__s_t") / F.col("n_t")
+    var_c = (F.col("__ss_c") - F.col("__s_c") * F.col("__s_c") / F.col("n_c")) / (
+        F.col("n_c") - 1
+    )
+    var_t = (F.col("__ss_t") - F.col("__s_t") * F.col("__s_t") / F.col("n_t")) / (
+        F.col("n_t") - 1
+    )
+    st = p.select(
+        "look",
+        F.col("n_c").cast("bigint").alias("n_c"),
+        F.col("n_t").cast("bigint").alias("n_t"),
+        mean_c.alias("__mean_c"),
+        mean_t.alias("__mean_t"),
+        (mean_t - mean_c).alias("__delta"),
+        (var_c / F.col("n_c") + var_t / F.col("n_t")).alias("__v"),
+    )
+    z = F.col("__delta") / F.sqrt(F.col("__v"))
+    obf = F.lit(_SEQ_OBF_C) * F.sqrt(F.lit(float(_SEQ_LOOKS)) / F.col("look"))
+    llr = 0.5 * F.log(F.col("__v") / (F.col("__v") + _SEQ_TAU2)) + (
+        F.col("__delta") * F.col("__delta") * _SEQ_TAU2
+    ) / (2 * F.col("__v") * (F.col("__v") + _SEQ_TAU2))
+    import math
+
+    return st.select(
+        "look",
+        "n_c",
+        "n_t",
+        F.round("__mean_c", 6).alias("mean_c"),
+        F.round("__mean_t", 6).alias("mean_t"),
+        F.round("__delta", 6).alias("delta"),
+        F.round(z, 4).alias("z_stat"),
+        F.round(obf, 4).alias("obf_bound"),
+        (F.abs(z) > obf).alias("obf_reject"),
+        F.round(llr, 4).alias("msprt_llr"),
+        (llr >= math.log(1.0 / _SEQ_ALPHA)).alias("msprt_reject"),
+    ).orderBy("look")
+
+
+@query(
+    "events_ab_stratified",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS stratum, CAST(user_id % 2 AS INT) AS arm, value
+      FROM events
+    ),
+    g AS (
+      SELECT stratum,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             sum(CASE WHEN arm = 0 THEN value ELSE 0 END) AS s_c,
+             sum(CASE WHEN arm = 1 THEN value ELSE 0 END) AS s_t,
+             sum(CASE WHEN arm = 0 THEN value * value ELSE 0 END) AS ss_c,
+             sum(CASE WHEN arm = 1 THEN value * value ELSE 0 END) AS ss_t
+      FROM e GROUP BY stratum
+    ),
+    st AS (
+      SELECT stratum, n_c, n_t,
+             s_t / n_t - s_c / n_c AS delta,
+             (ss_c - s_c * s_c / n_c) / (n_c - 1) / n_c
+               + (ss_t - s_t * s_t / n_t) / (n_t - 1) / n_t AS v,
+             (n_c + n_t) * 1.0 / (SELECT sum(n_c + n_t) FROM g) AS w
+      FROM g
+    ),
+    rows_ AS (
+      SELECT stratum, n_c, n_t, w, delta,
+             delta - 1.96 * sqrt(v) AS lo, delta + 1.96 * sqrt(v) AS hi
+      FROM st
+      UNION ALL
+      SELECT 'OVERALL', CAST(sum(n_c) AS BIGINT), CAST(sum(n_t) AS BIGINT),
+             sum(w), sum(w * delta),
+             sum(w * delta) - 1.96 * sqrt(sum(w * w * v)),
+             sum(w * delta) + 1.96 * sqrt(sum(w * w * v))
+      FROM st
+    )
+    SELECT stratum, n_c, n_t, round(w, 6) AS weight,
+           round(delta, 6) AS delta,
+           round(lo, 4) AS ci_lo, round(hi, 4) AS ci_hi
+    FROM rows_ ORDER BY stratum
+    """,
+)
+def events_ab_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified A/B readout (the CUPED-sibling variance
+    reduction: stratify on a pre-treatment categorical — here
+    event_type — and weight per-stratum effects by stratum share):
+    one row per stratum with its arm counts, weight, effect and 95%
+    CI, plus the OVERALL row carrying the stratified ATE
+    sum(w_s * delta_s) and its variance sum(w_s^2 * v_s) — tighter
+    than the pooled CI whenever the metric differs across strata.
+
+    Moments are explicit (n, sum, sum of squares per arm per stratum)
+    so both engines evaluate the identical expression tree; CI bounds
+    round to 1e-4 (variance-derived — the ab_cuped precedent), means
+    and weights to 1e-6.
+
+    Why at 100 TB: ONE grouped aggregate over the event scan with
+    map-side partials (conditional sums per arm fused into the same
+    pass — the events_ab_srm shape), a |strata|-row closed-form
+    select, and a |strata|-row closing aggregate for the OVERALL line.
+    No second scan, no window, nothing driver-side."""
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stratum"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        "value",
+    )
+    is_c = F.col("arm") == 0
+    is_t = F.col("arm") == 1
+    g = e.groupBy("stratum").agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(is_c, F.col("value")).otherwise(0.0)).alias("__s_c"),
+        F.sum(F.when(is_t, F.col("value")).otherwise(0.0)).alias("__s_t"),
+        F.sum(
+            F.when(is_c, F.col("value") * F.col("value")).otherwise(0.0)
+        ).alias("__ss_c"),
+        F.sum(
+            F.when(is_t, F.col("value") * F.col("value")).otherwise(0.0)
+        ).alias("__ss_t"),
+    )
+    tot = g.agg(F.sum(F.col("n_c") + F.col("n_t")).alias("__tot"))
+    st = g.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_c",
+        "n_t",
+        (F.col("__s_t") / F.col("n_t") - F.col("__s_c") / F.col("n_c")).alias(
+            "__delta"
+        ),
+        (
+            (F.col("__ss_c") - F.col("__s_c") * F.col("__s_c") / F.col("n_c"))
+            / (F.col("n_c") - 1)
+            / F.col("n_c")
+            + (F.col("__ss_t") - F.col("__s_t") * F.col("__s_t") / F.col("n_t"))
+            / (F.col("n_t") - 1)
+            / F.col("n_t")
+        ).alias("__v"),
+        ((F.col("n_c") + F.col("n_t")).cast("double") / F.col("__tot")).alias(
+            "__w"
+        ),
+    )
+    per = st.select(
+        "stratum",
+        "n_c",
+        "n_t",
+        F.col("__w").alias("__weight"),
+        F.col("__delta").alias("__d"),
+        (F.col("__delta") - 1.96 * F.sqrt("__v")).alias("__lo"),
+        (F.col("__delta") + 1.96 * F.sqrt("__v")).alias("__hi"),
+    )
+    overall = st.agg(
+        F.lit("OVERALL").alias("stratum"),
+        F.sum("n_c").cast("bigint").alias("n_c"),
+        F.sum("n_t").cast("bigint").alias("n_t"),
+        F.sum("__w").alias("__weight"),
+        F.sum(F.col("__w") * F.col("__delta")).alias("__d"),
+        (
+            F.sum(F.col("__w") * F.col("__delta"))
+            - 1.96 * F.sqrt(F.sum(F.col("__w") * F.col("__w") * F.col("__v")))
+        ).alias("__lo"),
+        (
+            F.sum(F.col("__w") * F.col("__delta"))
+            + 1.96 * F.sqrt(F.sum(F.col("__w") * F.col("__w") * F.col("__v")))
+        ).alias("__hi"),
+    )
+    return (
+        per.unionByName(overall)
+        .select(
+            "stratum",
+            "n_c",
+            "n_t",
+            F.round("__weight", 6).alias("weight"),
+            F.round("__d", 6).alias("delta"),
+            F.round("__lo", 4).alias("ci_lo"),
+            F.round("__hi", 4).alias("ci_hi"),
+        )
+        .orderBy("stratum")
+    )
