@@ -3498,3 +3498,337 @@ def events_ab_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+def _clustering_oracle() -> str:
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord_sql
+
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_spatial_coord_sql('x')} AS ux,
+             {_spatial_coord_sql('y')} AS uy
+      FROM customer
+    ),
+    edges AS (
+      SELECT a.id AS a, b.id AS b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE (a.ux - b.ux) * (a.ux - b.ux)
+          + (a.uy - b.uy) * (a.uy - b.uy) <= {_TRI_RADIUS * _TRI_RADIUS}
+    ),
+    sym AS (SELECT a AS u FROM edges UNION ALL SELECT b FROM edges),
+    deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY u),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    troles AS (
+      SELECT x AS id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    tcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+             FROM troles GROUP BY id)
+    SELECT d.id, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           round(2.0 * COALESCE(t.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)) * 1000000) / 1000000
+             AS clustering_coeff
+    FROM deg d LEFT JOIN tcnt t USING (id)
+    WHERE d.degree >= 2
+    ORDER BY d.id
+    """
+
+
+@query("graph_clustering_coefficient", oracle=_clustering_oracle())
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient — 2*triangles(v) /
+    (deg(v)*(deg(v)-1)) over the spatial proximity graph — the
+    community-density feature every graph-quality report carries
+    (Watts & Strogatz '98).
+
+    Triangles come from the SAME degree-oriented wedge-close that
+    backs graph_triangle_count (each (apex, v, w) row credits all
+    three corners via one 3-element explode — still exactly once per
+    triangle, no 6x overcount), so the arboricity-bounded wedge
+    fan-out carries over: a celebrity node's coefficient is computed
+    without ever materializing its quadratic wedge bucket.  Degrees
+    are one node-sized aggregate on the symmetrized edge list; the
+    close is a left join (nodes in no triangle keep coefficient 0).
+    The coefficient is exact small-rational double math rounded to
+    1e-6 — bit-stable across engines."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.graph import (
+        degree_oriented_triangles,
+    )
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", _TRI_RADIUS).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    # lazy checkpoint: subtree must be deterministic (see
+    # operators/dedup.py DETERMINISM note) — shared by the degree agg
+    # and the triangle close
+    ).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("a").alias("id"))
+        .unionByName(edges.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tcnt = (
+        degree_oriented_triangles(edges)
+        .select(F.explode(F.array("apex", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    coeff = F.round(
+        2.0
+        * F.col("n_triangles")
+        / (F.col("degree") * (F.col("degree") - 1))
+        * 1000000
+    ) / 1000000
+    return (
+        deg.join(tcnt, "id", "left")
+        .na.fill({"n_triangles": 0})
+        .filter(F.col("degree") >= 2)
+        .select("id", "degree", "n_triangles", coeff.alias("clustering_coeff"))
+        .orderBy("id")
+    )
+
+
+#: SES smoothing constant (shared Spark/oracle so the fold is the
+#: identical double expression on both engines).
+_SES_ALPHA = 0.3
+
+
+@query(
+    "events_forecast_ses",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(sum(value) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, day
+    ),
+    series AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             list(CAST(cents AS DOUBLE) ORDER BY day) AS ys,
+             max_by(cents, day) AS last_cents
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, last_cents,
+           round(list_reduce(ys, (acc, x) ->
+                 {_SES_ALPHA} * x + {1 - _SES_ALPHA} * acc) * 1000000)
+             / 1000000 AS ses_forecast
+    FROM series ORDER BY event_type
+    """,
+)
+def events_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing forecast per event_type — the
+    one-step-ahead baseline every metrics dashboard draws: daily
+    revenue-cents totals folded through ``s := alpha*y + (1-alpha)*s``
+    in day order (s0 = first day), forecast = final level.
+
+    The recursion runs as an ``F.aggregate`` fold over the per-type
+    day-ordered array — and that is exactly why it is safe at 100 TB:
+    the DAILY aggregate is the only data-scale pass (map-side partial,
+    |types x days| result rows), and the array a fold sees is bounded
+    by the calendar (~365 doubles/type/year), not by the corpus.  Both
+    engines fold the identical double expression over identical
+    integer-cents inputs in the same order, so the result is
+    bit-identical before the 1e-6 rounding."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"].cast("double"),
+        ).alias("__ys"),
+        F.max_by("cents", "day").alias("last_cents"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("__ys"), 2, F.greatest(F.size("__ys") - 1, F.lit(0))),
+        F.col("__ys")[0],
+        lambda acc, x: F.lit(_SES_ALPHA) * x + F.lit(1 - _SES_ALPHA) * acc,
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        "last_cents",
+        (F.round(fold * 1000000) / 1000000).alias("ses_forecast"),
+    ).orderBy("event_type")
+
+
+#: Bootstrap resample count.  81 is deliberate: the percentile
+#: positions 0.025*(B-1), 0.5*(B-1), 0.975*(B-1) land on (near-)exact
+#: integer ranks 2 / 40 / 78, so neither engine's linear interpolation
+#: ever mixes two distinct order statistics — the CI bounds are exact
+#: elements of the integer-micros delta list.
+_BOOT_B = 81
+#: Cumulative Poisson(1) thresholds on a 16-bit hash: P(0)=P(1)=e^-1,
+#: P(2)=e^-1/2, remainder -> weight 3.
+_BOOT_T0, _BOOT_T1, _BOOT_T2 = 24110, 48220, 60276
+
+
+@query(
+    "events_bootstrap_ci",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, CAST(user_id % 2 AS INT) AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    e AS (
+      SELECT ev.*, b.b,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                   || CAST(b.b AS VARCHAR)), 1, 4)) AS INT)
+               AS h
+      FROM ev, range(1, {_BOOT_B + 1}) AS b(b)
+    ),
+    w AS (
+      SELECT b, arm,
+             CASE WHEN h < {_BOOT_T0} THEN 0
+                  WHEN h < {_BOOT_T1} THEN 1
+                  WHEN h < {_BOOT_T2} THEN 2
+                  ELSE 3 END AS wt,
+             cents
+      FROM e
+    ),
+    g AS (
+      SELECT b, arm, CAST(sum(wt) AS BIGINT) AS n,
+             CAST(sum(wt * cents) AS BIGINT) AS s
+      FROM w GROUP BY b, arm
+    ),
+    d AS (
+      SELECT b,
+             CAST(round((max(CASE WHEN arm = 1 THEN s END)
+                           / CAST(max(CASE WHEN arm = 1 THEN n END) AS DOUBLE)
+                         - max(CASE WHEN arm = 0 THEN s END)
+                           / CAST(max(CASE WHEN arm = 0 THEN n END) AS DOUBLE))
+                        * 10000) AS BIGINT) AS delta_micents
+      FROM g GROUP BY b
+    ),
+    point AS (
+      SELECT round((sum(CASE WHEN arm = 1 THEN cents END)
+                      / CAST(count(CASE WHEN arm = 1 THEN 1 END) AS DOUBLE)
+                    - sum(CASE WHEN arm = 0 THEN cents END)
+                      / CAST(count(CASE WHEN arm = 0 THEN 1 END) AS DOUBLE))
+                   / 100 * 1000000) / 1000000 AS delta_hat
+      FROM ev
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_boot,
+           p.delta_hat,
+           round(quantile_cont(delta_micents, 0.025) / 10000) / 100 AS boot_lo,
+           round(quantile_cont(delta_micents, 0.5) / 10000) / 100 AS boot_med,
+           round(quantile_cont(delta_micents, 0.975) / 10000) / 100 AS boot_hi
+    FROM d, point p
+    GROUP BY p.delta_hat
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for the A/B treatment effect
+    (Chamandy et al., Google 2012 — "Estimating uncertainty for
+    massive data streams"): each of B resamples reweights every event
+    by an iid-approximate Poisson(1) draw derived from
+    md5(event_id:b), so the resample is REPRODUCIBLE across runs and
+    engines (no RNG state), and the 2.5/50/97.5 percentiles of the B
+    reweighted deltas give the CI the z-formula cannot give for
+    ratio/heavy-tail metrics.
+
+    Engine determinism: values go to integer cents up front, so every
+    per-(b, arm) sum is an exact integer (order-independent); each
+    delta becomes integer hundredths-of-cents; B=81 puts all three
+    percentile ranks on exact order statistics (no interpolation
+    mixing).
+
+    Why at 100 TB: the explode is B x scan but shuffles only 2B
+    partial-aggregated rows; for very large B fold the B weights per
+    row into one array column instead (element-wise-sum aggregate) to
+    keep the scan single-pass — same math, documented alternative."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    e = ev.withColumn(
+        "b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B)))
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b")).cast("binary")),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    wt = (
+        F.when(F.col("h") < _BOOT_T0, 0)
+        .when(F.col("h") < _BOOT_T1, 1)
+        .when(F.col("h") < _BOOT_T2, 2)
+        .otherwise(3)
+    )
+    g = e.select("b", "arm", wt.alias("wt"), "cents").groupBy("b", "arm").agg(
+        F.sum("wt").cast("bigint").alias("n"),
+        F.sum(F.col("wt") * F.col("cents")).cast("bigint").alias("s"),
+    )
+    arm = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    d = g.groupBy("b").agg(
+        F.round(
+            (
+                arm(1, "s") / arm(1, "n").cast("double")
+                - arm(0, "s") / arm(0, "n").cast("double")
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("delta_micents")
+    )
+    point = ev.agg(
+        (
+            F.round(
+                (
+                    F.sum(F.when(F.col("arm") == 1, F.col("cents")))
+                    / F.count(F.when(F.col("arm") == 1, F.lit(1))).cast("double")
+                    - F.sum(F.when(F.col("arm") == 0, F.col("cents")))
+                    / F.count(F.when(F.col("arm") == 0, F.lit(1))).cast("double")
+                )
+                / 100
+                * 1000000
+            )
+            / 1000000
+        ).alias("delta_hat")
+    )
+    return (
+        d.agg(
+            F.lit(_BOOT_B).cast("bigint").alias("n_boot"),
+            (F.round(F.percentile("delta_micents", 0.025) / 10000) / 100).alias(
+                "boot_lo"
+            ),
+            (F.round(F.percentile("delta_micents", 0.5) / 10000) / 100).alias(
+                "boot_med"
+            ),
+            (F.round(F.percentile("delta_micents", 0.975) / 10000) / 100).alias(
+                "boot_hi"
+            ),
+        )
+        .crossJoin(F.broadcast(point))
+        .select("n_boot", "delta_hat", "boot_lo", "boot_med", "boot_hi")
+    )

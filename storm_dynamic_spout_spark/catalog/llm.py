@@ -5056,3 +5056,58 @@ def embedding_whitened_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("cos") * 1000000) / 1000000).alias("cos"),
         "rank",
     ).orderBy("query_id", "rank")
+
+
+#: BPE merge-candidate table size.
+_BPE_TOP_PAIRS = 20
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT u.x AS tok
+      FROM documents, UNNEST({_TOKS}) AS u(x)
+      WHERE length(u.x) >= 2
+    ),
+    pairs AS (
+      SELECT substr(tok, i.i, 2) AS pair
+      FROM toks, UNNEST(range(1, length(tok))) AS i(i)
+    )
+    SELECT pair, n_occurrences FROM (
+      SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences,
+             row_number() OVER (ORDER BY count(*) DESC, pair) AS rn
+      FROM pairs GROUP BY pair
+    ) WHERE rn <= {_BPE_TOP_PAIRS}
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE tokenizer-training iteration (Sennrich et al.,
+    ACL'16): count every adjacent character pair inside whitespace
+    tokens and rank the top merge candidates — the step a
+    tokenizer-training pipeline repeats merge-by-merge, shown here as
+    the corpus-scale pass it is dominated by.
+
+    Plan: explode tokens -> explode the per-token position sequence
+    into 2-grams (all JVM-side ``transform(sequence(...))``, no
+    Python) -> |pair-vocab|-keyed count with map-side partials ->
+    ``orderBy().limit()`` TakeOrderedAndProject (per-partition heap
+    top-k; the pair vocabulary is alphabet^2-bounded, so no global
+    sort ever sees corpus-scale rows).  Real BPE training loops this
+    with the merged symbol table broadcast back — each iteration is
+    this same one-shuffle shape."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", r"\s+")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(tok) - 1), i -> substr(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(_BPE_TOP_PAIRS)
+    )

@@ -218,6 +218,10 @@ def degree_oriented_triangles(edges: DataFrame) -> DataFrame:
     id-order where a low-id hub contributes a quadratic wedge bucket.
 
     Returns columns ``apex, v, w`` (one row per triangle)."""
+    # Lazy checkpoint is safe: orient_by_degree is deterministic (pure
+    # degree-count agg + (deg, id) comparison — see the DETERMINISM
+    # note in operators/dedup.py), and it stops the self-join below
+    # from recomputing the degree agg on both sides.
     d = orient_by_degree(edges).localCheckpoint(eager=False)
     d1 = d.alias("d1")
     d2 = d.alias("d2")

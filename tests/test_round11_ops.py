@@ -1,0 +1,176 @@
+"""Round-11 operator contracts not covered by the driver oracle rows:
+closed-form pins for the clustering coefficient, an independent Python
+recomputation of the SES fold and the BPE pair table, and the bootstrap
+CI's determinism + ordering invariants."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_clustering_coefficient_closed_form(spark):
+    """K3 plus a pendant edge (1-2-3 triangle, 3-4 pendant): nodes 1,2
+    have degree 2 and coefficient 1.0; node 3 has degree 3 and
+    coefficient 1/3; node 4 has degree 1 and is excluded."""
+    from storm_dynamic_spout_spark.operators.graph import (
+        degree_oriented_triangles,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    deg = (
+        edges.select(F.col("a").alias("id"))
+        .unionByName(edges.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tcnt = (
+        degree_oriented_triangles(edges)
+        .select(F.explode(F.array("apex", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    rows = {
+        r["id"]: (r["degree"], r["n_triangles"])
+        for r in deg.join(tcnt, "id", "left").na.fill({"n_triangles": 0}).collect()
+    }
+    assert rows[1] == (2, 1) and rows[2] == (2, 1)
+    assert rows[3] == (3, 1)
+    assert rows[4] == (1, 0)
+
+
+def test_clustering_coefficient_fixture_invariants(spark):
+    """On the fixture graph: every coefficient is in [0, 1], and the
+    per-node triangle credits sum to exactly 3x the global triangle
+    count (each triangle has three corners).  sf0.01: the sf0.001
+    customer table is too sparse for any degree>=2 node."""
+    sf = "/root/testdata/sf0.01"
+    cc = QUERIES["graph_clustering_coefficient"](spark, sf).collect()
+    assert cc, "proximity graph has no degree>=2 nodes at sf0.01?"
+    for r in cc:
+        assert 0.0 <= r["clustering_coeff"] <= 1.0, r
+        max_tri = r["degree"] * (r["degree"] - 1) // 2
+        assert r["n_triangles"] <= max_tri, r
+    total = QUERIES["graph_triangle_count"](spark, sf).first()["n_triangles"]
+    assert sum(r["n_triangles"] for r in cc) == 3 * total
+
+
+def test_forecast_ses_matches_python_fold(spark):
+    """Independent recomputation: pull the daily cents series per type
+    and fold SES in plain Python — the Spark F.aggregate fold must
+    match to the 1e-6 rounding."""
+    daily = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+        .collect()
+    )
+    series = collections.defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], float(r["cents"])))
+    expect = {}
+    for et, ys in series.items():
+        ys.sort()
+        s = ys[0][1]
+        for _, y in ys[1:]:
+            s = 0.3 * y + 0.7 * s
+        expect[et] = round(s * 1_000_000) / 1_000_000
+    got = {
+        r["event_type"]: r["ses_forecast"]
+        for r in QUERIES["events_forecast_ses"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_forecast_ses_constant_series_is_identity(spark, tmp_path):
+    """SES of a constant series is that constant — the fold must not
+    drift (catches an off-by-one in the slice/init split)."""
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + d, 12), 7, "buy", 2.5, "{}")
+        for i, d in enumerate(range(9))
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["events_forecast_ses"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["n_days"] == 9
+    assert out[0]["ses_forecast"] == 250.0  # 2.5 -> 250 cents
+
+
+def test_bootstrap_ci_invariants_and_determinism(spark):
+    """lo <= med <= hi, the point estimate sits inside the 95% CI on
+    the fixture, and a rerun is bit-identical (hash-derived weights,
+    no RNG state)."""
+    a = QUERIES["events_bootstrap_ci"](spark, SF).first()
+    b = QUERIES["events_bootstrap_ci"](spark, SF).first()
+    assert a == b
+    assert a["n_boot"] == 81
+    assert a["boot_lo"] <= a["boot_med"] <= a["boot_hi"]
+    assert a["boot_lo"] <= a["delta_hat"] <= a["boot_hi"]
+    width = a["boot_hi"] - a["boot_lo"]
+    assert 0 < width < 4 * max(abs(a["delta_hat"]), 1.0) + 10
+
+
+def test_bootstrap_weights_are_poisson_one_like(spark):
+    """The md5-derived weights must average ~1 with P(0) ~ 1/e —
+    otherwise the resamples are biased and the CI is meaningless."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id").limit(2000)
+    e = ev.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(9)))).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b")).cast("binary")),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    wt = (
+        F.when(F.col("h") < 24110, 0)
+        .when(F.col("h") < 48220, 1)
+        .when(F.col("h") < 60276, 2)
+        .otherwise(3)
+    )
+    s = e.select(wt.alias("w")).agg(
+        F.avg("w").alias("mean"), F.avg((F.col("w") == 0).cast("int")).alias("p0")
+    ).first()
+    assert abs(s["mean"] - 1.0) < 0.05, s
+    assert abs(s["p0"] - 1 / math.e) < 0.03, s
+
+
+def test_bpe_pairs_match_python_recount(spark):
+    """Recount the top-20 character pairs in plain Python over the
+    fixture corpus and compare exactly (count + tie-break order)."""
+    texts = [
+        r["text"] for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    counts = collections.Counter()
+    import re
+
+    for text in texts:
+        for tok in re.split(r"\s+", text):
+            if len(tok) >= 2:
+                for i in range(len(tok) - 1):
+                    counts[tok[i : i + 2]] += 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in QUERIES["text_bpe_merge_candidates"](spark, SF).collect()
+    ]
+    assert got == expect
