@@ -3832,3 +3832,329 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(point))
         .select("n_boot", "delta_hat", "boot_lo", "boot_med", "boot_hi")
     )
+
+
+#: Holt linear-trend smoothing constants (shared Spark/oracle: the
+#: folds must be the IDENTICAL double expression on both engines).
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.4
+#: Forecast horizon (days ahead).
+_HOLT_H = 7
+
+
+@query(
+    "events_forecast_holt",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(sum(value) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, day
+    ),
+    series AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             list(CAST(cents AS DOUBLE) ORDER BY day) AS ys
+      FROM daily GROUP BY event_type
+    ),
+    folded AS (
+      -- state is a [level, trend] LIST, not a struct: duckdb 1.0's
+      -- list_reduce struct_pack shadows already-assigned fields of
+      -- acc inside later field expressions (acc.l reads the NEW l),
+      -- which silently corrupts any mutually-referencing recursion;
+      -- list element reads have no such rebinding.
+      SELECT event_type, n_days,
+             CASE WHEN n_days < 2
+                  THEN [ys[1], CAST(0.0 AS DOUBLE)]
+                  ELSE list_reduce(
+                    list_prepend([ys[2], ys[2] - ys[1]],
+                                 list_transform(ys[3:],
+                                   y -> [y, CAST(0.0 AS DOUBLE)])),
+                    (acc, x) -> [
+                      {_HOLT_ALPHA} * x[1]
+                        + {1 - _HOLT_ALPHA} * (acc[1] + acc[2]),
+                      {_HOLT_BETA} * ({_HOLT_ALPHA} * x[1]
+                        + {1 - _HOLT_ALPHA} * (acc[1] + acc[2]) - acc[1])
+                        + {1 - _HOLT_BETA} * acc[2]])
+             END AS st
+      FROM series
+    )
+    SELECT event_type, n_days,
+           round(st[1] * 1000000) / 1000000 AS level,
+           round(st[2] * 1000000) / 1000000 AS trend,
+           round((st[1] + {_HOLT_H} * st[2]) * 1000000) / 1000000
+             AS forecast_{_HOLT_H}d
+    FROM folded ORDER BY event_type
+    """,
+)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast per event_type (Holt 1957 — the
+    level+trend step up from events_forecast_ses): state
+    ``(l, t)`` folds through ``l' = a*y + (1-a)(l+t);
+    t' = b(l'-l) + (1-b)t`` in day order with the standard
+    ``l_2=y_2, t_2=y_2-y_1`` initialization, and the h-step forecast
+    is ``l + h*t``.
+
+    Same scale story as the SES fold: the only corpus-scale pass is
+    the daily aggregate; the fold sees a calendar-bounded array.  The
+    struct accumulator is written as the IDENTICAL arithmetic
+    expression on both engines (the coupled l'-inside-t' term is
+    expanded the same way), over exact integer-cents inputs, so the
+    fold is bit-identical before the 1e-6 rounding.  Single-day types
+    degrade to (level=y, trend=0)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"].cast("double"),
+        ).alias("__ys"),
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    ys = F.col("__ys")
+
+    def _step(acc, x):
+        lvl = F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["t"])
+        tr = (
+            F.lit(b) * (F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["t"]) - acc["l"])
+            + F.lit(1 - b) * acc["t"]
+        )
+        return F.struct(lvl.alias("l"), tr.alias("t"))
+
+    init = F.struct(ys[1].alias("l"), (ys[1] - ys[0]).alias("t"))
+    fold = F.aggregate(
+        F.slice(ys, 3, F.greatest(F.size(ys) - 2, F.lit(0))), init, _step
+    )
+    st = F.when(F.size(ys) < 2, F.struct(ys[0].alias("l"), F.lit(0.0).alias("t"))).otherwise(
+        fold
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        (F.round(st["l"] * 1000000) / 1000000).alias("level"),
+        (F.round(st["t"] * 1000000) / 1000000).alias("trend"),
+        (F.round((st["l"] + _HOLT_H * st["t"]) * 1000000) / 1000000).alias(
+            f"forecast_{_HOLT_H}d"
+        ),
+    ).orderBy("event_type")
+
+
+@query(
+    "events_diff_in_diff",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_ev FROM events),
+    e AS (
+      SELECT CAST(user_id % 2 AS INT) AS arm,
+             CASE WHEN event_id * 2 < n.n_ev THEN 0 ELSE 1 END AS period,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events, n
+    ),
+    g AS (
+      SELECT arm, period,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM e GROUP BY arm, period
+    ),
+    p AS (
+      SELECT max(CASE WHEN arm=0 AND period=0 THEN n END) AS n_c_pre,
+             max(CASE WHEN arm=0 AND period=1 THEN n END) AS n_c_post,
+             max(CASE WHEN arm=1 AND period=0 THEN n END) AS n_t_pre,
+             max(CASE WHEN arm=1 AND period=1 THEN n END) AS n_t_post,
+             max(CASE WHEN arm=0 AND period=0 THEN s END) AS s_c_pre,
+             max(CASE WHEN arm=0 AND period=1 THEN s END) AS s_c_post,
+             max(CASE WHEN arm=1 AND period=0 THEN s END) AS s_t_pre,
+             max(CASE WHEN arm=1 AND period=1 THEN s END) AS s_t_post,
+             max(CASE WHEN arm=0 AND period=0 THEN ss END) AS ss_c_pre,
+             max(CASE WHEN arm=0 AND period=1 THEN ss END) AS ss_c_post,
+             max(CASE WHEN arm=1 AND period=0 THEN ss END) AS ss_t_pre,
+             max(CASE WHEN arm=1 AND period=1 THEN ss END) AS ss_t_post
+      FROM g
+    )
+    SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+           round((s_t_post / CAST(n_t_post AS DOUBLE)
+                  - s_t_pre / CAST(n_t_pre AS DOUBLE)
+                  - (s_c_post / CAST(n_c_post AS DOUBLE)
+                     - s_c_pre / CAST(n_c_pre AS DOUBLE)))
+                 / 100 * 1000000) / 1000000 AS did,
+           round((s_t_post / CAST(n_t_post AS DOUBLE)
+                  - s_t_pre / CAST(n_t_pre AS DOUBLE)
+                  - (s_c_post / CAST(n_c_post AS DOUBLE)
+                     - s_c_pre / CAST(n_c_pre AS DOUBLE))
+                  - 1.96 * sqrt(
+                    ((ss_t_post - s_t_post / CAST(n_t_post AS DOUBLE) * s_t_post)
+                       / (n_t_post - 1)) / n_t_post
+                    + ((ss_t_pre - s_t_pre / CAST(n_t_pre AS DOUBLE) * s_t_pre)
+                       / (n_t_pre - 1)) / n_t_pre
+                    + ((ss_c_post - s_c_post / CAST(n_c_post AS DOUBLE) * s_c_post)
+                       / (n_c_post - 1)) / n_c_post
+                    + ((ss_c_pre - s_c_pre / CAST(n_c_pre AS DOUBLE) * s_c_pre)
+                       / (n_c_pre - 1)) / n_c_pre))
+                 / 100 * 10000) / 10000 AS ci_lo,
+           round((s_t_post / CAST(n_t_post AS DOUBLE)
+                  - s_t_pre / CAST(n_t_pre AS DOUBLE)
+                  - (s_c_post / CAST(n_c_post AS DOUBLE)
+                     - s_c_pre / CAST(n_c_pre AS DOUBLE))
+                  + 1.96 * sqrt(
+                    ((ss_t_post - s_t_post / CAST(n_t_post AS DOUBLE) * s_t_post)
+                       / (n_t_post - 1)) / n_t_post
+                    + ((ss_t_pre - s_t_pre / CAST(n_t_pre AS DOUBLE) * s_t_pre)
+                       / (n_t_pre - 1)) / n_t_pre
+                    + ((ss_c_post - s_c_post / CAST(n_c_post AS DOUBLE) * s_c_post)
+                       / (n_c_post - 1)) / n_c_post
+                    + ((ss_c_pre - s_c_pre / CAST(n_c_pre AS DOUBLE) * s_c_pre)
+                       / (n_c_pre - 1)) / n_c_pre))
+                 / 100 * 10000) / 10000 AS ci_hi
+    FROM p
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (Card & Krueger '94 brought
+    to event pipelines): split the corpus into pre/post halves by
+    arrival order and arms by identity hash, estimate the treatment
+    effect as (T_post - T_pre) - (C_post - C_pre) with the
+    four-cell-variance 95% CI — the quasi-experimental estimator for
+    rollouts that lack a clean holdout.
+
+    Engine determinism: integer-cents moments per cell, means as
+    exact integer/integer divisions, one fixed expression tree for
+    effect and CI (1e-6 / 1e-4 rounding).
+
+    Why at 100 TB: a scalar count broadcast (the corpus_composition
+    pattern), ONE (arm, period) map-side-partial aggregate over the
+    scan, then closed-form codegen math on a 4-row result."""
+    ev = t(spark, sf_dir, "events")
+    n_ev = ev.agg(F.count(F.lit(1)).alias("__n_ev"))
+    e = ev.crossJoin(F.broadcast(n_ev)).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.when(F.col("event_id") * 2 < F.col("__n_ev"), 0).otherwise(1).alias(
+            "period"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = e.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+
+    def cell(a, pd, c):
+        return F.max(F.when((F.col("arm") == a) & (F.col("period") == pd), F.col(c)))
+
+    p = g.agg(
+        *[
+            cell(a, pd, c).alias(f"{c}_{'t' if a else 'c'}_{'post' if pd else 'pre'}")
+            for c in ("n", "s", "ss")
+            for a in (0, 1)
+            for pd in (0, 1)
+        ]
+    )
+    mean = lambda k: F.col(f"s_{k}") / F.col(f"n_{k}").cast("double")  # noqa: E731
+    var_over_n = lambda k: (  # noqa: E731
+        (F.col(f"ss_{k}") - mean(k) * F.col(f"s_{k}")) / (F.col(f"n_{k}") - 1)
+    ) / F.col(f"n_{k}")
+    did = mean("t_post") - mean("t_pre") - (mean("c_post") - mean("c_pre"))
+    se = F.sqrt(
+        var_over_n("t_post")
+        + var_over_n("t_pre")
+        + var_over_n("c_post")
+        + var_over_n("c_pre")
+    )
+    return p.select(
+        "n_c_pre",
+        "n_c_post",
+        "n_t_pre",
+        "n_t_post",
+        (F.round(did / 100 * 1000000) / 1000000).alias("did"),
+        (F.round((did - 1.96 * se) / 100 * 10000) / 10000).alias("ci_lo"),
+        (F.round((did + 1.96 * se) / 100 * 10000) / 10000).alias("ci_hi"),
+    )
+
+
+#: Two-sided alpha=0.05 and power=0.8 normal quantiles, pinned as
+#: literals so both engines use the same constants.
+_POWER_ZA, _POWER_ZB = 1.959964, 0.841621
+
+
+@query(
+    "events_power_mde",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(CASE WHEN arm=0 THEN 1 END) AS BIGINT) AS n_c,
+             CAST(count(CASE WHEN arm=1 THEN 1 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN arm=0 THEN cents END) AS BIGINT) AS s_c,
+             CAST(sum(CASE WHEN arm=1 THEN cents END) AS BIGINT) AS s_t,
+             CAST(sum(CASE WHEN arm=0 THEN cents * cents END) AS BIGINT) AS ss_c,
+             CAST(sum(CASE WHEN arm=1 THEN cents * cents END) AS BIGINT) AS ss_t
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n_c, n_t,
+           round(s_c / CAST(n_c AS DOUBLE) / 100 * 1000000) / 1000000
+             AS mean_c,
+           round(({_POWER_ZA} + {_POWER_ZB}) * sqrt(
+               ((ss_c - s_c / CAST(n_c AS DOUBLE) * s_c) / (n_c - 1)) / n_c
+             + ((ss_t - s_t / CAST(n_t AS DOUBLE) * s_t) / (n_t - 1)) / n_t)
+             / 100 * 10000) / 10000 AS mde_abs,
+           round(({_POWER_ZA} + {_POWER_ZB}) * sqrt(
+               ((ss_c - s_c / CAST(n_c AS DOUBLE) * s_c) / (n_c - 1)) / n_c
+             + ((ss_t - s_t / CAST(n_t AS DOUBLE) * s_t) / (n_t - 1)) / n_t)
+             / (s_c / CAST(n_c AS DOUBLE)) * 10000) / 10000 AS mde_rel
+    FROM g ORDER BY event_type
+    """,
+)
+def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis / minimum-detectable-effect table per metric —
+    the question asked before any experiment ships: at the CURRENT
+    sample sizes and variances, what effect could a two-sided
+    alpha=0.05 test detect with 80% power?  ``mde = (z_a + z_b) *
+    sqrt(var_c/n_c + var_t/n_t)``, reported absolute and relative to
+    the control mean.
+
+    One per-type aggregate with fused conditional moments (the
+    events_ab_stratified shape), closed-form codegen math, pinned
+    normal quantiles — |types| result rows at any corpus size."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.when(F.col("arm") == 0, F.lit(1))).cast("bigint").alias("n_c"),
+        F.count(F.when(F.col("arm") == 1, F.lit(1))).cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents"))).cast("bigint").alias("s_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents"))).cast("bigint").alias("s_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")))
+        .cast("bigint")
+        .alias("ss_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")))
+        .cast("bigint")
+        .alias("ss_t"),
+    )
+    mean_c = F.col("s_c") / F.col("n_c").cast("double")
+    var_over_n = lambda k: (  # noqa: E731
+        (
+            F.col(f"ss_{k}")
+            - F.col(f"s_{k}") / F.col(f"n_{k}").cast("double") * F.col(f"s_{k}")
+        )
+        / (F.col(f"n_{k}") - 1)
+    ) / F.col(f"n_{k}")
+    mde = (_POWER_ZA + _POWER_ZB) * F.sqrt(var_over_n("c") + var_over_n("t"))
+    return g.select(
+        "event_type",
+        "n_c",
+        "n_t",
+        (F.round(mean_c / 100 * 1000000) / 1000000).alias("mean_c"),
+        (F.round(mde / 100 * 10000) / 10000).alias("mde_abs"),
+        (F.round(mde / mean_c * 10000) / 10000).alias("mde_rel"),
+    ).orderBy("event_type")

@@ -174,3 +174,134 @@ def test_bpe_pairs_match_python_recount(spark):
         for r in QUERIES["text_bpe_merge_candidates"](spark, SF).collect()
     ]
     assert got == expect
+
+
+def test_holt_reproduces_exact_linear_series(spark, tmp_path):
+    """A perfectly linear daily series: Holt with the standard
+    l2=y2, t2=y2-y1 init tracks it exactly — level = last value,
+    trend = the daily increment, forecast = last + 7*increment."""
+    import datetime
+
+    rows = [
+        (d, datetime.datetime(2024, 3, 1 + d, 9), 1, "buy", 10.0 * (d + 1), "{}")
+        for d in range(12)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["events_forecast_holt"](spark, str(tmp_path)).first()
+    assert out["level"] == 12000.0  # 120.0 -> cents
+    assert out["trend"] == 1000.0
+    assert out["forecast_7d"] == 12000.0 + 7 * 1000.0
+
+
+def test_holt_matches_python_fold(spark):
+    """Independent Python recomputation of the Holt fold on the
+    fixture's daily series (same init, same coupling order)."""
+    daily = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+        .collect()
+    )
+    series = collections.defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], float(r["cents"])))
+    a, b = 0.5, 0.4
+    expect = {}
+    for et, ys in series.items():
+        ys.sort()
+        y = [v for _, v in ys]
+        lvl, tr = y[1], y[1] - y[0]
+        for x in y[2:]:
+            nl = a * x + (1 - a) * (lvl + tr)
+            tr = b * (a * x + (1 - a) * (lvl + tr) - lvl) + (1 - b) * tr
+            lvl = nl
+        expect[et] = (
+            round(lvl * 1e6) / 1e6,
+            round(tr * 1e6) / 1e6,
+            round((lvl + 7 * tr) * 1e6) / 1e6,
+        )
+    got = {
+        r["event_type"]: (r["level"], r["trend"], r["forecast_7d"])
+        for r in QUERIES["events_forecast_holt"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_diff_in_diff_recovers_constructed_effect(spark, tmp_path):
+    """Control emits 1.0 in both periods; treatment emits 1.0 pre and
+    2.0 post -> DiD must be exactly 1.0 with a zero-width CI (all
+    cells constant)."""
+    import datetime
+
+    rows = []
+    for i in range(400):
+        arm = i % 2  # user_id parity = arm
+        period = 1 if i * 2 >= 400 else 0  # dense event_id halves
+        val = 2.0 if (arm == 1 and period == 1) else 1.0
+        rows.append(
+            (i, datetime.datetime(2024, 5, 1 + period, 8), i % 2 + 2 * (i % 7) * 0, "x", val, "{}")
+        )
+    # user_id = i % 2 keeps parity == arm
+    rows = [(i, ts, i % 2, et, v, p) for (i, ts, _, et, v, p) in rows]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["events_diff_in_diff"](spark, str(tmp_path)).first()
+    assert out["did"] == 1.0
+    assert out["ci_lo"] == 1.0 and out["ci_hi"] == 1.0
+    assert (
+        out["n_c_pre"] + out["n_c_post"] + out["n_t_pre"] + out["n_t_post"] == 400
+    )
+
+
+def test_diff_in_diff_fixture_invariants(spark):
+    out = QUERIES["events_diff_in_diff"](spark, SF).first()
+    assert out["ci_lo"] <= out["did"] <= out["ci_hi"]
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert (
+        out["n_c_pre"] + out["n_c_post"] + out["n_t_pre"] + out["n_t_post"]
+        == total
+    )
+
+
+def test_power_mde_zero_variance_and_scaling(spark, tmp_path):
+    """Constant metric -> MDE exactly 0; and quadrupling the sample
+    halves the MDE (1/sqrt(n) scaling) on an alternating two-value
+    metric."""
+    import datetime
+
+    def write(n, name):
+        rows = [
+            (i, datetime.datetime(2024, 6, 1, 7), i, "m", 5.0 if i % 4 < 2 else 7.0, "{}")
+            for i in range(n)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).write.parquet(str(tmp_path / name / "events.parquet"))
+
+    write(200, "a")
+    write(800, "b")
+    small = QUERIES["events_power_mde"](spark, str(tmp_path / "a")).first()
+    big = QUERIES["events_power_mde"](spark, str(tmp_path / "b")).first()
+    assert small["mde_abs"] > 0
+    ratio = small["mde_abs"] / big["mde_abs"]
+    assert abs(ratio - 2.0) < 0.05, ratio
+
+    rows = [
+        (i, datetime.datetime(2024, 6, 2, 7), i, "const", 3.0, "{}")
+        for i in range(100)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "c" / "events.parquet"))
+    const = QUERIES["events_power_mde"](spark, str(tmp_path / "c")).first()
+    assert const["mde_abs"] == 0.0
