@@ -484,11 +484,22 @@ def multimodal_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed a clean band; beyond that recall decays geometrically
     (both engines compute the same candidate set, so the gate is
     exact)."""
+    from storm_dynamic_spout_spark.operators.multimodal import phash_near_pairs
+
+    return phash_near_pairs(_phash_hashed_images(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _phash_hashed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decoded-and-hashed 36-image fixture set (24 PNG bases + 12
+    lossless-JPEG brightness variants) shared by the pHash pair and
+    dup-cluster queries: real decoders via Arrow-batched mapInPandas,
+    one ``phash`` per image."""
     from storm_dynamic_spout_spark.operators.jpeg import encode_lossless_jpeg
     from storm_dynamic_spout_spark.operators.multimodal import (
         make_png_image,
         phash_images,
-        phash_near_pairs,
     )
 
     d = t(spark, sf_dir, "documents")
@@ -508,8 +519,7 @@ def multimodal_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return s.map(mk)
 
-    hashed = phash_images(ids.withColumn("content", _payload("doc_id")))
-    return phash_near_pairs(hashed).orderBy("id_a", "id_b")
+    return phash_images(ids.withColumn("content", _payload("doc_id")))
 
 
 # ---------------------------------------------------------------------------
@@ -1107,3 +1117,84 @@ def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_patch_features(
         d.select("doc_id").withColumn("content", _payload("doc_id")), patch=PATCH
     ).orderBy("doc_id", "patch_row", "patch_col")
+
+
+def _phash_cluster_oracle() -> str:
+    """Recursive-CTE connected components over the SAME banded-hamming
+    pair SQL as the multimodal_image_phash_pairs oracle."""
+    return f"""
+    WITH RECURSIVE h AS (
+      SELECT CAST(v.img_id AS BIGINT) AS img_id, CAST(v.phash AS BIGINT) AS phash
+      FROM (VALUES
+      {_phash_oracle_values()}
+      ) AS v(img_id, phash)
+      JOIN documents d ON d.doc_id = v.img_id % 100
+    ),
+    b AS (
+      SELECT img_id, phash, u.i AS band,
+             (phash >> (CAST(u.i AS INTEGER) * 16)) & 65535 AS bv
+      FROM h, UNNEST(range(0, 4)) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.img_id AS id_a, a.phash AS pa,
+                      x.img_id AS id_b, x.phash AS pb
+      FROM b a JOIN b x ON a.band = x.band AND a.bv = x.bv
+                       AND a.img_id < x.img_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand WHERE bit_count(xor(pa, pb)) <= 10
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS img_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+    labeled AS (
+      SELECT h.img_id, COALESCE(c.cluster_id, h.img_id) AS cluster_id
+      FROM h LEFT JOIN comp c USING (img_id)
+    )
+    SELECT img_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM labeled ORDER BY img_id
+    """
+
+
+@query("multimodal_image_dup_clusters", oracle=_phash_cluster_oracle())
+def multimodal_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal dedup pipeline end-to-end: decode (real PNG
+    + lossless-JPEG codecs) -> 63-bit DCT pHash -> banded-hamming LSH
+    pairs -> connected components -> per-image cluster id + cluster
+    size — what a 100 TB image-corpus dedup job actually emits (keep
+    one representative per CLUSTER, not per pair: a base image, its
+    re-encoded copy and its brightness-shifted variant must collapse
+    to one keeper even when only a chain of pairs links them).
+
+    Spark side reuses the star-contraction connected_components
+    (operators/dedup.py — O(log n) rounds); the oracle replays pairs +
+    transitive closure as a recursive CTE over the closed-form pHash
+    VALUES.  Decode is the only Python stage; banding, the pair join,
+    the contraction joins and the size window are all JVM-side (the
+    size window partitions by cluster_id — bounded fan-in per
+    cluster, never a global window)."""
+    from storm_dynamic_spout_spark.operators.dedup import connected_components
+    from storm_dynamic_spout_spark.operators.multimodal import phash_near_pairs
+    from pyspark.sql.window import Window as W
+
+    hashed = _phash_hashed_images(spark, sf_dir)
+    pairs = phash_near_pairs(hashed)
+    cc = connected_components(
+        pairs, hashed.select("doc_id"), "doc_id", method="star"
+    )
+    return (
+        cc.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(W.partitionBy("cluster_id")).cast("long"),
+        )
+        .select(F.col("doc_id").alias("img_id"), "cluster_id", "cluster_size")
+        .orderBy("img_id")
+    )

@@ -305,3 +305,23 @@ def test_power_mde_zero_variance_and_scaling(spark, tmp_path):
     ).write.parquet(str(tmp_path / "c" / "events.parquet"))
     const = QUERIES["events_power_mde"](spark, str(tmp_path / "c")).first()
     assert const["mde_abs"] == 0.0
+
+
+def test_image_dup_clusters_collapse_variants(spark):
+    """Every brightness-shifted lossless-JPEG variant (id d+100) must
+    land in the SAME cluster as its PNG base d (they pair at hamming
+    <= 10 by construction), every pair's endpoints must share a
+    cluster, and cluster sizes must count the labeled rows exactly."""
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["multimodal_image_dup_clusters"](spark, sf).collect()
+    label = {r["img_id"]: r["cluster_id"] for r in rows}
+    sizes = collections.Counter(label.values())
+    for r in rows:
+        assert r["cluster_size"] == sizes[r["cluster_id"]], r
+    variants = [i for i in label if i >= 100]
+    assert variants, "no variant images labeled?"
+    for v in variants:
+        assert label[v] == label[v - 100], (v, label[v], label[v - 100])
+    pairs = QUERIES["multimodal_image_phash_pairs"](spark, sf).collect()
+    for p in pairs:
+        assert label[p["id_a"]] == label[p["id_b"]], p
