@@ -1058,6 +1058,152 @@ def compaction_plan(t):
     )
 
 
+def clustering_coeff(t):
+    """Per-node clustering coefficient (catalog
+    graph_clustering_coefficient shape): degree-oriented wedge close
+    + 3-corner explode + node-keyed counting join.  Healthy scaling
+    is ~linear in edges — degree orientation bounds apex fan-out by
+    O(sqrt(m)) even as hubs grow with the 5x graph."""
+    from storm_dynamic_spout_spark.catalog.joins import _spatial_coord
+    from storm_dynamic_spout_spark.operators.graph import (
+        degree_oriented_triangles,
+    )
+    from storm_dynamic_spout_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = t("customer").select(
+        F.col("c_custkey").alias("id"),
+        _spatial_coord("x").alias("ux"),
+        _spatial_coord("y").alias("uy"),
+    )
+    edges = grid_neighbor_pairs(pts, "id", "ux", "uy", 1_500).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    # lazy checkpoint: deterministic subtree (operators/dedup.py note)
+    ).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("a").alias("id"))
+        .unionByName(edges.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tcnt = (
+        degree_oriented_triangles(edges)
+        .select(F.explode(F.array("apex", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return deg.join(tcnt, "id", "left").filter(F.col("degree") >= 2)
+
+
+def bootstrap_resamples(t):
+    """Poisson-bootstrap resampling (catalog events_bootstrap_ci
+    shape): B=81 hash-weight explode -> (b, arm) map-side-partial
+    aggregate -> per-b delta -> percentile over B rows.  The explode
+    is Bx scan rows but the shuffle is only 2B partial rows, so
+    healthy scaling is ~linear in events."""
+    B = 81
+    ev = t("events").select(
+        "event_id",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    e = ev.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(B)))).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b")).cast("binary")),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    wt = (
+        F.when(F.col("h") < 24110, 0)
+        .when(F.col("h") < 48220, 1)
+        .when(F.col("h") < 60276, 2)
+        .otherwise(3)
+    )
+    g = e.select("b", "arm", wt.alias("wt"), "cents").groupBy("b", "arm").agg(
+        F.sum("wt").alias("n"), F.sum(F.col("wt") * F.col("cents")).alias("s")
+    )
+    arm = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    d = g.groupBy("b").agg(
+        (arm(1, "s") / arm(1, "n") - arm(0, "s") / arm(0, "n")).alias("delta")
+    )
+    return d.agg(F.percentile("delta", 0.5).alias("med"))
+
+
+def bpe_pairs(t):
+    """First BPE merge iteration (catalog text_bpe_merge_candidates
+    shape): token explode -> char-2-gram explode -> alphabet^2-bounded
+    count -> heap top-k.  Healthy scaling is ~linear in corpus bytes;
+    the shuffle stays |pair-vocab|-sized."""
+    toks = t("documents").select(
+        F.explode(F.split("text", r"\s+")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(tok) - 1), i -> substr(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+def smoothing_folds(t):
+    """Exponential-smoothing forecasts (catalog events_forecast_ses /
+    _holt shape): daily map-side-partial aggregate -> per-type bounded
+    array fold.  The fold length is calendar-bound, so the 5x corpus
+    only widens the daily aggregate — healthy scaling is ~linear in
+    events with a constant fold cost."""
+    daily = (
+        t("events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"].cast("double"),
+        ).alias("ys")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+        F.col("ys")[0],
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return series.select("event_type", fold.alias("ses"))
+
+
+def did_cells(t):
+    """Quasi-experimental cell moments (catalog events_diff_in_diff /
+    events_power_mde shape): scalar-count broadcast -> one
+    (arm, period) fused-moment aggregate -> closed-form math on 4
+    rows.  Healthy scaling is ~linear in events."""
+    ev = t("events")
+    n_ev = ev.agg(F.count(F.lit(1)).alias("n_ev"))
+    e = ev.crossJoin(F.broadcast(n_ev)).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.when(F.col("event_id") * 2 < F.col("n_ev"), 0).otherwise(1).alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return e.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -1103,6 +1249,11 @@ QUERIES = [
     ("ab_test", ab_test_readout),
     ("curriculum", curriculum_order),
     ("compaction_plan", compaction_plan),
+    ("clustering_coeff", clustering_coeff),
+    ("bootstrap_resamples", bootstrap_resamples),
+    ("bpe_pairs", bpe_pairs),
+    ("smoothing_folds", smoothing_folds),
+    ("did_cells", did_cells),
 ]
 
 
