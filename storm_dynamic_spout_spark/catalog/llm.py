@@ -3414,24 +3414,10 @@ def _bm25_oracle() -> str:
     """
 
 
-@query("text_bm25_rank", oracle=_bm25_oracle())
-def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (Robertson/Sparck Jones; the Lucene
-    default scorer) for a fixed query-term set — the retrieval
-    counterpart of ``text_tfidf_top_term``: idf·tf·(k1+1)/(tf +
-    k1·(1−b+b·dl/avgdl)) summed over query terms, top-20 docs.
-
-    Cross-engine float discipline: avgdl is the EXACT integer pair
-    (Σdl, N) divided once in doubles (never a running float mean);
-    ranking compares CAST(round(score·1e6) AS BIGINT) with a doc_id
-    tiebreak, so libm ln() ulp differences can't flip the order; the
-    reported score is rounded to the same 1e-6.
-
-    Why at 100 TB: the token explode is filtered to the query terms
-    BEFORE the (doc,term) aggregate — the shuffle carries only
-    matching postings, not the corpus; df and the (N, Σdl) stats are
-    broadcast one-row/|terms|-row aggregates; the top-k is
-    TakeOrderedAndProject, never a global sort."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_query_terms, __score) BM25 scores for the fixed
+    BM25_TERMS query — shared by text_bm25_rank and the hybrid-RRF
+    fusion so both legs rank from one scorer definition."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", r"\s+").alias("__toks")
     )
@@ -3456,7 +3442,7 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (BM25_K1 + 1)
         / (F.col("__tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("__dl") / avgdl))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(dfx), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -3465,6 +3451,27 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(part).alias("__score"),
         )
     )
+
+
+@query("text_bm25_rank", oracle=_bm25_oracle())
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones; the Lucene
+    default scorer) for a fixed query-term set — the retrieval
+    counterpart of ``text_tfidf_top_term``: idf·tf·(k1+1)/(tf +
+    k1·(1−b+b·dl/avgdl)) summed over query terms, top-20 docs.
+
+    Cross-engine float discipline: avgdl is the EXACT integer pair
+    (Σdl, N) divided once in doubles (never a running float mean);
+    ranking compares CAST(round(score·1e6) AS BIGINT) with a doc_id
+    tiebreak, so libm ln() ulp differences can't flip the order; the
+    reported score is rounded to the same 1e-6.
+
+    Why at 100 TB: the token explode is filtered to the query terms
+    BEFORE the (doc,term) aggregate — the shuffle carries only
+    matching postings, not the corpus; df and the (N, Σdl) stats are
+    broadcast one-row/|terms|-row aggregates; the top-k is
+    TakeOrderedAndProject, never a global sort."""
+    scored = _bm25_scored(spark, sf_dir)
     return (
         scored.orderBy(
             F.desc(F.round(F.col("__score") * 1_000_000).cast("long")), "doc_id"
@@ -5110,4 +5117,185 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(_BPE_TOP_PAIRS)
+    )
+
+
+#: Reciprocal-rank-fusion parameters (Cormack/Clarke/Buettcher
+#: SIGIR'09 — k=60 is the canonical constant).
+RRF_K = 60
+RRF_POOL = 50  # per-leg candidate pool depth
+RRF_TOP = 20
+RRF_QUERY_ID = 0  # dense-leg query vector (and its excluded id)
+
+
+def _hybrid_rrf_oracle() -> str:
+    terms = ", ".join(f"'{q}'" for q in BM25_TERMS)
+    return f"""
+    WITH dd AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dd
+    ),
+    tf AS (
+      SELECT doc_id, dl, u.x AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM dd, UNNEST(toks) AS u(x)
+      WHERE u.x IN ({terms})
+      GROUP BY doc_id, dl, u.x
+    ),
+    dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    lex_scored AS (
+      SELECT tf.doc_id AS id,
+             sum(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                 * tf.tf * ({BM25_K1} + 1)
+                 / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl
+                    / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS score
+      FROM tf JOIN dfx USING (term) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT id, CAST(rn AS BIGINT) AS rank_lex FROM (
+        SELECT id, row_number() OVER (
+          ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, id) AS rn
+        FROM lex_scored
+      ) WHERE rn <= {RRF_POOL}
+    ),
+    ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+    qv AS (SELECT v AS q FROM ve WHERE vec_id = {RRF_QUERY_ID}),
+    dense AS (
+      SELECT id, CAST(rn AS BIGINT) AS rank_dense FROM (
+        SELECT vec_id AS id, row_number() OVER (
+          ORDER BY CAST(round({_SQL_COS} * 1000000) AS BIGINT) DESC, vec_id) AS rn
+        FROM ve, qv WHERE vec_id <> {RRF_QUERY_ID}
+      ) WHERE rn <= {RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.id, dense.id) AS id, rank_lex, rank_dense,
+             COALESCE(1.0 / ({RRF_K} + rank_lex), 0)
+               + COALESCE(1.0 / ({RRF_K} + rank_dense), 0) AS rrf
+      FROM lex FULL OUTER JOIN dense USING (id)
+    )
+    SELECT id, rank_lex, rank_dense,
+           round(rrf * 1000000) / 1000000 AS rrf_score,
+           CAST(rn AS BIGINT) AS hybrid_rank
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY CAST(round(rrf * 1000000000) AS BIGINT) DESC, id) AS rn
+      FROM fused
+    ) WHERE rn <= {RRF_TOP}
+    ORDER BY hybrid_rank
+    """
+
+
+@query("search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09 — the fusion powering most production RAG stacks): a
+    lexical BM25 leg (fixed term query over documents) and a dense
+    cosine leg (query vector {RRF_QUERY_ID} over embeddings) each
+    produce a top-{RRF_POOL} ranking on integer-stable keys, then
+    ``rrf = sum 1/(60 + rank)`` over whichever legs retrieved the id
+    (rank-only fusion — no score calibration needed across scorers,
+    which is exactly why RRF beat weighted-score fusion).
+
+    Why at 100 TB: each leg is its existing scale shape (BM25 =
+    query-term-filtered postings + broadcast stats; dense = 1-row
+    broadcast query x corpus scan, TakeOrderedAndProject) and the
+    fusion joins two {RRF_POOL}-row tables — the corpus is scanned
+    once per leg, never joined against itself."""
+    from pyspark.sql.window import Window as W
+
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.round(F.col("__score") * 1_000_000).cast("long").alias("__key"),
+        )
+        .orderBy(F.desc("__key"), "id")
+        .limit(RRF_POOL)
+        .select(
+            "id",
+            F.row_number()
+            .over(W.orderBy(F.desc("__key"), "id"))
+            .cast("bigint")
+            .alias("rank_lex"),
+        )
+    )
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_ID).select(
+        F.col("__v").alias("__q")
+    )
+    cos = F.aggregate(
+        F.zip_with("__q", "__v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("__q", "__q", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * F.sqrt(
+            F.aggregate(
+                F.zip_with("__v", "__v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cos * 1_000_000).cast("long").alias("__key"),
+        )
+        .orderBy(F.desc("__key"), "id")
+        .limit(RRF_POOL)
+        .select(
+            "id",
+            F.row_number()
+            .over(W.orderBy(F.desc("__key"), "id"))
+            .cast("bigint")
+            .alias("rank_dense"),
+        )
+    )
+    fused = lex.join(dense, "id", "full").select(
+        "id",
+        "rank_lex",
+        "rank_dense",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rank_dense")), F.lit(0.0))
+        ).alias("__rrf"),
+    )
+    return (
+        fused.withColumn(
+            "hybrid_rank",
+            F.row_number()
+            .over(
+                W.orderBy(
+                    F.desc(F.round(F.col("__rrf") * 1_000_000_000).cast("long")),
+                    "id",
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("hybrid_rank") <= RRF_TOP)
+        .select(
+            "id",
+            "rank_lex",
+            "rank_dense",
+            (F.round(F.col("__rrf") * 1000000) / 1000000).alias("rrf_score"),
+            "hybrid_rank",
+        )
+        .orderBy("hybrid_rank")
     )

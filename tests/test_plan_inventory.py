@@ -125,6 +125,10 @@ def test_inventory_global_invariants():
         # bounded by the observation window in hours (≤ ~240 rows),
         # the events_cumulative_users post-aggregation class
         "events_survival_km",
+        # rank assignment over the two ≤RRF_POOL(=50)-row post-
+        # TakeOrderedAndProject candidate pools and their ≤100-row
+        # fusion — the corpus never enters a window (r11)
+        "search_hybrid_rrf",
     }
     gw = {n for n, c in inv.items() if c.get("unpartitioned_windows", 0) > 0}
     assert gw <= allowed_global_window, (

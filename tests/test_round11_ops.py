@@ -325,3 +325,28 @@ def test_image_dup_clusters_collapse_variants(spark):
     pairs = QUERIES["multimodal_image_phash_pairs"](spark, sf).collect()
     for p in pairs:
         assert label[p["id_a"]] == label[p["id_b"]], p
+
+
+def test_hybrid_rrf_fusion_math_and_ranks(spark):
+    """hybrid_rank is a contiguous 1..20 permutation, rrf_score equals
+    the closed form from the reported leg ranks, and any id retrieved
+    by BOTH legs outranks an id retrieved by one leg at equal-or-worse
+    positions (the monotonicity RRF exists for)."""
+    rows = QUERIES["search_hybrid_rrf"](spark, SF).collect()
+    assert [r["hybrid_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) > 0
+    for r in rows:
+        expect = 0.0
+        if r["rank_lex"] is not None:
+            expect += 1.0 / (60 + r["rank_lex"])
+        if r["rank_dense"] is not None:
+            expect += 1.0 / (60 + r["rank_dense"])
+        assert abs(r["rrf_score"] - expect) < 2e-6, r
+        assert r["rank_lex"] is not None or r["rank_dense"] is not None
+    both = [r for r in rows if r["rank_lex"] and r["rank_dense"]]
+    one = [r for r in rows if (r["rank_lex"] is None) != (r["rank_dense"] is None)]
+    for b in both:
+        for s in one:
+            lone = s["rank_lex"] or s["rank_dense"]
+            if lone >= max(b["rank_lex"], b["rank_dense"]):
+                assert b["hybrid_rank"] < s["hybrid_rank"], (b, s)

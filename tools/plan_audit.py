@@ -52,6 +52,10 @@ KNOWN_BENIGN = {
     # Kaplan-Meier prefix sums over the ≤~240-row duration histogram
     # (post-aggregation, bounded by the observation window)
     "events_survival_km",
+    # rank assignment over the two ≤RRF_POOL(=50)-row post-
+    # TakeOrderedAndProject candidate pools and their ≤100-row fusion —
+    # the corpus never enters a window (r11)
+    "search_hybrid_rrf",
 }
 
 
