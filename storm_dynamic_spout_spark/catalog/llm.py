@@ -5299,3 +5299,115 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hybrid_rank")
     )
+
+
+NDCG_AT = 10
+
+
+def _ndcg_oracle() -> str:
+    terms = ", ".join(f"'{q}'" for q in BM25_TERMS)
+    return f"""
+    WITH dd AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dd
+    ),
+    tf AS (
+      SELECT doc_id, dl, u.x AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM dd, UNNEST(toks) AS u(x)
+      WHERE u.x IN ({terms})
+      GROUP BY doc_id, dl, u.x
+    ),
+    dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(count(*) AS BIGINT) AS grade,
+             sum(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                 * tf.tf * ({BM25_K1} + 1)
+                 / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl
+                    / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS score
+      FROM tf JOIN dfx USING (term) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, grade, row_number() OVER (
+        ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id) AS rank
+      FROM scored
+    ),
+    pool AS (SELECT * FROM ranked WHERE rank <= {BM25_TOP}),
+    ideal AS (
+      SELECT grade, row_number() OVER (ORDER BY grade DESC, doc_id) AS irank
+      FROM pool
+    ),
+    dcg AS (
+      SELECT sum((power(2, grade) - 1) / (ln(rank + 1) / ln(2))) AS dcg_10
+      FROM pool WHERE rank <= {NDCG_AT}
+    ),
+    idcg AS (
+      SELECT sum((power(2, grade) - 1) / (ln(irank + 1) / ln(2))) AS idcg_10
+      FROM ideal WHERE irank <= {NDCG_AT}
+    )
+    SELECT round(dcg_10 * 1000000) / 1000000 AS dcg_10,
+           round(idcg_10 * 1000000) / 1000000 AS idcg_10,
+           round(dcg_10 / idcg_10 * 1000000) / 1000000 AS ndcg_10
+    FROM dcg, idcg
+    """
+
+
+@query("search_ndcg_eval", oracle=_ndcg_oracle())
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation — nDCG@10 (Järvelin & Kekäläinen
+    2002) of the BM25 ranking, the metric every retrieval pipeline
+    reports: exponential gains ``2^grade - 1`` (grade = number of
+    matched query terms, a deterministic integer relevance label)
+    discounted by ``log2(rank + 1)``, normalized by the ideal ordering
+    of the same top-{BM25_TOP} pool (documented pool-normalization:
+    the ideal permutes retrieved grades, the standard offline-eval
+    convention when the full judgment set IS the pool).
+
+    Why at 100 TB: the ranking is the existing BM25 shape; the eval
+    itself reduces two {BM25_TOP}-row frames — metric cost is
+    independent of corpus size.  Gains are exact small integers; the
+    log discounts are identical literals-and-libm expressions rounded
+    at 1e-6."""
+    from pyspark.sql.window import Window as W
+
+    pool = (
+        _bm25_scored(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.col("n_query_terms").alias("grade"),
+            F.round(F.col("__score") * 1_000_000).cast("long").alias("__key"),
+        )
+        .orderBy(F.desc("__key"), "doc_id")
+        .limit(BM25_TOP)
+        .select(
+            "doc_id",
+            "grade",
+            F.row_number().over(W.orderBy(F.desc("__key"), "doc_id")).alias("rank"),
+        )
+    )
+    gain = F.pow(F.lit(2.0), F.col("grade")) - 1
+    dcg = pool.filter(F.col("rank") <= NDCG_AT).agg(
+        F.sum(gain / (F.log(F.col("rank") + 1) / F.log(F.lit(2.0)))).alias("__dcg")
+    )
+    ideal = pool.select(
+        "grade",
+        F.row_number().over(W.orderBy(F.desc("grade"), "doc_id")).alias("irank"),
+    )
+    idcg = ideal.filter(F.col("irank") <= NDCG_AT).agg(
+        F.sum(gain / (F.log(F.col("irank") + 1) / F.log(F.lit(2.0)))).alias("__idcg")
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            (F.round(F.col("__dcg") * 1000000) / 1000000).alias("dcg_10"),
+            (F.round(F.col("__idcg") * 1000000) / 1000000).alias("idcg_10"),
+            (F.round(F.col("__dcg") / F.col("__idcg") * 1000000) / 1000000).alias(
+                "ndcg_10"
+            ),
+        )
+    )

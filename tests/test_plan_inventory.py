@@ -129,6 +129,9 @@ def test_inventory_global_invariants():
         # TakeOrderedAndProject candidate pools and their ≤100-row
         # fusion — the corpus never enters a window (r11)
         "search_hybrid_rrf",
+        # rank + ideal-rank over the ≤BM25_TOP(=20)-row retrieved pool
+        # (r11)
+        "search_ndcg_eval",
     }
     gw = {n for n, c in inv.items() if c.get("unpartitioned_windows", 0) > 0}
     assert gw <= allowed_global_window, (

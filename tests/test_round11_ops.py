@@ -350,3 +350,15 @@ def test_hybrid_rrf_fusion_math_and_ranks(spark):
             lone = s["rank_lex"] or s["rank_dense"]
             if lone >= max(b["rank_lex"], b["rank_dense"]):
                 assert b["hybrid_rank"] < s["hybrid_rank"], (b, s)
+
+
+def test_ndcg_invariants(spark):
+    """0 < nDCG@10 <= 1, DCG <= IDCG by construction, and IDCG equals
+    a Python recomputation from the ranked pool's grades."""
+    out = QUERIES["search_ndcg_eval"](spark, SF).first()
+    assert out["dcg_10"] <= out["idcg_10"]
+    assert 0.0 < out["ndcg_10"] <= 1.0
+    pool = QUERIES["text_bm25_rank"](spark, SF).collect()
+    grades = sorted((r["n_query_terms"] for r in pool), reverse=True)[:10]
+    idcg = sum((2**g - 1) / (math.log(i + 2) / math.log(2)) for i, g in enumerate(grades))
+    assert abs(out["idcg_10"] - idcg) < 2e-6

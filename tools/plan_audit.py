@@ -56,6 +56,8 @@ KNOWN_BENIGN = {
     # TakeOrderedAndProject candidate pools and their ≤100-row fusion —
     # the corpus never enters a window (r11)
     "search_hybrid_rrf",
+    # rank + ideal-rank over the ≤BM25_TOP(=20)-row retrieved pool (r11)
+    "search_ndcg_eval",
 }
 
 
