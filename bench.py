@@ -57,6 +57,8 @@ HEADLINE = [
     "join_asof_nearest",  # r9: bidirectional as-of, one exchange two windows
     "embedding_whitening",  # r10: d-row stats exchange + broadcast map-only zip_with
     "events_ab_test",  # r10: checkpointed exposure aggregate + closed-form z/t
+    "search_hybrid_rrf",  # r11: BM25 + dense legs, 50-row RRF fusion join
+    "graph_clustering_coefficient",  # r11: degree-oriented wedge close per node
 ]
 
 #: The ONLY cross-round comparable series: the exact 17 queries the
