@@ -69,6 +69,14 @@ TARGETS = [
     "events_ab_stratified",
 ]
 
+#: SF1_TARGETS=a,b,c runs an EXTENSION pass instead: only those
+#: queries, a distinct section title, and no invariant legs (they are
+#: specific to the base TARGETS).  Used for the late-round-11
+#: additions without duplicating the committed base section.
+_EXTRA = [s for s in os.environ.get("SF1_TARGETS", "").split(",") if s]
+if _EXTRA:
+    TARGETS = _EXTRA
+
 
 def _scaled_documents(spark):
     base = load_table(spark, SF01, "documents")
@@ -151,10 +159,16 @@ def main() -> int:
             os.symlink(os.path.join(SF01, f"{t}.parquet"), dst)
     print(f"built {COPIES}x tables in {tmp}")
 
+    title = (
+        "## sf1-equivalent rehearsal — round-11 late additions "
+        "(extension run: " + ", ".join(TARGETS) + ")"
+        if _EXTRA
+        else "## sf1-equivalent rehearsal — round-10/11 additions "
+        "(whitening / curriculum / compaction / A-B readouts)"
+    )
     report = [
         "",
-        f"## sf1-equivalent rehearsal — round-10/11 additions "
-        f"(whitening / curriculum / compaction / A-B readouts)",
+        title,
         "",
         f"Corpus: {COPIES}x sf0.1 (documents 50k, embeddings 20k, orders 1.5M,",
         "events 1M; id-shifted copies, embeddings circularly dim-shifted so",
@@ -184,7 +198,17 @@ def main() -> int:
         )
         print(report[-1])
 
-    # invariant legs ----------------------------------------------------
+    # invariant legs (base TARGETS only) ---------------------------------
+    if _EXTRA:
+        Path(__file__).resolve().parent.parent.joinpath("SCALE_SF1.md").open(
+            "a"
+        ).write("\n".join(report) + "\n")
+        print("appended SCALE_SF1.md (extension run)")
+        if failures:
+            print("FAILURES:", failures)
+            return 1
+        return 0
+
     cur_fn = CATALOG["corpus_curriculum_order"]
     b1 = {
         r["bucket"]: r["n"]
