@@ -598,13 +598,23 @@ def multimodal_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> Data
     the only Python stage (Arrow-batched, narrow); candidates come
     from 16-bit band equi-joins in JVM bit arithmetic, never
     all-pairs."""
+    from storm_dynamic_spout_spark.operators.multimodal import phash_near_pairs
+
+    return phash_near_pairs(
+        _audio_fps(spark, sf_dir), hash_col="fingerprint"
+    ).orderBy("id_a", "id_b")
+
+
+def _audio_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decoded-and-fingerprinted 32-clip fixture set (16 WAV bases
+    + 16 gain-halved variants) shared by the fingerprint pair and
+    dup-cluster queries."""
     import io
     import wave
 
     from storm_dynamic_spout_spark.operators.multimodal import (
         fingerprint_audio,
         make_wav_audio,
-        phash_near_pairs,
     )
 
     d = t(spark, sf_dir, "documents")
@@ -632,8 +642,7 @@ def multimodal_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> Data
 
         return s.map(mk)
 
-    fps = fingerprint_audio(ids.withColumn("content", _payload("doc_id")))
-    return phash_near_pairs(fps, hash_col="fingerprint").orderBy("id_a", "id_b")
+    return fingerprint_audio(ids.withColumn("content", _payload("doc_id")))
 
 
 # ---------------------------------------------------------------------------
@@ -1197,4 +1206,82 @@ def multimodal_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select(F.col("doc_id").alias("img_id"), "cluster_id", "cluster_size")
         .orderBy("img_id")
+    )
+
+
+def _audio_cluster_oracle() -> str:
+    """Recursive-CTE connected components over the SAME banded-hamming
+    pair SQL as the multimodal_audio_fingerprint_pairs oracle."""
+    return f"""
+    WITH RECURSIVE h AS (
+      SELECT CAST(v.clip_id AS BIGINT) AS clip_id, CAST(v.fp AS BIGINT) AS fp
+      FROM (VALUES
+      {_audio_fp_oracle_values()}
+      ) AS v(clip_id, fp)
+      JOIN documents d ON d.doc_id = v.clip_id % 100
+    ),
+    b AS (
+      SELECT clip_id, fp, u.i AS band,
+             (fp >> (CAST(u.i AS INTEGER) * 16)) & 65535 AS bv
+      FROM h, UNNEST(range(0, 4)) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.clip_id AS id_a, a.fp AS fa,
+                      x.clip_id AS id_b, x.fp AS fb
+      FROM b a JOIN b x ON a.band = x.band AND a.bv = x.bv
+                       AND a.clip_id < x.clip_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand WHERE bit_count(xor(fa, fb)) <= 10
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS clip_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+    labeled AS (
+      SELECT h.clip_id, COALESCE(c.cluster_id, h.clip_id) AS cluster_id
+      FROM h LEFT JOIN comp c USING (clip_id)
+    )
+    SELECT clip_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM labeled ORDER BY clip_id
+    """
+
+
+@query("multimodal_audio_dup_clusters", oracle=_audio_cluster_oracle())
+def multimodal_audio_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio dedup pipeline closed end-to-end, symmetric to
+    multimodal_image_dup_clusters: real WAV decode -> 63-bit
+    energy-delta fingerprint -> banded-hamming LSH pairs ->
+    star-contraction connected components -> per-clip cluster id +
+    size.  Gain-halved re-encodes of the same recording must collapse
+    into their base clip's cluster even when only a chain of pairs
+    links them — keep one representative per CLUSTER, not per pair.
+
+    Same scale shape as the image path: decode is the only Python
+    stage; banding, the pair join, the contraction joins and the
+    cluster-size window (partitioned by cluster_id, bounded fan-in)
+    are all JVM-side."""
+    from storm_dynamic_spout_spark.operators.dedup import connected_components
+    from storm_dynamic_spout_spark.operators.multimodal import phash_near_pairs
+    from pyspark.sql.window import Window as W
+
+    fps = _audio_fps(spark, sf_dir)
+    pairs = phash_near_pairs(fps, hash_col="fingerprint")
+    cc = connected_components(
+        pairs, fps.select("doc_id"), "doc_id", method="star"
+    )
+    return (
+        cc.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(W.partitionBy("cluster_id")).cast("long"),
+        )
+        .select(F.col("doc_id").alias("clip_id"), "cluster_id", "cluster_size")
+        .orderBy("clip_id")
     )

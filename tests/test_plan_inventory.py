@@ -88,9 +88,10 @@ def test_inventory_global_invariants():
         # fixed-rate frame sampler: container walk + JPEG decode on the
         # declared multimodal Arrow surface (r9)
         "multimodal_video_frame_sample",
-        # pHash pairs -> star-contraction clusters: same decode stage
-        # as multimodal_image_phash_pairs (r11)
+        # pHash/fingerprint pairs -> star-contraction clusters: same
+        # decode stages as the pair queries (r11)
         "multimodal_image_dup_clusters",
+        "multimodal_audio_dup_clusters",
     }
     python = {n for n, c in inv.items() if c["python_nodes"] > 0}
     assert python <= allowed_python, (

@@ -362,3 +362,22 @@ def test_ndcg_invariants(spark):
     grades = sorted((r["n_query_terms"] for r in pool), reverse=True)[:10]
     idcg = sum((2**g - 1) / (math.log(i + 2) / math.log(2)) for i, g in enumerate(grades))
     assert abs(out["idcg_10"] - idcg) < 2e-6
+
+
+def test_audio_dup_clusters_collapse_variants(spark):
+    """Every gain-halved clip (id d+100) must land in the SAME cluster
+    as its base d, pair endpoints share a cluster, sizes count labeled
+    rows exactly — the audio twin of the image dup-cluster pin."""
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["multimodal_audio_dup_clusters"](spark, sf).collect()
+    label = {r["clip_id"]: r["cluster_id"] for r in rows}
+    sizes = collections.Counter(label.values())
+    for r in rows:
+        assert r["cluster_size"] == sizes[r["cluster_id"]], r
+    variants = [i for i in label if i >= 100]
+    assert variants, "no variant clips labeled?"
+    for v in variants:
+        assert label[v] == label[v - 100], (v, label[v], label[v - 100])
+    pairs = QUERIES["multimodal_audio_fingerprint_pairs"](spark, sf).collect()
+    for p in pairs:
+        assert label[p["id_a"]] == label[p["id_b"]], p
