@@ -5411,3 +5411,132 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Learned-merge iterations for the BPE training query.
+_BPE_MERGE_ITERS = 3
+
+
+def _bpe_learn_oracle() -> str:
+    def block(i: int) -> str:
+        return f"""
+    p{i} AS (
+      SELECT syms[j.j] AS a, syms[j.j+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+      FROM w{i-1}, UNNEST(range(1, len(syms))) AS j(j) GROUP BY a, b
+    ),
+    t{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{i} AS (
+      SELECT n, list_reduce(list_transform(syms, s -> [s]),
+        (acc, x) -> CASE WHEN acc[-1] = t{i}.a AND x[1] = t{i}.b
+                    THEN list_concat(acc[1:len(acc)-1], [t{i}.a || t{i}.b])
+                    ELSE list_append(acc, x[1]) END) AS syms
+      FROM w{i-1}, t{i}
+    )"""
+
+    blocks = ",".join(block(i) for i in range(1, _BPE_MERGE_ITERS + 1))
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS pair_a, b AS pair_b, cnt"
+        f" FROM t{i}"
+        for i in range(1, _BPE_MERGE_ITERS + 1)
+    )
+    return f"""
+    WITH wc AS (
+      SELECT u.x AS word, CAST(count(*) AS BIGINT) AS n
+      FROM documents, UNNEST({_TOKS}) AS u(x)
+      WHERE length(u.x) >= 1 GROUP BY u.x
+    ),
+    w0 AS (SELECT n, list_transform(range(1, length(word)+1), i -> word[i])
+             AS syms FROM wc),
+    {blocks}
+    {selects}
+    ORDER BY merge_rank
+    """
+
+
+@query("text_bpe_learn_merges", oracle=_bpe_learn_oracle())
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, iterated (Sennrich et al., ACL'16): learn
+    the first {_BPE_MERGE_ITERS} merges over the distinct-word table —
+    each iteration counts adjacent symbol pairs weighted by word
+    frequency, selects the top pair (count desc, lexicographic
+    tiebreak), and applies the merge greedily left-to-right inside
+    every word's symbol sequence via an ``F.aggregate`` fold
+    (``last == a and next == b -> replace last with ab``, the exact
+    greedy semantics a reference Python implementation produces —
+    pinned in tests).
+
+    Why at 100 TB: BPE training runs on the (word, count) TABLE, not
+    the corpus — the corpus-scale pass is the one word-count
+    aggregate; each merge iteration is then a |pair-vocab|-keyed
+    map-side-partial count + a 1-row broadcast of the winning pair +
+    a map-only fold over bounded word arrays.  No driver-side collect:
+    the winning pair flows through ``crossJoin(broadcast(top1))``, so
+    the whole k-merge loop is one lazy plan.  The oracle unrolls the
+    identical iterations as chained CTEs with LIST-state folds (the
+    [l,t] convention — duckdb struct_pack accumulators rebind, see
+    events_forecast_holt)."""
+    wc = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = wc.select(
+        "n",
+        F.expr(
+            "transform(sequence(1, char_length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+    )
+    tops = []
+    for i in range(1, _BPE_MERGE_ITERS + 1):
+        # size>=2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]), so a
+        # 1-symbol word would index past its array in the pair explode
+        pairs = (
+            w.filter(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms)-1), j ->"
+                        " struct(element_at(syms, j) as a,"
+                        " element_at(syms, j+1) as b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+        )
+        top1 = (
+            pairs.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .select(
+                F.col("a").alias("__pa"),
+                F.col("b").alias("__pb"),
+                F.col("cnt").alias("__cnt"),
+            )
+        )
+        tops.append(
+            top1.select(
+                F.lit(i).cast("bigint").alias("merge_rank"),
+                F.col("__pa").alias("pair_a"),
+                F.col("__pb").alias("pair_b"),
+                F.col("__cnt").alias("cnt"),
+            )
+        )
+        merged = F.aggregate(
+            F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+            F.array(F.element_at(F.col("syms"), 1)),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.col("__pa")) & (x == F.col("__pb")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col("__pa"), F.col("__pb"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        w = w.crossJoin(F.broadcast(top1)).select("n", merged.alias("syms"))
+    out = tops[0]
+    for frame in tops[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("merge_rank")

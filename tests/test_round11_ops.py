@@ -381,3 +381,41 @@ def test_audio_dup_clusters_collapse_variants(spark):
     pairs = QUERIES["multimodal_audio_fingerprint_pairs"](spark, sf).collect()
     for p in pairs:
         assert label[p["id_a"]] == label[p["id_b"]], p
+
+
+def test_bpe_learn_merges_match_python_reference(spark):
+    """Independent greedy-BPE reference: 3 merge iterations over the
+    word-count table in plain Python must produce the same (pair,
+    weighted count) sequence as the distributed fold."""
+    texts = [
+        r["text"] for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    import re
+
+    wc = collections.Counter()
+    for text in texts:
+        for w in re.split(r"\s+", text):
+            if len(w) >= 1:
+                wc[w] += 1
+    words = {w: (list(w), n) for w, n in wc.items()}
+    expect = []
+    for it in range(3):
+        pc = collections.Counter()
+        for syms, n in words.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        (pa, pb), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((it + 1, pa, pb, cnt))
+        for w, (syms, n) in words.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == pa and x == pb:
+                    out[-1] = pa + pb
+                else:
+                    out.append(x)
+            words[w] = (out, n)
+    got = [
+        (r["merge_rank"], r["pair_a"], r["pair_b"], r["cnt"])
+        for r in QUERIES["text_bpe_learn_merges"](spark, SF).collect()
+    ]
+    assert got == expect
