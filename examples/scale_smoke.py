@@ -1204,6 +1204,61 @@ def did_cells(t):
     )
 
 
+def bpe_learn(t):
+    """Iterated BPE training (catalog text_bpe_learn_merges shape):
+    word-count aggregate -> per-iteration pair count + 1-row broadcast
+    + map-only merge fold.  Healthy scaling is ~linear in corpus bytes
+    (the word-count pass); the per-iteration work is |distinct words|-
+    bound, which grows sublinearly with copies."""
+    wc = (
+        t("documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = wc.select(
+        "n",
+        F.expr(
+            "transform(sequence(1, char_length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+    )
+    last = None
+    for _ in range(2):
+        pairs = (
+            w.filter(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms)-1), j ->"
+                        " struct(element_at(syms, j) as a,"
+                        " element_at(syms, j+1) as b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top1 = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).select(
+            F.col("a").alias("__pa"), F.col("b").alias("__pb")
+        )
+        merged = F.aggregate(
+            F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+            F.array(F.element_at(F.col("syms"), 1)),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.col("__pa")) & (x == F.col("__pb")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col("__pa"), F.col("__pb"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        w = w.crossJoin(F.broadcast(top1)).select("n", merged.alias("syms"))
+        last = w
+    return last.select(F.sum(F.size("syms")).alias("total_symbols"))
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -1254,6 +1309,7 @@ QUERIES = [
     ("bpe_pairs", bpe_pairs),
     ("smoothing_folds", smoothing_folds),
     ("did_cells", did_cells),
+    ("bpe_learn", bpe_learn),
 ]
 
 

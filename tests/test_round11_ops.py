@@ -419,3 +419,64 @@ def test_bpe_learn_merges_match_python_reference(spark):
         for r in QUERIES["text_bpe_learn_merges"](spark, SF).collect()
     ]
     assert got == expect
+
+
+def test_sequential_readout_invariants(spark, tmp_path):
+    """On a constructed corpus with a constant +2.0 treatment effect:
+    cumulative |z| grows with the look index (sqrt-n), the
+    O'Brien-Fleming boundary strictly DECREASES toward the horizon,
+    looks are cumulative (n monotonically increasing to the corpus
+    total), and the mSPRT eventually rejects the large effect."""
+    import datetime
+
+    rows = []
+    for i in range(4000):
+        arm = i % 2
+        val = 10.0 + 2.0 * arm + (1.0 if (i // 2) % 2 else -1.0)  # sd=1 noise
+        rows.append(
+            (i, datetime.datetime(2024, 7, 1, 6), i % 2 + 2 * (i % 50), "m", val, "{}")
+        )
+    rows = [(i, ts, i % 2 + 2 * (i % 50), et, v, p) for (i, ts, _, et, v, p) in rows]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        QUERIES["events_ab_sequential"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["look"],
+    )
+    assert out[-1]["n_c"] + out[-1]["n_t"] == 4000
+    for a, b in zip(out, out[1:]):
+        assert b["n_c"] >= a["n_c"] and b["n_t"] >= a["n_t"]
+        assert b["obf_bound"] < a["obf_bound"]
+        assert abs(b["delta"] - 2.0) < 0.2
+    assert abs(out[-1]["z_stat"]) > abs(out[0]["z_stat"])
+    assert out[-1]["msprt_reject"], out[-1]
+
+
+def test_stratified_readout_recovers_per_stratum_effects(spark, tmp_path):
+    """Two strata with constant effects +1 and +5: per-stratum deltas
+    are exact, weights are the stratum shares, and the OVERALL ATE is
+    the weight-blend of the two."""
+    import datetime
+
+    rows = []
+    for i in range(400):
+        arm = i % 2
+        stratum = "a" if i < 300 else "b"
+        effect = 1.0 if stratum == "a" else 5.0
+        rows.append(
+            (i, datetime.datetime(2024, 7, 2, 6), i % 2, stratum, 10.0 + effect * arm, "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["stratum"]: r for r in QUERIES["events_ab_stratified"](spark, str(tmp_path)).collect()}
+    assert out["a"]["delta"] == 1.0 and out["b"]["delta"] == 5.0
+    assert abs(out["a"]["weight"] - 0.75) < 0.01
+    assert abs(out["b"]["weight"] - 0.25) < 0.01
+    blend = out["a"]["weight"] * 1.0 + out["b"]["weight"] * 5.0
+    assert abs(out["OVERALL"]["delta"] - blend) < 1e-6
+    # zero within-cell variance -> degenerate CI collapses onto the point
+    assert out["OVERALL"]["ci_lo"] == out["OVERALL"]["ci_hi"] == round(blend, 4)
