@@ -3715,12 +3715,19 @@ _BOOT_T0, _BOOT_T1, _BOOT_T2 = 24110, 48220, 60276
       FROM w GROUP BY b, arm
     ),
     d AS (
+      -- a resample whose arm weight-sum degenerates to 0 has no
+      -- defined delta: NULL on both engines (the guard keeps Spark
+      -- NULL-on-/0 and duckdb double /0 from diverging); both
+      -- percentile implementations then skip the NULL identically
       SELECT b,
+             CASE WHEN max(CASE WHEN arm = 1 THEN n END) > 0
+                   AND max(CASE WHEN arm = 0 THEN n END) > 0
+                  THEN
              CAST(round((max(CASE WHEN arm = 1 THEN s END)
                            / CAST(max(CASE WHEN arm = 1 THEN n END) AS DOUBLE)
                          - max(CASE WHEN arm = 0 THEN s END)
                            / CAST(max(CASE WHEN arm = 0 THEN n END) AS DOUBLE))
-                        * 10000) AS BIGINT) AS delta_micents
+                        * 10000) AS BIGINT) END AS delta_micents
       FROM g GROUP BY b
     ),
     point AS (
@@ -3790,16 +3797,19 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("wt") * F.col("cents")).cast("bigint").alias("s"),
     )
     arm = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    # degenerate resample (arm weight-sum 0) has no defined delta:
+    # NULL on both engines, skipped identically by both percentiles
     d = g.groupBy("b").agg(
-        F.round(
-            (
-                arm(1, "s") / arm(1, "n").cast("double")
-                - arm(0, "s") / arm(0, "n").cast("double")
-            )
-            * 10000
-        )
-        .cast("long")
-        .alias("delta_micents")
+        F.when(
+            (arm(1, "n") > 0) & (arm(0, "n") > 0),
+            F.round(
+                (
+                    arm(1, "s") / arm(1, "n").cast("double")
+                    - arm(0, "s") / arm(0, "n").cast("double")
+                )
+                * 10000
+            ).cast("long"),
+        ).alias("delta_micents")
     )
     point = ev.agg(
         (
@@ -3975,42 +3985,37 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN arm=1 AND period=0 THEN ss END) AS ss_t_pre,
              max(CASE WHEN arm=1 AND period=1 THEN ss END) AS ss_t_post
       FROM g
+    ),
+    v AS (
+      -- single-row cells have no defined variance: each term goes
+      -- NULL on both engines (the n > 1 guards keep Spark NULL-on-/0
+      -- and duckdb double-division semantics from diverging); one
+      -- NULL term nulls se and therefore both CI bounds identically
+      SELECT p.*,
+             s_t_post / CAST(n_t_post AS DOUBLE)
+               - s_t_pre / CAST(n_t_pre AS DOUBLE)
+               - (s_c_post / CAST(n_c_post AS DOUBLE)
+                  - s_c_pre / CAST(n_c_pre AS DOUBLE)) AS did_raw,
+             sqrt(
+               CASE WHEN n_t_post > 1 THEN
+                 ((ss_t_post - s_t_post / CAST(n_t_post AS DOUBLE) * s_t_post)
+                    / (n_t_post - 1)) / n_t_post END
+               + CASE WHEN n_t_pre > 1 THEN
+                 ((ss_t_pre - s_t_pre / CAST(n_t_pre AS DOUBLE) * s_t_pre)
+                    / (n_t_pre - 1)) / n_t_pre END
+               + CASE WHEN n_c_post > 1 THEN
+                 ((ss_c_post - s_c_post / CAST(n_c_post AS DOUBLE) * s_c_post)
+                    / (n_c_post - 1)) / n_c_post END
+               + CASE WHEN n_c_pre > 1 THEN
+                 ((ss_c_pre - s_c_pre / CAST(n_c_pre AS DOUBLE) * s_c_pre)
+                    / (n_c_pre - 1)) / n_c_pre END) AS se_raw
+      FROM p
     )
     SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
-           round((s_t_post / CAST(n_t_post AS DOUBLE)
-                  - s_t_pre / CAST(n_t_pre AS DOUBLE)
-                  - (s_c_post / CAST(n_c_post AS DOUBLE)
-                     - s_c_pre / CAST(n_c_pre AS DOUBLE)))
-                 / 100 * 1000000) / 1000000 AS did,
-           round((s_t_post / CAST(n_t_post AS DOUBLE)
-                  - s_t_pre / CAST(n_t_pre AS DOUBLE)
-                  - (s_c_post / CAST(n_c_post AS DOUBLE)
-                     - s_c_pre / CAST(n_c_pre AS DOUBLE))
-                  - 1.96 * sqrt(
-                    ((ss_t_post - s_t_post / CAST(n_t_post AS DOUBLE) * s_t_post)
-                       / (n_t_post - 1)) / n_t_post
-                    + ((ss_t_pre - s_t_pre / CAST(n_t_pre AS DOUBLE) * s_t_pre)
-                       / (n_t_pre - 1)) / n_t_pre
-                    + ((ss_c_post - s_c_post / CAST(n_c_post AS DOUBLE) * s_c_post)
-                       / (n_c_post - 1)) / n_c_post
-                    + ((ss_c_pre - s_c_pre / CAST(n_c_pre AS DOUBLE) * s_c_pre)
-                       / (n_c_pre - 1)) / n_c_pre))
-                 / 100 * 10000) / 10000 AS ci_lo,
-           round((s_t_post / CAST(n_t_post AS DOUBLE)
-                  - s_t_pre / CAST(n_t_pre AS DOUBLE)
-                  - (s_c_post / CAST(n_c_post AS DOUBLE)
-                     - s_c_pre / CAST(n_c_pre AS DOUBLE))
-                  + 1.96 * sqrt(
-                    ((ss_t_post - s_t_post / CAST(n_t_post AS DOUBLE) * s_t_post)
-                       / (n_t_post - 1)) / n_t_post
-                    + ((ss_t_pre - s_t_pre / CAST(n_t_pre AS DOUBLE) * s_t_pre)
-                       / (n_t_pre - 1)) / n_t_pre
-                    + ((ss_c_post - s_c_post / CAST(n_c_post AS DOUBLE) * s_c_post)
-                       / (n_c_post - 1)) / n_c_post
-                    + ((ss_c_pre - s_c_pre / CAST(n_c_pre AS DOUBLE) * s_c_pre)
-                       / (n_c_pre - 1)) / n_c_pre))
-                 / 100 * 10000) / 10000 AS ci_hi
-    FROM p
+           round(did_raw / 100 * 1000000) / 1000000 AS did,
+           round((did_raw - 1.96 * se_raw) / 100 * 10000) / 10000 AS ci_lo,
+           round((did_raw + 1.96 * se_raw) / 100 * 10000) / 10000 AS ci_hi
+    FROM v
     """,
 )
 def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4055,9 +4060,13 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     mean = lambda k: F.col(f"s_{k}") / F.col(f"n_{k}").cast("double")  # noqa: E731
-    var_over_n = lambda k: (  # noqa: E731
-        (F.col(f"ss_{k}") - mean(k) * F.col(f"s_{k}")) / (F.col(f"n_{k}") - 1)
-    ) / F.col(f"n_{k}")
+    # single-row cells have no defined variance — NULL on both engines
+    # (the guard keeps Spark NULL-on-/0 and duckdb /0 from diverging)
+    var_over_n = lambda k: F.when(  # noqa: E731
+        F.col(f"n_{k}") > 1,
+        ((F.col(f"ss_{k}") - mean(k) * F.col(f"s_{k}")) / (F.col(f"n_{k}") - 1))
+        / F.col(f"n_{k}"),
+    )
     did = mean("t_post") - mean("t_pre") - (mean("c_post") - mean("c_pre"))
     se = F.sqrt(
         var_over_n("t_post")
@@ -4102,14 +4111,22 @@ _POWER_ZA, _POWER_ZB = 1.959964, 0.841621
     SELECT event_type, n_c, n_t,
            round(s_c / CAST(n_c AS DOUBLE) / 100 * 1000000) / 1000000
              AS mean_c,
+           -- single-row arms have no defined variance and a zero-sum
+           -- control arm no relative baseline: NULL on both engines
+           -- (guards keep Spark NULL-on-/0 and duckdb /0 aligned)
            round(({_POWER_ZA} + {_POWER_ZB}) * sqrt(
-               ((ss_c - s_c / CAST(n_c AS DOUBLE) * s_c) / (n_c - 1)) / n_c
-             + ((ss_t - s_t / CAST(n_t AS DOUBLE) * s_t) / (n_t - 1)) / n_t)
+               CASE WHEN n_c > 1 THEN
+                 ((ss_c - s_c / CAST(n_c AS DOUBLE) * s_c) / (n_c - 1)) / n_c END
+             + CASE WHEN n_t > 1 THEN
+                 ((ss_t - s_t / CAST(n_t AS DOUBLE) * s_t) / (n_t - 1)) / n_t END)
              / 100 * 10000) / 10000 AS mde_abs,
+           CASE WHEN s_c <> 0 THEN
            round(({_POWER_ZA} + {_POWER_ZB}) * sqrt(
-               ((ss_c - s_c / CAST(n_c AS DOUBLE) * s_c) / (n_c - 1)) / n_c
-             + ((ss_t - s_t / CAST(n_t AS DOUBLE) * s_t) / (n_t - 1)) / n_t)
-             / (s_c / CAST(n_c AS DOUBLE)) * 10000) / 10000 AS mde_rel
+               CASE WHEN n_c > 1 THEN
+                 ((ss_c - s_c / CAST(n_c AS DOUBLE) * s_c) / (n_c - 1)) / n_c END
+             + CASE WHEN n_t > 1 THEN
+                 ((ss_t - s_t / CAST(n_t AS DOUBLE) * s_t) / (n_t - 1)) / n_t END)
+             / (s_c / CAST(n_c AS DOUBLE)) * 10000) / 10000 END AS mde_rel
     FROM g ORDER BY event_type
     """,
 )
@@ -4142,13 +4159,20 @@ def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ss_t"),
     )
     mean_c = F.col("s_c") / F.col("n_c").cast("double")
-    var_over_n = lambda k: (  # noqa: E731
+    # single-row arms have no defined variance and a zero-sum control
+    # arm no relative baseline — NULL on both engines (the guards keep
+    # Spark NULL-on-/0 and duckdb /0 semantics aligned)
+    var_over_n = lambda k: F.when(  # noqa: E731
+        F.col(f"n_{k}") > 1,
         (
-            F.col(f"ss_{k}")
-            - F.col(f"s_{k}") / F.col(f"n_{k}").cast("double") * F.col(f"s_{k}")
+            (
+                F.col(f"ss_{k}")
+                - F.col(f"s_{k}") / F.col(f"n_{k}").cast("double") * F.col(f"s_{k}")
+            )
+            / (F.col(f"n_{k}") - 1)
         )
-        / (F.col(f"n_{k}") - 1)
-    ) / F.col(f"n_{k}")
+        / F.col(f"n_{k}"),
+    )
     mde = (_POWER_ZA + _POWER_ZB) * F.sqrt(var_over_n("c") + var_over_n("t"))
     return g.select(
         "event_type",
@@ -4156,5 +4180,7 @@ def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_t",
         (F.round(mean_c / 100 * 1000000) / 1000000).alias("mean_c"),
         (F.round(mde / 100 * 10000) / 10000).alias("mde_abs"),
-        (F.round(mde / mean_c * 10000) / 10000).alias("mde_rel"),
+        F.when(F.col("s_c") != 0, F.round(mde / mean_c * 10000) / 10000).alias(
+            "mde_rel"
+        ),
     ).orderBy("event_type")

@@ -7,7 +7,7 @@ internal ``__``-prefixed working columns.
 
 The window-rotation tests are written to be TRUE IN BOTH STATES of the
 current round — before and after the driver writes
-``CORRECTNESS_r11.json`` mid-round — by asserting on set differences
+``CORRECTNESS_r12.json`` mid-round — by asserting on set differences
 that are invariant to the in-window queries' rows landing.  Round 10's
 red tests came from an overlay whose truth value flipped when a file
 landed; nothing here depends on *when* a file appears, only on which
@@ -30,24 +30,37 @@ SF = "/root/testdata/sf0.001"
 #: staged half-corpus CTEs).
 ROWS_ONLY: set[str] = set()
 
-#: Round 11 window composition (r10 verdict item 1).  The 15 queries
-#: that had NO driver row entering round 11:
-NEVER_CHECKED_AT_R11 = {
-    "ann_ivf_train_assign", "ann_topk_ivfpq_trained",
-    "ann_topk_ivfpq_tuned", "corpus_curriculum_order",
-    "embedding_matryoshka_recall", "embedding_whitened_topk",
-    "events_ab_cuped", "events_ab_srm", "events_regression_trend",
-    "graph_adamic_adar", "graph_connected_components",
-    "join_asof_nearest", "multimodal_video_frame_sample",
-    "table_compaction_plan", "text_hashing_trick",
+#: Round 12 window composition (r11 verdict item 1).  The 14 round-11
+#: additions that had NO driver row entering round 12:
+NEVER_CHECKED_AT_R12 = {
+    "events_ab_sequential", "events_ab_stratified",
+    "graph_clustering_coefficient", "events_forecast_ses",
+    "events_bootstrap_ci", "events_forecast_holt",
+    "events_diff_in_diff", "events_power_mde",
+    "text_bpe_merge_candidates", "search_hybrid_rrf",
+    "search_ndcg_eval", "text_bpe_learn_merges",
+    "multimodal_image_dup_clusters", "multimodal_audio_dup_clusters",
 }
 
-#: The 6 round-3-stale queries the 50-slot window could NOT fit
-#: (15 never-checked + 31 + 4 canaries = 50).  They lead round 12's
-#: window together with the r5 cohort (6 + 36 + 4 canaries = 46).
+#: The 6 round-3-stale queries deferred out of round 11's window; they
+#: occupy slots 15-20 of round 12's window.  After CORRECTNESS_r12.json
+#: lands, NO query anywhere carries round-3 evidence.
 DEFERRED_R3 = {
     "window_lag_lead", "window_first_last", "window_range_frame",
     "window_distribution", "window_running", "sort_multi_key",
+}
+
+#: The r13 plan, encoded NOW (r11 verdict item 2) so the staleness
+#: invariant can't silently slip: these 10 round-5-evidence queries did
+#: not fit round 12's 50 slots (14 + 6 + 26 + 4 canaries = 50).  They
+#: sit at the overhang's checked head and lead round 13's window
+#: together with 36 of the 42-query r6 cohort (10 + 36 + 4 = 50,
+#: leaving 6 r6 queries to lead round 14).
+R5_REMAINDER = {
+    "events_top_paths", "corpus_merge_scd2", "corpus_time_travel",
+    "sample_per_group", "dedup_semantic_clusters",
+    "text_lang_id_confusion", "corpus_quality_by_source",
+    "embedding_drift", "source_orc_roundtrip", "window_ntile",
 }
 
 CANARIES = {"embedding_quantize", "agg_stats", "scalar_map", "events_sessionize"}
@@ -81,7 +94,7 @@ def test_no_unadjudicated_evidence_gaps():
     evidence.  This must be adjudicated by recomposing ``_PRIORITY``
     to re-drain that window and adding the round to ``KNOWN_GAPS`` —
     never left implicit.  (Round 9 is the one adjudicated gap: its 37
-    queries re-drain through the round-11 window.)"""
+    queries re-drained through rounds 11-12's windows.)"""
     assert evidence_gaps() == set(), (
         "unadjudicated CORRECTNESS gap(s) — recompose the catalog "
         "window to re-drain the missing round's queries, then add the "
@@ -96,8 +109,8 @@ def test_evidence_gap_simulation():
     silently reordering the catalog."""
     # the exact round-9 scenario, as adjudicated: known gap -> quiet
     assert evidence_gaps({1, 2, 3, 4, 5, 6, 7, 8, 10}) == set()
-    # the future failure mode: r11 never lands, r12 does -> loud
-    assert evidence_gaps({1, 2, 3, 4, 5, 6, 7, 8, 10, 12}) == {11}
+    # the future failure mode: r12 never lands, r13 does -> loud
+    assert evidence_gaps({1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 13}) == {12}
     # multiple holes all surface
     assert evidence_gaps({1, 2, 5, 10}) == {3, 4, 6, 7, 8}
     # no files at all (fresh checkout) is not a gap
@@ -106,39 +119,42 @@ def test_evidence_gap_simulation():
 
 def test_first_fifty_registrations_cover_the_stale():
     """The driver's correctness sweep samples the FIRST ~50 registered
-    queries (exactly 50 in every recorded round).  Round 11's window,
-    per the r10 verdict: (a) every query with NO driver row enters the
-    window, (b) the round-3-stale cohort (the lost round-9 window)
-    re-drains — all 37 except the six DEFERRED_R3, which the 50 slots
-    cannot fit, (c) canaries stay in every window."""
+    queries (exactly 50 in every recorded round).  Round 12's window,
+    per the r11 verdict: (a) every query with NO driver row entering
+    round 12 is in-window, (b) the six deferred round-3 queries drain
+    now — after the r12 file lands, zero r3-latest queries remain,
+    (c) canaries stay in every window."""
     order = list(QUERIES)
     first50 = set(order[:50])
     last_round = effective_rounds()
 
-    # (a) the 15 never-checked-entering-r11 queries are all in-window
-    assert NEVER_CHECKED_AT_R11 <= first50
+    # (a) the 14 never-checked-entering-r12 queries are all in-window
+    assert NEVER_CHECKED_AT_R12 <= first50
 
-    # (b) everything that still shows round<=3 evidence is either
-    # in-window (re-draining now) or one of the six deferred queries.
-    # True before CORRECTNESS_r11.json lands (37 stale: 31 in window)
-    # and after (6 stale: the deferred set) — no mid-round flip.
+    # (b) anything still showing round<=3 evidence is one of the six
+    # deferred queries, and all six are in-window draining now.  True
+    # before CORRECTNESS_r12.json lands (r3_stale == DEFERRED_R3) and
+    # after (r3_stale == set()) — no mid-round flip.
     r3_stale = {q for q, r in last_round.items() if r <= 3}
-    assert r3_stale - first50 <= DEFERRED_R3, (
-        f"round-3-stale queries neither in-window nor deferred: "
-        f"{sorted(r3_stale - first50 - DEFERRED_R3)}"
+    assert r3_stale <= DEFERRED_R3, (
+        f"unplanned round-3-stale queries: {sorted(r3_stale - DEFERRED_R3)}"
     )
-    assert DEFERRED_R3 <= r3_stale, (
-        "deferred queries got evidence early?  recompute the r12 plan"
-    )
-    # nothing anywhere has evidence older than round 3
+    assert DEFERRED_R3 <= first50, "deferred r3 six must be in-window"
+    # nothing anywhere has evidence older than round 3, and once the
+    # r12 file lands nothing older than round 5 remains either
     assert not {q for q, r in last_round.items() if r <= 2}
+    stale4 = {q for q, r in last_round.items() if r <= 4}
+    assert stale4 <= DEFERRED_R3, (
+        "a non-deferred query carries pre-r5 evidence — the staleness "
+        "invariant slipped; recompose the window"
+    )
 
     # (c) canaries
     assert CANARIES <= first50, "canary set must stay inside the window"
 
-    # queries ADDED during round 11 (never checked, not part of the
-    # staged 15) must sit contiguously at the overhang head, where the
-    # oldest-first rotation makes them the first slots of round 12.
+    # queries ADDED during round 12 (never checked, not part of the
+    # staged 14) must sit contiguously at the overhang head, where the
+    # oldest-first rotation makes them the first slots of round 13.
     never_checked = set(QUERIES) - set(last_round)
     staged = never_checked - first50
     head = order[50 : 50 + len(staged)]
@@ -149,17 +165,13 @@ def test_first_fifty_registrations_cover_the_stale():
 
 
 def test_window_rotation_discipline():
-    """r8 verdict item 8: the overhang AFTER the 50-slot window must
-    rotate strictly oldest-cohort-first, so no cohort can be silently
-    orphaned by a future window recomposition.
-
-    Structural form: walking the registration order PAST slot 50, the
-    latest-driver-round must be non-decreasing, with never-checked
-    queries counting as round 0 (they lead the next window).  The
-    checked part of the overhang starts with the six DEFERRED_R3
-    queries (round 3), then the r5 cohort — together with the canaries
-    they compose round 12's window (6 + 36 + 4 = 46, four slots free
-    for round-12 additions)."""
+    """r8 verdict item 8 + r11 verdict item 2: the overhang AFTER the
+    50-slot window must rotate strictly oldest-cohort-first, so no
+    cohort can be silently orphaned by a future window recomposition —
+    and the round-13 plan is pinned structurally: the overhang's
+    checked head is exactly the 10-query r5 remainder, followed only by
+    the r6 cohort for at least the 36 slots round 13's window will
+    drain (10 + 36 + 4 canaries = 50)."""
     order = list(QUERIES)
     last_round = effective_rounds()
     tail_rounds = [last_round.get(q, 0) for q in order[50:]]
@@ -171,11 +183,22 @@ def test_window_rotation_discipline():
             if tail_rounds[i] < tail_rounds[i - 1]
         ))
     )
-    checked_tail = [r for r in tail_rounds if r > 0]
-    assert checked_tail and checked_tail[0] == 3, (
-        "overhang's first checked cohort must be the deferred round-3 "
-        "six (round 12's window head)"
+    checked_tail = [q for q in order[50:] if last_round.get(q, 0) > 0]
+    assert checked_tail and last_round[checked_tail[0]] == 5, (
+        "overhang's first checked cohort must be the r5 remainder "
+        "(round 13's window head)"
     )
-    # and those six are exactly the first checked queries in the tail
-    first_checked = [q for q in order[50:] if last_round.get(q, 0) > 0][:6]
-    assert set(first_checked) == DEFERRED_R3
+    # r13 plan, part 1: the first 10 checked overhang queries are
+    # exactly the r5 remainder (never-checked round-12 additions may
+    # precede them — they count as round 0 and also lead round 13).
+    assert set(checked_tail[:10]) == R5_REMAINDER
+    assert all(last_round[q] == 5 for q in checked_tail[:10])
+    # r13 plan, part 2: after the remainder comes ONLY the r6 cohort
+    # for at least the 36 slots the r13 window drains — so even if
+    # round 13 recomposes nothing, the natural rotation satisfies the
+    # <=7-round staleness bound for the whole r6 cohort by round 14.
+    after_remainder = checked_tail[10:]
+    r6_cohort = {q for q, r in last_round.items() if r == 6}
+    assert len(r6_cohort) >= 36
+    assert all(last_round[q] == 6 for q in after_remainder[: min(36, len(after_remainder))])
+    assert r6_cohort <= set(after_remainder[: len(r6_cohort)])

@@ -13,8 +13,11 @@ sf_dir.  Shifts are chosen so the semantics scale the intended way:
 - documents: plain id shift — the quality distribution is identical
   per copy, so the curriculum quartile CUTS must be (near-)invariant
   while each bucket gets ~10x members.
-- embeddings: vec_id shift of 10M per copy keeps every new id above
-  ANN_QUERY_MAX_ID — the query panel stays the fixed copy-0 set while
+- embeddings: vec_id shift of 10k per copy (sf0.1 base ids top out at
+  2000, so each copy's band is collision-free with ~5x headroom; bump
+  the stride if a larger base ever exceeds 10k ids) keeps every new
+  id above ANN_QUERY_MAX_ID — the query panel stays the fixed copy-0
+  set while
   the corpus scan grows 10x; a circular dimension shift decorrelates
   copies (whitening mu/sd then genuinely re-estimates, it does not
   just see 10 identical samples).
