@@ -766,45 +766,61 @@ def setsim_prefix_pairs(
     tightened).
 
     Plan at 100 TB: token-frequency aggregate (vocab-sized, shuffle on
-    token) → per-doc window to pick the prefix (shuffle on doc id) →
-    index-vs-probe prefix equi-join (shuffle on rare tokens) →
-    size-pruned verify.  No all-pairs stage anywhere; no global sort
-    (the frequency order is consumed as a per-doc sort key, never as a
-    global rank).
+    token) → per-doc sorted-token arrays via ONE hash aggregate
+    (shuffle on doc id), pinned with ``localCheckpoint(eager=False)``
+    because FOUR downstream branches read it (index prefix, probe
+    prefix, both verify sides) — without the pin, lazy recomputation
+    re-runs the tokenize→freq-join→sort subtree once per branch
+    (measured 29s → 12s at sf0.1 from this pin alone, round-12 smoke
+    record) → index-vs-probe prefix equi-join (shuffle on rare tokens)
+    → size-pruned verify against the checkpointed arrays.  No
+    all-pairs stage anywhere; no global sort and no per-doc window
+    (the frequency order is consumed as an array sort key inside the
+    aggregate, prefixes come from ``slice`` + ``posexplode`` of the
+    sorted arrays).
     """
-    from pyspark.sql.window import Window
-
-    toks = df.select(
+    toks_raw = df.select(
         F.col(id_col).alias("__id"),
         F.transform(distinct_tokens(F.col(text_col)), token_hash).alias("__toks"),
-    ).withColumn("__n", F.size("__toks"))
-    exploded = toks.select("__id", "__n", F.explode("__toks").alias("__tok"))
+    )
+    exploded = toks_raw.select("__id", F.explode("__toks").alias("__tok"))
     freq = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
-    w = Window.partitionBy("__id").orderBy("__freq", "__tok")
+    # per-doc tokens sorted rarest-first by the global (freq, token)
+    # order — struct sort is lexicographic by field position, exactly
+    # the old window's orderBy(__freq, __tok)
+    toks = (
+        exploded.join(freq, "__tok")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__freq", "__tok"))).alias("__fs"))
+        .select(
+            "__id",
+            F.transform("__fs", lambda s: s["__tok"]).alias("__toks"),
+            F.size("__fs").alias("__n"),
+        )
+        .localCheckpoint(eager=False)
+    )
     # probe prefix length n − ⌈t·n⌉ + 1.  The ceil argument is nudged
     # down by 1e-9: float t·n can land an ulp ABOVE the exact rational
     # product (e.g. 0.55·180 → 99.00000000000001, ceil 100 instead of
     # 99), which would SHORTEN the prefix below the PPJoin bound and
     # silently drop qualifying pairs.  The nudge can only lengthen the
     # prefix — extra candidates, never a false negative.
-    prefix = (
-        exploded.join(freq, "__tok")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(
-            F.col("__rn")
-            <= F.col("__n")
-            - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
-            + 1
-        )
-        .select("__id", "__tok", "__rn", "__n")
-    )
+    def plen(ratio: float):
+        return (
+            F.col("__n") - F.ceil(F.lit(ratio) * F.col("__n") - F.lit(1e-9)) + 1
+        ).cast("int")
+
+    prefix = toks.select(
+        "__id",
+        "__n",
+        F.posexplode(F.slice("__toks", F.lit(1), plen(threshold))).alias(
+            "__pos", "__tok"
+        ),
+    ).select("__id", "__tok", (F.col("__pos") + 1).alias("__rn"), "__n")
     # index prefix ⊆ probe prefix: same rows, tighter rank bound —
-    # derived by filter so the frequency join + window run ONCE.
+    # derived by filter from the checkpointed arrays (cheap re-scan).
     index_ratio = 2.0 * threshold / (1.0 + threshold)
-    index_prefix = prefix.filter(
-        F.col("__rn")
-        <= F.col("__n") - F.ceil(F.lit(index_ratio) * F.col("__n") - F.lit(1e-9)) + 1
-    )
+    index_prefix = prefix.filter(F.col("__rn") <= plen(index_ratio))
     # Positional refinement (the "P" in PPJoin): a shared prefix token
     # at positions (pa, pb) of the globally-sorted arrays bounds the
     # overlap by min(n_a − pa, n_b − pb) + 1 — everything before the
