@@ -1259,6 +1259,46 @@ def bpe_learn(t):
     return last.select(F.sum(F.size("syms")).alias("total_symbols"))
 
 
+def bm25_stream_probe(t):
+    """stream_bm25_index probe shape (round 12): postings from the even
+    half of documents, the odd half's distinct tokens probe them,
+    top-k per query — the per-batch cost model of the incremental
+    BM25 index.  Per-copy token salting keeps cross-copy overlap at 0,
+    so the token equi-join grows as Nx disjoint per-copy blocks:
+    healthy scaling is ~linear (never a corpus self-scan).
+
+    The fixture's 31-token vocabulary has median document-frequency
+    ~80% — an adversarial all-stopwords regime where the uncapped
+    probe output is Σ q_t·df_t ≈ |corpus|² (and the operator's
+    max_df_frac ceiling, the documented 100 TB knob, would elide 30/31
+    tokens — leaving nothing to measure).  The smoke therefore scores
+    EXACTLY over a 1-in-10 systematic sample of each half: posting
+    lists stay bounded, the plan is the true uncapped probe, and the
+    salted Nx copies grow it as disjoint per-copy blocks."""
+    from storm_dynamic_spout_spark.streaming.bm25_stream import (
+        score_against_postings,
+    )
+
+    d = t("documents").select("doc_id", F.split("text", r"\s+").alias("__t"))
+    dd = d.select(
+        "doc_id",
+        F.size("__t").cast("long").alias("__dl"),
+        F.explode("__t").alias("__tok"),
+    )
+    pos = (
+        dd.filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("__id"), "__dl", "__tok")
+        .groupBy("__id", "__dl", "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    q = (
+        dd.filter(F.col("doc_id") % 20 == 11)
+        .select(F.col("doc_id").alias("query_id"), "__tok")
+        .distinct()
+    )
+    return score_against_postings(pos, q)
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -1310,6 +1350,7 @@ QUERIES = [
     ("smoothing_folds", smoothing_folds),
     ("did_cells", did_cells),
     ("bpe_learn", bpe_learn),
+    ("bm25_stream_probe", bm25_stream_probe),
 ]
 
 

@@ -1800,6 +1800,89 @@ def stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("query_id", "neighbor_id", "cos", "rank")
 
 
+def _stream_bm25_sql() -> str:
+    """DuckDB mirror of the streaming BM25 index's deterministic
+    two-batch schedule (even doc_ids indexed first, odd arrive
+    second): the final match log is exactly 'for each odd document,
+    top-k BM25 among even documents', with idf/avgdl statistics from
+    the even half only (the pre-batch index).  Per-term contributions
+    round to integer micro-units BEFORE the per-pair sum on BOTH
+    engines, so the sum is exact and order-free."""
+    from storm_dynamic_spout_spark.streaming.bm25_stream import (
+        BM25_STREAM_B,
+        BM25_STREAM_K,
+        BM25_STREAM_K1,
+    )
+
+    return f"""
+    WITH dd AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS dl FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, dl, u.x AS tok, CAST(count(*) AS BIGINT) AS tf
+      FROM dd, UNNEST(toks) AS u(x)
+      WHERE doc_id % 2 = 0
+      GROUP BY doc_id, dl, u.x
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dd WHERE doc_id % 2 = 0
+    ),
+    dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM pos GROUP BY tok),
+    q AS (
+      SELECT DISTINCT doc_id AS query_id, u.x AS tok
+      FROM dd, UNNEST(toks) AS u(x)
+      WHERE doc_id % 2 = 1
+    ),
+    scored AS (
+      SELECT q.query_id, pos.doc_id,
+             CAST(sum(CAST(round(
+               ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+               * pos.tf * ({BM25_STREAM_K1} + 1)
+               / (pos.tf + {BM25_STREAM_K1} * (1 - {BM25_STREAM_B}
+                  + {BM25_STREAM_B} * pos.dl
+                    / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+               * 1000000) AS BIGINT)) AS BIGINT) AS ms,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM q JOIN pos USING (tok) JOIN dfx USING (tok) CROSS JOIN stats s
+      GROUP BY q.query_id, pos.doc_id
+    )
+    SELECT query_id, doc_id, n_terms, ms / 1000000.0 AS score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY ms DESC, doc_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {BM25_STREAM_K}
+    """
+
+
+@query("stream_bm25_index", oracle=_stream_bm25_sql())
+def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental BM25 retrieval (streaming/bm25_stream.py —
+    the sparse twin of stream_ann_index), driven in two micro-batches
+    over the documents table (even doc_ids indexed first, odd arrive
+    second): each new document's distinct tokens probe the postings
+    built so far and keep the top-k BM25-scored indexed documents,
+    with idf/avgdl statistics as of the pre-batch index.  Per-term
+    contributions are integer micro-units before the per-pair sum, so
+    the driver hash-checks exact values; multi-batch stateful
+    mechanics get scenario coverage in tests/test_bm25_stream.py."""
+    import tempfile
+
+    from storm_dynamic_spout_spark.streaming.bm25_stream import StreamingBm25Index
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = StreamingBm25Index(tempfile.mkdtemp(prefix="sdss-bm25-"))
+    idx.process_batch(d.filter(F.col("doc_id") % 2 == 0))
+    idx.process_batch(d.filter(F.col("doc_id") % 2 == 1))
+    m = idx.matches(spark)
+    if m is None:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_terms long, score double, rank long"
+        )
+    return m.select("query_id", "doc_id", "n_terms", "score", "rank")
+
+
 @query(
     "corpus_merge_changelog",
     oracle="""

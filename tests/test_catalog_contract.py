@@ -53,9 +53,11 @@ DEFERRED_R3 = {
 #: The r13 plan, encoded NOW (r11 verdict item 2) so the staleness
 #: invariant can't silently slip: these 10 round-5-evidence queries did
 #: not fit round 12's 50 slots (14 + 6 + 26 + 4 canaries = 50).  They
-#: sit at the overhang's checked head and lead round 13's window
-#: together with 36 of the 42-query r6 cohort (10 + 36 + 4 = 50,
-#: leaving 6 r6 queries to lead round 14).
+#: sit at the overhang's checked head and lead round 13's window,
+#: after any never-checked round-12 additions (round 0 in the
+#: rotation) and before the 42-query r6 cohort, which fills the
+#: window's remaining slots (e.g. 1 addition + 10 + 35 r6 + 4 = 50,
+#: leaving 7 r6 queries to lead round 14).
 R5_REMAINDER = {
     "events_top_paths", "corpus_merge_scd2", "corpus_time_travel",
     "sample_per_group", "dedup_semantic_clusters",
