@@ -2548,6 +2548,7 @@ def corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # inject the SCD-2 oracle as a subquery (it is itself a WITH chain)
+
 from storm_dynamic_spout_spark.catalog.registry import ORACLES as _OR  # noqa: E402
 
 _OR["corpus_time_travel"] = _OR["corpus_time_travel"].replace(
@@ -5623,3 +5624,117 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in tops[1:]:
         out = out.unionByName(frame)
     return out.orderBy("merge_rank")
+
+
+#: Per-query fused results kept by the streaming hybrid fusion.
+HYBRID_STREAM_TOP = 5
+
+
+def _stream_hybrid_sql() -> str:
+    """DuckDB mirror of the streaming hybrid fusion: the two incremental
+    match logs (same even/odd two-batch schedule, same id space) are
+    replayed by their own staged-CTE oracles, then RRF-fused PER QUERY
+    — rank-only fusion, so the BM25 micro-scores and the cosine never
+    need calibrating against each other."""
+    ann = _stream_ann_sql()
+    lex = _stream_bm25_sql()
+    return f"""
+    WITH ann AS (SELECT query_id, neighbor_id AS id,
+                        CAST(rank AS BIGINT) AS rank_dense
+                 FROM ({ann})),
+    lex AS (SELECT query_id, doc_id AS id, CAST(rank AS BIGINT) AS rank_lex
+            FROM ({lex})),
+    fused AS (
+      SELECT COALESCE(lex.query_id, ann.query_id) AS query_id,
+             COALESCE(lex.id, ann.id) AS id,
+             rank_lex, rank_dense,
+             COALESCE(1.0 / ({RRF_K} + rank_lex), 0)
+               + COALESCE(1.0 / ({RRF_K} + rank_dense), 0) AS rrf
+      FROM lex FULL OUTER JOIN ann USING (query_id, id)
+    )
+    SELECT query_id, id, rank_lex, rank_dense,
+           round(rrf * 1000000) / 1000000 AS rrf_score,
+           CAST(rn AS BIGINT) AS hybrid_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY CAST(round(rrf * 1000000000) AS BIGINT) DESC, id) AS rn
+      FROM fused
+    ) WHERE rn <= {HYBRID_STREAM_TOP}
+    ORDER BY query_id, hybrid_rank
+    """
+
+
+@query("stream_hybrid_rrf", oracle=_stream_hybrid_sql())
+def stream_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hybrid retrieval: the incremental ANN index (dense
+    leg, embeddings) and the incremental BM25 postings index (lexical
+    leg, documents) run the SAME even/odd two-batch schedule over the
+    shared id space, and their match logs are reciprocal-rank-fused
+    PER QUERY — ``rrf = sum 1/(60 + rank)`` over whichever legs
+    retrieved the id, top-{HYBRID_STREAM_TOP} fused per query.  The
+    streaming closure of ``search_hybrid_rrf``: what a live RAG
+    ingestion pipeline reads after each micro-batch.
+
+    Why at 100 TB: each leg is its existing incremental scale shape
+    (bucket equi-join / token equi-join against pre-batch state); the
+    fusion itself joins two rank-k-per-query logs on (query, id) —
+    cost proportional to the match logs, never the corpora."""
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from storm_dynamic_spout_spark.streaming.ann_stream import StreamingAnnIndex
+    from storm_dynamic_spout_spark.streaming.bm25_stream import StreamingBm25Index
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ann_idx = StreamingAnnIndex(tempfile.mkdtemp(prefix="sdss-hyb-ann-"))
+    ann_idx.process_batch(e.filter(F.col("vec_id") % 2 == 0))
+    ann_idx.process_batch(e.filter(F.col("vec_id") % 2 == 1))
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    lex_idx = StreamingBm25Index(tempfile.mkdtemp(prefix="sdss-hyb-lex-"))
+    lex_idx.process_batch(d.filter(F.col("doc_id") % 2 == 0))
+    lex_idx.process_batch(d.filter(F.col("doc_id") % 2 == 1))
+
+    ann_m = ann_idx.matches(spark)
+    lex_m = lex_idx.matches(spark)
+    ann = (
+        ann_m.select(
+            "query_id",
+            F.col("neighbor_id").alias("id"),
+            F.col("rank").cast("bigint").alias("rank_dense"),
+        )
+        if ann_m is not None
+        else spark.createDataFrame([], "query_id long, id long, rank_dense long")
+    )
+    lex = (
+        lex_m.select(
+            "query_id",
+            F.col("doc_id").alias("id"),
+            F.col("rank").cast("bigint").alias("rank_lex"),
+        )
+        if lex_m is not None
+        else spark.createDataFrame([], "query_id long, id long, rank_lex long")
+    )
+    rrf = F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(RRF_K) + F.col("rank_dense")), F.lit(0.0)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("__rrf") * 1_000_000_000).cast("long")), "id"
+    )
+    return (
+        lex.join(ann, ["query_id", "id"], "full_outer")
+        .withColumn("__rrf", rrf)
+        .withColumn("hybrid_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("hybrid_rank") <= HYBRID_STREAM_TOP)
+        .select(
+            "query_id",
+            "id",
+            "rank_lex",
+            "rank_dense",
+            (F.round(F.col("__rrf") * 1_000_000) / 1_000_000).alias("rrf_score"),
+            "hybrid_rank",
+        )
+        .orderBy("query_id", "hybrid_rank")
+    )
+
+

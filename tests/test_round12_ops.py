@@ -134,6 +134,36 @@ def test_df_ceiling_prunes_stopwords_only(spark):
     }
 
 
+def test_stream_hybrid_rrf_self_consistency(spark):
+    """The fused log must satisfy the RRF identity row-by-row
+    (rrf_score == sum of 1/(60+rank) over the non-null legs, rounded
+    to 1e-6), carry dense 1..k ranks per query, and contain at least
+    one single-leg row (full-outer semantics) on the fixture."""
+    from storm_dynamic_spout_spark.queries import QUERIES
+
+    rows = QUERIES["stream_hybrid_rrf"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_q = {}
+    single_leg = 0
+    for r in rows:
+        expected = 0.0
+        if r["rank_lex"] is not None:
+            expected += 1.0 / (60 + r["rank_lex"])
+        if r["rank_dense"] is not None:
+            expected += 1.0 / (60 + r["rank_dense"])
+        assert r["rank_lex"] is not None or r["rank_dense"] is not None
+        if r["rank_lex"] is None or r["rank_dense"] is None:
+            single_leg += 1
+        assert abs(r["rrf_score"] - round(expected * 1e6) / 1e6) < 1e-12, r
+        by_q.setdefault(r["query_id"], []).append((r["hybrid_rank"], r["rrf_score"]))
+    for v in by_q.values():
+        v.sort()
+        assert [h for h, _ in v] == list(range(1, len(v) + 1))
+        scores = [s for _, s in v]
+        assert scores == sorted(scores, reverse=True)
+    assert single_leg > 0, "fixture should exercise full-outer fusion"
+
+
 def test_ab_closer_divide_guards(spark):
     """ADVICE r11: on a degenerate corpus (single-row cells) the
     bootstrap/DiD/power readouts must return NULL, not Inf/NaN, in the
