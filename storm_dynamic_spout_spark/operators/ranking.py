@@ -1,0 +1,166 @@
+"""Preference-ranking operators for training-data pipelines.
+
+RLHF-style preference datasets arrive as pairwise comparisons ("A beat
+B"); turning them into per-item quality strengths is a Bradley-Terry
+fit (Bradley & Terry '52), and the minorization-maximization update
+(Hunter '04) is embarrassingly aggregate-shaped: each iteration is one
+pair-table scan + one per-item aggregate + a broadcast-sized strength
+table — no gradient state, no driver-side math.
+
+Engine determinism (the repo's micro-unit convention): each pair's
+contribution ``n_ij / (p_i + p_j)`` is rounded to 1e-6 integer
+micro-units BEFORE the per-item sum, so every iteration's aggregate is
+exact integer arithmetic — order-independent across partitions and
+bit-identical to a plain-Python fold (pinned in
+tests/test_round13_staging.py).  Strengths stay positive rationals of
+micro-sums; the final report rounds to 1e-6.
+
+Scale shape at 100 TB: the comparisons table is the corpus-sized side
+and is scanned once per iteration with the CURRENT strengths broadcast
+onto it (|items| rows — the model, not the data); per-item win totals
+are computed once up front.  Iterations are a fixed, small constant
+(MM converges geometrically) — the plan is iterations x (broadcast
+join + partial agg), never a shuffle of the comparisons on anything
+but item id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed MM iterations — geometric convergence makes 12 plenty for
+#: reporting-grade strengths (two-item 3:1 matchup lands within 3e-3
+#: of the closed-form MLE); both engines run the identical count, and
+#: each iteration is ~one Spark job, so the default also bounds the
+#: catalog-query construction cost.
+BT_ITERATIONS = 12
+_MICRO = 1_000_000
+
+
+def pairwise_win_counts(
+    df: DataFrame, winner_col: str, loser_col: str
+) -> DataFrame:
+    """Canonical (item_a < item_b) pair table from a comparison log:
+    one row per unordered pair with ``wins_a`` / ``wins_b`` — the
+    sufficient statistic for Bradley-Terry (n_ij and W_i derive from
+    it), shrinking the corpus-sized log to the pair vocabulary."""
+    a_wins = F.col(winner_col) < F.col(loser_col)
+    return (
+        df.select(
+            F.least(winner_col, loser_col).alias("item_a"),
+            F.greatest(winner_col, loser_col).alias("item_b"),
+            F.when(a_wins, 1).otherwise(0).alias("__wa"),
+            F.when(a_wins, 0).otherwise(1).alias("__wb"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum("__wa").cast("long").alias("wins_a"),
+            F.sum("__wb").cast("long").alias("wins_b"),
+        )
+    )
+
+
+def bradley_terry_strengths(
+    pairs: DataFrame, iterations: int = BT_ITERATIONS
+) -> DataFrame:
+    """Per-item Bradley-Terry strength from a canonical pair table
+    (``item_a < item_b``, ``wins_a``, ``wins_b``) via Hunter's MM
+    update ``p_i <- W_i / sum_j n_ij / (p_i + p_j)``, run a fixed
+    number of iterations from the uniform start p=1.
+
+    Items must have at least one win AND one loss for the MLE to be
+    finite (the standard BT identifiability condition); callers filter
+    degenerate items first or accept their drift toward 0/inf within
+    the fixed iteration budget.  Output strengths are normalized so
+    their mean is 1 (the scale is otherwise unidentified), with a
+    deterministic micro-rounded report column.
+
+    Returns (item, strength, n_wins, n_comparisons)."""
+    wins = (
+        pairs.select(F.col("item_a").alias("item"), F.col("wins_a").alias("__w"))
+        .unionByName(
+            pairs.select(
+                F.col("item_b").alias("item"), F.col("wins_b").alias("__w")
+            )
+        )
+        .groupBy("item")
+        .agg(F.sum("__w").cast("long").alias("__wins"))
+    )
+    n_ij = F.col("wins_a") + F.col("wins_b")
+    # strengths live as integer micro-units: exact to compare, exact to
+    # broadcast, and the per-pair denominator reads two of them
+    strengths = wins.select(
+        "item", F.lit(_MICRO).cast("long").alias("__p_micro")
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        pa = strengths.select(
+            F.col("item").alias("item_a"), F.col("__p_micro").alias("__pa")
+        )
+        pb = strengths.select(
+            F.col("item").alias("item_b"), F.col("__p_micro").alias("__pb")
+        )
+        # per-pair contribution n_ij / (p_i + p_j), micro-rounded
+        # BEFORE the per-item sum (exact, order-free); the factor
+        # _MICRO cancels the micro-scaled denominator
+        contrib = F.round(
+            n_ij
+            * F.lit(_MICRO)
+            / ((F.col("__pa") + F.col("__pb")) / F.lit(float(_MICRO)))
+        ).cast("long")
+        denom = (
+            pairs.join(F.broadcast(pa), "item_a")
+            .join(F.broadcast(pb), "item_b")
+            .select("item_a", "item_b", contrib.alias("__c"))
+        )
+        per_item = (
+            denom.select(F.col("item_a").alias("item"), F.col("__c"))
+            .unionByName(
+                denom.select(F.col("item_b").alias("item"), F.col("__c"))
+            )
+            .groupBy("item")
+            .agg(F.sum("__c").cast("long").alias("__denom_micro"))
+        )
+        strengths = (
+            wins.join(per_item, "item")
+            .select(
+                "item",
+                # W_i / denom, rescaled into micro-units; guard the
+                # all-losses item (denominator fine, W=0 -> p=0 is the
+                # correct MLE drift; +1 keeps it a valid positive int)
+                F.greatest(
+                    F.round(
+                        F.col("__wins")
+                        * F.lit(_MICRO)
+                        * F.lit(_MICRO)
+                        / F.col("__denom_micro")
+                    ).cast("long"),
+                    F.lit(1),
+                ).alias("__p_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    mean_p = strengths.agg(
+        F.avg(F.col("__p_micro").cast("double")).alias("__mean")
+    )
+    n_comp = (
+        pairs.select(F.col("item_a").alias("item"), n_ij.alias("__n"))
+        .unionByName(pairs.select(F.col("item_b").alias("item"), n_ij.alias("__n")))
+        .groupBy("item")
+        .agg(F.sum("__n").cast("long").alias("n_comparisons"))
+    )
+    return (
+        strengths.crossJoin(F.broadcast(mean_p))
+        .join(wins, "item")
+        .join(n_comp, "item")
+        .select(
+            "item",
+            (
+                F.round(
+                    F.col("__p_micro") / F.col("__mean") * _MICRO
+                ) / _MICRO
+            ).alias("strength"),
+            F.col("__wins").alias("n_wins"),
+            "n_comparisons",
+        )
+    )
