@@ -164,3 +164,70 @@ def bradley_terry_strengths(
             "n_comparisons",
         )
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+    rater_a,
+    rater_b,
+) -> DataFrame:
+    """Inter-annotator agreement between two raters over the items both
+    labeled (Cohen '60): ``kappa = (po - pe) / (1 - pe)`` with observed
+    agreement ``po`` and the chance agreement ``pe`` from the two
+    raters' label marginals — the labeling-pipeline quality gate run
+    before preference data reaches a reward-model fit.
+
+    Engine determinism: po/pe/kappa derive from exact integer counts
+    (agreements, per-label marginals) in one fixed double expression;
+    a degenerate task where chance agreement is 1 (both raters always
+    emit the same single label) has undefined kappa -> NULL, guarded
+    identically on any engine.
+
+    Scale shape: two filtered projections of the label log joined on
+    item (shuffle keyed on item id), one count aggregate, and a
+    label-keyed marginal join whose size is the LABEL VOCABULARY —
+    constant-sized model tables, corpus-sized work only in the one
+    equi-join.  Returns one row: (n_items, po, pe, kappa)."""
+    a = df.filter(F.col(rater_col) == rater_a).select(
+        F.col(item_col).alias("__item"), F.col(label_col).alias("__la")
+    )
+    b = df.filter(F.col(rater_col) == rater_b).select(
+        F.col(item_col).alias("__item"), F.col(label_col).alias("__lb")
+    )
+    j = a.join(b, "__item")
+    counts = j.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.when(F.col("__la") == F.col("__lb"), 1).otherwise(0))
+        .cast("long")
+        .alias("__n_agree"),
+    )
+    ma = j.groupBy(F.col("__la").alias("__label")).agg(
+        F.count(F.lit(1)).cast("long").alias("__ca")
+    )
+    mb = j.groupBy(F.col("__lb").alias("__label")).agg(
+        F.count(F.lit(1)).cast("long").alias("__cb")
+    )
+    pe_num = (
+        ma.join(mb, "__label", "full_outer")
+        .select(
+            (
+                F.coalesce(F.col("__ca"), F.lit(0))
+                * F.coalesce(F.col("__cb"), F.lit(0))
+            ).alias("__prod")
+        )
+        .agg(F.sum("__prod").cast("long").alias("__pe_num"))
+    )
+    po = F.col("__n_agree") / F.col("__n").cast("double")
+    pe = F.col("__pe_num") / (F.col("__n").cast("double") * F.col("__n"))
+    return (
+        counts.crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("__n").alias("n_items"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6)).alias("kappa"),
+        )
+    )

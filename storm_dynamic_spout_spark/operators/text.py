@@ -219,3 +219,49 @@ def fuzzy_string_join(
         .filter(F.col("edit_distance") <= max_dist)
         .select(dirty_id, clean_id, "edit_distance")
     )
+
+
+def chars(col: Column) -> Column:
+    """A word's character-symbol array — the BPE symbol start state."""
+    return F.expr(
+        f"transform(sequence(1, char_length({col._jc.toString()})), "
+        f"i -> substr({col._jc.toString()}, i, 1))"
+    )
+
+
+def apply_bpe_merge(syms: Column, a: Column | str, b: Column | str) -> Column:
+    """One greedy left-to-right BPE merge over a symbol array: whenever
+    the accumulated tail equals ``a`` and the next symbol is ``b``,
+    replace the tail with ``a||b`` — the EXACT fold
+    ``text_bpe_learn_merges`` trains with (catalog/llm.py), exposed so
+    tokenizer APPLICATION shares the trainer's semantics symbol for
+    symbol.  Pure column expression: map-only, codegen-friendly."""
+    a = F.lit(a) if isinstance(a, str) else a
+    b = F.lit(b) if isinstance(b, str) else b
+    return F.when(F.size(syms) <= 1, syms).otherwise(
+        F.aggregate(
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+            F.array(F.element_at(syms, 1)),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == a) & (x == b),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(a, b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+    )
+
+
+def apply_bpe_merges(syms: Column, merges: "list[tuple[str, str]]") -> Column:
+    """Tokenizer APPLICATION: run an ordered learned-merge table over a
+    symbol array, one greedy pass per merge in training order — the
+    standard BPE encode for a small merge table (each merge is one
+    map-only fold; the expression tree grows linearly in |merges|, so
+    for vocab-scale tables batch the corpus through a pandas-UDF trie
+    instead — this form is for the first-K-merges analyses the
+    training queries report on)."""
+    out = syms
+    for a, b in merges:
+        out = apply_bpe_merge(out, a, b)
+    return out

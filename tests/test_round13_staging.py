@@ -122,6 +122,77 @@ def test_pairwise_win_counts_canonicalizes(spark):
     assert rows == {(2, 5): (1, 2), (5, 9): (0, 1)}
 
 
+def _python_greedy_bpe(word, merges):
+    syms = list(word)
+    for a, b in merges:
+        out = [syms[0]] if syms else []
+        for x in syms[1:]:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def test_apply_bpe_merges_matches_python_greedy(spark):
+    """Tokenizer application shares the trainer's greedy left-to-right
+    fold exactly — pinned against a plain-Python reference over words
+    with overlapping runs ('aaa'-style, where simultaneous-replacement
+    variants diverge)."""
+    from storm_dynamic_spout_spark.operators.text import apply_bpe_merges, chars
+
+    words = ["banana", "bandana", "aaa", "aaaa", "abab", "x", "aa"]
+    merges = [("a", "a"), ("a", "n"), ("an", "a"), ("b", "an")]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["toks"])
+        for r in df.select(
+            "word", apply_bpe_merges(chars(F.col("word")), merges).alias("toks")
+        ).collect()
+    }
+    assert got == {w: _python_greedy_bpe(w, merges) for w in words}
+
+
+def test_cohen_kappa_closed_forms(spark):
+    """Hand-checked kappa: 8 items, two raters, binary labels — one
+    disagreement (item 6), marginals A:{y:4,n:4} B:{y:5,n:3} ->
+    po=7/8=.875, pe=(4*5+4*3)/64=.5, kappa=(.875-.5)/.5=.75.  Perfect
+    agreement -> 1.0; constant single-label raters -> NULL (pe=1
+    guard).  Items labeled by only one rater are excluded from
+    n_items."""
+    from storm_dynamic_spout_spark.operators.ranking import cohen_kappa
+
+    a_labels = ["y", "y", "y", "y", "n", "n", "n", "n"]
+    b_labels = ["y", "y", "y", "y", "n", "n", "y", "n"]
+    rows = [(i, "r1", la) for i, la in enumerate(a_labels)] + [
+        (i, "r2", lb) for i, lb in enumerate(b_labels)
+    ] + [(99, "r1", "y")]  # unmatched item: r2 never saw it
+    df = spark.createDataFrame(rows, "item long, rater string, label string")
+    got = cohen_kappa(df, "item", "rater", "label", "r1", "r2").first()
+    assert got["n_items"] == 8
+    assert got["po"] == 0.875 and got["pe"] == 0.5 and got["kappa"] == 0.75
+
+    perfect = cohen_kappa(
+        spark.createDataFrame(
+            [(i, r, l) for i, l in enumerate("ynyn") for r in ("r1", "r2")],
+            "item long, rater string, label string",
+        ),
+        "item", "rater", "label", "r1", "r2",
+    ).first()
+    assert perfect["kappa"] == 1.0
+
+    constant = cohen_kappa(
+        spark.createDataFrame(
+            [(i, r, "y") for i in range(4) for r in ("r1", "r2")],
+            "item long, rater string, label string",
+        ),
+        "item", "rater", "label", "r1", "r2",
+    ).first()
+    assert constant["po"] == 1.0 and constant["pe"] == 1.0
+    assert constant["kappa"] is None
+
+
 def test_bradley_terry_plan_has_no_pair_shuffle_beyond_item_keys(spark):
     """Scale guard: the executed plan must not contain a cartesian or
     nested-loop join — every iteration is broadcast-joined strengths
