@@ -89,7 +89,10 @@ def bradley_terry_strengths(
     )
     n_ij = F.col("wins_a") + F.col("wins_b")
     # strengths live as integer micro-units: exact to compare, exact to
-    # broadcast, and the per-pair denominator reads two of them
+    # broadcast, and the per-pair denominator reads two of them.  Lazy
+    # checkpoint is safe: the subtree is a deterministic integer
+    # aggregate (see the DETERMINISM note in operators/dedup.py), and
+    # it stops each iteration from recomputing the full history.
     strengths = wins.select(
         "item", F.lit(_MICRO).cast("long").alias("__p_micro")
     ).localCheckpoint(eager=False)
@@ -138,6 +141,9 @@ def bradley_terry_strengths(
                     F.lit(1),
                 ).alias("__p_micro"),
             )
+            # lazy checkpoint: deterministic (exact integer micro-unit
+            # update over the checkpointed previous state) — truncates
+            # the per-iteration lineage growth
             .localCheckpoint(eager=False)
         )
     mean_p = strengths.agg(
