@@ -571,17 +571,25 @@ def connected_components(
     """
     if method == "star":
         canon = _canonical_edges(pairs, src, dst).localCheckpoint(eager=True)
+        n_prev = canon.count()
         for _ in range(max_iter):
+            # NOTE (r12 experiment): coalescing the contracted edge set
+            # to fewer partitions between rounds was MEASURED SLOWER
+            # (5.6s vs 4.9s at sf0.1) — coalesce collapses the star
+            # joins' final stage to the narrow width, losing more
+            # parallelism than the per-task scheduling it saves; AQE
+            # already right-sizes the post-shuffle partitions.
             canon2 = _small_star(_large_star(canon)).localCheckpoint(eager=True)
             # fixpoint test: equal cardinality + one-directional set
             # containment ⇒ set equality (star output is distinct by
             # construction).  isEmpty() short-circuits at the first
             # differing row — cheaper than exceptAll().count() == 0,
             # which always builds the full difference
-            same = canon2.count() == canon.count() and (
+            n_new = canon2.count()
+            same = n_new == n_prev and (
                 canon2.join(canon, ["__s", "__d"], "left_anti").isEmpty()
             )
-            canon = canon2
+            canon, n_prev = canon2, n_new
             if same:
                 break
         lab = canon.groupBy("__s").agg(F.min("__d").alias("__l"))
