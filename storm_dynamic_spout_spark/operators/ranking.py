@@ -124,19 +124,31 @@ def bradley_terry_strengths(
             .groupBy("item")
             .agg(F.sum("__c").cast("long").alias("__denom_micro"))
         )
+        # W_i * 1e12 / denom, computed as an overflow-safe split:
+        # naive __wins * 1e6 * 1e6 wraps silently past ~9.2M wins
+        # (Spark non-ANSI long arithmetic).  Splitting at one _MICRO —
+        # whole = (W*1e6) div denom, rem = (W*1e6) mod denom, result =
+        # whole*1e6 + round(rem/denom * 1e6) — is algebraically exact
+        # (whole*1e6 is an integer, so the half-up round commutes) and
+        # keeps every intermediate ≤ W*1e6, raising the overflow bound
+        # to ~9.2e12 wins per item.  rem/denom is one correctly-rounded
+        # IEEE division of two sub-2^53 longs — bit-identical in
+        # Python, DuckDB, and Spark (pinned in
+        # tests/test_round13_staging.py).
+        num = F.col("__wins") * F.lit(_MICRO)
+        whole = F.expr(f"(__wins * {_MICRO}) div __denom_micro")
+        rem = F.pmod(num, F.col("__denom_micro"))
         strengths = (
             wins.join(per_item, "item")
             .select(
                 "item",
-                # W_i / denom, rescaled into micro-units; guard the
-                # all-losses item (denominator fine, W=0 -> p=0 is the
-                # correct MLE drift; +1 keeps it a valid positive int)
+                # guard the all-losses item (denominator fine, W=0 ->
+                # p=0 is the correct MLE drift; +1 keeps it a valid
+                # positive int)
                 F.greatest(
-                    F.round(
-                        F.col("__wins")
-                        * F.lit(_MICRO)
-                        * F.lit(_MICRO)
-                        / F.col("__denom_micro")
+                    whole * F.lit(_MICRO)
+                    + F.round(
+                        rem / F.col("__denom_micro") * F.lit(_MICRO)
                     ).cast("long"),
                     F.lit(1),
                 ).alias("__p_micro"),

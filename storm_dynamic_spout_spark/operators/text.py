@@ -222,10 +222,14 @@ def fuzzy_string_join(
 
 
 def chars(col: Column) -> Column:
-    """A word's character-symbol array — the BPE symbol start state."""
-    return F.expr(
-        f"transform(sequence(1, char_length({col._jc.toString()})), "
-        f"i -> substr({col._jc.toString()}, i, 1))"
+    """A word's character-symbol array — the BPE symbol start state.
+
+    Pure Column ops (no rendered-SQL splicing): works for arbitrary
+    column expressions — quotes, literals, nested functions — and
+    under Spark Connect, where ``Column._jc`` does not exist."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: col.substr(i, F.lit(1)),
     )
 
 

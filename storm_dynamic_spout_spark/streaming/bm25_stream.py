@@ -11,14 +11,21 @@ closing the streaming half of the batch retrieval stack
 Engine mapping:
 
 - **State**: a parquet postings table of (doc id, token, tf, doc len)
-  appended once per micro-batch.  The token IS the shuffle key:
-  matching a batch against N indexed documents is an equi-join on
-  token touching only same-token postings, never a scan of N.
+  appended once per micro-batch, plus two tiny SIDECAR delta tables —
+  per-batch (new docs, new Σdl) and per-batch-token df — whose sums
+  are the index statistics, so no batch ever re-scans the postings
+  just to recount them.  The token IS the shuffle key: matching a
+  batch against N indexed documents is an equi-join on token touching
+  only same-token postings, never a scan of N.
 - **Per micro-batch**: documents whose id is already indexed are
-  dropped first (anti-join on id), making at-least-once re-delivery a
-  complete no-op for both the match log and the index.  Surviving NEW
-  documents expose their distinct tokens as query terms, probe the
-  PRE-BATCH postings, and keep top-k indexed documents per query.
+  dropped first (anti-join on id), so a fully-committed batch
+  re-delivers as a complete no-op; a crash MID-batch re-delivers
+  under the same deterministic batch key, and every append is
+  key-guarded, so re-delivery completes exactly the missing appends
+  (idempotent under at-least-once in every crash window at the
+  job-commit granularity).  Surviving NEW documents expose their
+  distinct tokens as query terms, probe the PRE-BATCH postings, and
+  keep top-k indexed documents per query.
 - **Cross-engine float discipline** (tighter than the batch scorer):
   each (query, doc, term) BM25 contribution — idf·tf·(k1+1)/(tf +
   k1·(1−b+b·dl/avgdl)) — is rounded to an integer MICRO-UNIT before
@@ -31,11 +38,14 @@ Engine mapping:
   postings at match time — idf therefore reflects the index AS OF the
   batch, exactly reproducible from the batch schedule.
 - **Growth**: the index grows by exactly the unique documents
-  ingested; per-batch cost is Σ_t q_t·df_t over the batch's tokens,
-  independent of history length beyond posting-list occupancy.  At
-  scale, stopword-cap the probe (drop tokens above a df ceiling) to
-  bound the heaviest lists — the batch BM25's idf already zeroes
-  their contribution asymptotically.
+  ingested; per-batch cost is Σ_t q_t·df_t over the batch's tokens
+  plus the sidecar sums (rows ~ batches × batch vocab, collapsed to
+  one row by ``compact_index``), independent of index size beyond
+  posting-list occupancy — the query terms join the postings FIRST,
+  so only probed lists flow through the plan.  At scale,
+  stopword-cap the probe (drop tokens above a df ceiling) to bound
+  the heaviest lists — the batch BM25's idf already zeroes their
+  contribution asymptotically.
 
 The final match log of a deterministic batch schedule is
 SQL-expressible (staged half-corpus CTEs — catalog/llm.py
@@ -64,14 +74,29 @@ def score_against_postings(
     q_terms: DataFrame,
     k: int = BM25_STREAM_K,
     max_df_frac: float | None = None,
+    stats: DataFrame | None = None,
+    dfx: DataFrame | None = None,
+    broadcast_query: bool = False,
 ) -> DataFrame:
     """Top-k BM25 matches of query-term rows (query_id, __tok) against
     a postings table (__id, __dl, __tok, __tf) — the pure per-batch
     probe plan, shared by :class:`StreamingBm25Index.process_batch`
     and the scale-smoke shape (examples/scale_smoke.py
-    bm25_stream_probe).  Statistics (N, Σdl, df) come from the
-    postings argument itself — the caller decides what "the index so
-    far" means.
+    bm25_stream_probe).
+
+    Statistics are injectable (the round-13 scale fix): ``stats`` is a
+    one-row (__n_docs, __sum_dl) frame and ``dfx`` a (__tok, __df)
+    frame — :class:`StreamingBm25Index` passes its incrementally
+    maintained sidecar so a micro-batch never re-scans the full
+    postings just to recount them.  When ``None`` (standalone use,
+    e.g. the smoke shape) both derive from ``postings`` itself — the
+    caller decides what "the index so far" means.
+
+    ``broadcast_query`` pins a broadcast hint on the query-terms side;
+    leave it False unless the caller KNOWS the batch is small (the
+    micro-batch path does) — an unconditional hint on a half-corpus
+    probe would hit the broadcast limit / driver OOM at real scale,
+    so the default lets AQE pick the strategy from runtime sizes.
 
     ``max_df_frac`` is the SCALE knob: tokens appearing in more than
     that fraction of indexed documents are elided from the probe
@@ -81,17 +106,19 @@ def score_against_postings(
     bounds the heaviest posting lists while the ranking over
     discriminative terms survives.  ``None`` (the default, and what
     the oracle-matched catalog query uses) scores exactly."""
-    stats = (
-        postings.select("__id", "__dl")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("__n_docs"),
-            F.sum("__dl").cast("long").alias("__sum_dl"),
+    if stats is None:
+        stats = (
+            postings.select("__id", "__dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__n_docs"),
+                F.sum("__dl").cast("long").alias("__sum_dl"),
+            )
         )
-    )
-    dfx = postings.groupBy("__tok").agg(
-        F.count(F.lit(1)).cast("long").alias("__df")
-    )
+    if dfx is None:
+        dfx = postings.groupBy("__tok").agg(
+            F.count(F.lit(1)).cast("long").alias("__df")
+        )
     if max_df_frac is not None:
         # the df table is vocab-sized and stats is one row: the filter
         # runs broadcast-side, and the INNER dfx join below then prunes
@@ -118,11 +145,19 @@ def score_against_postings(
     # integer micro-units BEFORE the sum: exact, order-free
     micro = F.round(part * 1_000_000).cast("long")
     w = W.partitionBy("query_id").orderBy(F.desc("__ms"), "__id")
-    # dfx joins FIRST: inner, so a capped df table prunes stopword
-    # postings before they ever meet the query side
+    q = F.broadcast(q_terms) if broadcast_query else q_terms
+    # Join order (inner joins on __tok commute, so this is a pure
+    # plan choice): with a df ceiling the capped dfx table joins
+    # FIRST, pruning stopword postings before they ever meet the
+    # query side; uncapped, the QUERY terms join first so the
+    # postings relation shrinks to exactly the probed lists
+    # (Σ_t q_t·df_t) before the vocab-sized df join touches it.
+    if max_df_frac is not None:
+        probed = postings.join(dfx, "__tok").join(q, "__tok")
+    else:
+        probed = postings.join(q, "__tok").join(dfx, "__tok")
     return (
-        postings.join(dfx, "__tok")
-        .join(F.broadcast(q_terms), "__tok")
+        probed
         .crossJoin(F.broadcast(stats))
         .withColumn("__micro", micro)
         .groupBy("query_id", "__id")
@@ -143,7 +178,20 @@ def score_against_postings(
 
 
 class StreamingBm25Index:
-    """The persistent postings index + the per-batch match step."""
+    """The persistent postings index + the per-batch match step.
+
+    State layout (round 13 — incremental statistics): alongside the
+    corpus-sized ``postings/`` table live two SIDECAR delta tables,
+    appended once per batch and vastly smaller than the postings —
+    ``stats/`` (one row per batch: new-doc count, new-doc Σdl) and
+    ``df/`` (one row per batch-token: docs added to that posting
+    list).  Probe-time statistics ``(N, Σdl, df)`` are sums over the
+    sidecars, so a micro-batch costs O(batch + probed posting lists +
+    sidecar), NOT O(index) — previously every batch re-scanned the
+    full postings just to recount them, making total work quadratic
+    over a stream's life.  ``compact_index`` rebuilds both sidecars
+    from the postings (the ground truth), collapsing their per-batch
+    rows to one."""
 
     def __init__(
         self,
@@ -154,23 +202,32 @@ class StreamingBm25Index:
     ) -> None:
         self.postings_dir = os.path.join(workdir, "postings")
         self.match_dir = os.path.join(workdir, "matches")
+        self.stats_dir = os.path.join(workdir, "stats")
+        self.df_dir = os.path.join(workdir, "df")
         self.id_col = id_col
         self.text_col = text_col
         self.k = k
-        os.makedirs(self.postings_dir, exist_ok=True)
-        os.makedirs(self.match_dir, exist_ok=True)
+        for d in (self.postings_dir, self.match_dir, self.stats_dir, self.df_dir):
+            os.makedirs(d, exist_ok=True)
         # heal a crash inside a previous compact_index swap — without
         # this, the makedirs above would present a silently-empty index
         from storm_dynamic_spout_spark.streaming.dirswap import (
             recover_interrupted_swap,
         )
 
-        recover_interrupted_swap(self.postings_dir)
+        for d in (self.postings_dir, self.stats_dir, self.df_dir):
+            recover_interrupted_swap(d)
 
     # -- state ---------------------------------------------------------------
 
     def _has_files(self, d: str) -> bool:
-        return any(f.endswith(".parquet") for f in os.listdir(d))
+        # the match log is partitioned by __batch_key (subdirs), the
+        # other state dirs are flat — walk covers both
+        return any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(d)
+            for f in files
+        )
 
     def postings_df(self, spark: SparkSession) -> DataFrame | None:
         if not self._has_files(self.postings_dir):
@@ -182,12 +239,34 @@ class StreamingBm25Index:
             return None
         return spark.read.parquet(self.match_dir)
 
+    def sidecar_stats(self, spark: SparkSession) -> DataFrame:
+        """One-row (__n_docs, __sum_dl) from the stats sidecar — the
+        incremental replacement for re-counting the postings."""
+        return spark.read.parquet(self.stats_dir).agg(
+            F.sum("__n_docs").cast("long").alias("__n_docs"),
+            F.sum("__sum_dl").cast("long").alias("__sum_dl"),
+        )
+
+    def sidecar_df(self, spark: SparkSession) -> DataFrame:
+        """Per-token (__tok, __df) from the df sidecar deltas."""
+        return (
+            spark.read.parquet(self.df_dir)
+            .groupBy("__tok")
+            .agg(F.sum("__df").cast("long").alias("__df"))
+        )
+
     def compact_index(self, spark: SparkSession, target_files: int = 1) -> int:
         """Merge the per-batch postings files into ``target_files``,
         dedup-by-(id, token) in the process — same maintenance-window
-        contract as StreamingAnnIndex.compact_index.  Returns the
+        contract as StreamingAnnIndex.compact_index.  Rebuilds both
+        sidecars from the compacted postings (the ground truth),
+        collapsing their per-batch delta rows to one — this is also
+        the heal path should a sidecar ever drift.  Returns the
         postings row count after compaction.  Crash-safe via
-        streaming/dirswap.py."""
+        streaming/dirswap.py (each directory swap is independently
+        recoverable; a crash between swaps leaves a stale sidecar that
+        the NEXT compaction rebuilds from the already-compacted
+        postings)."""
         from storm_dynamic_spout_spark.streaming.dirswap import swap_publish
 
         pos = self.postings_df(spark)
@@ -198,7 +277,31 @@ class StreamingBm25Index:
             self.postings_dir,
             lambda tmp: merged.write.mode("overwrite").parquet(tmp),
         )
-        return self.postings_df(spark).count()
+        compacted = self.postings_df(spark)
+        # one sentinel delta row covering the whole compacted index;
+        # the batch key is deterministic from the indexed id set
+        key = F.expr("bit_xor(xxhash64(__id))")
+        stats = compacted.select("__id", "__dl").distinct().agg(
+            key.alias("__batch_key"),
+            F.count(F.lit(1)).cast("long").alias("__n_docs"),
+            F.sum("__dl").cast("long").alias("__sum_dl"),
+        )
+        swap_publish(
+            self.stats_dir,
+            lambda tmp: stats.write.mode("overwrite").parquet(tmp),
+        )
+        one_key = stats.select("__batch_key")
+        dfx = (
+            compacted.groupBy("__tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+            .crossJoin(F.broadcast(one_key))
+            .select("__batch_key", "__tok", "__df")
+        )
+        swap_publish(
+            self.df_dir,
+            lambda tmp: dfx.write.mode("overwrite").parquet(tmp),
+        )
+        return compacted.count()
 
     # -- the per-batch step --------------------------------------------------
 
@@ -219,14 +322,48 @@ class StreamingBm25Index:
             .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
         )
 
+    def _batch_key(self, new: DataFrame) -> int:
+        """Deterministic batch identity: xor of the xxhash64 of the
+        batch's NEW (post-anti-join) doc ids — order-free, and a
+        re-delivered batch reproduces it exactly.  The one driver-side
+        scalar in the loop (same class as the bloom gauge in
+        bloom_stream.py): one long off a checkpointed batch-sized
+        aggregate, never data."""
+        return new.agg(F.expr("bit_xor(xxhash64(__id))")).first()[0]
+
+    def _landed(self, spark: SparkSession, d: str, key: int) -> bool:
+        """Has this batch's append already committed into ``d``?  The
+        match log is partitioned by __batch_key, so its check is a
+        DIRECTORY-NAME lookup — no data scan; the tiny sidecars are
+        read key-column-only."""
+        if d == self.match_dir:
+            return os.path.isdir(os.path.join(d, f"__batch_key={key}"))
+        if not self._has_files(d):
+            return False
+        return (
+            spark.read.parquet(d)
+            .filter(F.col("__batch_key") == key)
+            .take(1)
+            != []
+        )
+
     def process_batch(self, batch_df: DataFrame) -> None:
         """Score one micro-batch against the pre-batch postings, append
-        the match log and the new postings.
+        the match log, the sidecar deltas, and the new postings.
 
-        The match log materializes BEFORE the postings append so its
-        lineage reads the pre-append index files; already-indexed ids
-        are dropped first, so re-delivered batches are a complete
-        no-op (idempotent under at-least-once)."""
+        Idempotency under at-least-once: already-indexed ids are
+        dropped first (anti-join on the postings ids), so a FULLY
+        COMMITTED batch re-delivers as a complete no-op.  A crash
+        mid-batch re-delivers with the same deterministic batch key,
+        and every append is individually guarded by that key — the
+        match-log partition dir, the sidecar key columns — so
+        re-delivery completes exactly the missing appends, never
+        duplicating a landed one.  The postings append runs LAST as
+        the commit point (its ids are what retires the batch).  The
+        match step materializes BEFORE any append so its lineage reads
+        only pre-batch index files, and its statistics come from the
+        pre-batch SIDECAR sums — per-batch cost is O(batch + probed
+        posting lists), independent of index size."""
         spark = batch_df.sparkSession
         new = self._prepared(batch_df)
         seen = self.postings_df(spark)
@@ -235,10 +372,44 @@ class StreamingBm25Index:
                 seen.select("__id").distinct(), "__id", "left_anti"
             )
         new = new.localCheckpoint(eager=True)
-        if seen is not None:
-            # statistics AS OF the pre-batch index: score_against_
-            # postings derives (N, Σdl, df) from `seen` itself
+        if not new.take(1):
+            return  # fully-committed re-delivery (or an empty batch)
+        key = self._batch_key(new)
+        if seen is not None and not self._landed(spark, self.match_dir, key):
+            # statistics AS OF the pre-batch index, from the sidecars
             q = new.select(F.col("__id").alias("query_id"), "__tok")
-            matches = score_against_postings(seen, q, self.k)
-            matches.write.mode("append").parquet(self.match_dir)
+            matches = score_against_postings(
+                seen,
+                q,
+                self.k,
+                stats=self.sidecar_stats(spark),
+                dfx=self.sidecar_df(spark),
+                broadcast_query=True,  # a micro-batch IS small
+            )
+            (
+                matches.withColumn("__batch_key", F.lit(key))
+                .write.partitionBy("__batch_key")
+                .mode("append")
+                .parquet(self.match_dir)
+            )
+        if not self._landed(spark, self.stats_dir, key):
+            (
+                new.select("__id", "__dl")
+                .distinct()
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("__n_docs"),
+                    F.sum("__dl").cast("long").alias("__sum_dl"),
+                )
+                .withColumn("__batch_key", F.lit(key))
+                .write.mode("append")
+                .parquet(self.stats_dir)
+            )
+        if not self._landed(spark, self.df_dir, key):
+            (
+                new.groupBy("__tok")
+                .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+                .withColumn("__batch_key", F.lit(key))
+                .write.mode("append")
+                .parquet(self.df_dir)
+            )
         new.write.mode("append").parquet(self.postings_dir)

@@ -139,3 +139,134 @@ def test_compact_index_preserves_matching(spark):
         (r["query_id"], r["doc_id"], r["rank"]) for r in after.collect()
     } - before
     assert all(q >= 30 and n2 < 30 for q, n2, _ in new_rows)
+
+
+def _sidecar_equals_postings_derived(spark, idx):
+    """The sidecar-sum statistics must equal what a full postings scan
+    would derive — the invariant the round-13 incremental-stats design
+    rests on."""
+    pos = idx.postings_df(spark)
+    want_stats = (
+        pos.select("__id", "__dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_docs"),
+            F.sum("__dl").cast("long").alias("__sum_dl"),
+        )
+        .first()
+    )
+    got_stats = idx.sidecar_stats(spark).first()
+    assert (got_stats["__n_docs"], got_stats["__sum_dl"]) == (
+        want_stats["__n_docs"],
+        want_stats["__sum_dl"],
+    )
+    want_df = {
+        (r["__tok"], r["__df"])
+        for r in pos.groupBy("__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+        .collect()
+    }
+    got_df = {(r["__tok"], r["__df"]) for r in idx.sidecar_df(spark).collect()}
+    assert got_df == want_df
+
+
+def test_sidecar_tracks_postings_across_batches_and_compaction(spark):
+    idx = StreamingBm25Index(tempfile.mkdtemp(prefix="bm25-t7-"))
+    d = _docs(spark)
+    idx.process_batch(d.filter(F.col("doc_id") < 15))
+    _sidecar_equals_postings_derived(spark, idx)
+    # overlapping batch: only the NEW half may enter the sidecar
+    idx.process_batch(d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30)))
+    _sidecar_equals_postings_derived(spark, idx)
+    # compaction collapses the per-batch delta rows to one, same sums
+    idx.compact_index(spark, target_files=1)
+    import pyspark.sql.functions as _F  # noqa: F401
+
+    assert spark.read.parquet(idx.stats_dir).count() == 1
+    _sidecar_equals_postings_derived(spark, idx)
+    # and the index keeps working incrementally after the rebuild
+    idx.process_batch(d.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40)))
+    _sidecar_equals_postings_derived(spark, idx)
+
+
+def test_crash_before_postings_commit_redelivers_without_duplicates(spark):
+    """The mid-batch crash window the round-12 advice flagged: matches
+    and sidecar deltas landed but the postings append (the commit
+    point) did not.  Re-delivery must complete exactly the missing
+    postings append — no duplicate match rows, no double-counted
+    sidecar deltas."""
+    import glob
+    import os
+    import shutil
+
+    workdir = tempfile.mkdtemp(prefix="bm25-t8-")
+    idx = StreamingBm25Index(workdir)
+    d = _docs(spark)
+    b1 = d.filter(F.col("doc_id") < 20)
+    b2 = d.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+    idx.process_batch(b1)
+    pos_files_after_b1 = set(glob.glob(os.path.join(idx.postings_dir, "*.parquet")))
+    idx.process_batch(b2)
+
+    m_before = sorted(
+        (r["query_id"], r["doc_id"], r["rank"], r["score"])
+        for r in idx.matches(spark).collect()
+    )
+    stats_before = idx.sidecar_stats(spark).first()
+
+    # simulate the crash: roll the postings back to the pre-b2 state
+    for f in set(glob.glob(os.path.join(idx.postings_dir, "*.parquet"))) - pos_files_after_b1:
+        os.remove(f)
+    assert idx.postings_df(spark).select("__id").distinct().count() == 20
+
+    # re-delivery heals: postings complete, nothing else duplicated
+    idx.process_batch(b2)
+    assert idx.postings_df(spark).select("__id").distinct().count() == 40
+    m_after = sorted(
+        (r["query_id"], r["doc_id"], r["rank"], r["score"])
+        for r in idx.matches(spark).collect()
+    )
+    assert m_after == m_before
+    stats_after = idx.sidecar_stats(spark).first()
+    assert (stats_after["__n_docs"], stats_after["__sum_dl"]) == (
+        stats_before["__n_docs"],
+        stats_before["__sum_dl"],
+    )
+    _sidecar_equals_postings_derived(spark, idx)
+    shutil.rmtree(workdir)
+
+
+def test_probe_plan_reads_sidecar_not_postings_for_stats(spark):
+    """Scale guard: with injected sidecar statistics the probe plan
+    must scan the postings exactly once (the probe join) — the
+    pre-round-13 plan scanned them three times (probe + N/Σdl recount
+    + df recount)."""
+    idx = StreamingBm25Index(tempfile.mkdtemp(prefix="bm25-t9-"))
+    d = _docs(spark)
+    idx.process_batch(d.filter(F.col("doc_id") < 20))
+    from storm_dynamic_spout_spark.streaming.bm25_stream import (
+        score_against_postings,
+    )
+
+    seen = idx.postings_df(spark)
+    q = (
+        d.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split("text", r"\s+")).alias("__tok"),
+        )
+        .distinct()
+    )
+    plan = (
+        score_against_postings(
+            seen,
+            q,
+            stats=idx.sidecar_stats(spark),
+            dfx=idx.sidecar_df(spark),
+            broadcast_query=True,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count(idx.postings_dir) == 1, plan

@@ -44,10 +44,14 @@ def _python_bt(pair_rows, iterations=BT_ITERATIONS):
             c = _half_up(n * _MICRO / ((p[a] + p[b]) / float(_MICRO)))
             denom[a] += c
             denom[b] += c
-        p = {
-            i: max(_half_up(wins[i] * _MICRO * _MICRO / denom[i]), 1)
-            for i in items
-        }
+        # mirror the engine's overflow-safe split exactly: whole
+        # micro-units via integer division, fractional part via ONE
+        # correctly-rounded IEEE division (int/int -> float in CPython
+        # is correctly rounded, same as Spark's long/long)
+        p = {}
+        for i in items:
+            whole, rem = divmod(wins[i] * _MICRO, denom[i])
+            p[i] = max(whole * _MICRO + _half_up(rem / denom[i] * _MICRO), 1)
     mean = sum(float(v) for v in p.values()) / len(items)
     return {
         i: (
