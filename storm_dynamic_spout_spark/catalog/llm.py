@@ -5500,10 +5500,15 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Learned-merge iterations for the BPE training query.
 _BPE_MERGE_ITERS = 3
 
+#: Tokens reported by the tokenizer-APPLICATION query.
+_BPE_APPLY_TOP = 15
 
-def _bpe_learn_oracle() -> str:
-    def block(i: int) -> str:
-        return f"""
+
+def _bpe_block(i: int) -> str:
+    """One training iteration as chained CTEs (pair counts → top pair →
+    greedy merge fold with a LIST accumulator) — shared by the learn
+    and apply oracles so both replay the identical schedule."""
+    return f"""
     p{i} AS (
       SELECT syms[j.j] AS a, syms[j.j+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
       FROM w{i-1}, UNNEST(range(1, len(syms))) AS j(j) GROUP BY a, b
@@ -5517,13 +5522,8 @@ def _bpe_learn_oracle() -> str:
       FROM w{i-1}, t{i}
     )"""
 
-    blocks = ",".join(block(i) for i in range(1, _BPE_MERGE_ITERS + 1))
-    selects = "\nUNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS pair_a, b AS pair_b, cnt"
-        f" FROM t{i}"
-        for i in range(1, _BPE_MERGE_ITERS + 1)
-    )
-    return f"""
+
+_BPE_ORACLE_PRELUDE = f"""
     WITH wc AS (
       SELECT u.x AS word, CAST(count(*) AS BIGINT) AS n
       FROM documents, UNNEST({_TOKS}) AS u(x)
@@ -5531,34 +5531,33 @@ def _bpe_learn_oracle() -> str:
     ),
     w0 AS (SELECT n, list_transform(range(1, length(word)+1), i -> word[i])
              AS syms FROM wc),
-    {blocks}
+    {",".join(_bpe_block(i) for i in range(1, _BPE_MERGE_ITERS + 1))}"""
+
+
+def _bpe_learn_oracle() -> str:
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS pair_a, b AS pair_b, cnt"
+        f" FROM t{i}"
+        for i in range(1, _BPE_MERGE_ITERS + 1)
+    )
+    return f"""
+    {_BPE_ORACLE_PRELUDE}
     {selects}
     ORDER BY merge_rank
     """
 
 
-@query("text_bpe_learn_merges", oracle=_bpe_learn_oracle())
-def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING, iterated (Sennrich et al., ACL'16): learn
-    the first {_BPE_MERGE_ITERS} merges over the distinct-word table —
-    each iteration counts adjacent symbol pairs weighted by word
-    frequency, selects the top pair (count desc, lexicographic
-    tiebreak), and applies the merge greedily left-to-right inside
-    every word's symbol sequence via an ``F.aggregate`` fold
-    (``last == a and next == b -> replace last with ab``, the exact
-    greedy semantics a reference Python implementation produces —
-    pinned in tests).
-
-    Why at 100 TB: BPE training runs on the (word, count) TABLE, not
-    the corpus — the corpus-scale pass is the one word-count
-    aggregate; each merge iteration is then a |pair-vocab|-keyed
-    map-side-partial count + a 1-row broadcast of the winning pair +
-    a map-only fold over bounded word arrays.  No driver-side collect:
-    the winning pair flows through ``crossJoin(broadcast(top1))``, so
-    the whole k-merge loop is one lazy plan.  The oracle unrolls the
-    identical iterations as chained CTEs with LIST-state folds (the
-    [l,t] convention — duckdb struct_pack accumulators rebind, see
-    events_forecast_holt)."""
+def _bpe_train(spark: SparkSession, sf_dir: str, iters: int):
+    """The shared BPE training loop over the distinct-word table:
+    returns (final word symbol arrays after ``iters`` merges, the
+    per-iteration winning-pair frames).  Each iteration counts
+    adjacent symbol pairs weighted by word frequency, selects the top
+    pair (count desc, lexicographic tiebreak), and applies it with
+    ``operators/text.py apply_bpe_merge`` — the SAME greedy fold the
+    standalone application operator runs, so train and apply share
+    semantics symbol for symbol.  No driver-side collect: the winning
+    pair flows through ``crossJoin(broadcast(top1))``, so the whole
+    k-merge loop is one lazy plan."""
     wc = (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", r"\s+")).alias("word"))
@@ -5566,14 +5565,9 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    w = wc.select(
-        "n",
-        F.expr(
-            "transform(sequence(1, char_length(word)), i -> substr(word, i, 1))"
-        ).alias("syms"),
-    )
+    w = wc.select("n", X.chars(F.col("word")).alias("syms"))
     tops = []
-    for i in range(1, _BPE_MERGE_ITERS + 1):
+    for i in range(1, iters + 1):
         # size>=2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]), so a
         # 1-symbol word would index past its array in the pair explode
         pairs = (
@@ -5608,22 +5602,102 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("__cnt").alias("cnt"),
             )
         )
-        merged = F.aggregate(
-            F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
-            F.array(F.element_at(F.col("syms"), 1)),
-            lambda acc, x: F.when(
-                (F.element_at(acc, -1) == F.col("__pa")) & (x == F.col("__pb")),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.col("__pa"), F.col("__pb"))),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+        w = w.crossJoin(F.broadcast(top1)).select(
+            "n",
+            X.apply_bpe_merge(
+                F.col("syms"), F.col("__pa"), F.col("__pb")
+            ).alias("syms"),
         )
-        w = w.crossJoin(F.broadcast(top1)).select("n", merged.alias("syms"))
+    return w, tops
+
+
+@query("text_bpe_learn_merges", oracle=_bpe_learn_oracle())
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, iterated (Sennrich et al., ACL'16): learn
+    the first {_BPE_MERGE_ITERS} merges over the distinct-word table —
+    each iteration counts adjacent symbol pairs weighted by word
+    frequency, selects the top pair (count desc, lexicographic
+    tiebreak), and applies the merge greedily left-to-right inside
+    every word's symbol sequence via an ``F.aggregate`` fold
+    (``last == a and next == b -> replace last with ab``, the exact
+    greedy semantics a reference Python implementation produces —
+    pinned in tests).
+
+    Why at 100 TB: BPE training runs on the (word, count) TABLE, not
+    the corpus — the corpus-scale pass is the one word-count
+    aggregate; each merge iteration is then a |pair-vocab|-keyed
+    map-side-partial count + a 1-row broadcast of the winning pair +
+    a map-only fold over bounded word arrays.  No driver-side collect:
+    the winning pair flows through ``crossJoin(broadcast(top1))``, so
+    the whole k-merge loop is one lazy plan.  The oracle unrolls the
+    identical iterations as chained CTEs with LIST-state folds (the
+    [l,t] convention — duckdb struct_pack accumulators rebind, see
+    events_forecast_holt)."""
+    _w, tops = _bpe_train(spark, sf_dir, _BPE_MERGE_ITERS)
     out = tops[0]
     for frame in tops[1:]:
         out = out.unionByName(frame)
     return out.orderBy("merge_rank")
+
+
+def _bpe_apply_oracle() -> str:
+    return f"""
+    {_BPE_ORACLE_PRELUDE},
+    tok AS (
+      SELECT u.x AS token, CAST(sum(n) AS BIGINT) AS n_occurrences
+      FROM w{_BPE_MERGE_ITERS}, UNNEST(syms) AS u(x) GROUP BY u.x
+    ),
+    ranked AS (
+      SELECT token, n_occurrences,
+             CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                  AS BIGINT) AS rank
+      FROM tok
+    )
+    SELECT rank, token, n_occurrences FROM ranked
+    WHERE rank <= {_BPE_APPLY_TOP} ORDER BY rank
+    """
+
+
+@query("text_bpe_apply", oracle=_bpe_apply_oracle())
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION, closing the train→apply loop of
+    ``text_bpe_learn_merges``: run the learned merge table over the
+    corpus (``operators/text.py apply_bpe_merge`` — the identical
+    greedy left-to-right fold the trainer used, so application
+    reproduces training segmentation symbol for symbol) and report the
+    top-{_BPE_APPLY_TOP} resulting tokens by corpus frequency — the
+    applied tokenizer's head vocabulary, where the learned merges
+    surface as multi-character tokens.
+
+    Why at 100 TB: application runs on the (word, count) TABLE and
+    re-weights by frequency — word-level memoization, so the per-word
+    fold cost is paid once per DISTINCT word, not once per corpus
+    occurrence; the corpus-scale passes are the word-count aggregate
+    and the final token-histogram aggregate (map-side combine on the
+    token key).  The top-K is ``orderBy().limit()`` →
+    TakeOrderedAndProject (per-partition heap), with rank assigned by
+    a row_number over the ≤{_BPE_APPLY_TOP}-row pool — never a global
+    sort of the vocabulary."""
+    from pyspark.sql.window import Window as W
+
+    w, _tops = _bpe_train(spark, sf_dir, _BPE_MERGE_ITERS)
+    tok = (
+        w.select("n", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("n").cast("bigint").alias("n_occurrences"))
+    )
+    return (
+        tok.orderBy(F.desc("n_occurrences"), "token")
+        .limit(_BPE_APPLY_TOP)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.desc("n_occurrences"), "token"))
+            .cast("bigint")
+            .alias("rank"),
+            "token",
+            "n_occurrences",
+        )
+    )
 
 
 #: Per-query fused results kept by the streaming hybrid fusion.

@@ -30,39 +30,39 @@ SF = "/root/testdata/sf0.001"
 #: staged half-corpus CTEs).
 ROWS_ONLY: set[str] = set()
 
-#: Round 12 window composition (r11 verdict item 1).  The 14 round-11
-#: additions that had NO driver row entering round 12:
-NEVER_CHECKED_AT_R12 = {
-    "events_ab_sequential", "events_ab_stratified",
-    "graph_clustering_coefficient", "events_forecast_ses",
-    "events_bootstrap_ci", "events_forecast_holt",
-    "events_diff_in_diff", "events_power_mde",
-    "text_bpe_merge_candidates", "search_hybrid_rrf",
-    "search_ndcg_eval", "text_bpe_learn_merges",
-    "multimodal_image_dup_clusters", "multimodal_audio_dup_clusters",
+#: Round 13 window composition (r12 verdict items 1 and 3).  The two
+#: round-12 registrations plus the three round-13 registrations — none
+#: has a driver row entering round 13 (the r12 verdict's item 1
+#: requires driver rows for the round-13 trio THIS round, so all five
+#: never-checked queries are in-window):
+NEVER_CHECKED_AT_R13 = {
+    "stream_bm25_index", "stream_hybrid_rrf",
+    "text_bpe_apply", "rank_bradley_terry", "rank_cohen_kappa",
 }
 
-#: The 6 round-3-stale queries deferred out of round 11's window; they
-#: occupy slots 15-20 of round 12's window.  After CORRECTNESS_r12.json
-#: lands, NO query anywhere carries round-3 evidence.
-DEFERRED_R3 = {
-    "window_lag_lead", "window_first_last", "window_range_frame",
-    "window_distribution", "window_running", "sort_multi_key",
-}
-
-#: The r13 plan, encoded NOW (r11 verdict item 2) so the staleness
-#: invariant can't silently slip: these 10 round-5-evidence queries did
-#: not fit round 12's 50 slots (14 + 6 + 26 + 4 canaries = 50).  They
-#: sit at the overhang's checked head and lead round 13's window,
-#: after any never-checked round-12 additions (round 0 in the
-#: rotation) and before the 42-query r6 cohort, which fills the
-#: window's remaining slots (e.g. 1 addition + 10 + 35 r6 + 4 = 50,
-#: leaving 7 r6 queries to lead round 14).
+#: The 10 round-5-evidence queries deferred out of round 12's window;
+#: they occupy slots 6-15 of round 13's window.  After
+#: CORRECTNESS_r13.json lands, NO query anywhere carries round-5
+#: evidence.
 R5_REMAINDER = {
     "events_top_paths", "corpus_merge_scd2", "corpus_time_travel",
     "sample_per_group", "dedup_semantic_clusters",
     "text_lang_id_confusion", "corpus_quality_by_source",
     "embedding_drift", "source_orc_roundtrip", "window_ntile",
+}
+
+#: The r14 plan, encoded NOW (the one-round-ahead discipline): these 11
+#: round-6-evidence queries did not fit round 13's 50 slots (5 + 10 +
+#: 31 + 4 canaries = 50).  They sit at the overhang's checked head and
+#: lead round 14's window, after any never-checked round-13 staging
+#: additions (round 0 in the rotation) and before the 39-query r7
+#: cohort, which fills the window's remaining slots (e.g. 11 + 35 r7 +
+#: 4 = 50, leaving 4 r7 queries to lead round 15).
+R6_REMAINDER = {
+    "dedup_minhash_signature", "dedup_simhash", "dedup_ngram_jaccard",
+    "ann_topk_bruteforce", "embedding_near_pairs", "dedup_simhash_pairs",
+    "text_term_freq", "corpus_url_dedup", "multimodal_audio_stats",
+    "source_csv_roundtrip", "source_json_roundtrip",
 }
 
 CANARIES = {"embedding_quantize", "agg_stats", "scalar_map", "events_sessionize"}
@@ -121,42 +121,39 @@ def test_evidence_gap_simulation():
 
 def test_first_fifty_registrations_cover_the_stale():
     """The driver's correctness sweep samples the FIRST ~50 registered
-    queries (exactly 50 in every recorded round).  Round 12's window,
-    per the r11 verdict: (a) every query with NO driver row entering
-    round 12 is in-window, (b) the six deferred round-3 queries drain
-    now — after the r12 file lands, zero r3-latest queries remain,
-    (c) canaries stay in every window."""
+    queries (exactly 50 in every recorded round).  Round 13's window,
+    per the r12 verdict: (a) every query with NO driver row entering
+    round 13 is in-window (including the three round-13 registrations
+    — verdict item 1 requires driver rows for them this round),
+    (b) the ten deferred round-5 queries drain now — after the r13
+    file lands, zero r5-latest queries remain, (c) canaries stay in
+    every window."""
     order = list(QUERIES)
     first50 = set(order[:50])
     last_round = effective_rounds()
 
-    # (a) the 14 never-checked-entering-r12 queries are all in-window
-    assert NEVER_CHECKED_AT_R12 <= first50
+    # (a) the 5 never-checked-entering-r13 queries are all in-window
+    assert NEVER_CHECKED_AT_R13 <= first50
 
-    # (b) anything still showing round<=3 evidence is one of the six
-    # deferred queries, and all six are in-window draining now.  True
-    # before CORRECTNESS_r12.json lands (r3_stale == DEFERRED_R3) and
-    # after (r3_stale == set()) — no mid-round flip.
-    r3_stale = {q for q, r in last_round.items() if r <= 3}
-    assert r3_stale <= DEFERRED_R3, (
-        f"unplanned round-3-stale queries: {sorted(r3_stale - DEFERRED_R3)}"
+    # (b) anything still showing round<=5 evidence is one of the ten
+    # deferred queries, and all ten are in-window draining now.  True
+    # before CORRECTNESS_r13.json lands (r5_stale == R5_REMAINDER) and
+    # after (r5_stale == set()) — no mid-round flip.
+    r5_stale = {q for q, r in last_round.items() if r <= 5}
+    assert r5_stale <= R5_REMAINDER, (
+        f"unplanned round-5-stale queries: {sorted(r5_stale - R5_REMAINDER)}"
     )
-    assert DEFERRED_R3 <= first50, "deferred r3 six must be in-window"
-    # nothing anywhere has evidence older than round 3, and once the
-    # r12 file lands nothing older than round 5 remains either
-    assert not {q for q, r in last_round.items() if r <= 2}
-    stale4 = {q for q, r in last_round.items() if r <= 4}
-    assert stale4 <= DEFERRED_R3, (
-        "a non-deferred query carries pre-r5 evidence — the staleness "
-        "invariant slipped; recompose the window"
-    )
+    assert R5_REMAINDER <= first50, "deferred r5 ten must be in-window"
+    # nothing anywhere has evidence older than round 5
+    assert not {q for q, r in last_round.items() if r <= 4}
 
     # (c) canaries
     assert CANARIES <= first50, "canary set must stay inside the window"
 
-    # queries ADDED during round 12 (never checked, not part of the
-    # staged 14) must sit contiguously at the overhang head, where the
-    # oldest-first rotation makes them the first slots of round 13.
+    # queries ADDED during round 13 (never checked, not in-window —
+    # i.e. the round-14 staging additions) must sit contiguously at
+    # the overhang head, where the oldest-first rotation makes them
+    # the first slots of round 14.
     never_checked = set(QUERIES) - set(last_round)
     staged = never_checked - first50
     head = order[50 : 50 + len(staged)]
@@ -167,13 +164,13 @@ def test_first_fifty_registrations_cover_the_stale():
 
 
 def test_window_rotation_discipline():
-    """r8 verdict item 8 + r11 verdict item 2: the overhang AFTER the
-    50-slot window must rotate strictly oldest-cohort-first, so no
-    cohort can be silently orphaned by a future window recomposition —
-    and the round-13 plan is pinned structurally: the overhang's
-    checked head is exactly the 10-query r5 remainder, followed only by
-    the r6 cohort for at least the 36 slots round 13's window will
-    drain (10 + 36 + 4 canaries = 50)."""
+    """r8 verdict item 8 + the one-round-ahead discipline: the overhang
+    AFTER the 50-slot window must rotate strictly oldest-cohort-first,
+    so no cohort can be silently orphaned by a future window
+    recomposition — and the round-14 plan is pinned structurally: the
+    overhang's checked head is exactly the 11-query r6 remainder,
+    followed only by the r7 cohort for at least the ~35 slots round
+    14's window will drain (11 + 35 + 4 canaries = 50)."""
     order = list(QUERIES)
     last_round = effective_rounds()
     tail_rounds = [last_round.get(q, 0) for q in order[50:]]
@@ -186,21 +183,26 @@ def test_window_rotation_discipline():
         ))
     )
     checked_tail = [q for q in order[50:] if last_round.get(q, 0) > 0]
-    assert checked_tail and last_round[checked_tail[0]] == 5, (
-        "overhang's first checked cohort must be the r5 remainder "
-        "(round 13's window head)"
+    assert checked_tail and last_round[checked_tail[0]] == 6, (
+        "overhang's first checked cohort must be the r6 remainder "
+        "(round 14's window head)"
     )
-    # r13 plan, part 1: the first 10 checked overhang queries are
-    # exactly the r5 remainder (never-checked round-12 additions may
-    # precede them — they count as round 0 and also lead round 13).
-    assert set(checked_tail[:10]) == R5_REMAINDER
-    assert all(last_round[q] == 5 for q in checked_tail[:10])
-    # r13 plan, part 2: after the remainder comes ONLY the r6 cohort
-    # for at least the 36 slots the r13 window drains — so even if
-    # round 13 recomposes nothing, the natural rotation satisfies the
-    # <=7-round staleness bound for the whole r6 cohort by round 14.
-    after_remainder = checked_tail[10:]
-    r6_cohort = {q for q, r in last_round.items() if r == 6}
-    assert len(r6_cohort) >= 36
-    assert all(last_round[q] == 6 for q in after_remainder[: min(36, len(after_remainder))])
-    assert r6_cohort <= set(after_remainder[: len(r6_cohort)])
+    # r14 plan, part 1: the first 11 checked overhang queries are
+    # exactly the r6 remainder (never-checked round-13 staging
+    # additions may precede them — they count as round 0 and also
+    # lead round 14).
+    assert set(checked_tail[:11]) == R6_REMAINDER
+    assert all(last_round[q] == 6 for q in checked_tail[:11])
+    # r14 plan, part 2: after the remainder comes ONLY the r7 cohort
+    # for at least the 35 slots the r14 window drains — so even if
+    # round 14 recomposes nothing, the natural rotation keeps the
+    # <=7-round staleness bound for the whole r7 cohort through
+    # rounds 14-15.
+    after_remainder = checked_tail[11:]
+    r7_cohort = {q for q, r in last_round.items() if r == 7}
+    assert len(r7_cohort) >= 35
+    assert all(
+        last_round[q] == 7
+        for q in after_remainder[: min(35, len(after_remainder))]
+    )
+    assert r7_cohort <= set(after_remainder[: len(r7_cohort)])

@@ -133,6 +133,9 @@ def test_inventory_global_invariants():
         # rank + ideal-rank over the ≤BM25_TOP(=20)-row retrieved pool
         # (r11)
         "search_ndcg_eval",
+        # rank over the ≤_BPE_APPLY_TOP(=15)-row post-
+        # TakeOrderedAndProject token pool (r13)
+        "text_bpe_apply",
     }
     gw = {n for n, c in inv.items() if c.get("unpartitioned_windows", 0) > 0}
     assert gw <= allowed_global_window, (

@@ -58,6 +58,9 @@ KNOWN_BENIGN = {
     "search_hybrid_rrf",
     # rank + ideal-rank over the ≤BM25_TOP(=20)-row retrieved pool (r11)
     "search_ndcg_eval",
+    # rank over the ≤_BPE_APPLY_TOP(=15)-row post-TakeOrderedAndProject
+    # token pool (r13)
+    "text_bpe_apply",
 }
 
 
