@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+#: Fraction-rounding scale for engine-portable ratio reports.
+_FRAC_MICRO = 1_000_000
+
+
 def md5_int(col: Column) -> Column:
     """Engine-portable 60-bit integer hash: first 15 hex digits of md5
     (DuckDB twin: ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``)."""
@@ -33,9 +37,16 @@ def token_ngram_hashes(text: Column, n: int) -> Column:
     because eval-set leakage is verbatim phrase reuse. Hashed to int64
     immediately so the explode+join shuffles 8-byte keys, not strings."""
     toks = F.split(text, r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    # short-doc guard: Spark's sequence(1, 0) DESCENDS ([1, 0]), so a
+    # doc with fewer than n tokens would hit slice(start=0) — a runtime
+    # error, not an empty gram set
+    grams = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
     )
     return F.array_distinct(F.transform(grams, lambda g: md5_int(g)))
 
@@ -66,6 +77,77 @@ def contamination(
         train_grams.join(eval_grams, "__g")
         .groupBy(id_col)
         .agg(F.countDistinct("__g").alias("n_shared_grams"))
+    )
+
+
+def eval_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The EVAL-side contamination readout, complementing
+    :func:`contamination` (which screens the train side): per eval
+    document, what fraction of its distinct token n-grams appears
+    ANYWHERE in the train corpus — the decision statistic an eval-suite
+    owner uses to drop leaked items (the n-gram-overlap
+    decontamination convention of large-LM training reports).
+
+    Returns ``(doc_id, n_grams, n_overlapping, overlap_frac, flagged)``
+    with ``overlap_frac`` micro-rounded (exact integer counts over a
+    correctly-rounded division, engine-portable) and NULL for eval
+    docs shorter than ``ngram`` tokens (no grams — no evidence either
+    way; ``flagged`` is false for them).
+
+    Scale shape: both sides explode to (doc, gram_hash); the TRAIN
+    gram VOCABULARY deduplicates first (one hash aggregate — it is the
+    big side's distinct gram set, far smaller than its gram
+    instances), then a left semi-style membership join on the 8-byte
+    hash feeds one per-eval-doc aggregate.  No train×eval document
+    product anywhere; eval is typically tiny next to train, so the
+    join's probe side is eval-gram-sized."""
+    eval_grams = eval_set.select(
+        F.col(id_col),
+        F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"),
+    )
+    train_vocab = (
+        train.select(
+            F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        eval_grams.join(train_vocab, "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlapping"),
+        )
+    )
+    # eval docs with zero grams never reach the join output (explode of
+    # an empty array drops the row) — reattach them with NULL fraction
+    all_eval = eval_set.select(F.col(id_col))
+    frac = F.round(
+        F.col("n_overlapping") / F.col("n_grams") * F.lit(_FRAC_MICRO)
+    ) / F.lit(_FRAC_MICRO)
+    return (
+        all_eval.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_overlapping"), F.lit(0))
+            .cast("long")
+            .alias("n_overlapping"),
+            F.when(F.col("n_grams") > 0, frac).alias("overlap_frac"),
+            F.when(
+                F.col("n_grams") > 0, frac >= F.lit(threshold)
+            ).otherwise(F.lit(False)).alias("flagged"),
+        )
     )
 
 

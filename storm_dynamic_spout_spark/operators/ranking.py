@@ -61,23 +61,9 @@ def pairwise_win_counts(
     )
 
 
-def bradley_terry_strengths(
-    pairs: DataFrame, iterations: int = BT_ITERATIONS
-) -> DataFrame:
-    """Per-item Bradley-Terry strength from a canonical pair table
-    (``item_a < item_b``, ``wins_a``, ``wins_b``) via Hunter's MM
-    update ``p_i <- W_i / sum_j n_ij / (p_i + p_j)``, run a fixed
-    number of iterations from the uniform start p=1.
-
-    Items must have at least one win AND one loss for the MLE to be
-    finite (the standard BT identifiability condition); callers filter
-    degenerate items first or accept their drift toward 0/inf within
-    the fixed iteration budget.  Output strengths are normalized so
-    their mean is 1 (the scale is otherwise unidentified), with a
-    deterministic micro-rounded report column.
-
-    Returns (item, strength, n_wins, n_comparisons)."""
-    wins = (
+def item_win_totals(pairs: DataFrame) -> DataFrame:
+    """Per-item win totals (item, __wins) from a canonical pair table."""
+    return (
         pairs.select(F.col("item_a").alias("item"), F.col("wins_a").alias("__w"))
         .unionByName(
             pairs.select(
@@ -87,15 +73,26 @@ def bradley_terry_strengths(
         .groupBy("item")
         .agg(F.sum("__w").cast("long").alias("__wins"))
     )
+
+
+def mm_strength_iterations(
+    pairs: DataFrame, init: DataFrame, iterations: int
+) -> DataFrame:
+    """``iterations`` Hunter-MM updates over a canonical pair table from
+    an arbitrary starting state ``init`` (item, __p_micro) — the raw
+    micro-unit engine behind :func:`bradley_terry_strengths` (uniform
+    start) and the streaming warm-started refit
+    (streaming/bt_stream.py, which seeds each batch from the previous
+    strengths so a few iterations per batch track the growing log).
+    Returns (item, __p_micro)."""
+    wins = item_win_totals(pairs)
     n_ij = F.col("wins_a") + F.col("wins_b")
     # strengths live as integer micro-units: exact to compare, exact to
     # broadcast, and the per-pair denominator reads two of them.  Lazy
     # checkpoint is safe: the subtree is a deterministic integer
     # aggregate (see the DETERMINISM note in operators/dedup.py), and
     # it stops each iteration from recomputing the full history.
-    strengths = wins.select(
-        "item", F.lit(_MICRO).cast("long").alias("__p_micro")
-    ).localCheckpoint(eager=False)
+    strengths = init.localCheckpoint(eager=False)
     for _ in range(iterations):
         pa = strengths.select(
             F.col("item").alias("item_a"), F.col("__p_micro").alias("__pa")
@@ -158,6 +155,18 @@ def bradley_terry_strengths(
             # the per-iteration lineage growth
             .localCheckpoint(eager=False)
         )
+    return strengths
+
+
+def normalized_strength_report(
+    pairs: DataFrame, strengths: DataFrame
+) -> DataFrame:
+    """The reporting view of a raw micro-unit strength state: mean-one
+    normalization (the BT scale is otherwise unidentified) plus win /
+    comparison bookkeeping.  Returns
+    (item, strength, n_wins, n_comparisons)."""
+    wins = item_win_totals(pairs)
+    n_ij = F.col("wins_a") + F.col("wins_b")
     mean_p = strengths.agg(
         F.avg(F.col("__p_micro").cast("double")).alias("__mean")
     )
@@ -182,6 +191,29 @@ def bradley_terry_strengths(
             "n_comparisons",
         )
     )
+
+
+def bradley_terry_strengths(
+    pairs: DataFrame, iterations: int = BT_ITERATIONS
+) -> DataFrame:
+    """Per-item Bradley-Terry strength from a canonical pair table
+    (``item_a < item_b``, ``wins_a``, ``wins_b``) via Hunter's MM
+    update ``p_i <- W_i / sum_j n_ij / (p_i + p_j)``, run a fixed
+    number of iterations from the uniform start p=1.
+
+    Items must have at least one win AND one loss for the MLE to be
+    finite (the standard BT identifiability condition); callers filter
+    degenerate items first or accept their drift toward 0/inf within
+    the fixed iteration budget.  Output strengths are normalized so
+    their mean is 1 (the scale is otherwise unidentified), with a
+    deterministic micro-rounded report column.
+
+    Returns (item, strength, n_wins, n_comparisons)."""
+    init = item_win_totals(pairs).select(
+        "item", F.lit(_MICRO).cast("long").alias("__p_micro")
+    )
+    strengths = mm_strength_iterations(pairs, init, iterations)
+    return normalized_strength_report(pairs, strengths)
 
 
 def cohen_kappa(
