@@ -59,6 +59,8 @@ HEADLINE = [
     "events_ab_test",  # r10: checkpointed exposure aggregate + closed-form z/t
     "search_hybrid_rrf",  # r11: BM25 + dense legs, 50-row RRF fusion join
     "graph_clustering_coefficient",  # r11: degree-oriented wedge close per node
+    "rank_cohen_kappa",  # r13: row-local classifier + id-keyed rater join
+    "text_bpe_apply",  # r13: 3-merge train->apply fold on the distinct-word table
 ]
 
 #: The ONLY cross-round comparable series: the exact 17 queries the

@@ -1299,6 +1299,143 @@ def bm25_stream_probe(t):
     return score_against_postings(pos, q)
 
 
+def bt_strengths(t):
+    """rank_bradley_terry shape (round 13): comparisons from per-user
+    adjacent events (one corpus-sized window pass + one hash aggregate
+    down to the pair VOCABULARY), then 12 broadcast-MM iterations on
+    the fixed 5-item model.  Nx copies reuse user ids, so per-user
+    event chains densify and comparisons grow ~Nx while the model
+    stays 5 items — healthy scaling is wall ~ comparison scan, never
+    iterations x corpus."""
+    from pyspark.sql.window import Window as W
+
+    from storm_dynamic_spout_spark.operators.ranking import (
+        bradley_terry_strengths,
+        pairwise_win_counts,
+    )
+
+    e = t("events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    lagged = e.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("__pt"),
+        F.lag("value").over(w).alias("__pv"),
+    )
+    comp = lagged.filter(
+        F.col("__pt").isNotNull()
+        & (F.col("event_type") != F.col("__pt"))
+        & (F.col("value") != F.col("__pv"))
+    ).select(
+        F.when(F.col("value") > F.col("__pv"), F.col("event_type"))
+        .otherwise(F.col("__pt"))
+        .alias("winner"),
+        F.when(F.col("value") > F.col("__pv"), F.col("__pt"))
+        .otherwise(F.col("event_type"))
+        .alias("loser"),
+    )
+    return bradley_terry_strengths(pairwise_win_counts(comp, "winner", "loser"))
+
+
+def kappa_agreement(t):
+    """rank_cohen_kappa shape (round 13): row-local classifier
+    prediction fused into the scan, one id-keyed join of the two rater
+    projections, integer count aggregates + a label-vocabulary
+    marginal join.  Pure corpus-linear; the model side is |labels|."""
+    from storm_dynamic_spout_spark.operators.ranking import cohen_kappa
+    from storm_dynamic_spout_spark.operators.text import lang_id
+
+    d = t("documents")
+    log = d.select(
+        F.col("doc_id").alias("item"),
+        F.lit("gold").alias("rater"),
+        F.col("lang").alias("label"),
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("item"),
+            F.lit("langid").alias("rater"),
+            lang_id(F.col("text")).alias("label"),
+        )
+    )
+    return cohen_kappa(log, "item", "rater", "label", "gold", "langid")
+
+
+def bpe_apply_tokens(t):
+    """text_bpe_apply shape (round 13): one word-count aggregate, three
+    merge iterations (pair count -> 1-row broadcast top pair -> map-
+    only fold) on the DISTINCT-word table, then the applied-token
+    histogram.  Per-copy token salting multiplies the word vocabulary
+    Nx, so healthy scaling is ~linear in distinct words."""
+    from pyspark.sql.window import Window as W
+
+    from storm_dynamic_spout_spark.operators.text import apply_bpe_merge, chars
+
+    wc = (
+        t("documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = wc.select("n", chars(F.col("word")).alias("syms"))
+    for _ in range(3):
+        pairs = (
+            w.filter(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms)-1), j ->"
+                        " struct(element_at(syms, j) as a,"
+                        " element_at(syms, j+1) as b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+        )
+        top1 = (
+            pairs.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .select(F.col("a").alias("__pa"), F.col("b").alias("__pb"))
+        )
+        w = w.crossJoin(F.broadcast(top1)).select(
+            "n",
+            apply_bpe_merge(F.col("syms"), F.col("__pa"), F.col("__pb")).alias(
+                "syms"
+            ),
+        )
+    tok = (
+        w.select("n", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+    )
+    return (
+        tok.orderBy(F.desc("cnt"), "token")
+        .limit(15)
+        .select(
+            F.row_number().over(W.orderBy(F.desc("cnt"), "token")).alias("r"),
+            "token",
+            "cnt",
+        )
+    )
+
+
+def eval_overlap(t):
+    """eval_contamination shape (round-14 staging): per-eval-doc n-gram
+    overlap fraction against the train gram vocabulary.  The 1-in-10
+    systematic sample on each side bounds the adversarial fixture's
+    gram lists (the bm25_stream_probe convention); per-copy token
+    salting keeps cross-copy grams disjoint, so the membership join
+    grows as Nx independent blocks."""
+    from storm_dynamic_spout_spark.operators.corpus import eval_contamination
+
+    d = t("documents")
+    train = d.filter(F.col("doc_id") % 20 == 0)
+    ev = d.filter(F.col("doc_id") % 20 == 11)
+    return eval_contamination(train, ev, ngram=3, threshold=0.5)
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -1351,6 +1488,10 @@ QUERIES = [
     ("did_cells", did_cells),
     ("bpe_learn", bpe_learn),
     ("bm25_stream_probe", bm25_stream_probe),
+    ("bt_strengths", bt_strengths),
+    ("kappa_agreement", kappa_agreement),
+    ("bpe_apply_tokens", bpe_apply_tokens),
+    ("eval_overlap", eval_overlap),
 ]
 
 
