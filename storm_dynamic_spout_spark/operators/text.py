@@ -226,10 +226,16 @@ def chars(col: Column) -> Column:
 
     Pure Column ops (no rendered-SQL splicing): works for arbitrary
     column expressions — quotes, literals, nested functions — and
-    under Spark Connect, where ``Column._jc`` does not exist."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: col.substr(i, F.lit(1)),
+    under Spark Connect, where ``Column._jc`` does not exist.  The
+    empty-string guard matters: Spark's sequence(1, 0) DESCENDS
+    ([1, 0]), so '' would otherwise yield ['', ''] instead of []."""
+    return F.when(
+        F.length(col) < 1, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: col.substr(i, F.lit(1)),
+        )
     )
 
 

@@ -60,3 +60,20 @@ def test_text_bpe_apply_rank_discipline(spark):
     # tokens are unique
     toks = [r["token"] for r in rows]
     assert len(toks) == len(set(toks))
+
+
+def test_chars_boundary_inputs(spark):
+    """Spark's sequence(1,0) descends — '' must yield [] (not ['','']),
+    and 1-char words a singleton; the same bug class as the
+    token_ngram_hashes short-doc crash fixed this round."""
+    from storm_dynamic_spout_spark.operators.text import chars
+
+    import pyspark.sql.functions as F
+
+    rows = {
+        r["w"]: list(r["c"])
+        for r in spark.createDataFrame([("",), ("x",), ("ab",)], "w string")
+        .select("w", chars(F.col("w")).alias("c"))
+        .collect()
+    }
+    assert rows == {"": [], "x": ["x"], "ab": ["a", "b"]}
