@@ -193,12 +193,21 @@ class StreamingBm25Index:
     from the postings (the ground truth), collapsing their per-batch
     rows to one."""
 
+    #: Auto-collapse the sidecar deltas once a state dir accumulates
+    #: this many delta files: per-batch rows grow as batches x batch
+    #: vocab between compactions, and the collapse (a sum over the
+    #: sidecar itself — never a postings scan) keeps the probe-time
+    #: statistics read bounded without waiting for a maintenance
+    #: window.
+    SIDECAR_COMPACT_FILES = 32
+
     def __init__(
         self,
         workdir: str,
         id_col: str = "doc_id",
         text_col: str = "text",
         k: int = BM25_STREAM_K,
+        sidecar_compact_files: int | None = None,
     ) -> None:
         self.postings_dir = os.path.join(workdir, "postings")
         self.match_dir = os.path.join(workdir, "matches")
@@ -207,6 +216,11 @@ class StreamingBm25Index:
         self.id_col = id_col
         self.text_col = text_col
         self.k = k
+        self.sidecar_compact_files = (
+            self.SIDECAR_COMPACT_FILES
+            if sidecar_compact_files is None
+            else sidecar_compact_files
+        )
         for d in (self.postings_dir, self.match_dir, self.stats_dir, self.df_dir):
             os.makedirs(d, exist_ok=True)
         # heal a crash inside a previous compact_index swap — without
@@ -413,3 +427,42 @@ class StreamingBm25Index:
                 .parquet(self.df_dir)
             )
         new.write.mode("append").parquet(self.postings_dir)
+        self._maybe_collapse_sidecars(spark)
+
+    def _maybe_collapse_sidecars(self, spark: SparkSession) -> None:
+        """Opportunistic sidecar collapse, run only AFTER the postings
+        append (the commit point): every sidecar row then belongs to a
+        committed batch, so folding them into one sentinel-keyed row
+        is safe against any replay — a re-delivered committed batch
+        never consults sidecar keys (its ids anti-join away first),
+        and a crash mid-collapse heals via the dirswap.  The collapse
+        sums the SIDECARS themselves — sidecar-sized work, never a
+        postings scan."""
+        import glob
+
+        n_files = len(glob.glob(os.path.join(self.df_dir, "*.parquet")))
+        if n_files <= self.sidecar_compact_files:
+            return
+        from storm_dynamic_spout_spark.streaming.dirswap import swap_publish
+
+        sentinel = F.expr("bit_xor(__batch_key)")
+        stats = spark.read.parquet(self.stats_dir).agg(
+            sentinel.alias("__batch_key"),
+            F.sum("__n_docs").cast("long").alias("__n_docs"),
+            F.sum("__sum_dl").cast("long").alias("__sum_dl"),
+        )
+        swap_publish(
+            self.stats_dir,
+            lambda tmp: stats.write.mode("overwrite").parquet(tmp),
+        )
+        one_key = stats.select("__batch_key")
+        dfx = (
+            self.sidecar_df(spark)
+            .crossJoin(F.broadcast(one_key))
+            .select("__batch_key", "__tok", "__df")
+            .coalesce(1)
+        )
+        swap_publish(
+            self.df_dir,
+            lambda tmp: dfx.write.mode("overwrite").parquet(tmp),
+        )

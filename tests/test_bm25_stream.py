@@ -270,3 +270,27 @@ def test_probe_plan_reads_sidecar_not_postings_for_stats(spark):
         .toString()
     )
     assert plan.count(idx.postings_dir) == 1, plan
+
+
+def test_sidecar_auto_collapse_keeps_invariants(spark):
+    """With a tiny collapse threshold, many small batches must keep the
+    df sidecar's file count bounded while the sidecar sums stay equal
+    to the postings-derived statistics — and scoring keeps working."""
+    import glob
+    import os
+
+    idx = StreamingBm25Index(
+        tempfile.mkdtemp(prefix="bm25-t10-"), sidecar_compact_files=2
+    )
+    d = _docs(spark)
+    for k in range(6):
+        idx.process_batch(d.filter(F.col("doc_id") % 6 == k))
+        _sidecar_equals_postings_derived(spark, idx)
+    n_df_files = len(glob.glob(os.path.join(idx.df_dir, "*.parquet")))
+    assert n_df_files <= 3, f"sidecar never collapsed: {n_df_files} files"
+    # the match log kept growing across the collapses
+    assert idx.matches(spark).count() > 0
+    # and a redelivered batch is still a full no-op
+    n = idx.matches(spark).count()
+    idx.process_batch(d.filter(F.col("doc_id") % 6 == 5))
+    assert idx.matches(spark).count() == n
