@@ -70,12 +70,20 @@ BT_STREAM_ITERATIONS = 4
 class StreamingBradleyTerry:
     """Persistent pair-table state + warm-started per-batch refit."""
 
+    #: Auto-collapse the pair deltas once the dir accumulates this many
+    #: delta files: rows grow as batches x batch pair-vocab, and the
+    #: cumulative read's dedup+sum pass covers them all every batch.
+    #: The collapse folds committed deltas into one summed row per pair
+    #: (pair-vocabulary-sized work) via the crash-safe dirswap.
+    PAIRS_COMPACT_FILES = 32
+
     def __init__(
         self,
         workdir: str,
         winner_col: str = "winner",
         loser_col: str = "loser",
         iterations: int = BT_STREAM_ITERATIONS,
+        pairs_compact_files: int | None = None,
     ) -> None:
         self.pairs_dir = os.path.join(workdir, "pairs")
         self.strengths_dir = os.path.join(workdir, "strengths")
@@ -83,12 +91,18 @@ class StreamingBradleyTerry:
         self.winner_col = winner_col
         self.loser_col = loser_col
         self.iterations = iterations
+        self.pairs_compact_files = (
+            self.PAIRS_COMPACT_FILES
+            if pairs_compact_files is None
+            else pairs_compact_files
+        )
         os.makedirs(self.pairs_dir, exist_ok=True)
         from storm_dynamic_spout_spark.streaming.dirswap import (
             recover_interrupted_swap,
         )
 
         recover_interrupted_swap(self.strengths_dir)
+        recover_interrupted_swap(self.pairs_dir)
 
     # -- state ---------------------------------------------------------------
 
@@ -198,4 +212,30 @@ class StreamingBradleyTerry:
             lambda tmp: new_state.write.mode("overwrite").parquet(tmp),
         )
         self._write_marker(batch_id)
+        self._maybe_collapse_pairs(spark, batch_id)
         return True
+
+    def _maybe_collapse_pairs(self, spark: SparkSession, batch_id: int) -> None:
+        """Opportunistic pair-delta collapse, run only AFTER the marker
+        write: every delta row then belongs to a committed batch (a
+        replayed id at or below the marker no-ops before any append),
+        so folding the whole dir into one summed row per pair — tagged
+        with the committed ``batch_id`` — is replay-safe.  Work is
+        pair-vocabulary-sized; a crash mid-collapse heals via the
+        dirswap."""
+        import glob
+
+        n_files = len(glob.glob(os.path.join(self.pairs_dir, "*.parquet")))
+        if n_files <= self.pairs_compact_files:
+            return
+        from storm_dynamic_spout_spark.streaming.dirswap import swap_publish
+
+        folded = (
+            self.cumulative_pairs(spark)
+            .withColumn("__batch_id", F.lit(int(batch_id)).cast("long"))
+            .coalesce(1)
+        )
+        swap_publish(
+            self.pairs_dir,
+            lambda tmp: folded.write.mode("overwrite").parquet(tmp),
+        )

@@ -230,3 +230,32 @@ def test_streaming_bt_tracks_batch_refit_direction(spark):
         for r in idx.strengths_report(spark).collect()
     }
     assert rep[1] > rep[2] > rep[3]
+
+
+def test_streaming_bt_pair_collapse_keeps_schedule_replay_exact(spark):
+    """With a tiny collapse threshold the pair deltas fold mid-stream;
+    the fit must stay bit-identical to the uncollapsed schedule replay
+    and the delta-file count bounded."""
+    import glob
+    import os
+
+    idx = StreamingBradleyTerry(
+        tempfile.mkdtemp(prefix="bt-s5-"), pairs_compact_files=1
+    )
+    batches = [_B1, _B2, [(1, 3), (3, 1), (2, 4)], [(4, 3), (3, 4), (1, 2)]]
+    for k, rows in enumerate(batches):
+        idx.process_batch(
+            spark.createDataFrame(rows, "winner long, loser long"), k
+        )
+    got = {r["item"]: r["__p_micro"] for r in idx.strengths(spark).collect()}
+    assert got == _py_stream(batches, BT_STREAM_ITERATIONS)
+    n_files = len(glob.glob(os.path.join(idx.pairs_dir, "*.parquet")))
+    assert n_files <= 2, f"pair deltas never collapsed: {n_files} files"
+    # replay of the last batch is still a no-op after the collapse
+    state = sorted(got.items())
+    assert idx.process_batch(
+        spark.createDataFrame(batches[-1], "winner long, loser long"), 3
+    ) is False
+    assert sorted(
+        (r["item"], r["__p_micro"]) for r in idx.strengths(spark).collect()
+    ) == state
