@@ -255,3 +255,76 @@ def test_eval_contamination_matches_python_sets(spark, train, ev):
             else _half_up(len(g & tv) / len(g) * _MICRO) / _MICRO
         )
         assert got[100 + i] == (len(g), len(g & tv), want_frac)
+
+
+# ---------------------------------------------------------------------------
+# BM25 probe: injected sidecar statistics == derived statistics
+# ---------------------------------------------------------------------------
+
+_bm_corpus = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+_bm_queries = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=3,
+)
+
+
+@_EXAMPLES
+@given(texts=_bm_corpus, qtexts=_bm_queries)
+def test_bm25_injected_stats_path_matches_derived(spark, texts, qtexts):
+    """The round-13 scale fix changed the probe's join order and made
+    statistics injectable; on ANY corpus the injected path (broadcast
+    query first, sidecar-style stats) must reproduce the derived path
+    row for row — micro-unit scores make the comparison exact."""
+    from storm_dynamic_spout_spark.streaming.bm25_stream import (
+        score_against_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i * 2, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pos = (
+        docs.select(
+            F.col("doc_id").alias("__id"), F.split("text", r"\s+").alias("__t")
+        )
+        .select(
+            "__id",
+            F.size("__t").cast("long").alias("__dl"),
+            F.explode("__t").alias("__tok"),
+        )
+        .groupBy("__id", "__dl", "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    q = (
+        spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(qtexts)],
+            "query_id long, text string",
+        )
+        .select("query_id", F.explode(F.split("text", r"\s+")).alias("__tok"))
+        .distinct()
+    )
+    stats = (
+        pos.select("__id", "__dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_docs"),
+            F.sum("__dl").cast("long").alias("__sum_dl"),
+        )
+    )
+    dfx = pos.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    derived = sorted(
+        tuple(r) for r in score_against_postings(pos, q).collect()
+    )
+    injected = sorted(
+        tuple(r)
+        for r in score_against_postings(
+            pos, q, stats=stats, dfx=dfx, broadcast_query=True
+        ).collect()
+    )
+    assert derived == injected
