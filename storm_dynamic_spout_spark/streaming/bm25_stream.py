@@ -256,6 +256,7 @@ class StreamingBm25Index:
     def sidecar_stats(self, spark: SparkSession) -> DataFrame:
         """One-row (__n_docs, __sum_dl) from the stats sidecar — the
         incremental replacement for re-counting the postings."""
+        self._heal_sidecars(spark)
         return spark.read.parquet(self.stats_dir).agg(
             F.sum("__n_docs").cast("long").alias("__n_docs"),
             F.sum("__sum_dl").cast("long").alias("__sum_dl"),
@@ -263,10 +264,75 @@ class StreamingBm25Index:
 
     def sidecar_df(self, spark: SparkSession) -> DataFrame:
         """Per-token (__tok, __df) from the df sidecar deltas."""
+        self._heal_sidecars(spark)
         return (
             spark.read.parquet(self.df_dir)
             .groupBy("__tok")
             .agg(F.sum("__df").cast("long").alias("__df"))
+        )
+
+    def _heal_sidecars(self, spark: SparkSession) -> None:
+        """Resume path for a workdir written before the sidecar layout
+        (postings present, sidecar dirs empty — e.g. a round-12 index)
+        or one that crashed between the two sidecar appends: rebuild
+        BOTH sidecars from the postings ground truth before the first
+        probe reads them.  Two directory walks when healthy — no Spark
+        job."""
+        if not self._has_files(self.postings_dir):
+            return
+        if self._has_files(self.stats_dir) and self._has_files(self.df_dir):
+            return
+        self._rebuild_sidecars_from_postings(spark)
+
+    def _rebuild_sidecars_from_postings(self, spark: SparkSession) -> None:
+        """Rebuild both sidecars from the postings (the ground truth),
+        collapsed to one sentinel-keyed delta row each.  The sentinel
+        key — bit_xor of xxhash64 over the DISTINCT indexed ids — is
+        materialized driver-side FIRST, so both writes are built from
+        literals and never re-read a directory the swap just retired.
+        Shared by compact_index and the empty-sidecar heal path."""
+        from storm_dynamic_spout_spark.streaming.dirswap import swap_publish
+
+        pos = self.postings_df(spark)
+        if pos is None:
+            return
+        row = (
+            pos.select("__id", "__dl")
+            .distinct()
+            .agg(
+                F.expr("bit_xor(xxhash64(__id))").alias("__batch_key"),
+                F.count(F.lit(1)).cast("long").alias("__n_docs"),
+                F.sum("__dl").cast("long").alias("__sum_dl"),
+            )
+            .first()
+        )
+        stats = spark.range(1).select(
+            F.lit(int(row["__batch_key"])).cast("long").alias("__batch_key"),
+            F.lit(int(row["__n_docs"])).cast("long").alias("__n_docs"),
+            F.lit(int(row["__sum_dl"])).cast("long").alias("__sum_dl"),
+        )
+        swap_publish(
+            self.stats_dir,
+            lambda tmp: stats.write.mode("overwrite").parquet(tmp),
+        )
+        dfx = (
+            pos.groupBy("__tok")
+            # count_distinct, not count: postings are distinct (id, tok)
+            # by construction, but the heal path must also be correct on
+            # a not-yet-compacted index with a partial duplicate append
+            .agg(F.count_distinct("__id").cast("long").alias("__df"))
+            .select(
+                F.lit(int(row["__batch_key"]))
+                .cast("long")
+                .alias("__batch_key"),
+                "__tok",
+                "__df",
+            )
+            .coalesce(1)
+        )
+        swap_publish(
+            self.df_dir,
+            lambda tmp: dfx.write.mode("overwrite").parquet(tmp),
         )
 
     def compact_index(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -291,31 +357,10 @@ class StreamingBm25Index:
             self.postings_dir,
             lambda tmp: merged.write.mode("overwrite").parquet(tmp),
         )
-        compacted = self.postings_df(spark)
         # one sentinel delta row covering the whole compacted index;
         # the batch key is deterministic from the indexed id set
-        key = F.expr("bit_xor(xxhash64(__id))")
-        stats = compacted.select("__id", "__dl").distinct().agg(
-            key.alias("__batch_key"),
-            F.count(F.lit(1)).cast("long").alias("__n_docs"),
-            F.sum("__dl").cast("long").alias("__sum_dl"),
-        )
-        swap_publish(
-            self.stats_dir,
-            lambda tmp: stats.write.mode("overwrite").parquet(tmp),
-        )
-        one_key = stats.select("__batch_key")
-        dfx = (
-            compacted.groupBy("__tok")
-            .agg(F.count(F.lit(1)).cast("long").alias("__df"))
-            .crossJoin(F.broadcast(one_key))
-            .select("__batch_key", "__tok", "__df")
-        )
-        swap_publish(
-            self.df_dir,
-            lambda tmp: dfx.write.mode("overwrite").parquet(tmp),
-        )
-        return compacted.count()
+        self._rebuild_sidecars_from_postings(spark)
+        return self.postings_df(spark).count()
 
     # -- the per-batch step --------------------------------------------------
 
@@ -338,12 +383,21 @@ class StreamingBm25Index:
 
     def _batch_key(self, new: DataFrame) -> int:
         """Deterministic batch identity: xor of the xxhash64 of the
-        batch's NEW (post-anti-join) doc ids — order-free, and a
-        re-delivered batch reproduces it exactly.  The one driver-side
-        scalar in the loop (same class as the bloom gauge in
-        bloom_stream.py): one long off a checkpointed batch-sized
-        aggregate, never data."""
-        return new.agg(F.expr("bit_xor(xxhash64(__id))")).first()[0]
+        batch's DISTINCT NEW (post-anti-join) doc ids — order-free, and
+        a re-delivered batch reproduces it exactly.  The distinct is
+        load-bearing: ``new`` is per-(doc, token) postings rows, so a
+        raw xor would fold each id in once per distinct token and any
+        doc with an even token count would cancel to 0, colliding
+        unrelated batches (and matching compact_index's sentinel, which
+        xors distinct ids).  The one driver-side scalar in the loop
+        (same class as the bloom gauge in bloom_stream.py): one long
+        off a checkpointed batch-sized aggregate, never data."""
+        return (
+            new.select("__id")
+            .distinct()
+            .agg(F.expr("bit_xor(xxhash64(__id))"))
+            .first()[0]
+        )
 
     def _landed(self, spark: SparkSession, d: str, key: int) -> bool:
         """Has this batch's append already committed into ``d``?  The
@@ -379,6 +433,10 @@ class StreamingBm25Index:
         pre-batch SIDECAR sums — per-batch cost is O(batch + probed
         posting lists), independent of index size."""
         spark = batch_df.sparkSession
+        # resume heal BEFORE any guard reads the sidecars: a pre-sidecar
+        # workdir (or a crash between the two sidecar appends) rebuilds
+        # them from the postings ground truth here
+        self._heal_sidecars(spark)
         new = self._prepared(batch_df)
         seen = self.postings_df(spark)
         if seen is not None:
@@ -445,21 +503,38 @@ class StreamingBm25Index:
             return
         from storm_dynamic_spout_spark.streaming.dirswap import swap_publish
 
-        sentinel = F.expr("bit_xor(__batch_key)")
-        stats = spark.read.parquet(self.stats_dir).agg(
-            sentinel.alias("__batch_key"),
-            F.sum("__n_docs").cast("long").alias("__n_docs"),
-            F.sum("__sum_dl").cast("long").alias("__sum_dl"),
+        # Materialize the sentinel + sums DRIVER-SIDE before any swap:
+        # the stats frame is lazy, so re-evaluating it after
+        # swap_publish has retired stats_dir would re-scan deleted file
+        # paths (FileNotFoundException on a default session; silently
+        # zero rows + a NULL sentinel under ignoreMissingFiles).  The
+        # collapsed frames below are built purely from these literals.
+        row = (
+            spark.read.parquet(self.stats_dir)
+            .agg(
+                F.expr("bit_xor(__batch_key)").alias("__batch_key"),
+                F.sum("__n_docs").cast("long").alias("__n_docs"),
+                F.sum("__sum_dl").cast("long").alias("__sum_dl"),
+            )
+            .first()
+        )
+        key = F.lit(int(row["__batch_key"])).cast("long")
+        stats = spark.range(1).select(
+            key.alias("__batch_key"),
+            F.lit(int(row["__n_docs"])).cast("long").alias("__n_docs"),
+            F.lit(int(row["__sum_dl"])).cast("long").alias("__sum_dl"),
         )
         swap_publish(
             self.stats_dir,
             lambda tmp: stats.write.mode("overwrite").parquet(tmp),
         )
-        one_key = stats.select("__batch_key")
+        # the df collapse reads the OLD df_dir inside write_tmp (still
+        # on disk until its own swap) and stamps the literal sentinel
         dfx = (
-            self.sidecar_df(spark)
-            .crossJoin(F.broadcast(one_key))
-            .select("__batch_key", "__tok", "__df")
+            spark.read.parquet(self.df_dir)
+            .groupBy("__tok")
+            .agg(F.sum("__df").cast("long").alias("__df"))
+            .select(key.alias("__batch_key"), "__tok", "__df")
             .coalesce(1)
         )
         swap_publish(

@@ -294,3 +294,97 @@ def test_sidecar_auto_collapse_keeps_invariants(spark):
     n = idx.matches(spark).count()
     idx.process_batch(d.filter(F.col("doc_id") % 6 == 5))
     assert idx.matches(spark).count() == n
+
+
+def test_batch_key_uses_distinct_ids_not_postings_rows(spark):
+    """Round-13 advice regression: the batch key must xor DISTINCT doc
+    ids.  The old key xored the per-(doc, token) postings rows, so any
+    doc with an even distinct-token count folded in an even number of
+    times and cancelled to 0 — two unrelated single-doc batches both
+    keyed to 0, and the second batch's sidecar/match appends were
+    silently skipped via the _landed guard while its postings landed,
+    permanently corrupting N/Σdl/df."""
+    idx = StreamingBm25Index(tempfile.mkdtemp(prefix="bm25-t11-"))
+    # two different docs, each with exactly 2 distinct tokens (even)
+    b1 = spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string")
+    b2 = spark.createDataFrame([(2, "alpha gamma")], "doc_id int, text string")
+    k1 = idx._batch_key(idx._prepared(b1))
+    k2 = idx._batch_key(idx._prepared(b2))
+    assert k1 != k2, "even-token-count batches collided on the batch key"
+    idx.process_batch(b1)
+    idx.process_batch(b2)
+    # BOTH batches' sidecar deltas landed (old code dropped batch 2's)
+    stats = idx.sidecar_stats(spark).first()
+    assert stats["__n_docs"] == 2
+    assert stats["__sum_dl"] == 4
+    dfx = {(r["__tok"], r["__df"]) for r in idx.sidecar_df(spark).collect()}
+    assert dfx == {("alpha", 2), ("beta", 1), ("gamma", 1)}
+    # and batch 2's match rows landed (doc 2 shares "alpha" with doc 1)
+    m = idx.matches(spark)
+    assert m is not None and m.count() >= 1
+    _sidecar_equals_postings_derived(spark, idx)
+
+
+def test_sidecar_collapse_writes_real_sentinel_key(spark):
+    """Round-13 advice regression: the collapse used to re-evaluate the
+    lazy stats plan AFTER swap_publish had retired stats_dir — under
+    ignoreMissingFiles (our session default) the re-scan silently
+    returned zero rows and tagged the collapsed df sidecar with a NULL
+    __batch_key.  The sentinel must be materialized before the swap:
+    both collapsed sidecars carry the same non-NULL key."""
+    idx = StreamingBm25Index(
+        tempfile.mkdtemp(prefix="bm25-t12-"), sidecar_compact_files=2
+    )
+    d = _docs(spark)
+    for k in range(5):
+        idx.process_batch(d.filter(F.col("doc_id") % 5 == k))
+    stats_rows = spark.read.parquet(idx.stats_dir).collect()
+    df_keys = {
+        r["__batch_key"]
+        for r in spark.read.parquet(idx.df_dir)
+        .select("__batch_key")
+        .distinct()
+        .collect()
+    }
+    assert all(r["__batch_key"] is not None for r in stats_rows)
+    assert None not in df_keys, "collapsed df sidecar carries a NULL key"
+    # the collapsed rows share the sentinel: every df key is a stats key
+    assert df_keys <= {r["__batch_key"] for r in stats_rows}
+    _sidecar_equals_postings_derived(spark, idx)
+
+
+def test_resume_pre_sidecar_workdir_heals_from_postings(spark):
+    """Round-13 advice regression: a workdir written by the
+    pre-round-13 layout (postings present, sidecar dirs empty) must be
+    resumable — the heal path rebuilds both sidecars from the postings
+    ground truth before the first probe, instead of failing on an
+    empty-directory parquet read."""
+    import os
+    import shutil
+
+    workdir = tempfile.mkdtemp(prefix="bm25-t13-")
+    idx = StreamingBm25Index(workdir)
+    d = _docs(spark)
+    idx.process_batch(d.filter(F.col("doc_id") < 15))
+    idx.process_batch(d.filter((F.col("doc_id") >= 15) & (F.col("doc_id") < 30)))
+    want = idx.sidecar_stats(spark).first()
+    # simulate the old layout: postings + matches present, sidecars empty
+    for dpath in (idx.stats_dir, idx.df_dir):
+        shutil.rmtree(dpath)
+        os.makedirs(dpath)
+
+    resumed = StreamingBm25Index(workdir)
+    got = resumed.sidecar_stats(spark).first()
+    assert (got["__n_docs"], got["__sum_dl"]) == (
+        want["__n_docs"],
+        want["__sum_dl"],
+    )
+    _sidecar_equals_postings_derived(spark, resumed)
+    # and the resumed index keeps working incrementally
+    n = resumed.matches(spark).count()
+    resumed.process_batch(
+        d.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    )
+    assert resumed.matches(spark).count() > n
+    _sidecar_equals_postings_derived(spark, resumed)
+    shutil.rmtree(workdir)
