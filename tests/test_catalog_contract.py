@@ -30,39 +30,36 @@ SF = "/root/testdata/sf0.001"
 #: staged half-corpus CTEs).
 ROWS_ONLY: set[str] = set()
 
-#: Round 13 window composition (r12 verdict items 1 and 3).  The two
-#: round-12 registrations plus the three round-13 registrations — none
-#: has a driver row entering round 13 (the r12 verdict's item 1
-#: requires driver rows for the round-13 trio THIS round, so all five
-#: never-checked queries are in-window):
-NEVER_CHECKED_AT_R13 = {
-    "stream_bm25_index", "stream_hybrid_rrf",
-    "text_bpe_apply", "rank_bradley_terry", "rank_cohen_kappa",
+#: Round 14 window composition (r13 verdict items 1 and 2).  The two
+#: round-14 registrations of the r13-staged operators — neither has a
+#: driver row entering round 14, so both lead the window:
+NEVER_CHECKED_AT_R14 = {
+    "stream_bradley_terry", "corpus_eval_contamination",
 }
 
-#: The 10 round-5-evidence queries deferred out of round 12's window;
-#: they occupy slots 6-15 of round 13's window.  After
-#: CORRECTNESS_r13.json lands, NO query anywhere carries round-5
+#: The 11 round-6-evidence queries deferred out of round 13's window,
+#: entering round 14 at EXACTLY the ≤7-round staleness bound — they
+#: occupy slots 3-13 of round 14's window and MUST drain now.  After
+#: CORRECTNESS_r14.json lands, NO query anywhere carries round-6
 #: evidence.
-R5_REMAINDER = {
-    "events_top_paths", "corpus_merge_scd2", "corpus_time_travel",
-    "sample_per_group", "dedup_semantic_clusters",
-    "text_lang_id_confusion", "corpus_quality_by_source",
-    "embedding_drift", "source_orc_roundtrip", "window_ntile",
-}
-
-#: The r14 plan, encoded NOW (the one-round-ahead discipline): these 11
-#: round-6-evidence queries did not fit round 13's 50 slots (5 + 10 +
-#: 31 + 4 canaries = 50).  They sit at the overhang's checked head and
-#: lead round 14's window, after any never-checked round-13 staging
-#: additions (round 0 in the rotation) and before the 39-query r7
-#: cohort, which fills the window's remaining slots (e.g. 11 + 35 r7 +
-#: 4 = 50, leaving 4 r7 queries to lead round 15).
 R6_REMAINDER = {
     "dedup_minhash_signature", "dedup_simhash", "dedup_ngram_jaccard",
     "ann_topk_bruteforce", "embedding_near_pairs", "dedup_simhash_pairs",
     "text_term_freq", "corpus_url_dedup", "multimodal_audio_stats",
     "source_csv_roundtrip", "source_json_roundtrip",
+}
+
+#: The r15 plan, encoded NOW (the one-round-ahead discipline): these 6
+#: round-7-evidence queries did not fit round 14's 50 slots (2 + 11 +
+#: 33 + 4 canaries = 50).  They sit at the overhang's checked head and
+#: lead round 15's window, after any never-checked round-14 staging
+#: additions (round 0 in the rotation) and before the 46-query r8
+#: cohort, which fills the window's remaining slots (e.g. 6 + 40 r8 +
+#: 4 = 50, leaving 6 r8 queries to lead round 16).
+R7_REMAINDER = {
+    "multimodal_image_resize", "multimodal_audio_resample",
+    "table_bucketed_join", "table_fk_integrity",
+    "table_partition_prune", "table_zorder_roundtrip",
 }
 
 CANARIES = {"embedding_quantize", "agg_stats", "scalar_map", "events_sessionize"}
@@ -121,39 +118,39 @@ def test_evidence_gap_simulation():
 
 def test_first_fifty_registrations_cover_the_stale():
     """The driver's correctness sweep samples the FIRST ~50 registered
-    queries (exactly 50 in every recorded round).  Round 13's window,
-    per the r12 verdict: (a) every query with NO driver row entering
-    round 13 is in-window (including the three round-13 registrations
-    — verdict item 1 requires driver rows for them this round),
-    (b) the ten deferred round-5 queries drain now — after the r13
-    file lands, zero r5-latest queries remain, (c) canaries stay in
-    every window."""
+    queries (exactly 50 in every recorded round).  Round 14's window,
+    per the r13 verdict: (a) every query with NO driver row entering
+    round 14 is in-window (the two round-14 registrations — verdict
+    item 2 requires driver rows for them this round), (b) the eleven
+    deferred round-6 queries drain now, at exactly the staleness bound
+    — after the r14 file lands, zero r6-latest queries remain,
+    (c) canaries stay in every window."""
     order = list(QUERIES)
     first50 = set(order[:50])
     last_round = effective_rounds()
 
-    # (a) the 5 never-checked-entering-r13 queries are all in-window
-    assert NEVER_CHECKED_AT_R13 <= first50
+    # (a) the 2 never-checked-entering-r14 queries are both in-window
+    assert NEVER_CHECKED_AT_R14 <= first50
 
-    # (b) anything still showing round<=5 evidence is one of the ten
-    # deferred queries, and all ten are in-window draining now.  True
-    # before CORRECTNESS_r13.json lands (r5_stale == R5_REMAINDER) and
-    # after (r5_stale == set()) — no mid-round flip.
-    r5_stale = {q for q, r in last_round.items() if r <= 5}
-    assert r5_stale <= R5_REMAINDER, (
-        f"unplanned round-5-stale queries: {sorted(r5_stale - R5_REMAINDER)}"
+    # (b) anything still showing round<=6 evidence is one of the eleven
+    # deferred queries, and all eleven are in-window draining now.
+    # True before CORRECTNESS_r14.json lands (r6_stale == R6_REMAINDER)
+    # and after (r6_stale == set()) — no mid-round flip.
+    r6_stale = {q for q, r in last_round.items() if r <= 6}
+    assert r6_stale <= R6_REMAINDER, (
+        f"unplanned round-6-stale queries: {sorted(r6_stale - R6_REMAINDER)}"
     )
-    assert R5_REMAINDER <= first50, "deferred r5 ten must be in-window"
-    # nothing anywhere has evidence older than round 5
-    assert not {q for q, r in last_round.items() if r <= 4}
+    assert R6_REMAINDER <= first50, "deferred r6 eleven must be in-window"
+    # nothing anywhere has evidence older than round 6
+    assert not {q for q, r in last_round.items() if r <= 5}
 
     # (c) canaries
     assert CANARIES <= first50, "canary set must stay inside the window"
 
-    # queries ADDED during round 13 (never checked, not in-window —
-    # i.e. the round-14 staging additions) must sit contiguously at
+    # queries ADDED during round 14 (never checked, not in-window —
+    # i.e. the round-15 staging additions) must sit contiguously at
     # the overhang head, where the oldest-first rotation makes them
-    # the first slots of round 14.
+    # the first slots of round 15.
     never_checked = set(QUERIES) - set(last_round)
     staged = never_checked - first50
     head = order[50 : 50 + len(staged)]
@@ -167,10 +164,10 @@ def test_window_rotation_discipline():
     """r8 verdict item 8 + the one-round-ahead discipline: the overhang
     AFTER the 50-slot window must rotate strictly oldest-cohort-first,
     so no cohort can be silently orphaned by a future window
-    recomposition — and the round-14 plan is pinned structurally: the
-    overhang's checked head is exactly the 11-query r6 remainder,
-    followed only by the r7 cohort for at least the ~35 slots round
-    14's window will drain (11 + 35 + 4 canaries = 50)."""
+    recomposition — and the round-15 plan is pinned structurally: the
+    overhang's checked head is exactly the 6-query r7 remainder,
+    followed only by the r8 cohort for at least the ~40 slots round
+    15's window will drain (6 + 40 + 4 canaries = 50)."""
     order = list(QUERIES)
     last_round = effective_rounds()
     tail_rounds = [last_round.get(q, 0) for q in order[50:]]
@@ -183,26 +180,26 @@ def test_window_rotation_discipline():
         ))
     )
     checked_tail = [q for q in order[50:] if last_round.get(q, 0) > 0]
-    assert checked_tail and last_round[checked_tail[0]] == 6, (
-        "overhang's first checked cohort must be the r6 remainder "
-        "(round 14's window head)"
+    assert checked_tail and last_round[checked_tail[0]] == 7, (
+        "overhang's first checked cohort must be the r7 remainder "
+        "(round 15's window head)"
     )
-    # r14 plan, part 1: the first 11 checked overhang queries are
-    # exactly the r6 remainder (never-checked round-13 staging
+    # r15 plan, part 1: the first 6 checked overhang queries are
+    # exactly the r7 remainder (never-checked round-14 staging
     # additions may precede them — they count as round 0 and also
-    # lead round 14).
-    assert set(checked_tail[:11]) == R6_REMAINDER
-    assert all(last_round[q] == 6 for q in checked_tail[:11])
-    # r14 plan, part 2: after the remainder comes ONLY the r7 cohort
-    # for at least the 35 slots the r14 window drains — so even if
-    # round 14 recomposes nothing, the natural rotation keeps the
-    # <=7-round staleness bound for the whole r7 cohort through
-    # rounds 14-15.
-    after_remainder = checked_tail[11:]
-    r7_cohort = {q for q, r in last_round.items() if r == 7}
-    assert len(r7_cohort) >= 35
+    # lead round 15).
+    assert set(checked_tail[:6]) == R7_REMAINDER
+    assert all(last_round[q] == 7 for q in checked_tail[:6])
+    # r15 plan, part 2: after the remainder comes ONLY the r8 cohort
+    # for at least the 40 slots the r15 window drains — so even if
+    # round 15 recomposes nothing, the natural rotation keeps the
+    # <=7-round staleness bound for the whole r8 cohort through
+    # rounds 15-16.
+    after_remainder = checked_tail[6:]
+    r8_cohort = {q for q, r in last_round.items() if r == 8}
+    assert len(r8_cohort) >= 40
     assert all(
-        last_round[q] == 7
-        for q in after_remainder[: min(35, len(after_remainder))]
+        last_round[q] == 8
+        for q in after_remainder[: min(40, len(after_remainder))]
     )
-    assert r7_cohort <= set(after_remainder[: len(r7_cohort)])
+    assert r8_cohort <= set(after_remainder[: len(r8_cohort)])

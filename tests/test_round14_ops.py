@@ -1,0 +1,111 @@
+"""Round-14 catalog registrations: unit pins for the two queries
+registered from the r13 staging queue (stream_bradley_terry,
+corpus_eval_contamination).  Engine-vs-oracle values are the driver's
+job (both swept green at sf0.01 on registration); these pin the
+structural contracts the values rest on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from storm_dynamic_spout_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bt_stream_iteration_count_pin():
+    """The oracle SQL builds from catalog/ranking._BT_STREAM_K without
+    importing the streaming module; this is the drift pin promised in
+    its docstring."""
+    from storm_dynamic_spout_spark.catalog.ranking import _BT_STREAM_K
+    from storm_dynamic_spout_spark.streaming.bt_stream import (
+        BT_STREAM_ITERATIONS,
+    )
+
+    assert _BT_STREAM_K == BT_STREAM_ITERATIONS == 4
+
+
+def test_stream_bradley_terry_bookkeeping(spark):
+    """Every comparison awards exactly one win and touches exactly two
+    items, so over the report: sum(n_wins) = C and sum(n_comparisons)
+    = 2C; strengths are positive and mean-normalized to ~1."""
+    rows = QUERIES["stream_bradley_terry"](spark, SF).collect()
+    assert rows
+    assert len({r["item"] for r in rows}) == len(rows)
+    total_wins = sum(r["n_wins"] for r in rows)
+    total_comp = sum(r["n_comparisons"] for r in rows)
+    assert total_comp == 2 * total_wins
+    assert all(r["strength"] > 0 for r in rows)
+    mean = sum(r["strength"] for r in rows) / len(rows)
+    # micro-rounding leaves the mean within 1e-6 per item of 1.0
+    assert abs(mean - 1.0) < 1e-5
+
+
+def test_stream_bradley_terry_differs_from_batch_fit(spark):
+    """The streaming fit is warm-started with 4 iterations per batch —
+    a DIFFERENT (path-dependent) estimate from the batch fit's 12
+    cold-start iterations over the same log (SEMANTICS row 24).  Same
+    items, same win/comparison counts, different strengths."""
+    stream = {
+        r["item"]: r
+        for r in QUERIES["stream_bradley_terry"](spark, SF).collect()
+    }
+    batch = {
+        r["item"]: r
+        for r in QUERIES["rank_bradley_terry"](spark, SF).collect()
+    }
+    assert set(stream) == set(batch)
+    for it in stream:
+        assert stream[it]["n_wins"] == batch[it]["n_wins"]
+        assert stream[it]["n_comparisons"] == batch[it]["n_comparisons"]
+    assert any(
+        stream[it]["strength"] != batch[it]["strength"] for it in stream
+    )
+
+
+def test_corpus_eval_contamination_contracts(spark):
+    """One row per eval (odd) doc; counts are consistent; the flag is
+    exactly the rounded-fraction >= 0.5 comparison; NULL fraction only
+    for zero-gram docs and never flagged."""
+    import duckdb
+
+    df = QUERIES["corpus_eval_contamination"](spark, SF)
+    rows = df.collect()
+    n_eval = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE doc_id % 2 = 1"
+    ).fetchone()[0]
+    assert len(rows) == n_eval
+    for r in rows:
+        assert r["doc_id"] % 2 == 1
+        assert 0 <= r["n_overlapping"] <= r["n_grams"]
+        if r["n_grams"] == 0:
+            assert r["overlap_frac"] is None and r["flagged"] is False
+        else:
+            assert r["overlap_frac"] is not None
+            assert r["flagged"] == (r["overlap_frac"] >= 0.5)
+
+
+def test_corpus_eval_contamination_verbatim_leak_flags(spark):
+    """A verbatim train copy flags at fraction 1.0 through the CATALOG
+    wiring (the operator's closed forms are pinned in
+    tests/test_round14_staging.py; this checks the even/odd split
+    direction isn't inverted): doc pairs (2k, 2k+1) with identical
+    text must flag the odd one."""
+    from storm_dynamic_spout_spark.operators.corpus import (
+        eval_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    is_eval = F.col("doc_id") % 2 == 1
+    rows = {
+        r["doc_id"]: r
+        for r in eval_contamination(
+            docs.filter(~is_eval), docs.filter(is_eval), ngram=3, threshold=0.5
+        ).collect()
+    }
+    assert rows[1]["overlap_frac"] == 1.0 and rows[1]["flagged"] is True
+    assert rows[3]["n_overlapping"] == 0 and rows[3]["flagged"] is False
