@@ -239,8 +239,19 @@ def whiten_ppm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     is a driver-side O(d^2) solve, not a Spark shape).  Returns
     ``(id, n_dims, white_ppm: array<long>)`` where component ``i`` is
     ``round((x_i - mu_i) / sd_i * 1e6)`` — rounded ONCE so the integers
-    match a SQL oracle bit-for-bit; dimensions with ``sd = 0`` whiten
-    to 0.
+    match a SQL oracle bit-for-bit; dimensions with
+    ``sd <= 1e-12 * |mu| + 1e-30`` are the zero-variance case and
+    whiten to 0.  The relative epsilon (not a bare ``sd == 0`` test)
+    is the r13-verdict hardening: a DENORMAL sd (Hypothesis found
+    ``sd = 5.9e-39`` on a near-zero dimension) passes ``> 0`` yet is
+    pure representation noise — dividing by it scales float dust to
+    ±1e6 ppm, and any corpus-wide affine shift collapses the dimension
+    to constant, so the whitened output would flip on noise.  Below
+    the epsilon a dimension's spread is smaller than the float64
+    rounding floor of its own mean — there is no signal to whiten.
+    Fixture sds sit ≥ 9 orders of magnitude above the epsilon
+    (pinned in tests/test_round14_ops.py), so the DuckDB oracles'
+    ``sd > 0`` guard is equivalent on every driver-compared input.
 
     100 TB shape: one posexplode + per-dimension aggregate (map-side
     partial over ``dim`` values per row, ``d`` groups total), the
@@ -257,7 +268,14 @@ def whiten_ppm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mu", "sd"))).alias("s"))
         .select(
             F.transform("s", lambda s: s.mu).alias("__mus"),
-            F.transform("s", lambda s: s.sd).alias("__sds"),
+            # zero out sub-epsilon sds here so the zip_with below keeps
+            # its single `s > 0` branch
+            F.transform(
+                "s",
+                lambda s: F.when(
+                    s.sd <= F.abs(s.mu) * 1e-12 + 1e-30, F.lit(0.0)
+                ).otherwise(s.sd),
+            ).alias("__sds"),
         )
     )
     centered = F.zip_with("__v", "__mus", lambda x, m: x - m)

@@ -109,3 +109,22 @@ def test_corpus_eval_contamination_verbatim_leak_flags(spark):
     }
     assert rows[1]["overlap_frac"] == 1.0 and rows[1]["flagged"] is True
     assert rows[3]["n_overlapping"] == 0 and rows[3]["flagged"] is False
+
+
+def test_whiten_epsilon_never_bites_on_fixtures(spark):
+    """whiten_ppm's denormal-sd floor (sd <= 1e-12*|mu| + 1e-30 -> the
+    zero-variance case) must be invisible on every driver-compared
+    input, or the DuckDB oracles' plain `sd > 0` guard would diverge:
+    pin that the embeddings fixture's per-dimension sd sits far above
+    the epsilon at its mu."""
+    from storm_dynamic_spout_spark.engine import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    cell = e.select(F.posexplode("embedding").alias("pos", "x"))
+    rows = cell.groupBy("pos").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd")
+    ).collect()
+    assert rows
+    for r in rows:
+        eps = abs(r["mu"]) * 1e-12 + 1e-30
+        assert r["sd"] > 1e6 * eps, (r["pos"], r["sd"], eps)
