@@ -205,3 +205,59 @@ def export_shuffle(
         .withColumn("shuffle_rank", F.row_number().over(win).cast("long"))
         .drop("__h")
     )
+
+
+def decontamination_report(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    ngram: int = 8,
+) -> DataFrame:
+    """Per-TRAIN-SOURCE leakage budget — the decontamination readout a
+    corpus owner acts on (staged for the round-15 catalog): where
+    :func:`eval_contamination` scores each eval document, this
+    attributes the leak back to corpus COMPOSITION, answering "which
+    ingest source do I have to scrub, and how much eval text does it
+    leak?".
+
+    One row per train source with ≥1 shared gram:
+
+    - ``n_shared_grams`` — distinct gram hashes in the source's train
+      vocabulary that also appear anywhere in the eval set;
+    - ``n_eval_docs_touched`` — eval documents sharing ≥1 gram with
+      the source;
+    - ``n_leaked_gram_slots`` — distinct (eval doc, gram) pairs covered
+      by the source: the same gram leaking into three eval docs is
+      three slots (the per-doc drop decisions it influences);
+    - ``leaked_token_budget`` — ``n_leaked_gram_slots * ngram``, the
+      standard upper bound on leaked eval tokens attributable to the
+      source (distinct grams overlap, so it is a budget, not a count).
+
+    Scale shape: both sides explode to gram hashes and DEDUPLICATE
+    before the join — train to (source, gram) (one hash aggregate; far
+    smaller than the gram instances), eval to (doc, gram).  The join
+    is a gram-hash equi-join (eval-gram-sized probe side), then one
+    per-source aggregate.  No train×eval doc product; attribution adds
+    one |sources| fan-out ONLY on grams that actually leak."""
+    train_vocab = train.select(
+        F.col(source_col).alias("source"),
+        F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"),
+    ).dropDuplicates(["source", "__g"])
+    eval_grams = eval_set.select(
+        F.col(id_col).alias("__eid"),
+        F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"),
+    )
+    return (
+        eval_grams.join(train_vocab, "__g")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("__g").cast("long").alias("n_shared_grams"),
+            F.count_distinct("__eid").cast("long").alias("n_eval_docs_touched"),
+            F.count(F.lit(1)).cast("long").alias("n_leaked_gram_slots"),
+            (F.count(F.lit(1)) * F.lit(ngram))
+            .cast("long")
+            .alias("leaked_token_budget"),
+        )
+    )

@@ -9,7 +9,7 @@ DuckDB oracle can replicate it exactly (constants shared from here).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: BPE-ish token pattern: word pieces or single non-space symbols.
@@ -275,3 +275,102 @@ def apply_bpe_merges(syms: Column, merges: "list[tuple[str, str]]") -> Column:
     for a, b in merges:
         out = apply_bpe_merge(out, a, b)
     return out
+
+
+def _bpe_encode_one(word: str, merge_index: "dict[tuple[str, str], int]") -> "list[str]":
+    """Encode ONE word under the trainer's pass semantics — each merge
+    gets exactly one greedy left-to-right non-overlapping pass, in
+    training order — in time independent of the merge-table size.
+
+    A rank-heap schedules only the merges whose pair is actually
+    adjacent in this word: pop the smallest un-run rank, run its pass,
+    rescan for newly-adjacent pairs and push their ranks IF GREATER
+    than the current one (a pass whose turn already went never re-runs
+    — the semantic difference from the iterative lowest-rank-anywhere
+    encode, pinned by the 'xab' fixture in tests/test_round14_ops.py).
+    Work is O(len(word)^2 log len) worst case and zero merges-table
+    scans, vs O(|merges| * len) for the pass-by-pass fold — the
+    vocab-scale path (50k-merge tables) the expression-tree form
+    explicitly scopes itself away from."""
+    import heapq
+
+    syms = list(word)
+    if len(syms) < 2:
+        return syms
+    heap: list[int] = []
+    pushed: set[int] = set()
+
+    def push_adjacent(min_exclusive: int) -> None:
+        for i in range(len(syms) - 1):
+            r = merge_index.get((syms[i], syms[i + 1]))
+            if r is not None and r > min_exclusive and r not in pushed:
+                pushed.add(r)
+                heapq.heappush(heap, r)
+
+    push_adjacent(-1)
+    merges_by_rank = {r: ab for ab, r in merge_index.items()}
+    while heap:
+        r = heapq.heappop(heap)
+        a, b = merges_by_rank[r]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        push_adjacent(r)
+    return syms
+
+
+def bpe_encode_words(
+    df: DataFrame,
+    word_col: str,
+    merges: "list[tuple[str, str]]",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Vocab-scale tokenizer APPLICATION: encode every word under an
+    ordered learned-merge table via Arrow-batched ``mapInPandas`` — the
+    documented scale path `apply_bpe_merges` defers to (its expression
+    tree grows linearly in |merges|, unusable for a 50k-merge vocab).
+    Appends ``out_col: array<string>`` to the input schema.  Semantics
+    are EXACTLY the trainer's fold — one greedy left-to-right pass per
+    merge in training order — pinned against `apply_bpe_merges` on
+    overlapping-run and rank-revisit words in tests/test_round14_ops.py.
+
+    Why at 100 TB: map-only (narrow — partitioning is preserved, no
+    shuffle), the merge table rides the closure ONCE per executor as a
+    plain dict (model-sized; for multi-GB vocabs ship it via
+    SparkFiles instead), and each Arrow batch amortizes the Python
+    crossing — the same pattern as the multimodal codec decodes, the
+    only other Python stages in the engine."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    merge_index = {
+        (str(a), str(b)): r for r, (a, b) in enumerate(merges)
+    }
+    # build a FRESH StructType: StructType.add mutates in place, and
+    # df.schema is the live analyzed schema — appending to it makes the
+    # DataFrame claim a column its plan doesn't have
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            pdf[out_col] = [
+                _bpe_encode_one("" if w is None else str(w), merge_index)
+                for w in pdf[word_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(encode, schema)

@@ -306,7 +306,7 @@ class StreamingBm25Index:
             )
             .first()
         )
-        stats = spark.range(1).select(
+        stats = spark.range(1, numPartitions=1).select(
             F.lit(int(row["__batch_key"])).cast("long").alias("__batch_key"),
             F.lit(int(row["__n_docs"])).cast("long").alias("__n_docs"),
             F.lit(int(row["__sum_dl"])).cast("long").alias("__sum_dl"),
@@ -519,7 +519,7 @@ class StreamingBm25Index:
             .first()
         )
         key = F.lit(int(row["__batch_key"])).cast("long")
-        stats = spark.range(1).select(
+        stats = spark.range(1, numPartitions=1).select(
             key.alias("__batch_key"),
             F.lit(int(row["__n_docs"])).cast("long").alias("__n_docs"),
             F.lit(int(row["__sum_dl"])).cast("long").alias("__sum_dl"),

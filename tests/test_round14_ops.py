@@ -128,3 +128,92 @@ def test_whiten_epsilon_never_bites_on_fixtures(spark):
     for r in rows:
         eps = abs(r["mu"]) * 1e-12 + 1e-30
         assert r["sd"] > 1e6 * eps, (r["pos"], r["sd"], eps)
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode_words — the vocab-scale tokenizer-application path (r13
+# verdict item 5), staged for an r15 catalog query
+# ---------------------------------------------------------------------------
+
+#: Words chosen to separate the THREE candidate semantics: overlapping
+#: runs ("aaa" under (a,a): left-to-right non-overlapping gives
+#: [aa, a]), and the rank-revisit word "xab" under [(x,ab), (a,b)]:
+#: pass semantics yields [x, ab] (merge 0's turn passed before "ab"
+#: existed) where the iterative lowest-rank-anywhere encode would give
+#: [xab] — bpe_encode_words must match the trainer's fold, not the
+#: iterative encode.
+_BPE_PIN_WORDS = [
+    "aaa", "aaaa", "aaaaa", "xab", "xxabab", "banana", "abcabc",
+    "", "a", "ab", "mississippi", "aabbaabb",
+]
+
+
+def _fold_tokens(spark, words, merges):
+    from storm_dynamic_spout_spark.operators.text import apply_bpe_merges, chars
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    return {
+        r["word"]: list(r["t"])
+        for r in df.select(
+            "word", apply_bpe_merges(chars(F.col("word")), merges).alias("t")
+        ).collect()
+    }
+
+
+def _vocab_tokens(spark, words, merges):
+    from storm_dynamic_spout_spark.operators.text import bpe_encode_words
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    return {
+        r["word"]: list(r["bpe_tokens"])
+        for r in bpe_encode_words(df, "word", merges).collect()
+    }
+
+
+def test_bpe_encode_words_matches_fold_on_adversarial_words(spark):
+    merge_tables = [
+        [("a", "a")],
+        [("x", "ab"), ("a", "b")],
+        [("a", "b"), ("ab", "a"), ("b", "a")],
+        [("a", "n"), ("an", "an"), ("b", "an")],
+        [("s", "s"), ("i", "ss"), ("p", "p")],
+    ]
+    for merges in merge_tables:
+        want = _fold_tokens(spark, _BPE_PIN_WORDS, merges)
+        got = _vocab_tokens(spark, _BPE_PIN_WORDS, merges)
+        assert got == want, (merges, got, want)
+
+
+def test_bpe_encode_words_pass_semantics_not_iterative(spark):
+    """The explicit rank-revisit separation: under [(x,ab), (a,b)] the
+    word 'xab' must encode to [x, ab] — merge 0's single pass ran
+    before 'ab' existed and never re-runs."""
+    got = _vocab_tokens(spark, ["xab"], [("x", "ab"), ("a", "b")])
+    assert got["xab"] == ["x", "ab"]
+
+
+def test_bpe_encode_words_cost_independent_of_merge_table_size(spark):
+    """The vocab-scale contract: a 50k-entry merge table (of which only
+    a handful can ever apply to these words) encodes identically —
+    and the heap path never scans the table."""
+    big = [("a", "b"), ("c", "d")] + [
+        (f"zz{i}", f"qq{i}") for i in range(50_000)
+    ]
+    words = ["abcd", "aabbccdd", "xab"]
+    want = _fold_tokens(spark, words, big[:2])  # only the real merges
+    got = _vocab_tokens(spark, words, big)
+    assert got == want
+
+
+def test_bpe_encode_words_plan_is_arrow_not_row_python(spark):
+    from storm_dynamic_spout_spark.operators.text import bpe_encode_words
+
+    df = spark.createDataFrame([("abc",)], "word string")
+    plan = (
+        bpe_encode_words(df, "word", [("a", "b")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python leaked in"
