@@ -61,6 +61,10 @@ HEADLINE = [
     "graph_clustering_coefficient",  # r11: degree-oriented wedge close per node
     "rank_cohen_kappa",  # r13: row-local classifier + id-keyed rater join
     "text_bpe_apply",  # r13: 3-merge train->apply fold on the distinct-word table
+    "corpus_eval_contamination",  # r14: dedup'd gram-vocab membership join
+    # (stream_bradley_terry joins stream_bm25_index in the scale-smoke
+    # profile instead of the headline: stateful two-batch pipelines
+    # measure state mechanics, not a query plan)
 ]
 
 #: The ONLY cross-round comparable series: the exact 17 queries the

@@ -1436,6 +1436,49 @@ def eval_overlap(t):
     return eval_contamination(train, ev, ngram=3, threshold=0.5)
 
 
+def bpe_vocab_encode(t):
+    """bpe_encode_words shape (round 14): vocab-scale tokenizer
+    application — Arrow-batched mapInPandas encode of the corpus's
+    distinct words under a ~50k-entry merge table, of which only the
+    676 char-pair merges can ever apply (the rank-heap schedules by
+    adjacency and never scans the table — table size must NOT show up
+    in the ratio).  Nx salted copies grow the distinct-word table ~Nx;
+    per-word cost is word-length bounded, so wall tracks word count."""
+    import string
+
+    from storm_dynamic_spout_spark.operators.text import bpe_encode_words
+
+    words = (
+        t("documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    letters = string.ascii_lowercase
+    merges = [(a, b) for a in letters for b in letters]
+    merges += [(f"zz{i}", f"qq{i}") for i in range(50_000)]
+    return bpe_encode_words(words, "word", merges).select(
+        "word", F.size("bpe_tokens").alias("n_tok"), "n"
+    )
+
+
+def decontam_report(t):
+    """decontamination_report shape (round-15 staging): per-train-source
+    leakage budget — dedup'd (source, gram) vocabulary joined to the
+    eval gram set on the hash.  Same 1-in-10 systematic sample and
+    salting story as eval_overlap: copies contribute disjoint gram
+    blocks, sources survive the salt, so the per-source aggregate grows
+    as Nx independent work."""
+    from storm_dynamic_spout_spark.operators.corpus import (
+        decontamination_report,
+    )
+
+    d = t("documents")
+    train = d.filter(F.col("doc_id") % 20 == 0)
+    ev = d.filter(F.col("doc_id") % 20 == 11)
+    return decontamination_report(train, ev, ngram=3)
+
+
 QUERIES = [
     ("q1_agg", q1),
     ("star_join", star_join),
@@ -1492,6 +1535,8 @@ QUERIES = [
     ("kappa_agreement", kappa_agreement),
     ("bpe_apply_tokens", bpe_apply_tokens),
     ("eval_overlap", eval_overlap),
+    ("bpe_vocab_encode", bpe_vocab_encode),
+    ("decontam_report", decontam_report),
 ]
 
 

@@ -85,6 +85,14 @@ def mm_strength_iterations(
     (streaming/bt_stream.py, which seeds each batch from the previous
     strengths so a few iterations per batch track the growing log).
     Returns (item, __p_micro)."""
+    # The pair table is referenced in EVERY iteration's denominator
+    # join (plus the win totals): without truncating its lineage each
+    # reference re-derives it from the comparison log — for the
+    # catalog queries that is K+2 corpus window scans (the r12
+    # self-join-recompute class; PLAN_INVENTORY showed 0 reused
+    # exchanges).  Deterministic integer aggregate, so the lazy
+    # checkpoint is safe (operators/dedup.py DETERMINISM note).
+    pairs = pairs.localCheckpoint(eager=False)
     wins = item_win_totals(pairs)
     n_ij = F.col("wins_a") + F.col("wins_b")
     # strengths live as integer micro-units: exact to compare, exact to
@@ -209,6 +217,11 @@ def bradley_terry_strengths(
     deterministic micro-rounded report column.
 
     Returns (item, strength, n_wins, n_comparisons)."""
+    # one lineage truncation shared by the init, every MM iteration
+    # (mm_strength_iterations re-marks it — a no-op-sized copy of the
+    # vocab-sized table), and the final report join, so the comparison
+    # log is aggregated exactly once per fit
+    pairs = pairs.localCheckpoint(eager=False)
     init = item_win_totals(pairs).select(
         "item", F.lit(_MICRO).cast("long").alias("__p_micro")
     )

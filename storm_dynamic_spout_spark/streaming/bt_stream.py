@@ -155,8 +155,12 @@ class StreamingBradleyTerry:
         pairs = self.cumulative_pairs(spark)
         if cur is None or pairs is None:
             return None
+        # the report references the pair table several times (win and
+        # comparison totals + the normalization join): truncate its
+        # lineage once so the delta files are read and summed once
         return normalized_strength_report(
-            pairs, cur.select("item", "__p_micro")
+            pairs.localCheckpoint(eager=False),
+            cur.select("item", "__p_micro"),
         )
 
     # -- the per-batch step ----------------------------------------------------
@@ -180,7 +184,11 @@ class StreamingBradleyTerry:
             batch_df, self.winner_col, self.loser_col
         ).withColumn("__batch_id", F.lit(int(batch_id)).cast("long"))
         delta.write.mode("append").parquet(self.pairs_dir)
-        cum = self.cumulative_pairs(spark)
+        # lineage-truncate once: the cumulative table feeds the item
+        # list (2 refs), every MM iteration, and the publish — all
+        # pair-vocabulary-sized, but each ref would re-read and re-sum
+        # the delta files otherwise
+        cum = self.cumulative_pairs(spark).localCheckpoint(eager=False)
         init = (
             cum.select(F.col("item_a").alias("item"))
             .unionByName(cum.select(F.col("item_b").alias("item")))
