@@ -220,7 +220,9 @@ def bradley_terry_strengths(
     # one lineage truncation shared by the init, every MM iteration
     # (mm_strength_iterations re-marks it — a no-op-sized copy of the
     # vocab-sized table), and the final report join, so the comparison
-    # log is aggregated exactly once per fit
+    # log is aggregated exactly once per fit; deterministic integer
+    # aggregate, so the lazy checkpoint is safe (operators/dedup.py
+    # DETERMINISM note)
     pairs = pairs.localCheckpoint(eager=False)
     init = item_win_totals(pairs).select(
         "item", F.lit(_MICRO).cast("long").alias("__p_micro")

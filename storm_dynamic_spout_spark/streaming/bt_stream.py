@@ -157,7 +157,8 @@ class StreamingBradleyTerry:
             return None
         # the report references the pair table several times (win and
         # comparison totals + the normalization join): truncate its
-        # lineage once so the delta files are read and summed once
+        # lineage once so the delta files are read and summed once —
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
         return normalized_strength_report(
             pairs.localCheckpoint(eager=False),
             cur.select("item", "__p_micro"),
@@ -187,7 +188,8 @@ class StreamingBradleyTerry:
         # lineage-truncate once: the cumulative table feeds the item
         # list (2 refs), every MM iteration, and the publish — all
         # pair-vocabulary-sized, but each ref would re-read and re-sum
-        # the delta files otherwise
+        # the delta files otherwise.  Deterministic (file read + exact
+        # integer sums — operators/dedup.py DETERMINISM note)
         cum = self.cumulative_pairs(spark).localCheckpoint(eager=False)
         init = (
             cum.select(F.col("item_a").alias("item"))
