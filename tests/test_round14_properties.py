@@ -164,3 +164,82 @@ def test_bm25_sidecar_invariant_under_any_writer_schedule(
             _assert_sidecars_match_postings(spark, idx)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# StreamingBradleyTerry: randomized schedule x crash-mode composition
+# ---------------------------------------------------------------------------
+
+_BT_ITEM = st.integers(min_value=1, max_value=4)
+_BT_PAIR = st.tuples(_BT_ITEM, _BT_ITEM).filter(lambda t: t[0] != t[1])
+_BT_MODE = st.sampled_from(
+    ["clean", "dup_append", "marker_rollback", "replay"]
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(_BT_PAIR, min_size=1, max_size=6), min_size=1, max_size=3
+    ),
+    modes=st.lists(_BT_MODE, min_size=3, max_size=3),
+    threshold=st.integers(min_value=1, max_value=2),
+)
+def test_bt_stream_state_is_pure_function_of_committed_schedule(
+    spark, batches, modes, threshold
+):
+    """The determinism contract under ANY interleaving of the crash
+    modes: per batch, the delivery may be clean, preceded by a stray
+    duplicate delta append (crash between append and publish), replayed
+    after a marker rollback (crash between publish and marker), or
+    redelivered whole — and with the delta auto-collapse firing at a
+    tiny threshold throughout, the final raw strengths must equal the
+    plain-Python warm-started replay of the committed batch schedule
+    bit for bit."""
+    import json
+    import tempfile as _tf
+
+    from storm_dynamic_spout_spark.operators.ranking import (
+        pairwise_win_counts,
+    )
+    from storm_dynamic_spout_spark.streaming.bt_stream import (
+        BT_STREAM_ITERATIONS,
+        StreamingBradleyTerry,
+    )
+    from tests.test_round14_staging import _py_stream
+
+    idx = StreamingBradleyTerry(
+        _tf.mkdtemp(prefix="bt-prop-"), pairs_compact_files=threshold
+    )
+    for k, rows in enumerate(batches):
+        mode = modes[k % len(modes)]
+        df = spark.createDataFrame(rows, "winner long, loser long")
+        if mode == "dup_append":
+            # crash between the delta append and the publish: the
+            # stray delta is an EXACT duplicate the cumulative read
+            # must drop
+            pairwise_win_counts(df, "winner", "loser").withColumn(
+                "__batch_id", F.lit(int(k)).cast("long")
+            ).write.mode("append").parquet(idx.pairs_dir)
+            assert idx.process_batch(df, k) is True
+        elif mode == "marker_rollback":
+            # crash between the publish and the marker: the replay
+            # must short-circuit to the marker, never warm-starting
+            # the fit off its own output
+            assert idx.process_batch(df, k) is True
+            with open(idx.meta_path, "w") as fh:
+                json.dump({"last_batch_id": k - 1}, fh)
+            assert idx.process_batch(df, k) is True
+        elif mode == "replay":
+            assert idx.process_batch(df, k) is True
+            assert idx.process_batch(df, k) is False
+        else:
+            assert idx.process_batch(df, k) is True
+    got = {r["item"]: r["__p_micro"] for r in idx.strengths(spark).collect()}
+    assert got == _py_stream(
+        [list(b) for b in batches], BT_STREAM_ITERATIONS
+    )
