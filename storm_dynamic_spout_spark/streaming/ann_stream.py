@@ -20,12 +20,17 @@ Engine mapping:
   against N indexed vectors is an equi-join on the bucket id touching
   |bucket| candidates per query, never a scan of N.
 - **Per micro-batch**: vectors whose id is already indexed are dropped
-  first (anti-join on id), making at-least-once re-delivery a no-op
-  for both the match log and the index.  Surviving NEW vectors
-  bucket-join against the PRE-BATCH index, score exact cosine, keep
-  top-k per query (rank by rounded cosine desc, then neighbor id —
-  integer-stable across engines), append matches to the log and the
-  vectors to the index.
+  first (anti-join on id), so a FULLY COMMITTED batch re-delivers as a
+  complete no-op; a crash MID-batch (match log appended, index append
+  lost) re-delivers under the same deterministic batch key, and the
+  match append is key-guarded — the log is partitioned by
+  ``__batch_key``, so the landed-check is a directory-name lookup and
+  re-delivery completes exactly the missing index append without
+  duplicating match rows (the bm25_stream guard pattern).  Surviving
+  NEW vectors bucket-join against the PRE-BATCH index, score exact
+  cosine, keep top-k per query (rank by rounded cosine desc, then
+  neighbor id — integer-stable across engines), append matches to the
+  log and the vectors to the index.
 - **Growth**: the index grows by exactly the unique vectors ingested;
   per-batch cost is |batch| × |bucket|, independent of history length
   beyond bucket occupancy — at scale, widen the SRP bucket count
@@ -104,7 +109,13 @@ class StreamingAnnIndex:
     # -- state ---------------------------------------------------------------
 
     def _has_files(self, d: str) -> bool:
-        return any(f.endswith(".parquet") for f in os.listdir(d))
+        # the match log is partitioned by __batch_key (subdirs), the
+        # index dir is flat — walk covers both
+        return any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(d)
+            for f in files
+        )
 
     def index_df(self, spark: SparkSession) -> DataFrame | None:
         if not self._has_files(self.index_dir):
@@ -154,8 +165,11 @@ class StreamingAnnIndex:
 
         The match log materializes BEFORE the index append so its
         lineage reads the pre-append index files; already-indexed ids
-        are dropped first, so re-delivered batches are a complete no-op
-        (idempotent under at-least-once)."""
+        are dropped first, so a FULLY COMMITTED batch re-delivers as a
+        complete no-op, and the match append is guarded by a
+        deterministic batch key (partition-dir lookup) so a crash
+        between the two appends re-delivers without duplicating match
+        rows — the index append runs LAST as the commit point."""
         spark = batch_df.sparkSession
         new = self._prepared(batch_df)
         seen = self.index_df(spark)
@@ -164,6 +178,24 @@ class StreamingAnnIndex:
                 seen.select(F.col("__id")), "__id", "left_anti"
             )
         new = new.localCheckpoint(eager=True)
+        if not new.take(1):
+            return  # fully-committed re-delivery (or an empty batch)
+        # deterministic batch identity over the DISTINCT new ids (one
+        # row per id here, distinct by construction — the bm25_stream
+        # convention): a crash between the match append and the index
+        # append re-delivers under the same key, and the partition-dir
+        # guard below skips the already-landed match append instead of
+        # duplicating it
+        key = (
+            new.select("__id")
+            .distinct()
+            .agg(F.expr("bit_xor(xxhash64(__id))"))
+            .first()[0]
+        )
+        if seen is not None and os.path.isdir(
+            os.path.join(self.match_dir, f"__batch_key={key}")
+        ):
+            seen = None  # match rows for this batch already landed
         if seen is not None:
             q = new.select(
                 F.col("__id").alias("query_id"),
@@ -187,5 +219,10 @@ class StreamingAnnIndex:
                     "rank",
                 )
             )
-            matches.write.mode("append").parquet(self.match_dir)
+            (
+                matches.withColumn("__batch_key", F.lit(int(key)).cast("long"))
+                .write.partitionBy("__batch_key")
+                .mode("append")
+                .parquet(self.match_dir)
+            )
         new.write.mode("append").parquet(self.index_dir)
