@@ -1169,7 +1169,9 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id long, matched_id long, agreement double"
         )
-    return dups.orderBy("doc_id")
+    # explicit projection: the dup log is partitioned by the internal
+    # __batch_key guard column (round 14)
+    return dups.select("doc_id", "matched_id", "agreement").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -81,7 +81,13 @@ class StreamingDedupIndex:
     # -- state ---------------------------------------------------------------
 
     def _has_files(self, d: str) -> bool:
-        return any(f.endswith(".parquet") for f in os.listdir(d))
+        # the dup log is partitioned by __batch_key (subdirs), the
+        # index dir is flat — walk covers both
+        return any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(d)
+            for f in files
+        )
 
     def index_df(self, spark: SparkSession) -> DataFrame | None:
         if not self._has_files(self.index_dir):
@@ -164,9 +170,29 @@ class StreamingDedupIndex:
         Ordering matters for the lazy plans: sink and dup-log
         materialize BEFORE the index append so their lineage reads the
         pre-append index files.
-        """
+
+        Idempotency under at-least-once (round 14, the bm25/ann guard
+        pattern): the dup-log append is guarded by a deterministic
+        batch key (partition-dirname lookup) and the signature append
+        anti-joins already-indexed ids, so BOTH state appends are
+        exactly-once under whole-batch re-delivery and every
+        crash-between-appends window.  ``sink(unique_docs)`` is the one
+        at-least-once edge: a replay re-invokes it with the identical
+        unique set — downstream sinks idempote on doc id (the standard
+        foreachBatch contract)."""
         spark = batch_df.sparkSession
         sig = minhash_signature(batch_df, self.id_col, self.text_col)
+        # deterministic batch identity over the batch's distinct ids —
+        # dedup cannot anti-join the whole batch away (dup docs never
+        # enter the index), so the key is over the FULL batch
+        key = (
+            batch_df.select(self.id_col)
+            .distinct()
+            .agg(F.expr(f"bit_xor(xxhash64({self.id_col}))"))
+            .first()[0]
+        )
+        if key is None:
+            return  # empty batch
         seen = self.index_df(spark)
         # within-batch earlier docs count as "seen" too
         all_seen = sig if seen is None else seen.unionByName(sig)
@@ -188,12 +214,25 @@ class StreamingDedupIndex:
         dup_ids = best.select(F.col("__new_id").alias(self.id_col))
         unique = batch_df.join(dup_ids, self.id_col, "left_anti")
         sink(unique)
-        dup_log = batch_df.join(
-            best, batch_df[self.id_col] == best["__new_id"]
-        ).select(self.id_col, "matched_id", "agreement")
-        dup_log.write.mode("append").parquet(self.dup_dir)
+        if not os.path.isdir(
+            os.path.join(self.dup_dir, f"__batch_key={key}")
+        ):
+            dup_log = batch_df.join(
+                best, batch_df[self.id_col] == best["__new_id"]
+            ).select(self.id_col, "matched_id", "agreement")
+            (
+                dup_log.withColumn("__batch_key", F.lit(int(key)).cast("long"))
+                .write.partitionBy("__batch_key")
+                .mode("append")
+                .parquet(self.dup_dir)
+            )
         # UNIQUE docs' signatures enter the index (duplicates must not:
         # a dup matching a dup would chain clusters through the log);
-        # idempotent under re-delivery because signatures are keyed
+        # the anti-join on already-indexed ids makes this append — the
+        # commit point — exactly-once under re-delivery
         unique_sig = sig.join(dup_ids, self.id_col, "left_anti")
+        if seen is not None:
+            unique_sig = unique_sig.join(
+                seen.select(self.id_col), self.id_col, "left_anti"
+            )
         unique_sig.write.mode("append").parquet(self.index_dir)
