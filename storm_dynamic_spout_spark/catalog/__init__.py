@@ -42,55 +42,55 @@ from storm_dynamic_spout_spark.catalog.registry import ORACLES, QUERIES
 #:   slots 47-50 — the historical red->green canary set (kept in every
 #:                 window per the r5 verdict's canary discipline).
 _PRIORITY = [
-    # --- slots 1-2: round-14 registrations, never driver-checked ---
-    "stream_bradley_terry",
-    "corpus_eval_contamination",
-    # --- slots 3-13: the round-6 remainder (staleness bound) ---
-    "dedup_minhash_signature",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_topk_bruteforce",
-    "embedding_near_pairs",
-    "dedup_simhash_pairs",
-    "text_term_freq",
-    "corpus_url_dedup",
-    "multimodal_audio_stats",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    # --- slots 14-46: the first 33 of the round-7 cohort ---
-    "agg_count_distinct",
-    "agg_distinct",
-    "table_k_anonymity",
-    "agg_unpivot",
-    "agg_weighted_median",
-    "orders_market_basket",
-    "events_decayed_counts",
-    "events_winsorize",
-    "events_cumulative_users",
-    "events_mad_outliers",
-    "join_inner",
-    "sql_exists_subquery",
-    "sql_recursive_hierarchy",
-    "join_fuzzy_string",
-    "join_interval_overlap",
-    "join_bloom_prune",
-    "join_spatial_grid",
-    "orders_cohort_ltv",
-    "events_changepoint",
-    "parts_abc_pareto",
-    "filter_key",
-    "filter_negated",
-    "filter_chain",
-    "filter_offset_bound",
-    "deserialize_project",
-    "project_expressions",
-    "dedup_setsim_prefix",
-    "corpus_soft_dedup_weights",
-    "text_boilerplate_ngrams",
-    "text_vocab_coverage",
-    "text_bm25_rank",
-    "text_span_dedup",
-    "corpus_dsir_importance",
+    # --- slots 1-3: round-15 registrations, never driver-checked ---
+    "corpus_decontamination_report",
+    "stream_state_report",
+    "text_bpe_encode_vocab",
+    # --- slots 4-9: the round-7 remainder (staleness bound) ---
+    "multimodal_image_resize",
+    "multimodal_audio_resample",
+    "table_bucketed_join",
+    "table_fk_integrity",
+    "table_partition_prune",
+    "table_zorder_roundtrip",
+    # --- slots 10-46: the first 37 of the round-8 cohort ---
+    "agg_bitmap_distinct",
+    "agg_countmin_freq",
+    "agg_kmv_intersect",
+    "agg_moments_sketch",
+    "graph_pagerank",
+    "join_asof_forward",
+    "graph_triangle_count",
+    "events_rolling_7d",
+    "graph_common_neighbors",
+    "graph_kcore",
+    "stream_heavy_hitters",
+    "graph_degree_assortativity",
+    "events_daily_trend",
+    "stream_countmin",
+    "events_survival_km",
+    "stream_moments",
+    "graph_lpa_communities",
+    "dedup_minhash_pairs",
+    "embedding_normalize",
+    "dedup_cluster_assignment",
+    "dedup_containment",
+    "corpus_dedup_funnel",
+    "dedup_method_agreement",
+    "corpus_training_manifest",
+    "embedding_pq_codes",
+    "ann_topk_pq",
+    "ann_topk_pq_rerank",
+    "text_heavy_hitters",
+    "corpus_source_kl",
+    "text_keyword_rake",
+    "ann_topk_mips",
+    "text_collocations_pmi",
+    "text_zipf_fit",
+    "text_token_count_bpe",
+    "ann_topk_ivfpq",
+    "text_ngram_entropy",
+    "multimodal_image_stats",
     # --- slots 47-50: canaries ---
     "embedding_quantize",
     "agg_stats",

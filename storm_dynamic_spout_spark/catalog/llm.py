@@ -963,11 +963,18 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVAL_CONTAM_NGRAM = 3  # the fixtures' 31-token vocab makes 8-gram
 #   overlap vanishingly rare; 3-grams exercise the full fraction range
 
+#: Per-doc distinct hashed 3-grams.  ``list_distinct`` runs on the RAW
+#: gram STRINGS and md5 AFTER it — textually mirroring the operator
+#: (operators/corpus.py token_ngram_hashes hashes after the per-doc
+#: distinct), so engine and oracle agree on ALL inputs including a
+#: hypothetical 60-bit collision between two distinct grams of one doc
+#: (r14 advice: distinct-after-hash would count such a pair once while
+#: the operator counts it twice).
 _SQL_GRAMS_3 = (
-    f"list_distinct(list_transform("
+    f"list_transform(list_distinct("
     f"list_transform(range(1, greatest(len({_TOKS}) - {EVAL_CONTAM_NGRAM - 1}, 0) + 1), "
-    f"i -> array_to_string({_TOKS}[i:i+{EVAL_CONTAM_NGRAM - 1}], ' ')), "
-    f"g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)))"
+    f"i -> array_to_string({_TOKS}[i:i+{EVAL_CONTAM_NGRAM - 1}], ' '))), "
+    f"g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))"
 )
 
 
@@ -1032,6 +1039,55 @@ def corpus_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.5,
         ).orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_decontamination_report",
+    oracle=f"""
+    WITH train_vocab AS (
+        SELECT DISTINCT source, g FROM (
+            SELECT source, UNNEST({_SQL_GRAMS_3}) AS g
+            FROM documents WHERE doc_id % 2 = 0
+        ) t
+    ),
+    eval_grams AS (
+        SELECT doc_id, UNNEST({_SQL_GRAMS_3}) AS g
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT tv.source,
+           CAST(count(DISTINCT tv.g) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT eg.doc_id) AS BIGINT) AS n_eval_docs_touched,
+           CAST(count(*) AS BIGINT) AS n_leaked_gram_slots,
+           CAST(count(*) * {EVAL_CONTAM_NGRAM} AS BIGINT) AS leaked_token_budget
+    FROM eval_grams eg JOIN train_vocab tv USING (g)
+    GROUP BY tv.source
+    ORDER BY tv.source
+    """,
+)
+def corpus_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TRAIN-SOURCE leakage budget (operators/corpus.py
+    decontamination_report — the round-15 registration of the r14-staged
+    operator, oracle validated end-to-end in
+    tools/proto_decontam_oracle.py): where `corpus_eval_contamination`
+    scores each EVAL document, this attributes the leak back to corpus
+    COMPOSITION — per ingest source, the distinct shared grams, eval
+    docs touched, (eval doc, gram) leak slots, and the standard
+    ``slots × ngram`` leaked-token upper bound.  The readout a corpus
+    owner acts on: "which source do I scrub, and how much eval text
+    does it leak?".
+
+    Scale shape: both sides dedup BEFORE the join — train to (source,
+    gram) vocabulary rows, eval to per-doc distinct gram hashes — then
+    one gram-hash equi-join and one per-source aggregate.  No
+    train×eval doc product; the |sources| fan-out exists only on grams
+    that actually leak."""
+    from storm_dynamic_spout_spark.operators import corpus as C
+
+    d = t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 2 == 1
+    return C.decontamination_report(
+        d.filter(~is_eval), d.filter(is_eval), ngram=EVAL_CONTAM_NGRAM
+    ).orderBy("source")
 
 
 @query(
@@ -1957,6 +2013,69 @@ def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id long, doc_id long, n_terms long, score double, rank long"
         )
     return m.select("query_id", "doc_id", "n_terms", "score", "rank")
+
+
+@query(
+    "stream_state_report",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS tok
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT 'df' AS state_table, CAST(1 AS BIGINT) AS n_files,
+               CAST((SELECT count(DISTINCT tok) FROM toks) AS BIGINT) AS n_rows,
+               FALSE AS needs_compaction
+        UNION ALL
+        SELECT 'postings', 1,
+               CAST((SELECT count(*) FROM (SELECT DISTINCT doc_id, tok FROM toks) t)
+                    AS BIGINT), FALSE
+        UNION ALL
+        SELECT 'stats', 1, 1, FALSE
+    ) ORDER BY state_table
+    """,
+)
+def stream_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance readout over streaming-index state
+    (streaming/state_report.py state_table_report — the round-15
+    registration of the r14-staged operator, oracle validated
+    end-to-end in tools/proto_state_report_oracle.py): drive the BM25
+    index through the standard two-micro-batch schedule (evens then
+    odds), compact every state table to one file, and report per table
+    ``(state_table, n_files, n_rows, needs_compaction)`` — the policy
+    signal an operator watches to schedule the maintenance window.
+
+    Post-compaction every column is corpus-derived or a literal, so the
+    oracle is plain SQL: postings rows = distinct (doc, token) pairs,
+    df rows = the vocabulary size, stats collapses to its sentinel row,
+    and one file per table sits under any threshold.  The
+    config-dependent PRE-compaction file counts stay out of the
+    compared output (they are exercised by the lifecycle unit test and
+    the randomized-schedule property instead).
+
+    Scale shape: the report itself is metadata-sized — file listings
+    walk the driver's filesystem view (the same guard walk the writers
+    use) and row counts are parquet-footer COUNT(*) scans; nothing
+    rereads the corpus."""
+    import tempfile
+
+    from storm_dynamic_spout_spark.streaming.bm25_stream import StreamingBm25Index
+    from storm_dynamic_spout_spark.streaming.state_report import state_table_report
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = StreamingBm25Index(tempfile.mkdtemp(prefix="sdss-srep-"))
+    idx.process_batch(d.filter(F.col("doc_id") % 2 == 0))
+    idx.process_batch(d.filter(F.col("doc_id") % 2 == 1))
+    idx.compact_index(spark, target_files=1)
+    return (
+        state_table_report(
+            spark,
+            {"postings": idx.postings_dir, "stats": idx.stats_dir, "df": idx.df_dir},
+            compact_threshold=1,
+        )
+        .withColumnRenamed("table", "state_table")
+        .orderBy("state_table")
+    )
 
 
 @query(
@@ -5759,6 +5878,67 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, _tops = _bpe_train(spark, sf_dir, _BPE_MERGE_ITERS)
     tok = (
         w.select("n", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("n").cast("bigint").alias("n_occurrences"))
+    )
+    return (
+        tok.orderBy(F.desc("n_occurrences"), "token")
+        .limit(_BPE_APPLY_TOP)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.desc("n_occurrences"), "token"))
+            .cast("bigint")
+            .alias("rank"),
+            "token",
+            "n_occurrences",
+        )
+    )
+
+
+@query("text_bpe_encode_vocab", oracle=_bpe_apply_oracle())
+def text_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VOCAB-SCALE BPE encode path (operators/text.py
+    bpe_encode_words — the round-15 registration of the r14-staged
+    Arrow encoder, oracle validated end-to-end in
+    tools/proto_bpe_vocab_oracle.py): identical output contract to
+    ``text_bpe_apply`` (top-{_BPE_APPLY_TOP} applied-vocabulary tokens
+    by corpus frequency — same oracle by design), but the merge table
+    crosses to the executors as a rank dict and each word is encoded by
+    the heap-scheduled Arrow ``mapInPandas`` encoder whose per-word
+    cost tracks the word's symbol count, NOT the merge-table size —
+    the path that stays viable at a 50k-entry production vocabulary
+    where the expression-fold's per-merge plan node would not
+    (semantics pinned equal in tests/test_round14_ops.py, incl. the
+    rank-revisit ``'xab'`` case).
+
+    Why at 100 TB: encode runs once per DISTINCT word with frequency
+    re-weighting (word-level memoization), the merge table is
+    model-sized (one 3-row collect here, a broadcast variable at 50k),
+    and the corpus-scale passes are the word-count aggregate and the
+    token-histogram aggregate — both map-side-partial.  The top-K is a
+    per-partition heap, never a global vocabulary sort."""
+    from pyspark.sql.window import Window as W
+
+    from storm_dynamic_spout_spark.operators.text import (
+        bpe_encode_words,
+        collect_merge_table,
+    )
+
+    _w, tops = _bpe_train(spark, sf_dir, _BPE_MERGE_ITERS)
+    # the model-sized merge-table materialization (bloom-gauge class):
+    # training order is the merge rank — _BPE_MERGE_ITERS rows, never
+    # data; the collect itself lives in operators/text.py
+    merges = collect_merge_table(tops)
+    wc = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tok = (
+        bpe_encode_words(wc, "word", merges)
+        .select("n", F.explode("bpe_tokens").alias("token"))
         .groupBy("token")
         .agg(F.sum("n").cast("bigint").alias("n_occurrences"))
     )

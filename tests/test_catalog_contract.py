@@ -30,36 +30,38 @@ SF = "/root/testdata/sf0.001"
 #: staged half-corpus CTEs).
 ROWS_ONLY: set[str] = set()
 
-#: Round 14 window composition (r13 verdict items 1 and 2).  The two
-#: round-14 registrations of the r13-staged operators — neither has a
-#: driver row entering round 14, so both lead the window:
-NEVER_CHECKED_AT_R14 = {
-    "stream_bradley_terry", "corpus_eval_contamination",
+#: Round 15 window composition (r14 verdict items 1 and 2).  The three
+#: round-15 registrations of the r14-staged operators — none has a
+#: driver row entering round 15, so all three lead the window:
+NEVER_CHECKED_AT_R15 = {
+    "corpus_decontamination_report", "stream_state_report",
+    "text_bpe_encode_vocab",
 }
 
-#: The 11 round-6-evidence queries deferred out of round 13's window,
-#: entering round 14 at EXACTLY the ≤7-round staleness bound — they
-#: occupy slots 3-13 of round 14's window and MUST drain now.  After
-#: CORRECTNESS_r14.json lands, NO query anywhere carries round-6
+#: The 6 round-7-evidence queries deferred out of round 14's window,
+#: entering round 15 at EXACTLY the ≤7-round staleness bound — they
+#: occupy slots 4-9 of round 15's window and MUST drain now.  After
+#: CORRECTNESS_r15.json lands, NO query anywhere carries round-7
 #: evidence.
-R6_REMAINDER = {
-    "dedup_minhash_signature", "dedup_simhash", "dedup_ngram_jaccard",
-    "ann_topk_bruteforce", "embedding_near_pairs", "dedup_simhash_pairs",
-    "text_term_freq", "corpus_url_dedup", "multimodal_audio_stats",
-    "source_csv_roundtrip", "source_json_roundtrip",
-}
-
-#: The r15 plan, encoded NOW (the one-round-ahead discipline): these 6
-#: round-7-evidence queries did not fit round 14's 50 slots (2 + 11 +
-#: 33 + 4 canaries = 50).  They sit at the overhang's checked head and
-#: lead round 15's window, after any never-checked round-14 staging
-#: additions (round 0 in the rotation) and before the 46-query r8
-#: cohort, which fills the window's remaining slots (e.g. 6 + 40 r8 +
-#: 4 = 50, leaving 6 r8 queries to lead round 16).
 R7_REMAINDER = {
     "multimodal_image_resize", "multimodal_audio_resample",
     "table_bucketed_join", "table_fk_integrity",
     "table_partition_prune", "table_zorder_roundtrip",
+}
+
+#: The r16 plan, encoded NOW (the one-round-ahead discipline): these 9
+#: round-8-evidence queries did not fit round 15's 50 slots (3 + 6 +
+#: 37 + 4 canaries = 50).  They sit at the overhang's checked head and
+#: lead round 16's window, after any never-checked round-15 staging
+#: additions (round 0 in the rotation) and before the 46-query r10
+#: cohort, which fills the window's remaining slots (e.g. 2 staged +
+#: 9 r8 + 35 r10 + 4 = 50, leaving 11 r10 queries to lead round 17 —
+#: well inside the ≤7-round bound for the r10 cohort, due r17).
+R8_REMAINDER = {
+    "multimodal_video_stats", "multimodal_image_phash_pairs",
+    "multimodal_audio_fingerprint_pairs", "multimodal_video_containment",
+    "multimodal_audio_silence_trim", "multimodal_image_sobel",
+    "multimodal_image_patches", "scalar_array", "orderby_limit",
 }
 
 CANARIES = {"embedding_quantize", "agg_stats", "scalar_map", "events_sessionize"}
@@ -118,39 +120,39 @@ def test_evidence_gap_simulation():
 
 def test_first_fifty_registrations_cover_the_stale():
     """The driver's correctness sweep samples the FIRST ~50 registered
-    queries (exactly 50 in every recorded round).  Round 14's window,
-    per the r13 verdict: (a) every query with NO driver row entering
-    round 14 is in-window (the two round-14 registrations — verdict
-    item 2 requires driver rows for them this round), (b) the eleven
-    deferred round-6 queries drain now, at exactly the staleness bound
-    — after the r14 file lands, zero r6-latest queries remain,
+    queries (exactly 50 in every recorded round).  Round 15's window,
+    per the r14 verdict: (a) every query with NO driver row entering
+    round 15 is in-window (the three round-15 registrations — verdict
+    item 2 requires driver rows for them this round), (b) the six
+    deferred round-7 queries drain now, at exactly the staleness bound
+    — after the r15 file lands, zero r7-latest queries remain,
     (c) canaries stay in every window."""
     order = list(QUERIES)
     first50 = set(order[:50])
     last_round = effective_rounds()
 
-    # (a) the 2 never-checked-entering-r14 queries are both in-window
-    assert NEVER_CHECKED_AT_R14 <= first50
+    # (a) the 3 never-checked-entering-r15 queries are all in-window
+    assert NEVER_CHECKED_AT_R15 <= first50
 
-    # (b) anything still showing round<=6 evidence is one of the eleven
-    # deferred queries, and all eleven are in-window draining now.
-    # True before CORRECTNESS_r14.json lands (r6_stale == R6_REMAINDER)
-    # and after (r6_stale == set()) — no mid-round flip.
-    r6_stale = {q for q, r in last_round.items() if r <= 6}
-    assert r6_stale <= R6_REMAINDER, (
-        f"unplanned round-6-stale queries: {sorted(r6_stale - R6_REMAINDER)}"
+    # (b) anything still showing round<=7 evidence is one of the six
+    # deferred queries, and all six are in-window draining now.
+    # True before CORRECTNESS_r15.json lands (r7_stale == R7_REMAINDER)
+    # and after (r7_stale == set()) — no mid-round flip.
+    r7_stale = {q for q, r in last_round.items() if r <= 7}
+    assert r7_stale <= R7_REMAINDER, (
+        f"unplanned round-7-stale queries: {sorted(r7_stale - R7_REMAINDER)}"
     )
-    assert R6_REMAINDER <= first50, "deferred r6 eleven must be in-window"
-    # nothing anywhere has evidence older than round 6
-    assert not {q for q, r in last_round.items() if r <= 5}
+    assert R7_REMAINDER <= first50, "deferred r7 six must be in-window"
+    # nothing anywhere has evidence older than round 7
+    assert not {q for q, r in last_round.items() if r <= 6}
 
     # (c) canaries
     assert CANARIES <= first50, "canary set must stay inside the window"
 
-    # queries ADDED during round 14 (never checked, not in-window —
-    # i.e. the round-15 staging additions) must sit contiguously at
+    # queries ADDED during round 15 (never checked, not in-window —
+    # i.e. the round-16 staging additions) must sit contiguously at
     # the overhang head, where the oldest-first rotation makes them
-    # the first slots of round 15.
+    # the first slots of round 16.
     never_checked = set(QUERIES) - set(last_round)
     staged = never_checked - first50
     head = order[50 : 50 + len(staged)]
@@ -164,10 +166,11 @@ def test_window_rotation_discipline():
     """r8 verdict item 8 + the one-round-ahead discipline: the overhang
     AFTER the 50-slot window must rotate strictly oldest-cohort-first,
     so no cohort can be silently orphaned by a future window
-    recomposition — and the round-15 plan is pinned structurally: the
-    overhang's checked head is exactly the 6-query r7 remainder,
-    followed only by the r8 cohort for at least the ~40 slots round
-    15's window will drain (6 + 40 + 4 canaries = 50)."""
+    recomposition — and the round-16 plan is pinned structurally: the
+    overhang's checked head is exactly the 9-query r8 remainder,
+    followed only by the r10 cohort for at least the ~35 slots round
+    16's window will drain (e.g. 2 staged + 9 + 35 + 4 canaries =
+    50)."""
     order = list(QUERIES)
     last_round = effective_rounds()
     tail_rounds = [last_round.get(q, 0) for q in order[50:]]
@@ -180,26 +183,26 @@ def test_window_rotation_discipline():
         ))
     )
     checked_tail = [q for q in order[50:] if last_round.get(q, 0) > 0]
-    assert checked_tail and last_round[checked_tail[0]] == 7, (
-        "overhang's first checked cohort must be the r7 remainder "
-        "(round 15's window head)"
+    assert checked_tail and last_round[checked_tail[0]] == 8, (
+        "overhang's first checked cohort must be the r8 remainder "
+        "(round 16's window head)"
     )
-    # r15 plan, part 1: the first 6 checked overhang queries are
-    # exactly the r7 remainder (never-checked round-14 staging
+    # r16 plan, part 1: the first 9 checked overhang queries are
+    # exactly the r8 remainder (never-checked round-15 staging
     # additions may precede them — they count as round 0 and also
-    # lead round 15).
-    assert set(checked_tail[:6]) == R7_REMAINDER
-    assert all(last_round[q] == 7 for q in checked_tail[:6])
-    # r15 plan, part 2: after the remainder comes ONLY the r8 cohort
-    # for at least the 40 slots the r15 window drains — so even if
-    # round 15 recomposes nothing, the natural rotation keeps the
-    # <=7-round staleness bound for the whole r8 cohort through
-    # rounds 15-16.
-    after_remainder = checked_tail[6:]
-    r8_cohort = {q for q, r in last_round.items() if r == 8}
-    assert len(r8_cohort) >= 40
+    # lead round 16).
+    assert set(checked_tail[:9]) == R8_REMAINDER
+    assert all(last_round[q] == 8 for q in checked_tail[:9])
+    # r16 plan, part 2: after the remainder comes ONLY the r10 cohort
+    # for at least the 35 slots the r16 window drains — so even if
+    # round 16 recomposes nothing, the natural rotation keeps the
+    # <=7-round staleness bound for the whole r10 cohort through
+    # rounds 16-17 (r10 evidence is due by round 17).
+    after_remainder = checked_tail[9:]
+    r10_cohort = {q for q, r in last_round.items() if r == 10}
+    assert len(r10_cohort) >= 35
     assert all(
-        last_round[q] == 8
-        for q in after_remainder[: min(40, len(after_remainder))]
+        last_round[q] == 10
+        for q in after_remainder[: min(35, len(after_remainder))]
     )
-    assert r8_cohort <= set(after_remainder[: len(r8_cohort)])
+    assert r10_cohort <= set(after_remainder[: len(r10_cohort)])

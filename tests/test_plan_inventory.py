@@ -92,6 +92,11 @@ def test_inventory_global_invariants():
         # decode stages as the pair queries (r11)
         "multimodal_image_dup_clusters",
         "multimodal_audio_dup_clusters",
+        # vocab-scale BPE encode: the heap-scheduled Arrow mapInPandas
+        # encoder over the distinct-word table (r15 — the declared
+        # tokenizer Arrow surface, per-word cost independent of the
+        # merge-table size)
+        "text_bpe_encode_vocab",
     }
     python = {n for n, c in inv.items() if c["python_nodes"] > 0}
     assert python <= allowed_python, (
@@ -134,8 +139,10 @@ def test_inventory_global_invariants():
         # (r11)
         "search_ndcg_eval",
         # rank over the ≤_BPE_APPLY_TOP(=15)-row post-
-        # TakeOrderedAndProject token pool (r13)
+        # TakeOrderedAndProject token pool (r13; r15 adds the Arrow
+        # encode twin with the identical output contract)
         "text_bpe_apply",
+        "text_bpe_encode_vocab",
     }
     gw = {n for n, c in inv.items() if c.get("unpartitioned_windows", 0) > 0}
     assert gw <= allowed_global_window, (

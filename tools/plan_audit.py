@@ -59,8 +59,10 @@ KNOWN_BENIGN = {
     # rank + ideal-rank over the ≤BM25_TOP(=20)-row retrieved pool (r11)
     "search_ndcg_eval",
     # rank over the ≤_BPE_APPLY_TOP(=15)-row post-TakeOrderedAndProject
-    # token pool (r13)
+    # token pool (r13; r15 adds the Arrow encode twin with the
+    # identical output contract)
     "text_bpe_apply",
+    "text_bpe_encode_vocab",
 }
 
 
