@@ -194,8 +194,20 @@ class StreamingDedupIndex:
         if key is None:
             return  # empty batch
         seen = self.index_df(spark)
-        # within-batch earlier docs count as "seen" too
-        all_seen = sig if seen is None else seen.unionByName(sig)
+        # within-batch earlier docs count as "seen" too.  The union must
+        # be ID-UNIQUE: on re-delivery (or a re-arriving id) the batch's
+        # already-indexed docs appear in BOTH seen and sig, and a
+        # doubled seen row doubles every pair's band count in _match —
+        # with min_band_matches >= 2 a replay could then newly flag a
+        # doc and shrink the sink set (r14 advice).  Signatures are
+        # deterministic from text, so dropping sig rows whose id is
+        # already indexed loses nothing.
+        if seen is None:
+            all_seen = sig
+        else:
+            all_seen = seen.unionByName(
+                sig.join(seen.select(self.id_col), self.id_col, "left_anti")
+            )
         matches = self._match(sig, all_seen)
         # best match = highest agreement, ties broken toward the EARLIEST
         # seen doc (keep-first canonicalization: a chain A < A' < A''

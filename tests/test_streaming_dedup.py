@@ -85,6 +85,29 @@ def test_redelivered_batch_is_idempotent_in_the_duplog(spark, index):
     assert all(a != b for a, b in second)
 
 
+def test_replay_does_not_double_count_bands(spark, tmp_path):
+    """r14 advice regression: DOC_A and DOC_A_NEAR share exactly 1 of
+    the 2 LSH bands, so at min_band_matches=2 neither flags the other.
+    Before the id-unique ``all_seen`` fix, a whole-batch re-delivery
+    put the batch's indexed docs in both ``seen`` and ``sig`` — the
+    doubled seen rows doubled the pair's band count to 2, newly
+    flagging the near-dup ON REPLAY ONLY: the sink set shrank and a
+    dup-log row appeared that the first delivery never wrote."""
+    index = StreamingDedupIndex(str(tmp_path / "dd"), min_band_matches=2)
+    batch = _docs_df(spark, [(0, DOC_A), (1, DOC_A_NEAR)])
+    out = []
+    index.process_batch(batch, _collect_sink(out))
+    assert sorted(i for i, _ in out) == [0, 1]  # 1 shared band < 2
+
+    replay = []
+    index.process_batch(batch, _collect_sink(replay))
+    assert sorted(i for i, _ in replay) == [0, 1], (
+        "replay changed the sink set — seen rows double-counted"
+    )
+    dups = index.duplicates(spark)
+    assert dups is None or dups.count() == 0
+
+
 def test_duplicates_do_not_enter_the_index(spark, index):
     index.process_batch(_docs_df(spark, [(0, DOC_A)]), lambda df: df.count())
     index.process_batch(_docs_df(spark, [(2, DOC_A_NEAR)]), lambda df: df.count())
