@@ -1343,9 +1343,25 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _sql_sd_guard(vec: str) -> str:
+    """DuckDB twin of whiten_ppm's denormal-sd floor, interpolating the
+    engine's OWN epsilon constants (operators/similarity.py
+    WHITEN_SD_REL_EPS/ABS_EPS — r14 advice: a plain ``sd > 0`` guard
+    was only fixture-equivalent): dimension ``i`` of ``vec`` whitens
+    iff its corpus sd clears the relative floor."""
+    from storm_dynamic_spout_spark.operators.similarity import (
+        WHITEN_SD_ABS_EPS,
+        WHITEN_SD_REL_EPS,
+    )
+
+    return (
+        f"sds[i] > abs(mus[i]) * {WHITEN_SD_REL_EPS!r} + {WHITEN_SD_ABS_EPS!r}"
+    )
+
+
 @query(
     "embedding_whitening",
-    oracle="""
+    oracle=f"""
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
                FROM embeddings),
     comp AS (SELECT UNNEST(range(1, len(ve) + 1)) AS pos, ve FROM v),
@@ -1356,7 +1372,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(ve) AS INTEGER) AS n_dims,
            array_to_string(list_transform(range(1, len(ve) + 1), i ->
-               CAST(CAST(CASE WHEN sds[i] > 0
+               CAST(CAST(CASE WHEN {_sql_sd_guard("ve")}
                               THEN round((ve[i] - mus[i]) / sds[i] * 1000000)
                               ELSE 0 END AS BIGINT) AS VARCHAR)), ',') AS white_ppm
     FROM v, sarr
@@ -5293,7 +5309,7 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT vec_id,
              list_transform(range(1, len(e) + 1), i ->
-                 CAST(CAST(CASE WHEN sds[i] > 0
+                 CAST(CAST(CASE WHEN {_sql_sd_guard("e")}
                                 THEN round((e[i] - mus[i]) / sds[i] * 1000000)
                                 ELSE 0 END AS BIGINT) AS DOUBLE)) AS v
       FROM ve, sarr

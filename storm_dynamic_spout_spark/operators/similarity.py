@@ -231,6 +231,18 @@ def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+#: Denormal-sd floor for :func:`whiten_ppm`: dimension ``i`` whitens
+#: iff ``sd_i > |mu_i| * WHITEN_SD_REL_EPS + WHITEN_SD_ABS_EPS``, else
+#: it is the zero-variance case and whitens to 0.  The whiten-family
+#: DuckDB oracles interpolate THESE constants (catalog/llm.py
+#: _sql_sd_guard), so engine and oracle agree on all inputs — not just
+#: fixtures whose sds happen to clear the floor (r14 advice: a plain
+#: ``sd > 0`` oracle guard would silently flip the driver compare on a
+#: regenerated fixture with a near-constant dimension).
+WHITEN_SD_REL_EPS = 1e-12
+WHITEN_SD_ABS_EPS = 1e-30
+
+
 def whiten_ppm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Diagonal (per-dimension) corpus whitening — the embedding
     post-processing step retrieval stacks apply before indexing
@@ -249,9 +261,11 @@ def whiten_ppm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     to constant, so the whitened output would flip on noise.  Below
     the epsilon a dimension's spread is smaller than the float64
     rounding floor of its own mean — there is no signal to whiten.
-    Fixture sds sit ≥ 9 orders of magnitude above the epsilon
-    (pinned in tests/test_round14_ops.py), so the DuckDB oracles'
-    ``sd > 0`` guard is equivalent on every driver-compared input.
+    The whiten-family DuckDB oracles interpolate the SAME epsilon
+    constants (r15, from the r14 advice), so the equivalence no longer
+    rests on the fixture pin alone (fixture sds sit ≥ 9 orders above
+    the floor — still pinned in tests/test_round14_ops.py as the
+    both-branches-sane check).
 
     100 TB shape: one posexplode + per-dimension aggregate (map-side
     partial over ``dim`` values per row, ``d`` groups total), the
@@ -273,7 +287,8 @@ def whiten_ppm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             F.transform(
                 "s",
                 lambda s: F.when(
-                    s.sd <= F.abs(s.mu) * 1e-12 + 1e-30, F.lit(0.0)
+                    s.sd <= F.abs(s.mu) * WHITEN_SD_REL_EPS + WHITEN_SD_ABS_EPS,
+                    F.lit(0.0),
                 ).otherwise(s.sd),
             ).alias("__sds"),
         )
