@@ -19,6 +19,9 @@ from storm_dynamic_spout_spark.streaming.coordinator import (
 from storm_dynamic_spout_spark.streaming.file_topic import TOPIC_SCHEMA, FileTopic
 from storm_dynamic_spout_spark.streaming.filter_chain import FilterChain
 from storm_dynamic_spout_spark.streaming.dedup_stream import StreamingDedupIndex
+from storm_dynamic_spout_spark.streaming.idempotent_sink import (
+    IdempotentParquetSink,
+)
 from storm_dynamic_spout_spark.streaming.firehose import Firehose, write_sink_batch
 from storm_dynamic_spout_spark.streaming.metrics import (
     JsonLinesRecorder,
@@ -61,6 +64,7 @@ __all__ = [
     "FileWatchTrigger",
     "FilterChain",
     "Firehose",
+    "IdempotentParquetSink",
     "InMemorySidelinePersistence",
     "JsonLinesRecorder",
     "LogRecorder",
