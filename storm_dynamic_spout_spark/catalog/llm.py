@@ -5767,8 +5767,16 @@ def _bpe_train(spark: SparkSession, sf_dir: str, iters: int):
     ``operators/text.py apply_bpe_merge`` — the SAME greedy fold the
     standalone application operator runs, so train and apply share
     semantics symbol for symbol.  No driver-side collect: the winning
-    pair flows through ``crossJoin(broadcast(top1))``, so the whole
-    k-merge loop is one lazy plan."""
+    pair flows through ``crossJoin(broadcast(top1))``.
+
+    The word table is localCheckpoint'd (lazily) at the base and after
+    every merge fold: level i's pair count and level i+1's fold both
+    read level i's table, and each level's subtree CONTAINS every
+    earlier level's, so without the cut Catalyst re-runs the
+    corpus-scale word-count aggregate once per level (K+1 file scans
+    for K merges) and the fold expression nests K deep in one codegen
+    stage.  With it, the corpus is scanned once and each level is one
+    small aggregate over the materialized distinct-word table."""
     wc = (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", r"\s+")).alias("word"))
@@ -5776,7 +5784,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str, iters: int):
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    w = wc.select("n", X.chars(F.col("word")).alias("syms"))
+    w = wc.select("n", X.chars(F.col("word")).alias("syms")).localCheckpoint(
+        eager=False
+    )
     tops = []
     for i in range(1, iters + 1):
         # size>=2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]), so a
@@ -5813,11 +5823,15 @@ def _bpe_train(spark: SparkSession, sf_dir: str, iters: int):
                 F.col("__cnt").alias("cnt"),
             )
         )
-        w = w.crossJoin(F.broadcast(top1)).select(
-            "n",
-            X.apply_bpe_merge(
-                F.col("syms"), F.col("__pa"), F.col("__pb")
-            ).alias("syms"),
+        w = (
+            w.crossJoin(F.broadcast(top1))
+            .select(
+                "n",
+                X.apply_bpe_merge(
+                    F.col("syms"), F.col("__pa"), F.col("__pb")
+                ).alias("syms"),
+            )
+            .localCheckpoint(eager=False)
         )
     return w, tops
 

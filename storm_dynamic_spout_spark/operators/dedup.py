@@ -307,8 +307,22 @@ def minhash_near_dups(
     groups = keyed.groupBy("__tk").agg(
         F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__gn")
     )
-    mapping = keyed.join(groups, "__tk").select(F.col(id_col), "__rep", "__gn")
-    reps_tok = tok.join(groups.select(F.col("__rep").alias(id_col)), id_col)
+    # materialize the doc→rep mapping ONCE: it feeds four consumers
+    # (cross-expansion a/b sides, both intra-pair sides) and the rep
+    # filter below — without the checkpoint Catalyst re-evaluates the
+    # exact-key subtree (md5 over the sorted token array, corpus-wide)
+    # plus the groups exchange+aggregate once per aliased copy
+    mapping = (
+        keyed.join(groups, "__tk")
+        .select(F.col(id_col), "__rep", "__gn")
+        .localCheckpoint(eager=False)
+    )
+    # a group's rep is its min member id, so reps are exactly the rows
+    # with id == rep — read them from the checkpointed mapping instead
+    # of re-deriving groups
+    reps_tok = tok.join(
+        mapping.filter(F.col(id_col) == F.col("__rep")).select(id_col), id_col
+    )
     sig = minhash_signature_tokens(reps_tok, id_col, "__toks")
     sizes = reps_tok.select(F.col(id_col), F.size("__toks").alias("__n"))
     cands = lsh_candidate_pairs(
