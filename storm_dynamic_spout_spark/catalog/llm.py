@@ -4906,7 +4906,14 @@ def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = t(spark, sf_dir, "embeddings")
-    assigned = ivf_assign_labels(e, "vec_id", "embedding", "label")
+    # materialize the tiny (vec_id, assigned) table once: the ADC scan
+    # reads df on BOTH its query and code sides, and without the cut
+    # each side re-runs the whole train+assign subtree (centroid
+    # aggregate + corpus-wide argmax fan-out) — the executed plan
+    # showed the full assign pipeline twice
+    assigned = ivf_assign_labels(e, "vec_id", "embedding", "label").localCheckpoint(
+        eager=False
+    )
     df = e.select("vec_id", "embedding").join(assigned, "vec_id")
     return pq_topk_ivf_adc(
         df,
