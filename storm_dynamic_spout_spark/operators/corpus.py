@@ -123,9 +123,14 @@ def eval_contamination(
     hash feeds one per-eval-doc aggregate.  No train×eval document
     product anywhere; eval is typically tiny next to train, so the
     join's probe side is eval-gram-sized."""
+    # explode_outer keeps zero-gram eval docs as a single NULL-gram row
+    # (a NULL key never matches the membership join, and count(__g)
+    # skips it), so every eval doc reaches the one per-doc aggregate —
+    # no separate reattach join of the eval id list afterwards (was:
+    # a second eval scan + an extra doc_id exchange + sort-merge join)
     eval_grams = eval_set.select(
         F.col(id_col),
-        F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"),
+        F.explode_outer(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"),
     )
     # vocabulary side: dedup the raw gram strings FIRST, hash once per
     # distinct gram — the corpus-sized md5 work drops to vocab-sized
@@ -141,31 +146,23 @@ def eval_contamination(
         eval_grams.join(train_vocab, "__g", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count(F.col("__g")).cast("long").alias("n_grams"),
             F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
             .cast("long")
             .alias("n_overlapping"),
         )
     )
-    # eval docs with zero grams never reach the join output (explode of
-    # an empty array drops the row) — reattach them with NULL fraction
-    all_eval = eval_set.select(F.col(id_col))
     frac = F.round(
         F.col("n_overlapping") / F.col("n_grams") * F.lit(_FRAC_MICRO)
     ) / F.lit(_FRAC_MICRO)
-    return (
-        all_eval.join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce(F.col("n_overlapping"), F.lit(0))
-            .cast("long")
-            .alias("n_overlapping"),
-            F.when(F.col("n_grams") > 0, frac).alias("overlap_frac"),
-            F.when(
-                F.col("n_grams") > 0, frac >= F.lit(threshold)
-            ).otherwise(F.lit(False)).alias("flagged"),
-        )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_overlapping",
+        F.when(F.col("n_grams") > 0, frac).alias("overlap_frac"),
+        F.when(
+            F.col("n_grams") > 0, frac >= F.lit(threshold)
+        ).otherwise(F.lit(False)).alias("flagged"),
     )
 
 
