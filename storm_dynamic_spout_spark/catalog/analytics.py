@@ -918,10 +918,12 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs across parts, and never a two-sided self-join shuffle);
     partial aggregation shrinks the pair shuffle to |distinct pairs|.
     The part marginals and the order count derive from the same
-    per-order aggregate (recomputed per branch in this lazy plan —
-    persist/localCheckpoint the per-order sets in production to share
-    the exchange across the three consumers).  The top-k is
-    ``orderBy().limit()`` →
+    per-order aggregate, which is localCheckpoint'd so its exchange is
+    paid once across the three consumers (pairs, marginals, total) —
+    previously each branch re-ran the lineitem scan + orderkey
+    aggregate (4 scans in the executed plan); the marginal table is
+    checkpointed too (its a/b sides share one evaluation).  The top-k
+    is ``orderBy().limit()`` →
     TakeOrderedAndProject, and support/lift marginals join AFTER the
     cut: the 50-row side broadcasts into the |parts|-sized marginal
     table, so no shuffle is keyed on the full pair set twice.  Ties at
@@ -929,7 +931,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     items = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("__parts")
-    )
+    ).localCheckpoint(eager=False)
     tot = items.select(F.count(F.lit(1)).cast("long").alias("__tot"))
     pair_arr = F.flatten(
         F.transform(
@@ -951,7 +953,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         items.select(F.explode("__parts").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_part"))
-    )
+    ).localCheckpoint(eager=False)
     ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("__na"))
     mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("__nb"))
     enriched = ma.join(F.broadcast(top.crossJoin(tot)), "part_a")
