@@ -961,20 +961,28 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS overestimate-only guarantee (overshoot >= 0) is visible in the
     driver-checked rows.
 
-    Why at 100 TB: the sketch groupBy is map-side combinable into at
-    most depth*width = {CMS_DEPTH}*{CMS_WIDTH} cells per partition —
-    shuffle bytes are CONSTANT in input size, and cells from disjoint
-    shards merge by addition (mergeable summary), so per-day sketches
-    union with one more tiny groupBy instead of a rescan.  Probing
-    joins a {CMS_PROBES}-row broadcast against the tiny cell table.
-    The oracle rebuilds sketch + probes brute-force in SQL with the
-    identical md5 bucket hash, so cell counts, min-over-depth, and the
-    overshoot are all value-checked."""
-    from storm_dynamic_spout_spark.operators.sketch import countmin_table
-
+    Why at 100 TB: ONE corpus scan — the per-key exact aggregate this
+    query needs anyway (map-side combinable) — feeds everything: the
+    sketch cells are derived from it by hashing each DISTINCT key once
+    and summing ``exact_n`` into its depth·width = {CMS_DEPTH}·{CMS_WIDTH}
+    cells (bit-identical to incrementing per row — integer addition is
+    associative), so the md5 work drops from per-row to per-key and the
+    former second scan (countmin_table's own pass) disappears.  Cells
+    from disjoint shards still merge by addition (mergeable summary —
+    stream_countmin exercises that contract live).  Probing joins a
+    {CMS_PROBES}-row broadcast against the tiny cell table.  The oracle
+    rebuilds sketch + probes brute-force in SQL with the identical md5
+    bucket hash, so cell counts, min-over-depth, and the overshoot are
+    all value-checked."""
     li = t(spark, sf_dir, "lineitem")
-    sketch = countmin_table(li, "l_partkey", CMS_DEPTH, CMS_WIDTH)
-    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    # lazy checkpoint: subtree must be deterministic (see
+    # operators/dedup.py DETERMINISM note) — shared by the sketch
+    # derivation and the probe top-k
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=False)
+    )
     probes = exact.orderBy(F.desc("exact_n"), "l_partkey").limit(CMS_PROBES)
     from storm_dynamic_spout_spark.operators.sketch import countmin_bucket
 
@@ -990,6 +998,16 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cells = probes.select(
         "l_partkey", "exact_n", F.explode(cells).alias("__c")
     ).select("l_partkey", "exact_n", "__c.__d", "__c.__bucket")
+    sketch = (
+        exact.select("exact_n", F.explode(cells).alias("__c"))
+        .select(
+            F.col("__c.__d").alias("__d"),
+            F.col("__c.__bucket").alias("__bucket"),
+            "exact_n",
+        )
+        .groupBy("__d", "__bucket")
+        .agg(F.sum("exact_n").alias("c"))
+    )
     return (
         sketch.join(F.broadcast(probe_cells), ["__d", "__bucket"])
         .groupBy("l_partkey", "exact_n")
