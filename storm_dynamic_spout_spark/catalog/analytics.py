@@ -818,13 +818,17 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont oracle bit-identical on the fixture; at extreme
     scale swap in ``approx_percentile`` — same plan shape.  Monetary
     is rounded to cents BEFORE the cuts so both engines score
-    identical doubles.  The per-customer aggregate appears twice in
-    the initial plan (cuts pass + scoring pass); AQE stage reuse
-    dedupes the identical shuffle subtree at runtime (post-execution
-    plan shows ReusedExchange), and at 100 TB you would persist
-    per_cust explicitly."""
+    identical doubles.  The per-customer aggregate has TWO consumers
+    (cuts pass + scoring pass) and is lazily checkpointed once — the
+    r15 executed plan showed AQE does NOT reuse the subtree here (the
+    broadcast-scalar cross join defeats exchange canonicalization; 4
+    orders scans, the max-date scalar computed twice), so per_cust is
+    persisted explicitly, the guide-§2 shared-subtree rule."""
     o = t(spark, sf_dir, "orders")
     max_date = o.agg(F.max("o_orderdate").alias("__mx"))
+    # lazy checkpoint: subtree must be deterministic (see
+    # operators/dedup.py DETERMINISM note) — exact aggregate + scalar
+    # broadcast, shared by the cuts and scoring consumers
     per_cust = (
         o.groupBy("o_custkey")
         .agg(
@@ -839,6 +843,7 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             F.round("__mon", 2).alias("monetary"),
         )
+        .localCheckpoint(eager=False)
     )
     cuts = per_cust.agg(
         *[
@@ -2513,18 +2518,24 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny-window class as events_cumulative_users / parts_abc_pareto;
     the cutoff and user total ride one-row broadcasts."""
     e = t(spark, sf_dir, "events")
-    b = e.agg(F.min("ts").alias("t_min")).select(
+    # one conditional aggregate per user instead of a second filtered
+    # scan + join: min(ts) and min(purchase ts) come out of the same
+    # partial->final pass over the stream.  Lazy checkpoint: subtree
+    # must be deterministic (see operators/dedup.py DETERMINISM note)
+    # — f is |users|-sized with two consumers (the stream-start scalar
+    # below + the duration pass), so the corpus is scanned ONCE (the
+    # r15 plan showed a second ts-only events scan just for min(ts))
+    f = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    ).localCheckpoint(eager=False)
+    # global stream start == min over the per-user minima — derived
+    # from f, not from a separate corpus scan
+    b = f.agg(F.min("t0").alias("t_min")).select(
         "t_min",
         (F.col("t_min") + F.expr(f"INTERVAL {_KM_WINDOW_HOURS} HOURS")).alias(
             "cutoff"
         ),
-    )
-    # one conditional aggregate per user instead of a second filtered
-    # scan + join: min(ts) and min(purchase ts) come out of the same
-    # partial->final pass over the stream
-    f = e.groupBy("user_id").agg(
-        F.min("ts").alias("t0"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
     )
     observed = F.col("tp").isNotNull() & (F.col("tp") <= F.col("cutoff"))
     def hours(a, b_):

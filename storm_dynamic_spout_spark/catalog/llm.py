@@ -3720,11 +3720,19 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dd.agg(
         F.count(F.lit(1)).alias("__n_docs"), F.sum("__dl").alias("__sum_dl")
     )
+    # lazy checkpoint: subtree must be deterministic (see
+    # operators/dedup.py DETERMINISM note).  tf is the query-term
+    # posting table (|matching postings| rows, tiny) with TWO
+    # consumers (the df aggregate + the scoring join) — without the
+    # checkpoint each re-runs the corpus-wide explode+filter, the
+    # expensive pass of the whole scorer (guide-§2 shared-subtree
+    # rule; r15 plan showed documents scanned twice for it).
     tf = (
         dd.select("doc_id", "__dl", F.explode("__toks").alias("term"))
         .filter(F.col("term").isin(*BM25_TERMS))
         .groupBy("doc_id", "__dl", "term")
         .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
     )
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     avgdl = F.col("__sum_dl").cast("double") / F.col("__n_docs")

@@ -252,28 +252,41 @@ def cohen_kappa(
     identically on any engine.
 
     Scale shape: two filtered projections of the label log joined on
-    item (shuffle keyed on item id), one count aggregate, and a
-    label-keyed marginal join whose size is the LABEL VOCABULARY —
-    constant-sized model tables, corpus-sized work only in the one
-    equi-join.  Returns one row: (n_items, po, pe, kappa)."""
+    item (shuffle keyed on item id), collapsed immediately into ONE
+    (label_a, label_b, count) contingency aggregate — the single
+    corpus-sized pass.  n / n_agree / both marginals / pe all derive
+    from that label-vocabulary²-sized cell table (lazily checkpointed:
+    its three consumers would otherwise each re-run the corpus join —
+    the guide-§2 shared-subtree rule).  Returns one row:
+    (n_items, po, pe, kappa)."""
     a = df.filter(F.col(rater_col) == rater_a).select(
         F.col(item_col).alias("__item"), F.col(label_col).alias("__la")
     )
     b = df.filter(F.col(rater_col) == rater_b).select(
         F.col(item_col).alias("__item"), F.col(label_col).alias("__lb")
     )
-    j = a.join(b, "__item")
-    counts = j.agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum(F.when(F.col("__la") == F.col("__lb"), 1).otherwise(0))
+    # lazy checkpoint: subtree must be deterministic (see
+    # operators/dedup.py DETERMINISM note) — exact integer counts of a
+    # pure equi-join
+    cell = (
+        a.join(b, "__item")
+        .groupBy("__la", "__lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    counts = cell.agg(
+        # coalesce keeps the empty-log case identical to the former
+        # count(*): n = 0 (sum over no rows is NULL), n_agree NULL
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__n"),
+        F.sum(F.when(F.col("__la") == F.col("__lb"), F.col("__c")).otherwise(0))
         .cast("long")
         .alias("__n_agree"),
     )
-    ma = j.groupBy(F.col("__la").alias("__label")).agg(
-        F.count(F.lit(1)).cast("long").alias("__ca")
+    ma = cell.groupBy(F.col("__la").alias("__label")).agg(
+        F.sum("__c").cast("long").alias("__ca")
     )
-    mb = j.groupBy(F.col("__lb").alias("__label")).agg(
-        F.count(F.lit(1)).cast("long").alias("__cb")
+    mb = cell.groupBy(F.col("__lb").alias("__label")).agg(
+        F.sum("__c").cast("long").alias("__cb")
     )
     pe_num = (
         ma.join(mb, "__label", "full_outer")
