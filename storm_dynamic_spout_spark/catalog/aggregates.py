@@ -556,7 +556,14 @@ def agg_histogram_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("value").cast("double").alias("v"),
         F.to_date("ts").alias("__day"),
     )
-    rng = e.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    # lazy checkpoints: subtrees must be deterministic (see
+    # operators/dedup.py DETERMINISM note).  rng (1 row) and merged
+    # (|type|x|bins| rows) each have multiple consumers; without the
+    # checkpoints every consumer re-binned the corpus (r15 plan: 7
+    # events scans for one rollup)
+    rng = e.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).localCheckpoint(
+        eager=False
+    )
     width = (F.col("hi") - F.col("lo")) / HIST_BINS
     binned = e.crossJoin(F.broadcast(rng)).withColumn(
         "bin",
@@ -570,7 +577,12 @@ def agg_histogram_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("cnt")
     )
     # ... merged upward by ADDITION — the mergeability demonstration
-    merged = daily.groupBy("event_type", "bin").agg(F.sum("cnt").alias("cnt"))
+    merged = (
+        daily.groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
+    )
     cum = merged.withColumn(
         "cum",
         F.sum("cnt").over(
@@ -981,6 +993,7 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("exact_n"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
         .localCheckpoint(eager=False)
     )
     probes = exact.orderBy(F.desc("exact_n"), "l_partkey").limit(CMS_PROBES)

@@ -843,6 +843,7 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             F.round("__mon", 2).alias("monetary"),
         )
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
         .localCheckpoint(eager=False)
     )
     cuts = per_cust.agg(
@@ -958,6 +959,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         items.select(F.explode("__parts").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_part"))
+    # deterministic subtree (operators/dedup.py DETERMINISM note)
     ).localCheckpoint(eager=False)
     ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("__na"))
     mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("__nb"))
@@ -2528,6 +2530,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = e.groupBy("user_id").agg(
         F.min("ts").alias("t0"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    # deterministic subtree (operators/dedup.py DETERMINISM note)
     ).localCheckpoint(eager=False)
     # global stream start == min over the per-user minima — derived
     # from f, not from a separate corpus scan

@@ -3397,12 +3397,12 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why at 100 TB: the |tokens|-sized gram explosion is immediately
     reduced by per-(doc,gram) counts, and the gram document
     frequencies derive from that aggregate as a CASCADED count (its
-    rows are distinct (doc, gram), so a row count per gram IS the
-    document frequency — no countDistinct expansion); the only wide
-    exchange is keyed on the gram between two PRE-AGGREGATED sides,
-    and the doc-count threshold is a one-row broadcast.  The lazy plan
-    re-evaluates the explode per consumer branch (persist the
-    per-(doc,gram) table in production to share it).  No Python
+    rows are distinct (doc, gram), so a COUNT window over the gram
+    partition IS the document frequency — no countDistinct expansion,
+    no self-join, and the gram explode is evaluated exactly once);
+    the only wide exchange after the per-(doc,gram) aggregate is the
+    one on the gram key, and the doc-count threshold is a one-row
+    broadcast.  No Python
     anywhere — slice/transform/explode are all codegen'd array
     expressions."""
     d = t(spark, sf_dir, "documents")
@@ -3422,13 +3422,17 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    from pyspark.sql.window import Window as W
+
     per_doc = grams.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
-    # per_doc rows are distinct (doc, gram): row count per gram IS the
-    # document frequency — no second pass over the exploded grams
-    gram_docs = per_doc.groupBy("gram").agg(
-        F.count(F.lit(1)).cast("long").alias("__nd")
+    # per_doc rows are distinct (doc, gram): a COUNT window over the
+    # gram partition IS the document frequency — one exchange on the
+    # gram key instead of a groupBy + self-join, and the expensive
+    # gram explode is evaluated once instead of once per branch
+    with_df = per_doc.withColumn(
+        "__nd", F.count(F.lit(1)).over(W.partitionBy("gram"))
     )
     threshold = d.select(
         F.ceil(F.count(F.lit(1)) * BOILER_MIN_FRAC).cast("long").alias("__min_docs")
@@ -3437,8 +3441,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0)
     )
     return (
-        per_doc.join(gram_docs, "gram")
-        .crossJoin(F.broadcast(threshold))
+        with_df.crossJoin(F.broadcast(threshold))
         .groupBy("doc_id")
         .agg(
             F.sum("__n").cast("long").alias("n_grams"),
@@ -3732,6 +3735,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*BM25_TERMS))
         .groupBy("doc_id", "__dl", "term")
         .agg(F.count(F.lit(1)).alias("__tf"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
         .localCheckpoint(eager=False)
     )
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
@@ -3922,33 +3926,43 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and keep the top-K — "find me more data that looks like my target
     domain" as one Catalyst DAG, no external model.
 
-    Why at 100 TB: both LMs are vocab-sized count tables (map-side
-    combined aggregates) broadcast back over the exploded token
-    stream; the per-doc score is one more shuffle on doc_id; the
-    selection is TakeOrderedAndProject on an integer key (score in
-    1e-4 units — summation-order ulp cannot flip a rank, and boundary
-    ties break by doc_id deterministically)."""
+    Why at 100 TB: both LMs come out of ONE vocab-sized count table
+    (per-word corpus count + per-word target count in a single
+    map-side combined aggregate, lazily checkpointed — its five former
+    consumers each re-ran the corpus tokenize), broadcast back over
+    the exploded token stream in a single join; the three scalar
+    normalizers (n_a, n_t, |V|) collapse to one broadcast row derived
+    from the same table; the per-doc score is one more shuffle on
+    doc_id; the selection is TakeOrderedAndProject on an integer key
+    (score in 1e-4 units — summation-order ulp cannot flip a rank, and
+    boundary ties break by doc_id deterministically)."""
     d = t(spark, sf_dir, "documents")
     tk = d.select("doc_id", "source", F.explode(X.tokens(F.col("text"))).alias("w"))
-    alla = tk.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
-    n_a = tk.agg(F.count(F.lit(1)).alias("n_a"))
-    v = alla.agg(F.count(F.lit(1)).alias("v"))
-    tgt = (
-        tk.filter(F.col("source") == "src0")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    # lazy checkpoint: subtree must be deterministic (see
+    # operators/dedup.py DETERMINISM note) — exact integer counts
+    wc = (
+        tk.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("c_a"),
+            F.count(F.when(F.col("source") == "src0", F.lit(1))).alias("c_t"),
+        )
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
     )
-    n_t = tk.filter(F.col("source") == "src0").agg(F.count(F.lit(1)).alias("n_t"))
+    stats = wc.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    # c_t is 0 (not NULL) for words absent from the target slice, so
+    # coalesce reduces to the identical add-one numerator
     delta = F.log(
         (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (F.col("n_t") + F.col("v"))
     ) - F.log((F.col("c_a") + 1.0) / (F.col("n_a") + F.col("v")))
     return (
         tk.filter(F.col("source") != "src0")
-        .join(F.broadcast(alla), "w")
-        .join(F.broadcast(tgt), "w", "left")
-        .crossJoin(F.broadcast(n_a))
-        .crossJoin(F.broadcast(v))
-        .crossJoin(F.broadcast(n_t))
+        .join(F.broadcast(wc), "w")
+        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id", "source")
         .agg(F.avg(delta).alias("lw"))
         .select(
@@ -4158,8 +4172,22 @@ def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "source", F.explode(F.split("text", r"\s+")).alias("term")
     )
-    st = d.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
-    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    # lazy checkpoints: subtrees must be deterministic (see
+    # operators/dedup.py DETERMINISM note).  st has three consumers
+    # (ct, s, the grid reattach) and ct two (nv, grid) — without them
+    # the corpus tokenize ran three times per evaluation
+    st = (
+        d.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
+    )
+    ct = (
+        st.groupBy("term")
+        .agg(F.sum("c_st").alias("c_t"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
+    )
     s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     nv = ct.agg(F.count(F.lit(1)).alias("v"), F.sum("c_t").alias("n"))
     grid = ct.crossJoin(F.broadcast(s))
@@ -5846,6 +5874,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, iters: int):
                     F.col("syms"), F.col("__pa"), F.col("__pb")
                 ).alias("syms"),
             )
+            # deterministic subtree (operators/dedup.py DETERMINISM note)
             .localCheckpoint(eager=False)
         )
     return w, tops

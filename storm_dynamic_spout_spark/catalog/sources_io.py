@@ -236,21 +236,44 @@ def table_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why at 100 TB: each check reduces the child side to DISTINCT keys
     FIRST (map-side combine to |keys|, never |rows|), then one
     equi-join per FK against the parent key set; the four small report
-    rows union at the end.  This is the standard dbt-style
-    relationship test, expressed as one catalog query."""
+    rows union at the end.  The two l_partkey checks share ONE
+    lazily-checkpointed distinct-key pass over the lineitem fact, and
+    both part-parent key sets derive from ONE part scan (distinct key
+    + does-any-row-pass-the-slice flag) — deterministic subtrees, see
+    operators/dedup.py DETERMINISM note.  This is the standard
+    dbt-style relationship test, expressed as one catalog query."""
+    lp = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("k"))
+        .distinct()
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
+    )
+    pk = (
+        t(spark, sf_dir, "part")
+        .groupBy(F.col("p_partkey").alias("k"))
+        .agg(F.max(F.col("p_size") > 10).alias("__big"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
+    )
     checks = [
-        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey", None),
-        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey", None),
-        ("lineitem.l_partkey -> part[p_size>10]", "lineitem", "l_partkey", "part", "p_partkey", F.col("p_size") > 10),
-        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey", None),
+        ("lineitem.l_orderkey -> orders", None, "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", (lp, pk), None, None, None, None),
+        ("lineitem.l_partkey -> part[p_size>10]", (lp, pk.filter("__big")), None, None, None, None),
+        ("orders.o_custkey -> customer", None, "orders", "o_custkey", "customer", "c_custkey"),
     ]
     parts = []
-    for fk, child, ckey, parent, pkey, pred in checks:
-        c = t(spark, sf_dir, child).select(F.col(ckey).alias("k")).distinct()
-        p = t(spark, sf_dir, parent)
-        if pred is not None:
-            p = p.filter(pred)
-        p = p.select(F.col(pkey).alias("k"), F.lit(1).alias("__hit")).distinct()
+    for fk, shared, child, ckey, parent, pkey in checks:
+        if shared is not None:
+            c, p = shared
+            p = p.select("k", F.lit(1).alias("__hit"))
+        else:
+            c = t(spark, sf_dir, child).select(F.col(ckey).alias("k")).distinct()
+            p = (
+                t(spark, sf_dir, parent)
+                .select(F.col(pkey).alias("k"), F.lit(1).alias("__hit"))
+                .distinct()
+            )
         joined = c.join(p, "k", "left")
         orphan = F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
         parts.append(

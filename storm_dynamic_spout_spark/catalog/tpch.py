@@ -883,12 +883,16 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 minimum-cost supplier: correlated MIN subquery decorrelated
-    into aggregate-then-join (p_mfgr → p_brand; single-word p_type so
-    LIKE '%BRASS' → equality). The min-cost equality is exact: MIN
-    selects an existing double, no accumulation. Supplier/nation/region
-    broadcast; the per-part min aggregate is tiny and AQE broadcasts it
-    back into the probe — partsupp is the only shuffled relation.
-    Reference for shape: public TPC-H spec Q2."""
+    into a per-part MIN window over the already-part-filtered probe
+    (p_mfgr → p_brand; single-word p_type so LIKE '%BRASS' → equality).
+    The min-cost equality is exact: MIN selects an existing double, no
+    accumulation.  Supplier/nation/region broadcast; the part filter
+    prunes BEFORE the min, and the window replaces the old
+    aggregate-then-rejoin (which evaluated the partsupp⋈supplier
+    subtree twice) — partsupp is scanned once and shuffled once, on
+    the part key.  Reference for shape: public TPC-H spec Q2."""
+    from pyspark.sql.window import Window as W
+
     ps = _partsupp(spark, sf_dir)
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -899,9 +903,6 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     eu = ps.join(sn, ps.ps_suppkey == sn.s_suppkey)
-    minc = eu.groupBy(F.col("ps_partkey").alias("__mk")).agg(
-        F.min("ps_supplycost").alias("__min_cost")
-    )
     p = F.broadcast(
         t(spark, sf_dir, "part").filter(
             (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
@@ -909,7 +910,10 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         eu.join(p, eu.ps_partkey == p.p_partkey)
-        .join(minc, (F.col("ps_partkey") == F.col("__mk")))
+        .withColumn(
+            "__min_cost",
+            F.min("ps_supplycost").over(W.partitionBy("ps_partkey")),
+        )
         .filter(F.col("ps_supplycost") == F.col("__min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
@@ -952,7 +956,16 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__val_cents",
         F.round(F.col("ps_supplycost") * 100).cast("long") * F.col("ps_availqty"),
     )
-    grouped = de.groupBy("ps_partkey").agg(F.sum("__val_cents").alias("__part_cents"))
+    # lazy checkpoint: subtree must be deterministic (see
+    # operators/dedup.py DETERMINISM note).  grouped feeds both the
+    # total and the filter probe — without it the partsupp derivation
+    # and its supplier join ran twice
+    grouped = (
+        de.groupBy("ps_partkey")
+        .agg(F.sum("__val_cents").alias("__part_cents"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
+    )
     total = F.broadcast(grouped.agg(F.sum("__part_cents").alias("__total_cents")))
     return (
         grouped.crossJoin(total)

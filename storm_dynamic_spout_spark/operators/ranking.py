@@ -272,6 +272,7 @@ def cohen_kappa(
         a.join(b, "__item")
         .groupBy("__la", "__lb")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
         .localCheckpoint(eager=False)
     )
     counts = cell.agg(

@@ -165,15 +165,20 @@ def test_derived_partsupp_queries_never_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}:\n{plan[:2000]}"
 
 
-def test_q2_min_cost_aggregate_joins_back_on_key(spark, sf_dir):
-    # the decorrelated per-part MIN comes back as a key equi-join and
-    # the dims broadcast; the only nested-loop joins allowed are the
-    # 1-row supplier-count broadcasts the partsupp generator uses
-    # (IdentityBroadcastMode Cross — a scalar, not a relation pair)
+def test_q2_min_cost_is_partitioned_window_min(spark, sf_dir):
+    # the decorrelated per-part MIN is a window over the ps_partkey
+    # partition on the already-part-filtered probe (r15: replaces the
+    # aggregate-then-rejoin that evaluated the partsupp⋈supplier
+    # subtree twice); dims broadcast, and the only nested-loop joins
+    # allowed are the 1-row supplier-count broadcasts the partsupp
+    # generator uses (IdentityBroadcastMode Cross — a scalar, not a
+    # relation pair)
     plan = _plan(spark, sf_dir, "tpch_q2")
     bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
     assert all("Cross" in ln for ln in bnlj), plan[:2000]
-    assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
+    assert "min(ps_supplycost" in plan and "windowspecdefinition(ps_partkey" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
 
 
 def test_q11_total_is_broadcast_not_reshuffle(spark, sf_dir):
