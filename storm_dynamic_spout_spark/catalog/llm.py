@@ -2367,16 +2367,25 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        F.round(X.quality_score(F.col("text")), 6).alias("quality"),
-        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
-    ).withColumn(
-        "__b",
-        F.least(
-            F.floor(F.col("quality") * _BUDGET_BUCKETS).cast("int"),
-            F.lit(_BUDGET_BUCKETS - 1),
-        ),
+    # lazy checkpoint: deterministic subtree (see operators/dedup.py
+    # DETERMINISM note).  scored feeds three consumers (the running-sum
+    # leg, the bucket totals and the grand total) — without it the
+    # regex quality score ran over the corpus three times (r15 plan:
+    # 3 documents scans)
+    scored = (
+        d.select(
+            "doc_id",
+            F.round(X.quality_score(F.col("text")), 6).alias("quality"),
+            F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "__b",
+            F.least(
+                F.floor(F.col("quality") * _BUDGET_BUCKETS).cast("int"),
+                F.lit(_BUDGET_BUCKETS - 1),
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     within = F.sum("n_tokens").over(
         Window.partitionBy("__b")
@@ -2384,6 +2393,9 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     bucket_totals = scored.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
+    # the grand total is the sum of the ~20 bucket totals — no third
+    # corpus pass
+    total = bucket_totals.agg(F.sum("__bt").alias("__tot"))
     # 20-row prefix sum: offset = tokens in all strictly-better buckets
     offsets = bucket_totals.select(
         "__b",
@@ -2396,7 +2408,6 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("__bt")
         ).alias("__off"),
     )
-    total = scored.agg(F.sum("n_tokens").alias("__tot"))
     return (
         scored.withColumn("__run", within)
         .join(F.broadcast(offsets), "__b")
