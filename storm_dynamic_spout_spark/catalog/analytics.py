@@ -263,14 +263,22 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap filling: the dense (event_type × day) grid with explicit
     zero rows for silent days — what alerting and time-series models
     need downstream of sparse event streams. Every grid input derives
-    from the *daily aggregate itself* (types and date span), so the
-    events scan + its shuffle exchange are planned once and reused
-    (ReusedExchange) across the three consumers; the closing left join
-    broadcasts the tiny daily counts against the driver-free grid."""
+    from the *daily aggregate itself* (types and date span); the daily
+    table is lazily checkpointed so its three consumers share one
+    events scan (Catalyst does not reuse the exchange across the
+    differently-shaped branches); the closing left join broadcasts the
+    tiny daily counts against the driver-free grid."""
     e = t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count("*").alias("n"))
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note).  daily feeds span, types and the closing
+    # join — the executed plan re-scanned events per consumer (the
+    # ReusedExchange the docstring hoped for never fired)
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
+    )
     span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     days = span.select(
         F.explode(F.sequence("lo", "hi")).alias("day")
@@ -589,8 +597,15 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = t(spark, sf_dir, "events")
-    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note).  daily feeds four consumers (span, observed,
+    # types, the grid reattach) — each re-ran the events scan + the
+    # daily aggregate without it (4 events scans)
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
     )
     span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     days = span.select(F.explode(F.sequence("lo", "hi")).alias("day"), "lo")
@@ -660,19 +675,28 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / WAU / MAU: distinct active users per day, ISO week, and
     month in one result — THE product-health metric family.
 
-    Why at 100 TB: one events scan feeds three distinct-aggregations
-    whose grouping keys nest (day ⊂ week ⊂ month), so each re-reads
-    the same shuffled (bucket, user) partials; with the HLL sketch
-    rollup (agg_hll_sketch_rollup) the week/month levels become
-    sketch merges of the daily level and the raw scan happens once
-    ever — this exact query is why that rollup exists."""
+    Why at 100 TB: ONE events scan builds the distinct (user, day)
+    table (checkpointed — the grouping keys nest, day ⊂ week ⊂ month,
+    so that table is a shared sufficient statistic), and the three
+    levels are distinct-aggregations over it instead of three raw
+    scans; with the HLL sketch rollup (agg_hll_sketch_rollup) the
+    week/month levels become sketch merges of the daily level —
+    this exact query is why that rollup exists."""
     e = t(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note).  The distinct (user, day) table is the shared
+    # sufficient statistic for all three granularities — without it
+    # each level re-scanned raw events (3 scans); countDistinct per
+    # level is unchanged because (user, day) dedup never merges users
+    # within any coarser bucket
+    # deterministic subtree (operators/dedup.py DETERMINISM note)
+    ud = e.distinct().localCheckpoint(eager=False)
 
     def level(label: str, bucket: F.Column) -> DataFrame:
         return (
-            e.groupBy(bucket.alias("__b"))
+            ud.groupBy(bucket.alias("__b"))
             .agg(F.countDistinct("user_id").alias("n_users"))
             .select(
                 F.lit(label).alias("granularity"),
@@ -1265,8 +1289,15 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = e.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("__med")
     )
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "__dev", F.abs(F.col("value") - F.col("__med"))
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note).  dev feeds the MAD aggregate AND the final
+    # outlier pass — without it both consumers re-ran the events scan
+    # and the median aggregate (4 events scans for a two-pass MAD)
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .withColumn("__dev", F.abs(F.col("value") - F.col("__med")))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
     )
     mad = dev.groupBy("event_type").agg(
         F.percentile("__dev", 0.5).alias("__mad")
@@ -1462,12 +1493,26 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific month-diff semantics are in play."""
     from pyspark.sql.window import Window
 
-    o = t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    # lazy checkpoints: deterministic subtrees (operators/dedup.py
+    # DETERMINISM note).  o feeds the first-order aggregate AND the
+    # fact probe; first feeds the cohort sizes AND the probe join —
+    # without them orders was scanned three times
+    o = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
     )
-    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    # deterministic subtree (operators/dedup.py DETERMINISM note)
+    first = (
+        o.groupBy("o_custkey")
+        .agg(F.min("ym").alias("cohort_ym"))
+        .localCheckpoint(eager=False)
+    )
     cohorts = first.groupBy("cohort_ym").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
@@ -3456,7 +3501,11 @@ def events_ab_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(is_t, F.col("value") * F.col("value")).otherwise(0.0)
         ).alias("__ss_t"),
-    )
+        # lazy checkpoint below: deterministic subtree (operators/
+        # dedup.py DETERMINISM note).  g feeds the total, the per-
+        # stratum rows and the OVERALL aggregate — each re-scanned
+        # events without it (4 scans for one grouped aggregate)
+    ).localCheckpoint(eager=False)
     tot = g.agg(F.sum(F.col("n_c") + F.col("n_t")).alias("__tot"))
     st = g.crossJoin(F.broadcast(tot)).select(
         "stratum",

@@ -775,10 +775,15 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     d = t(spark, sf_dir, "documents")
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note).  tf feeds the document-frequency aggregate
+    # AND the ranked join — without it the corpus explode ran twice
     tf = (
         d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
@@ -2272,8 +2277,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders of magnitude smaller than the corpus after aggregation (and
     truncatable to a top-V vocabulary), so the score joins are
     fact-to-dim joins AQE turns into broadcasts; the vocab size |V| is
-    a one-row broadcast (scalar-subquery pattern).  Counts are built
-    with map-side partial aggregation off a single corpus scan."""
+    a one-row broadcast (scalar-subquery pattern).  The bigram and
+    unigram streams are each evaluated ONCE (checkpointed) — their
+    count tables, the score join and the vocab scalar all derive from
+    those two materialized passes with map-side partial aggregation."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", r"\s+").alias("tk"))
     big = (
@@ -2289,12 +2296,20 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
         .select("doc_id", "p.w1", "p.bg")
+        # lazy checkpoint: deterministic subtree (operators/dedup.py
+        # DETERMINISM note).  big feeds the bigram counts AND the
+        # score join — without it the bigram explode ran twice
+        .localCheckpoint(eager=False)
     )
     bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    # deterministic subtree (operators/dedup.py DETERMINISM note) —
+    # uni feeds the score join AND the vocab-size scalar
     uni = (
         toks.select(F.explode("tk").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c_w"))
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("n_vocab"))
     return (
@@ -2385,6 +2400,7 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_BUDGET_BUCKETS - 1),
             ),
         )
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
         .localCheckpoint(eager=False)
     )
     within = F.sum("n_tokens").over(
@@ -5400,8 +5416,15 @@ def embedding_whitened_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast to the ann_topk_bruteforce plan (broadcast query panel x
     one corpus scan, WindowGroupLimit top-k) — the corpus still never
     self-joins."""
-    w = S.whiten_ppm(t(spark, sf_dir, "embeddings"), "vec_id", "embedding").select(
-        "vec_id", "white_ppm"
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note).  The whitened table feeds BOTH sides of the
+    # top-k (query panel + corpus) — without it the stats aggregate
+    # and the whitening join ran twice (4 embeddings scans)
+    w = (
+        S.whiten_ppm(t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+        .select("vec_id", "white_ppm")
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
     )
     res = S.cosine_topk(
         w, "vec_id", "white_ppm", F.col("vec_id") < ANN_QUERY_MAX_ID, ANN_K

@@ -597,8 +597,21 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-10-01") & (F.col("l_shipdate") < "1998-01-01")
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")).alias("__total")
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note).  rev feeds the scalar max AND the winner
+    # filter — without it the quarter's lineitem slice was scanned and
+    # aggregated twice
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("__total")
+        )
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("__total").alias("__mx"))
     s = t(spark, sf_dir, "supplier")
@@ -634,20 +647,34 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-then-join. The threshold l_quantity < 0.2*avg(qty) is
     algebraically rearranged to 5*cnt*qty < sum — all-decimal, so the
     boundary comparison is exact in both engines (a double 0.2*avg
-    could flip rows on ulp noise). At scale the per-part aggregate is
-    far smaller than lineitem, so AQE broadcasts it back.
+    could flip rows on ulp noise). The brand-filtered lineitem slice
+    is checkpointed and shared by the aggregate and the probe (one
+    fact scan, and the per-part aggregate runs over ~0.4% of rows);
+    the tiny aggregate broadcasts back onto the probe.
     """
     li = t(spark, sf_dir, "lineitem")
-    pq = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("__qsum"),
-        F.count(F.lit(1)).alias("__qcnt"),
-    )
     p = F.broadcast(
         t(spark, sf_dir, "part").filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10))
     )
-    return (
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note).  The part filter is ~0.4% selective and the
+    # average is PER PART, so pruning lineitem to matching parts FIRST
+    # leaves every consumed per-part aggregate unchanged; the
+    # checkpointed slice then feeds both the aggregate and the probe —
+    # one lineitem scan instead of two, and the aggregate shuffles the
+    # pruned slice instead of the full fact
+    lp = (
         li.join(p, li.l_partkey == p.p_partkey)
-        .join(pq, li.l_partkey == F.col("__pk"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
+    )
+    pq = lp.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("__qsum"),
+        F.count(F.lit(1)).alias("__qcnt"),
+    )
+    return (
+        lp.join(F.broadcast(pq), lp.l_partkey == F.col("__pk"))
         .filter(F.col("l_quantity").cast("decimal(25,6)") * 5 * F.col("__qcnt") < F.col("__qsum"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / 7.0).alias("avg_yearly")
@@ -773,7 +800,16 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact decimal bal*cnt > sum, no double-avg boundary flips) +
     NOT EXISTS anti-join + aggregate.
     """
-    c = t(spark, sf_dir, "customer")
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note).  The projected customer dim feeds the
+    # balance-stats scalar AND the main filter — one scan instead of
+    # two
+    c = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
+    )
     stats = c.filter(F.col("c_acctbal") > 0).agg(
         F.sum(F.col("c_acctbal").cast("decimal(25,6)")).alias("__bsum"),
         F.count(F.lit(1)).alias("__bcnt"),
@@ -1060,10 +1096,16 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     red-part list and the region's suppliers broadcast; only lineitem
     and partsupp shuffle. Reference for shape: public TPC-H spec Q20."""
     ps = _partsupp(spark, sf_dir)
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note).  The red-part key list feeds two semi-joins
+    # (lineitem and partsupp) — each broadcast build re-scanned part
+    # without it
     red = F.broadcast(
         t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("red%"))
         .select("p_partkey")
+        # deterministic subtree (operators/dedup.py DETERMINISM note)
+        .localCheckpoint(eager=False)
     )
     li = (
         t(spark, sf_dir, "lineitem")

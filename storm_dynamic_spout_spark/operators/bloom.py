@@ -145,8 +145,12 @@ def bloom_prune_join(
     matches, and the bitmap build's own groupBy absorbs duplicate
     keys — a shared distinct aggregate would be planned TWICE (once
     inside the scalar subquery, once in the main join subtree),
-    scanning and aggregating the dimension twice."""
-    keys = small.select(F.col(small_key).alias("__k"))
+    scanning and aggregating the dimension twice.  The key projection
+    IS shared: it is lazily checkpointed so the bitmap build and the
+    exact join read one materialized dimension scan instead of each
+    re-running it (deterministic subtree required —
+    operators/dedup.py DETERMINISM note)."""
+    keys = small.select(F.col(small_key).alias("__k")).localCheckpoint(eager=False)
     bloom = bloom_build(keys, "__k", m_bits, k_hashes).scalar()
     cand = big.where(bloom_might_contain(bloom, F.col(big_key), m_bits, k_hashes))
     return cand.join(keys, cand[big_key] == keys["__k"], "left_semi")

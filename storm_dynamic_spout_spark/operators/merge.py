@@ -95,7 +95,12 @@ def merge_scd2(
     ).withColumn("__sp", F.lit(True))
     cur = cur.withColumn("__tp", F.lit(True))
     cond = [cur[k].eqNullSafe(F.col(f"__s_{k}")) for k in keys]
-    joined = cur.join(src, cond, "full_outer")
+    # lazy checkpoint: the full-outer join feeds THREE output branches
+    # (keep / closed / opened); without it each branch re-evaluates the
+    # whole current-slice x batch join — and everything upstream of it
+    # (the SCD-2 catalog query re-scanned documents 9x).  Deterministic
+    # subtree required (operators/dedup.py DETERMINISM note).
+    joined = cur.join(src, cond, "full_outer").localCheckpoint(eager=False)
     changed = F.lit(False)
     for c in data_cols:
         changed = changed | ~F.col(c).eqNullSafe(F.col(f"__s_{c}"))
