@@ -2729,6 +2729,11 @@ def stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(_SM_BATCHES):
         rows = batch_sums(e.filter(F.col("event_id") % _SM_BATCHES == b), b)
         state = rows if state is None else state.unionByName(rows)
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note).  state feeds the seen-watermark derivation
+    # AND the final fold — without it every per-batch aggregate (and
+    # its events scan) re-ran for the watermark
+    state = state.localCheckpoint(eager=False)
     # redelivery: batch 1 arrives again; the batch_id watermark
     # (anti-join on already-folded ids) must drop it entirely
     redelivered = batch_sums(e.filter(F.col("event_id") % _SM_BATCHES == 1), 1)
