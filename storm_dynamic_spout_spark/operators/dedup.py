@@ -416,8 +416,13 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
     LSH band buckets (reusing the minhash bands) so the comparison never
     goes all-pairs."""
     sig = minhash_signature(df, id_col, text_col)
-    sims = with_simhash(df, id_col, text_col, "__sh")
-    cands = lsh_candidate_pairs(sig, id_col)
+    # lazy checkpoint: deterministic subtree (DETERMINISM note above).
+    # sims feeds BOTH verify-join sides — without it the corpus-wide
+    # simhash (a hash per token per bit) computed twice; materialize=
+    # True likewise shares the exploded band signature across the
+    # candidate self-join sides
+    sims = with_simhash(df, id_col, text_col, "__sh").localCheckpoint(eager=False)
+    cands = lsh_candidate_pairs(sig, id_col, materialize=True)
     a = sims.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sims.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     return (
@@ -462,7 +467,11 @@ def full_signature_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     go quadratic; the full signature only collides for (near-)identical
     token sets, keeping the verify join linear in true-dup clusters."""
     key = F.md5(F.concat(*[F.col(f"minhash_{s}") for s in MINHASH_SEEDS]).cast("binary"))
-    keyed = sig.withColumn("__sig", key)
+    # lazy checkpoint: deterministic subtree (operators/dedup.py
+    # DETERMINISM note above).  Both self-join sides consume the keyed
+    # signature — without it the whole 8-hash signature subtree (md5
+    # per token per seed) computed TWICE
+    keyed = sig.select(F.col(id_col), key.alias("__sig")).localCheckpoint(eager=False)
     a = keyed.select(F.col(id_col).alias("id_a"), "__sig")
     b = keyed.select(F.col(id_col).alias("id_b"), "__sig")
     return a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
@@ -476,7 +485,10 @@ def ngram_jaccard_pairs(
     than token Jaccard, so it gets the tighter candidate set)."""
     sig = minhash_signature(df, id_col, text_col)
     cands = full_signature_pairs(sig, id_col)
-    grams = with_char_ngrams(df, id_col, text_col, n)
+    # lazy checkpoint: deterministic subtree (DETERMINISM note above).
+    # grams feeds BOTH verify-join sides — without it the char-n-gram
+    # explode + hash ran twice over the corpus
+    grams = with_char_ngrams(df, id_col, text_col, n).localCheckpoint(eager=False)
     a = grams.select(
         F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"), F.size("__g").alias("__na")
     )
