@@ -5761,6 +5761,13 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grade",
             F.row_number().over(W.orderBy(F.desc("__key"), "doc_id")).alias("rank"),
         )
+        # the ≤BM25_TOP-row pool feeds BOTH the dcg and the ideal/idcg
+        # legs — without a cut each re-runs the whole BM25 scorer above
+        # (incl. the corpus-wide doc-count/avgdl stats scan: 2 documents
+        # scans in the r15 executed plan).  Deterministic subtree
+        # (integer sort keys, doc_id tiebreaks — operators/dedup.py
+        # DETERMINISM note), so the lazy checkpoint is safe.
+        .localCheckpoint(eager=False)
     )
     gain = F.pow(F.lit(2.0), F.col("grade")) - 1
     dcg = pool.filter(F.col("rank") <= NDCG_AT).agg(
@@ -6037,13 +6044,13 @@ def text_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training order is the merge rank — _BPE_MERGE_ITERS rows, never
     # data; the collect itself lives in operators/text.py
     merges = collect_merge_table(tops)
-    wc = (
-        t(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", r"\s+")).alias("word"))
-        .filter(F.length("word") >= 1)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
+    # the trainer's checkpointed word table already holds every distinct
+    # word with its corpus count — merges only regroup a word's chars,
+    # so array_join(syms, '') is exactly the original word and the
+    # (word, n) encode input derives with ZERO extra work (was: a second
+    # documents scan + a corpus-wide groupBy(word) exchange rebuilding
+    # the identical table the trainer had materialized)
+    wc = _w.select(F.array_join("syms", "").alias("word"), "n")
     tok = (
         bpe_encode_words(wc, "word", merges)
         .select("n", F.explode("bpe_tokens").alias("token"))
