@@ -2986,6 +2986,8 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why at 100 TB: the per-doc prediction is pure row-local expression
     work fused into the scan; the matrix aggregate is |langs|² rows
     with map-side combine."""
+    from pyspark.sql.window import Window as W
+
     d = t(spark, sf_dir, "documents")
     pred = d.select(
         F.col("lang").alias("labeled_lang"),
@@ -2994,9 +2996,14 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    totals = cells.groupBy("labeled_lang").agg(F.sum("n_docs").alias("__t"))
+    # per-label totals as a window over the |langs|²-row aggregate: the
+    # former totals-aggregate + join-back gave `cells` two consumers,
+    # re-running the corpus-wide lang_id scoring pass per side (2
+    # documents scans in the executed plan; guide §2.4)
     return (
-        cells.join(totals, "labeled_lang")
+        cells.withColumn(
+            "__t", F.sum("n_docs").over(W.partitionBy("labeled_lang"))
+        )
         .select(
             "labeled_lang",
             "predicted_lang",
@@ -3093,16 +3100,18 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("half"),
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
     )
-    dims = split.groupBy("label", "half", "dim0").agg(F.avg("x").alias("mu"))
-    a = dims.filter(F.col("half") == "a").select(
-        "label", "dim0", F.col("mu").alias("mu_a")
-    )
-    b = dims.filter(F.col("half") == "b").select(
-        F.col("label").alias("__l"), F.col("dim0").alias("__d"), F.col("mu").alias("mu_b")
+    # both halves' centroids in ONE conditional aggregate: the former
+    # per-(label, half, dim) aggregate fed two filtered sides of a
+    # self-join, re-running the corpus-wide posexplode+mean pass per
+    # side (2 embeddings scans in the executed plan; guide §2.4).
+    # avg(when(half=…)) skips the other half's NULLs, so each mu is the
+    # identical mean over the identical value set.
+    dims = split.groupBy("label", "dim0").agg(
+        F.avg(F.when(F.col("half") == "a", F.col("x"))).alias("mu_a"),
+        F.avg(F.when(F.col("half") == "b", F.col("x"))).alias("mu_b"),
     )
     return (
-        a.join(b, (a.label == b.__l) & (a.dim0 == b.__d))
-        .groupBy("label")
+        dims.groupBy("label")
         .agg(
             F.round(
                 F.sqrt(F.sum((F.col("mu_a") - F.col("mu_b")) ** 2)), 6
@@ -3885,32 +3894,31 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = d.select("doc_id", F.posexplode(spans).alias("pos", "chunk"))
     rn = F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "pos"))
     ranked = chunks.withColumn("__rn", rn)
-    per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    kept = (
-        ranked.filter(F.col("__rn") == 1)
-        .groupBy("doc_id")
+    # one post-window aggregate computes BOTH the total chunk count and
+    # the kept-span rebuild: the former separate per_doc aggregate gave
+    # `chunks` two consumers, re-running the corpus-wide span explode
+    # per side and paying a doc_id join-back (2 documents scans + an
+    # SMJ in the executed plan; guide §2.4).  collect_list skips the
+    # NULLs the when() leaves on non-first spans, so an all-duplicate
+    # doc rebuilds as md5 of the empty concat — exactly the old
+    # left-join coalesce.
+    kept_chunk = F.when(F.col("__rn") == 1, F.struct("pos", "chunk"))
+    return (
+        ranked.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("__n_kept"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__rn") == 1).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
             F.md5(
                 F.concat_ws(
                     " ",
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "chunk"))
-                        ),
+                        F.array_sort(F.collect_list(kept_chunk)),
                         lambda s: s.chunk,
                     ),
                 )
-            ).alias("__md5"),
-        )
-    )
-    return (
-        per_doc.join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chunks",
-            F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce(F.col("__md5"), F.md5(F.lit(""))).alias("dedup_md5"),
+            ).alias("dedup_md5"),
         )
         .orderBy("doc_id")
     )
