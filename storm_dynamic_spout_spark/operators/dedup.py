@@ -530,26 +530,46 @@ def _large_star(canon: DataFrame) -> DataFrame:
     neighbors to the minimum of its closed neighborhood.  Halves long
     paths — the O(log n) contraction step.
 
-    The neighborhood minimum is a window over the SAME ``__s``
-    partitioning the rows already need, so the old groupBy + join-back
-    pair (two exchanges of the symmetric edge list) collapses into one
-    exchange (guide-§2.4 shape: an aggregate and its fan-out keyed the
-    same way share one shuffle).  Output is NOT deduplicated: every
+    Skew-proof two-level-min shape (guide §2.5): the neighborhood
+    minimum is a ``groupBy(__s).min`` — a hash aggregate whose
+    map-side partials reduce even a power-law hub's adjacency to one
+    row per map task before the exchange — joined back onto only the
+    ``v > u`` probe rows (exactly the swapped canonical edges, so the
+    probe exchange carries HALF the symmetric edge list the old
+    window shuffled).  The join is AQE-skew-splittable, unlike a
+    ``Window.partitionBy(__s)`` min, which forces the hub's entire
+    adjacency into one task with no partial aggregation and no skew
+    split (r15 verdict item 3).  Output is NOT deduplicated: every
     row is (v, m) with v > u ≥ m taken once per (u,v) edge, duplicates
     only arise across u-groups mapping v to the same m, and the
     small-star round that always follows is min-idempotent under
-    duplicates — its final distinct restores the canonical set.  One
-    round = 3 exchanges instead of 6 (measured 4.96→3.97s on the
-    sf0.1 spatial graph, identical labels)."""
+    duplicates — its final distinct restores the canonical set."""
     sym = canon.unionByName(
         canon.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
     )
-    w = Window.partitionBy("__s")
+    # min over the OPEN neighborhood; closed-neighborhood min is
+    # least(__m0, u), taken per probe row below.
+    # lazy checkpoint: deterministic subtree (min aggregate over the
+    # eager-checkpointed canon).  Load-bearing for skew safety, not
+    # reuse: with the final HashAggregate above the shuffle stage,
+    # AQE's OptimizeSkewedJoin pattern (Sort+ShuffleRead on both
+    # sides) does not match and a power-law hub's partition cannot be
+    # split — measured: skew=true fires only with this materialized
+    mins = (
+        sym.groupBy("__s")
+        .agg(F.min("__d").alias("__m0"))
+        .localCheckpoint(eager=False)
+    )
+    # rows with __d > __s in sym are exactly the swapped canonical
+    # edges: (u, v) with v > u ⇔ canonical (v, u)
+    probe = canon.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
     # v > u >= m, so (v, m) is already canonical (greater, lesser)
     return (
-        sym.withColumn("__m", F.least(F.min("__d").over(w), F.col("__s")))
-        .filter(F.col("__d") > F.col("__s"))
-        .select(F.col("__d").alias("__s"), F.col("__m").alias("__d"))
+        probe.join(mins, "__s")
+        .select(
+            F.col("__d").alias("__s"),
+            F.least(F.col("__m0"), F.col("__s")).alias("__d"),
+        )
         .filter(F.col("__s") != F.col("__d"))
     )
 
@@ -557,20 +577,25 @@ def _large_star(canon: DataFrame) -> DataFrame:
 def _small_star(canon: DataFrame) -> DataFrame:
     """Small-star round: every node links all its smaller neighbors
     (and itself) to the minimum among them — flattens the tree toward
-    the component minimum.  Same one-exchange window shape as
-    :func:`_large_star`; tolerates duplicate input rows (min is
-    duplicate-blind), emits the distinct canonical edge set the
-    fixpoint test compares."""
-    w = Window.partitionBy("__s")
-    with_min = canon.withColumn("__m", F.min("__d").over(w))
-    to_min = with_min.filter(F.col("__d") != F.col("__m")).select(
-        F.col("__d").alias("__s"), F.col("__m").alias("__d")
+    the component minimum.  Same skew-proof aggregate + join-back
+    shape as :func:`_large_star` (the per-node min is one aggregate
+    row, so the self-edge needs no window/dropDuplicates); tolerates
+    duplicate input rows (min is duplicate-blind), emits the distinct
+    canonical edge set the fixpoint test compares."""
+    # lazy checkpoint: deterministic subtree (min aggregate over the
+    # round's eager-checkpointed edge set); required for AQE skew-join
+    # splitting of the join below — see the _large_star mins note
+    mins = (
+        canon.groupBy("__s")
+        .agg(F.min("__d").alias("__m"))
+        .localCheckpoint(eager=False)
     )
-    # partitioning on __s from the window already clusters the rows, so
-    # this per-__s dedup adds no exchange
-    self_edge = with_min.select("__s", F.col("__m").alias("__d")).dropDuplicates(
-        ["__s"]
+    to_min = (
+        canon.join(mins, "__s")
+        .filter(F.col("__d") != F.col("__m"))
+        .select(F.col("__d").alias("__s"), F.col("__m").alias("__d"))
     )
+    self_edge = mins.select("__s", F.col("__m").alias("__d"))
     return (
         to_min.unionByName(self_edge)
         .filter(F.col("__s") != F.col("__d"))
