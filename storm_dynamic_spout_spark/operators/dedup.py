@@ -524,29 +524,59 @@ def _canonical_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def _large_star(canon: DataFrame) -> DataFrame:
+#: Edge-count crossover between the two star-round physical shapes.
+#: Below it, the whole edge set is small enough that even a
+#: total-degree hub is a bounded single task (≤ the full edge count,
+#: tens of MB) and the window-min shape wins on job count (measured at
+#: sf0.1: 59 vs 118 driver jobs, best 5.15s vs 6.55s — the extra jobs
+#: are the mins checkpoint materializations, pure scheduling overhead
+#: at this scale).  Above it, a power-law hub's partition is a real
+#: straggler and the skew-safe aggregate+join shape is the only one
+#: AQE can split.  10M edges ≈ 300 MB per worst-case task — the edge
+#: of the healthy task-size range (guide §2.5).
+STAR_SKEW_SAFE_MIN_EDGES = 10_000_000
+
+
+def _large_star(canon: DataFrame, skew_safe: bool = True) -> DataFrame:
     """Large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond"): every node connects its strictly-larger
     neighbors to the minimum of its closed neighborhood.  Halves long
     paths — the O(log n) contraction step.
 
-    Skew-proof two-level-min shape (guide §2.5): the neighborhood
-    minimum is a ``groupBy(__s).min`` — a hash aggregate whose
-    map-side partials reduce even a power-law hub's adjacency to one
-    row per map task before the exchange — joined back onto only the
-    ``v > u`` probe rows (exactly the swapped canonical edges, so the
-    probe exchange carries HALF the symmetric edge list the old
-    window shuffled).  The join is AQE-skew-splittable, unlike a
+    ``skew_safe=True`` (the at-scale shape, r15 verdict item 3) is a
+    skew-proof two-level min (guide §2.5): the neighborhood minimum is
+    a ``groupBy(__s).min`` — a hash aggregate whose map-side partials
+    reduce even a power-law hub's adjacency to one row per map task
+    before the exchange — joined back onto only the ``v > u`` probe
+    rows (exactly the swapped canonical edges, so the probe exchange
+    carries HALF the symmetric edge list the window shape shuffles).
+    The join is AQE-skew-splittable, unlike a
     ``Window.partitionBy(__s)`` min, which forces the hub's entire
     adjacency into one task with no partial aggregation and no skew
-    split (r15 verdict item 3).  Output is NOT deduplicated: every
-    row is (v, m) with v > u ≥ m taken once per (u,v) edge, duplicates
-    only arise across u-groups mapping v to the same m, and the
-    small-star round that always follows is min-idempotent under
-    duplicates — its final distinct restores the canonical set."""
+    split.
+
+    ``skew_safe=False`` (small graphs, below
+    :data:`STAR_SKEW_SAFE_MIN_EDGES`): the one-exchange window min —
+    fewer driver jobs, and safe because any single partition is
+    bounded by the full (small) edge count.
+
+    Output is NOT deduplicated under either shape: every row is (v, m)
+    with v > u ≥ m taken once per (u,v) edge, duplicates only arise
+    across u-groups mapping v to the same m, and the small-star round
+    that always follows is min-idempotent under duplicates — its final
+    distinct restores the canonical set."""
     sym = canon.unionByName(
         canon.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
     )
+    if not skew_safe:
+        w = Window.partitionBy("__s")
+        # v > u >= m, so (v, m) is already canonical (greater, lesser)
+        return (
+            sym.withColumn("__m", F.least(F.min("__d").over(w), F.col("__s")))
+            .filter(F.col("__d") > F.col("__s"))
+            .select(F.col("__d").alias("__s"), F.col("__m").alias("__d"))
+            .filter(F.col("__s") != F.col("__d"))
+        )
     # min over the OPEN neighborhood; closed-neighborhood min is
     # least(__m0, u), taken per probe row below.
     # lazy checkpoint: deterministic subtree (min aggregate over the
@@ -574,14 +604,30 @@ def _large_star(canon: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(canon: DataFrame) -> DataFrame:
+def _small_star(canon: DataFrame, skew_safe: bool = True) -> DataFrame:
     """Small-star round: every node links all its smaller neighbors
     (and itself) to the minimum among them — flattens the tree toward
-    the component minimum.  Same skew-proof aggregate + join-back
-    shape as :func:`_large_star` (the per-node min is one aggregate
-    row, so the self-edge needs no window/dropDuplicates); tolerates
-    duplicate input rows (min is duplicate-blind), emits the distinct
-    canonical edge set the fixpoint test compares."""
+    the component minimum.  Same two shapes as :func:`_large_star`
+    (in the skew-safe shape the per-node min is one aggregate row, so
+    the self-edge needs no window/dropDuplicates); tolerates duplicate
+    input rows (min is duplicate-blind), emits the distinct canonical
+    edge set the fixpoint test compares."""
+    if not skew_safe:
+        w = Window.partitionBy("__s")
+        with_min = canon.withColumn("__m", F.min("__d").over(w))
+        to_min = with_min.filter(F.col("__d") != F.col("__m")).select(
+            F.col("__d").alias("__s"), F.col("__m").alias("__d")
+        )
+        # partitioning on __s from the window already clusters the
+        # rows, so this per-__s dedup adds no exchange
+        self_edge = with_min.select("__s", F.col("__m").alias("__d")).dropDuplicates(
+            ["__s"]
+        )
+        return (
+            to_min.unionByName(self_edge)
+            .filter(F.col("__s") != F.col("__d"))
+            .distinct()
+        )
     # lazy checkpoint: deterministic subtree (min aggregate over the
     # round's eager-checkpointed edge set); required for AQE skew-join
     # splitting of the join below — see the _large_star mins note
@@ -643,7 +689,17 @@ def connected_components(
             # joins' final stage to the narrow width, losing more
             # parallelism than the per-task scheduling it saves; AQE
             # already right-sizes the post-shuffle partitions.
-            canon2 = _small_star(_large_star(canon)).localCheckpoint(eager=True)
+            #
+            # Per-round shape dispatch on the edge count the fixpoint
+            # loop already tracks: small edge sets take the
+            # one-exchange window shape (any straggler is bounded by
+            # the whole edge count; fewer driver jobs), large ones the
+            # AQE-skew-splittable aggregate+join shape — see
+            # STAR_SKEW_SAFE_MIN_EDGES for the measured crossover.
+            safe = n_prev > STAR_SKEW_SAFE_MIN_EDGES
+            canon2 = _small_star(
+                _large_star(canon, skew_safe=safe), skew_safe=safe
+            ).localCheckpoint(eager=True)
             # fixpoint test: equal cardinality + one-directional set
             # containment ⇒ set equality (star output is distinct by
             # construction).  isEmpty() short-circuits at the first

@@ -3,10 +3,13 @@
 The r15 verdict (item 3) flagged the window-min star rounds as a skew
 hazard: ``Window.partitionBy(__s)`` forces a power-law hub's entire
 adjacency into one task with no partial aggregation and no AQE skew
-split.  Round 16 replaced both star rounds with a partial-aggregating
-``groupBy(__s).min`` joined back onto the probe rows — the aggregate's
-map-side partials are skew-immune and the join-back is
-AQE-skew-splittable.  These tests pin:
+split.  Round 16 added a skew-safe shape — a partial-aggregating
+``groupBy(__s).min`` joined back onto the probe rows (map-side
+partials are skew-immune, the join-back is AQE-skew-splittable) — and
+dispatches per round on the edge count the fixpoint loop already
+tracks (STAR_SKEW_SAFE_MIN_EDGES): small graphs keep the cheaper
+window shape, where any straggler is bounded by the whole edge count.
+These tests pin:
 
 - label correctness on a power-law graph against a driver-side
   union-find ground truth (independent of label_prop's max_iter bound);
