@@ -12,6 +12,24 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_MED = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_MED", "/root/testdata/sf0.01")
 
+#: Tests measured above ~4 s (full-suite --durations profile, r16) are
+#: marked `slow` centrally from this list so the default run fits the
+#: driver's verify window (see pytest.ini).  Nothing is deleted: the
+#: full suite runs builder-side with -m "slow or not slow".
+_SLOW_LIST = Path(__file__).resolve().parent / "slow_tests.txt"
+
+
+def pytest_collection_modifyitems(config, items):
+    slow_ids = {
+        line.strip()
+        for line in _SLOW_LIST.read_text().splitlines()
+        if line.strip() and not line.startswith("#")
+    }
+    for item in items:
+        # nodeids are repo-root-relative ("tests/test_x.py::test_y")
+        if item.nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
