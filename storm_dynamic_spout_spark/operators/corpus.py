@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from storm_dynamic_spout_spark.operators.skew import fan_out_narrow
+
 
 #: Fraction-rounding scale for engine-portable ratio reports.
 _FRAC_MICRO = 1_000_000
@@ -78,13 +80,16 @@ def contamination(
     broadcasts it), aggregate per train doc. Work is linear in total
     grams; there is no train×eval document cross product anywhere.
     """
-    train_grams = train.select(
+    # the gram build is the CPU-heavy per-row pass; a one-row-group
+    # input would otherwise run it on one core (fan_out_narrow note)
+    train_grams = fan_out_narrow(train).select(
         F.col(id_col), F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g")
     )
     # gram-set side: dedup raw strings first, hash once per distinct
     # gram (the token_ngrams/md5_int split — see eval_contamination)
     eval_grams = (
-        eval_set.select(F.explode(token_ngrams(F.col(text_col), ngram)).alias("__gs"))
+        fan_out_narrow(eval_set)
+        .select(F.explode(token_ngrams(F.col(text_col), ngram)).alias("__gs"))
         .distinct()
         .select(md5_int(F.col("__gs")).alias("__g"))
     )
@@ -128,14 +133,17 @@ def eval_contamination(
     # skips it), so every eval doc reaches the one per-doc aggregate —
     # no separate reattach join of the eval id list afterwards (was:
     # a second eval scan + an extra doc_id exchange + sort-merge join)
-    eval_grams = eval_set.select(
+    # gram builds are the CPU-heavy per-row passes; one-row-group
+    # inputs would otherwise run them on one core (fan_out_narrow note)
+    eval_grams = fan_out_narrow(eval_set).select(
         F.col(id_col),
         F.explode_outer(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"),
     )
     # vocabulary side: dedup the raw gram strings FIRST, hash once per
     # distinct gram — the corpus-sized md5 work drops to vocab-sized
     train_vocab = (
-        train.select(
+        fan_out_narrow(train)
+        .select(
             F.explode(token_ngrams(F.col(text_col), ngram)).alias("__gs")
         )
         .distinct()
@@ -256,15 +264,17 @@ def decontamination_report(
     is a gram-hash equi-join (eval-gram-sized probe side), then one
     per-source aggregate.  No train×eval doc product; attribution adds
     one |sources| fan-out ONLY on grams that actually leak."""
+    # gram builds are the CPU-heavy per-row passes (fan_out_narrow note)
     train_vocab = (
-        train.select(
+        fan_out_narrow(train)
+        .select(
             F.col(source_col).alias("source"),
             F.explode(token_ngrams(F.col(text_col), ngram)).alias("__gs"),
         )
         .dropDuplicates(["source", "__gs"])
         .select("source", md5_int(F.col("__gs")).alias("__g"))
     )
-    eval_grams = eval_set.select(
+    eval_grams = fan_out_narrow(eval_set).select(
         F.col(id_col).alias("__eid"),
         F.explode(token_ngram_hashes(F.col(text_col), ngram)).alias("__g"),
     )
