@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from storm_dynamic_spout_spark.operators.skew import fan_out_narrow
 from storm_dynamic_spout_spark.operators.text import (
     content_fingerprint,
     distinct_tokens,
@@ -56,6 +57,9 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     One shuffle on the md5 fingerprint (not the full text — 32-byte keys
     keep the exchange small at 100 TB)."""
+    # NOT fanned out: one md5 over the text per row is too little work
+    # to buy back a repartition of the text payload (A/B'd r16 — the
+    # gram/minhash passes fan out, this one stays narrow-tolerant)
     return (
         df.select(
             F.col(id_col), content_fingerprint(F.col(text_col)).alias("fingerprint")
@@ -104,8 +108,12 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     8 minhash lambdas reference it — an expression nested inside a
     higher-order lambda is re-evaluated per array element, which turns
     split+distinct into O(tokens²) work per row."""
+    # tokenize + 8 seeded md5 sweeps are the CPU pass; one-row-group
+    # inputs would run them on one core (fan_out_narrow note)
     return minhash_signature_tokens(
-        df.select(F.col(id_col), distinct_tokens(F.col(text_col)).alias("__toks")),
+        fan_out_narrow(df).select(
+            F.col(id_col), distinct_tokens(F.col(text_col)).alias("__toks")
+        ),
         id_col,
         "__toks",
     ).drop("__toks")
@@ -238,7 +246,8 @@ def jaccard_verify(
             F.transform(F.col("__toks"), token_hash).alias("__toks"),
         ).withColumn("__n", F.size("__toks"))
     else:
-        toks = docs.select(
+        # tokenize + per-token hash is the CPU pass (fan_out_narrow note)
+        toks = fan_out_narrow(docs).select(
             F.col(id_col),
             F.transform(distinct_tokens(F.col(text_col)), token_hash).alias("__toks"),
         ).withColumn("__n", F.size("__toks"))
@@ -297,7 +306,9 @@ def minhash_near_dups(
     # this one materialized token table instead of re-splitting the
     # text per consumer (was: 20 file scans / 16 minhash evaluations
     # per run — Catalyst can't dedupe differently-aliased subtrees)
-    tok = df.select(
+    # deterministic subtree (DETERMINISM note above); fanned out so
+    # the tokenize pass and every checkpoint consumer run wide
+    tok = fan_out_narrow(df).select(
         F.col(id_col), distinct_tokens(F.col(text_col)).alias("__toks")
     ).localCheckpoint(eager=False)
     keyed = tok.select(
@@ -391,7 +402,8 @@ def with_simhash(
 ) -> DataFrame:
     """id + simhash: bit i set iff the count of token-hashes with bit i
     set exceeds half the distinct-token count."""
-    hashed = df.select(
+    # tokenize + per-token hash is the CPU pass (fan_out_narrow note)
+    hashed = fan_out_narrow(df).select(
         F.col(id_col),
         F.transform(distinct_tokens(F.col(text_col)), token_hash).alias("__hs"),
     ).withColumn("__n", F.size("__hs"))
@@ -451,7 +463,8 @@ def with_char_ngrams(
     references an attribute — nesting the regexp_replace inside the
     lambda re-runs it once per character of every document."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    normed = df.select(F.col(id_col), norm.alias("__norm"))
+    # per-character gram transform is the CPU pass (fan_out_narrow note)
+    normed = fan_out_narrow(df).select(F.col(id_col), norm.alias("__norm"))
     idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - (n - 1), F.lit(1)))
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.col("__norm").substr(i, F.lit(n)))
@@ -790,7 +803,9 @@ def containment_pairs(
     # candidate-join sides + both verify sides); materialize it once
     # (the minhash materialize= rationale at :148) instead of
     # re-tokenizing the corpus per reference
-    grams = df.select(
+    # deterministic subtree (DETERMINISM note above); fanned out so the
+    # gram-hash pass and its four consumers run wide
+    grams = fan_out_narrow(df).select(
         F.col(id_col), token_ngram_hashes(F.col(text_col), ngram).alias("__g")
     ).withColumn("__n", F.size("__g")).localCheckpoint(eager=False)
     ex = grams.select(id_col, F.explode("__g").alias("__gk"))
