@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from storm_dynamic_spout_spark.catalog.registry import query, t
+from storm_dynamic_spout_spark.operators.skew import fan_out_narrow
 from storm_dynamic_spout_spark.operators import dedup as D
 from storm_dynamic_spout_spark.operators import similarity as S
 from storm_dynamic_spout_spark.operators import text as X
@@ -3441,7 +3442,8 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast.  No Python
     anywhere — slice/transform/explode are all codegen'd array
     expressions."""
-    d = t(spark, sf_dir, "documents")
+    # fan_out_narrow: gram explode per row (skew.py note)
+    d = fan_out_narrow(t(spark, sf_dir, "documents"))
     footer = F.concat(
         F.col("text"),
         F.lit(" please subscribe to "),

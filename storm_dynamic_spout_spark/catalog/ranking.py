@@ -19,6 +19,7 @@ from pyspark.sql.window import Window as W
 
 from storm_dynamic_spout_spark.catalog.llm import _sql_lang_case
 from storm_dynamic_spout_spark.catalog.registry import query, t
+from storm_dynamic_spout_spark.operators.skew import fan_out_narrow
 from storm_dynamic_spout_spark.operators import text as X
 from storm_dynamic_spout_spark.operators.ranking import (
     BT_ITERATIONS,
@@ -219,7 +220,8 @@ def rank_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     on item (one shuffle on doc id), exact integer count aggregates,
     and a label-vocabulary-sized marginal join — the corpus-sized
     work is the one equi-join; everything downstream is model-sized."""
-    d = t(spark, sf_dir, "documents")
+    # fan_out_narrow: lang_id regex per row is the CPU pass (skew.py note)
+    d = fan_out_narrow(t(spark, sf_dir, "documents"))
     log = d.select(
         F.col("doc_id").alias("item"),
         F.lit("gold").alias("rater"),
