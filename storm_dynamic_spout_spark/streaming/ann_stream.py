@@ -177,9 +177,11 @@ class StreamingAnnIndex:
             new = new.join(
                 seen.select(F.col("__id")), "__id", "left_anti"
             )
-        new = new.localCheckpoint(eager=True)
-        if not new.take(1):
-            return  # fully-committed re-delivery (or an empty batch)
+        # lazy checkpoint: deterministic subtree (vector prep +
+        # anti-join over the static pre-batch index files); the batch-
+        # key aggregate below materializes it BEFORE any append runs —
+        # one driver job instead of three (r15 verdict item 6)
+        new = new.localCheckpoint(eager=False)
         # deterministic batch identity over the DISTINCT new ids (one
         # row per id here, distinct by construction — the bm25_stream
         # convention): a crash between the match append and the index
@@ -192,6 +194,8 @@ class StreamingAnnIndex:
             .agg(F.expr("bit_xor(xxhash64(__id))"))
             .first()[0]
         )
+        if key is None:
+            return  # fully-committed re-delivery (or an empty batch)
         if seen is not None and os.path.isdir(
             os.path.join(self.match_dir, f"__batch_key={key}")
         ):
