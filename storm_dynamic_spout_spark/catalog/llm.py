@@ -3112,8 +3112,16 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(F.col("half") == "a", F.col("x"))).alias("mu_a"),
         F.avg(F.when(F.col("half") == "b", F.col("x"))).alias("mu_b"),
     )
+    # degenerate-split guard (r15 advice): a label whose vec_ids are
+    # all one parity has NULL for the missing half's mu — the old
+    # a⋈b inner self-join dropped such labels entirely, so drop them
+    # here too instead of emitting a NULL-drift row the oracle's
+    # inner join would never produce.  No effect when both halves
+    # exist (the fixture), identical row set to the pre-r15 shape on
+    # any input.
     return (
-        dims.groupBy("label")
+        dims.filter(F.col("mu_a").isNotNull() & F.col("mu_b").isNotNull())
+        .groupBy("label")
         .agg(
             F.round(
                 F.sqrt(F.sum((F.col("mu_a") - F.col("mu_b")) ** 2)), 6

@@ -154,3 +154,31 @@ def test_star_round_skew_split_fires(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_embedding_drift_drops_single_parity_labels(spark, tmp_path):
+    """r15 advice: a label whose vec_ids are all one parity must be
+    DROPPED (the pre-r15 a⋈b inner self-join semantics), not emitted
+    with a NULL drift — pins the degenerate-split guard."""
+    import pyspark.sql.types as T
+
+    from storm_dynamic_spout_spark.catalog.llm import embedding_drift
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (0, [1.0, 0.0], 1),  # label 1: both parities -> one drift row
+        (1, [0.0, 1.0], 1),
+        (2, [2.0, 2.0], 2),  # label 2: even ids only -> dropped
+        (4, [3.0, 3.0], 2),
+    ]
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/embeddings.parquet")
+    out = embedding_drift(spark, d).collect()
+    assert [r["label"] for r in out] == [1]
+    assert all(r["drift_l2"] is not None for r in out)
