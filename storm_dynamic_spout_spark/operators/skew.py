@@ -104,6 +104,10 @@ def fan_out_narrow(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     default — guide §2.5), so recomputation reproduces the same
     row-to-partition mapping; safe below lazy checkpoints.
     """
+    if df.isStreaming:
+        # a streaming frame has no static partitioning to inspect (and
+        # micro-batches are repartitioned by the sink path as needed)
+        return df
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
